@@ -1,0 +1,132 @@
+"""Reference silhouette evaluation (operators O13, O14, O15) plus the
+standard MLlib metric as a clearly-separated alternative.
+
+Reference semantics (SilhouetteEvaluation.java:91-141):
+- ``avg_intra(C)`` = sum over ORDERED pairs (p, q), p != q, both in C,
+  of euclidean(p, q), divided by n_C * (n_C - 1)  (divisor at
+  SilhouetteEvaluation.java:111). Singleton cluster: 0/0 -> NaN in
+  variant 1; variants 2/3 SKIP singletons
+  (SilhouetteEvaluation2.java:201-204).
+- ``avg_inter(C)`` = sum over p in C, q NOT in C of euclidean(p, q),
+  divided by |C| * (k - 1) — the reference's NON-STANDARD divisor
+  (SilhouetteEvaluation.java:131-132) omits the other clusters' sizes,
+  inflating the value by ~|C'|; reproduced verbatim because the golden
+  outputs depend on it.
+- ``silhouette(C)`` = (inter - intra) / max(intra, inter)
+  (SilhouetteEvaluation.java:135-139) — cluster-level, not per-point
+  Rousseeuw.
+
+Physical shape: the reference buffers the WHOLE dataset in one reducer
+JVM (O16, SilhouetteEvaluation.java:72-142, implicit single reduce
+task). Here both all-pairs sums are distributed joins:
+- intra: equi-join on cluster (Catalyst picks SMJ/SHJ; K keys => AQE
+  skew handling matters at scale),
+- inter: cluster-inequality theta join (BroadcastNestedLoopJoin).
+Both are inherently O(n^2) in *work* — that is the reference's defined
+semantics, not an implementation accident — so for large inputs pass
+``limit_rids`` to evaluate on a deterministic subset, or use
+``silhouette_standard`` (MLlib, O(n*k)) when reference parity is not
+required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_kmeans_clustering_spark.functions.distance import euclidean
+
+
+def _pairs(assigned: DataFrame, same_cluster: bool) -> DataFrame:
+    """All ordered pairs (a, b), a.rid != b.rid, with cluster equality
+    or inequality; returns (cluster=a.cluster, dist)."""
+    a = assigned.select("rid", "cluster", "x", "y", "z").alias("a")
+    b = assigned.select("rid", "cluster", "x", "y", "z").alias("b")
+    dist = euclidean(
+        F.col("a.x"), F.col("a.y"), F.col("a.z"), F.col("b.x"), F.col("b.y"), F.col("b.z")
+    )
+    if same_cluster:
+        cond = (F.col("a.cluster") == F.col("b.cluster")) & (
+            F.col("a.rid") != F.col("b.rid")
+        )
+    else:
+        cond = F.col("a.cluster") != F.col("b.cluster")
+    return a.join(b, cond).select(F.col("a.cluster").alias("cluster"), dist.alias("dist"))
+
+
+def silhouette_ref(
+    assigned: DataFrame,
+    singleton: str = "nan",
+    limit_rids: int | None = None,
+) -> DataFrame:
+    """assigned(rid, cluster, x, y, z) -> (cluster, avg_intra,
+    avg_inter, silhouette), reference formulas.
+
+    ``singleton``: "nan" (variant 1) or "skip" (variants 2/3).
+    ``limit_rids``: evaluate only rows with rid < limit_rids — the
+    deterministic scale hatch for the O(n^2) semantics.
+    """
+    if singleton not in ("nan", "skip"):
+        raise ValueError("singleton must be 'nan' or 'skip'")
+    if "rid" not in assigned.columns:
+        raise ValueError("silhouette_ref requires a rid column (use with_rid)")
+    if limit_rids is not None:
+        assigned = assigned.where(F.col("rid") < limit_rids)
+
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("n"))
+    k = sizes.select(F.count("*").alias("k"))
+
+    intra = (
+        _pairs(assigned, same_cluster=True)
+        .groupBy("cluster")
+        .agg(F.sum("dist").alias("intra_sum"))
+    )
+    inter = (
+        _pairs(assigned, same_cluster=False)
+        .groupBy("cluster")
+        .agg(F.sum("dist").alias("inter_sum"))
+    )
+
+    stats = (
+        sizes.join(intra, "cluster", "left")
+        .join(inter, "cluster", "left")
+        .crossJoin(F.broadcast(k))
+    )
+    # Singleton cluster: no intra pairs -> 0/0, which Java evaluates to
+    # NaN (SilhouetteEvaluation.java:111); Spark's double division
+    # yields NULL, so NaN is emitted explicitly for parity.
+    avg_intra = F.when(
+        F.col("n") > 1,
+        F.coalesce(F.col("intra_sum"), F.lit(0.0)) / (F.col("n") * (F.col("n") - 1)),
+    ).otherwise(F.lit(float("nan")))
+    avg_inter = F.coalesce(F.col("inter_sum"), F.lit(0.0)) / (
+        F.col("n") * (F.col("k") - 1)
+    )
+    out = stats.select(
+        "cluster",
+        avg_intra.alias("avg_intra"),
+        avg_inter.alias("avg_inter"),
+    ).withColumn(
+        "silhouette",
+        (F.col("avg_inter") - F.col("avg_intra"))
+        / F.greatest("avg_intra", "avg_inter"),
+    )
+    if singleton == "skip":
+        out = out.where(~F.isnan("avg_intra"))
+    return out.orderBy("cluster")
+
+
+def silhouette_standard(assigned: DataFrame) -> float:
+    """The STANDARD squared-Euclidean per-point silhouette via
+    pyspark.ml.evaluation.ClusteringEvaluator — a different number from
+    the reference formula by design; offered alongside, never used for
+    golden parity (SURVEY §2.1 O15)."""
+    from pyspark.ml.evaluation import ClusteringEvaluator
+    from pyspark.ml.feature import VectorAssembler
+
+    vec = VectorAssembler(inputCols=["x", "y", "z"], outputCol="features").transform(
+        assigned.select("x", "y", "z", F.col("cluster").cast("double").alias("prediction"))
+    )
+    return ClusteringEvaluator(
+        predictionCol="prediction", featuresCol="features"
+    ).evaluate(vec)
