@@ -3,36 +3,43 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementations live in ``mapreduce_kmeans_clustering_spark``; this
+file only wires the registry.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full convergent K-Means on the sf0.001 scale
+    relation, returning the labeled dataset (SURVEY §2.3 Q-label over
+    the fitted centroids)."""
+    from mapreduce_kmeans_clustering_spark.plans.kmeans import fit, label
+    from mapreduce_kmeans_clustering_spark.queries import scale_points, scale_seeds
+
+    sf_dir = "/root/testdata/sf0.001"
+    pts = scale_points(spark, sf_dir).cache()
+    res = fit(pts, scale_seeds(spark, sf_dir), max_iter=15, threshold=5.0)
+    return label(pts, res.centroids)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from mapreduce_kmeans_clustering_spark.queries import ALL_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(ALL_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mapreduce_kmeans_clustering_spark.queries import ALL_ORACLES
+
+    return dict(ALL_ORACLES)

@@ -1,0 +1,330 @@
+"""Driver-facing query registry: every operator from SURVEY.md §2
+exposed as a (spark, sf_dir) -> DataFrame callable, each with a
+DuckDB-equivalent ANSI-SQL oracle string.
+
+Cross-engine determinism rules (so value-hash comparison holds):
+- distance arithmetic is written with explicit multiplications
+  (``dx*dx``), the same left-associated shape in Spark and SQL, so
+  per-row doubles are bit-identical;
+- centroids are rounded to 6 decimals BETWEEN Lloyd iterations on both
+  sides, pinning the iteration chain to identical doubles;
+- aggregate outputs are rounded (4-6 decimals) to absorb
+  summation-order noise, which is the only nondeterminism left.
+
+The K-Means scale relation derives from lineitem (FIXTURES.md §5):
+x=l_quantity, y=l_extendedprice/100, z=l_discount*1000,
+rid=l_orderkey*10+l_linenumber. Seeds are the first K distinct
+coordinate triples in ``(rid %% 997, rid)`` order — a fixed
+pseudo-spread, no RNG.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_kmeans_clustering_spark.operators.aggregate import members, update_centroids
+from mapreduce_kmeans_clustering_spark.operators.assign import assign
+from mapreduce_kmeans_clustering_spark.operators.silhouette import silhouette_ref
+from mapreduce_kmeans_clustering_spark.sources.points import points_from_lineitem
+from mapreduce_kmeans_clustering_spark.sources.seeds import Centroid
+
+K = 5
+SIL_RID_LIMIT = 50_000  # deterministic ~2k-row subset for the O(n^2) silhouette ops
+
+# ---------------------------------------------------------------------------
+# Shared SQL prelude (DuckDB): pts / seeds / first-iteration assignment.
+# ---------------------------------------------------------------------------
+
+SQL_PTS = """
+pts AS (
+  SELECT (l_orderkey * 10 + l_linenumber) * 10
+           + row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+                                ORDER BY l_quantity, l_extendedprice, l_discount)
+           AS rid,
+         CAST(l_quantity AS DOUBLE) AS x,
+         l_extendedprice / 100.0 AS y,
+         l_discount * 1000.0 AS z
+  FROM lineitem
+)"""
+
+SQL_SEEDS = """
+sd AS (
+  SELECT x, y, z, min((rid % 997) * 1000000000000 + rid) AS mk
+  FROM pts GROUP BY x, y, z
+),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY mk) - 1 AS INT) AS id, x, y, z
+  FROM sd ORDER BY mk LIMIT 5
+)"""
+
+
+def _sql_assign(points_rel: str, seeds_rel: str, out: str) -> str:
+    """SQL block assigning each row of ``points_rel`` to the nearest
+    centroid of ``seeds_rel`` with (dist, id) tie-break."""
+    return f"""
+{out}_cand AS (
+  SELECT p.rid, p.x, p.y, p.z, s.id,
+         sqrt((p.x - s.x) * (p.x - s.x)
+            + (p.y - s.y) * (p.y - s.y)
+            + (p.z - s.z) * (p.z - s.z)) AS dist
+  FROM {points_rel} p CROSS JOIN {seeds_rel} s
+),
+{out} AS (
+  SELECT rid, x, y, z, id AS cluster
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY dist, id) AS rn
+    FROM {out}_cand
+  ) WHERE rn = 1
+)"""
+
+
+def _sql_update(assigned_rel: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT cluster AS id,
+         round(avg(x), 6) AS x,
+         round(avg(y), 6) AS y,
+         round(avg(z), 6) AS z
+  FROM {assigned_rel} GROUP BY cluster
+)"""
+
+
+SQL_PRELUDE = f"WITH {SQL_PTS},{SQL_SEEDS},{_sql_assign('pts', 'seeds', 'asg1')},{_sql_update('asg1', 'c1')}"
+
+# ---------------------------------------------------------------------------
+# Spark-side shared derivations.
+# ---------------------------------------------------------------------------
+
+
+def scale_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return points_from_lineitem(spark, sf_dir)
+
+
+def scale_seeds(spark: SparkSession, sf_dir: str, k: int = K) -> list[Centroid]:
+    """First k distinct coordinate triples by min((rid%997)*1e12+rid).
+    One tiny aggregation job; collects exactly k rows."""
+    pts = scale_points(spark, sf_dir)
+    mk = (F.col("rid") % 997) * F.lit(1_000_000_000_000) + F.col("rid")
+    rows = (
+        pts.select("x", "y", "z", mk.alias("mk"))
+        .groupBy("x", "y", "z")
+        .agg(F.min("mk").alias("mk"))
+        .orderBy("mk")
+        .limit(k)
+        .collect()
+    )
+    return [Centroid(i, r["x"], r["y"], r["z"]) for i, r in enumerate(rows)]
+
+
+def chain_centroids(spark: SparkSession, sf_dir: str, r: int) -> list[Centroid]:
+    """r Lloyd iterations with 6-decimal centroid rounding between
+    steps (the rounding is part of the declared query so Spark and the
+    SQL oracle stay on bit-identical centroids)."""
+    pts = scale_points(spark, sf_dir)
+    cents = scale_seeds(spark, sf_dir)
+    for _ in range(r):
+        assigned = assign(pts, cents, keep_cols=["x", "y", "z"])
+        rows = (
+            update_centroids(assigned)
+            .select(
+                "id",
+                F.round("x", 6).alias("x"),
+                F.round("y", 6).alias("y"),
+                F.round("z", 6).alias("z"),
+            )
+            .collect()
+        )
+        cents = [Centroid(int(w["id"]), w["x"], w["y"], w["z"]) for w in rows]
+    return cents
+
+
+def _assigned1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-iteration assignment (seed centroids), keeping rid."""
+    pts = scale_points(spark, sf_dir)
+    return assign(pts, scale_seeds(spark, sf_dir), keep_cols=["rid", "x", "y", "z"])
+
+
+# ---------------------------------------------------------------------------
+# K-Means / silhouette queries (SURVEY §2.3 Q-assign..Q-disp).
+# ---------------------------------------------------------------------------
+
+
+def q_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _assigned1(spark, sf_dir).select("rid", "x", "y", "z", "cluster")
+
+
+def q_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    upd = update_centroids(_assigned1(spark, sf_dir).select("cluster", "x", "y", "z"))
+    return upd.select(
+        "id",
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        F.round("z", 6).alias("z"),
+    )
+
+
+def q_chain2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = chain_centroids(spark, sf_dir, 2)
+    return spark.createDataFrame(
+        [(c.id, c.x, c.y, c.z) for c in cents], schema="id INT, x DOUBLE, y DOUBLE, z DOUBLE"
+    )
+
+
+def q_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11: full dataset labeled with the after-one-iteration centroids."""
+    cents = chain_centroids(spark, sf_dir, 1)
+    pts = scale_points(spark, sf_dir)
+    return assign(pts, cents, keep_cols=["rid", "x", "y", "z"]).select(
+        "rid", "x", "y", "z", "cluster"
+    )
+
+
+def q_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12 through the real collect_list operator; compared via size +
+    coordinate checksums derived from the member array."""
+    m = members(_assigned1(spark, sf_dir).select("cluster", "x", "y", "z"))
+    arr_sum = lambda field: F.aggregate(  # noqa: E731
+        F.col("points"), F.lit(0.0), lambda acc, p: acc + p[field]
+    )
+    return m.select(
+        "cluster",
+        F.round("cx", 6).alias("cx"),
+        F.round("cy", 6).alias("cy"),
+        F.round("cz", 6).alias("cz"),
+        F.size("points").cast("long").alias("n"),
+        F.round(arr_sum("x") + arr_sum("y") + arr_sum("z"), 4).alias("member_sum"),
+    )
+
+
+def _sil_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sub = _assigned1(spark, sf_dir).where(F.col("rid") < SIL_RID_LIMIT)
+    return silhouette_ref(sub, singleton="skip")
+
+
+def q_intra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sil_stats(spark, sf_dir).select(
+        "cluster", F.round("avg_intra", 4).alias("avg_intra")
+    )
+
+
+def q_inter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sil_stats(spark, sf_dir).select(
+        "cluster", F.round("avg_inter", 4).alias("avg_inter")
+    )
+
+
+def q_sil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sil_stats(spark, sf_dir).select(
+        "cluster", F.round("silhouette", 6).alias("silhouette")
+    )
+
+
+def q_disp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10 metric engine-side: seeds vs after-one-iteration centroids."""
+    seeds = scale_seeds(spark, sf_dir)
+    c1 = chain_centroids(spark, sf_dir, 1)
+    a = spark.createDataFrame(
+        [(c.id, c.x, c.y, c.z) for c in seeds], schema="id INT, x DOUBLE, y DOUBLE, z DOUBLE"
+    )
+    b = spark.createDataFrame(
+        [(c.id, c.x, c.y, c.z) for c in c1], schema="id INT, x DOUBLE, y DOUBLE, z DOUBLE"
+    )
+    d = F.sqrt(
+        (a["x"] - b["x"]) * (a["x"] - b["x"])
+        + (a["y"] - b["y"]) * (a["y"] - b["y"])
+        + (a["z"] - b["z"]) * (a["z"] - b["z"])
+    )
+    return (
+        a.join(b, a["id"] == b["id"])
+        .select(d.alias("d"))
+        .agg(F.round(F.sum("d"), 4).alias("displacement"))
+    )
+
+
+KMEANS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_assign": q_assign,
+    "q_update": q_update,
+    "q_chain2": q_chain2,
+    "q_label": q_label,
+    "q_members": q_members,
+    "q_intra": q_intra,
+    "q_inter": q_inter,
+    "q_sil": q_sil,
+    "q_disp": q_disp,
+}
+
+_SQL_SUB = f"sub AS (SELECT * FROM asg1 WHERE rid < {SIL_RID_LIMIT})"
+_SQL_SIZES = "sizes AS (SELECT cluster, count(*) AS n FROM sub GROUP BY cluster)"
+_SQL_DIST_AB = (
+    "sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)"
+    " + (a.z - b.z) * (a.z - b.z))"
+)
+_SQL_INTRA = f"""
+intra AS (
+  SELECT a.cluster, sum({_SQL_DIST_AB}) AS s
+  FROM sub a JOIN sub b ON a.cluster = b.cluster AND a.rid <> b.rid
+  GROUP BY a.cluster
+)"""
+_SQL_INTER = f"""
+inter AS (
+  SELECT a.cluster, sum({_SQL_DIST_AB}) AS s
+  FROM sub a JOIN sub b ON a.cluster <> b.cluster
+  GROUP BY a.cluster
+)"""
+_SQL_KCOUNT = "kc AS (SELECT count(*) AS k FROM sizes)"
+_SQL_SIL_STATS = f"""
+{_SQL_SUB},
+{_SQL_SIZES},
+{_SQL_KCOUNT},
+{_SQL_INTRA},
+{_SQL_INTER},
+sil_stats AS (
+  SELECT z.cluster,
+         coalesce(i.s, 0) / (z.n * (z.n - 1)) AS avg_intra,
+         coalesce(e.s, 0) / (z.n * (kc.k - 1)) AS avg_inter
+  FROM sizes z
+  LEFT JOIN intra i USING (cluster)
+  LEFT JOIN inter e USING (cluster)
+  CROSS JOIN kc
+  WHERE z.n > 1
+)"""
+
+KMEANS_ORACLES: dict[str, str] = {
+    "q_assign": f"{SQL_PRELUDE} SELECT rid, x, y, z, cluster FROM asg1",
+    "q_update": f"{SQL_PRELUDE} SELECT id, x, y, z FROM c1",
+    "q_chain2": (
+        f"{SQL_PRELUDE},{_sql_assign('pts', 'c1', 'asg2')},{_sql_update('asg2', 'c2')}"
+        " SELECT id, x, y, z FROM c2"
+    ),
+    "q_label": (
+        f"{SQL_PRELUDE},{_sql_assign('pts', 'c1', 'lab')}"
+        " SELECT rid, x, y, z, cluster FROM lab"
+    ),
+    "q_members": f"""{SQL_PRELUDE}
+SELECT cluster,
+       round(avg(x), 6) AS cx,
+       round(avg(y), 6) AS cy,
+       round(avg(z), 6) AS cz,
+       count(*) AS n,
+       round(sum(x) + sum(y) + sum(z), 4) AS member_sum
+FROM asg1 GROUP BY cluster""",
+    "q_intra": f"{SQL_PRELUDE},{_SQL_SIL_STATS} SELECT cluster, round(avg_intra, 4) AS avg_intra FROM sil_stats",
+    "q_inter": f"{SQL_PRELUDE},{_SQL_SIL_STATS} SELECT cluster, round(avg_inter, 4) AS avg_inter FROM sil_stats",
+    "q_sil": f"""{SQL_PRELUDE},{_SQL_SIL_STATS}
+SELECT cluster,
+       round((avg_inter - avg_intra) / greatest(avg_intra, avg_inter), 6) AS silhouette
+FROM sil_stats""",
+    "q_disp": f"""{SQL_PRELUDE}
+SELECT round(sum(sqrt((s.x - c.x) * (s.x - c.x)
+                    + (s.y - c.y) * (s.y - c.y)
+                    + (s.z - c.z) * (s.z - c.z))), 4) AS displacement
+FROM seeds s JOIN c1 c USING (id)""",
+}
+
+# Extension registries are appended by the operator modules' query
+# sections as they land; ALL_QUERIES/ALL_ORACLES is the driver surface.
+ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(KMEANS_QUERIES)
+ALL_ORACLES: dict[str, str] = dict(KMEANS_ORACLES)

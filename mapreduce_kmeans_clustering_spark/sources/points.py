@@ -31,14 +31,29 @@ def read_points_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 def points_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive a 3-D points relation from the lineitem scale table
-    (FIXTURES.md §5): x=l_quantity, y=l_extendedprice/100, z=l_discount*1000,
-    rid = l_orderkey*10 + l_linenumber (l_linenumber <= 7, so rid is unique).
+    (FIXTURES.md §5): x=l_quantity, y=l_extendedprice/100, z=l_discount*1000.
+
+    rid must be deterministic AND oracle-reproducible, but
+    (l_orderkey, l_linenumber) is not unique in the synthetic data, so:
+    rid = (l_orderkey*10 + l_linenumber)*10 + seq, where seq is a
+    row_number WITHIN each (orderkey, linenumber) group ordered by the
+    coordinates (group size <= 6). The window is partitioned, so this
+    stays parallel at scale — no global sort; identical full rows are
+    interchangeable, so the output multiset is deterministic either way.
 
     Only 5 columns are read from parquet — Catalyst prunes the rest.
     """
+    from pyspark.sql.window import Window
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
     return li.select(
-        (F.col("l_orderkey") * F.lit(10) + F.col("l_linenumber"))
+        (
+            (F.col("l_orderkey") * F.lit(10) + F.col("l_linenumber")) * F.lit(10)
+            + F.row_number().over(w)
+        )
         .cast("long")
         .alias("rid"),
         F.col("l_quantity").cast("double").alias("x"),
