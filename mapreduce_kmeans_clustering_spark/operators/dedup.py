@@ -1,0 +1,264 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (the point of each):
+- exact: one hash-groupBy — shuffle on a 32-byte digest, perfectly
+  partition-parallel, AQE coalesces. The canonical 100 TB dedup stage.
+- MinHash+LSH: shingle -> per-seed min-hash -> band -> equi-join on
+  (band, signature). The join key is the band bucket, so candidate
+  generation is O(collisions), never O(n^2).
+- SimHash: 16-bit fingerprint per doc; pair filter by Hamming
+  distance via xor+bit_count. Blocking at scale: join on the simhash
+  bucket (exact-match) or band the bits like MinHash.
+- n-gram Jaccard: inverted-index equi-join on shared shingles (never
+  a cross join) + group-count; similarity = |A∩B| / (|A|+|B|-|A∩B|).
+- embedding near-dup: exact cosine over candidate pairs; at scale the
+  candidates come from LSH buckets (see similarity.py), here the
+  brute a<b variant is provided for oracle-checkable exactness.
+
+Everything is Column-expression-only (md5 as the portable hash family)
+so each operator has a bit-matching DuckDB oracle in queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_kmeans_clustering_spark.functions.distance import cosine_similarity
+from mapreduce_kmeans_clustering_spark.operators.text import tokens, word_shingles
+
+
+# -- exact ------------------------------------------------------------------
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(text_hash, n_copies, keep_id): one row per distinct content,
+    keep_id = lowest doc id of the group."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def exact_dup_drops(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Rows to delete under keep-lowest-id exact dedup."""
+    groups = exact_dup_groups(docs, text_col, id_col)
+    return (
+        docs.withColumn("text_hash", F.md5(F.col(text_col)))
+        .join(F.broadcast(groups.where(F.col("n_copies") > 1)), "text_hash")
+        .where(F.col(id_col) != F.col("keep_id"))
+        .select(F.col(id_col), "keep_id")
+    )
+
+
+# -- shingles / MinHash -----------------------------------------------------
+
+
+def shingle_sets(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, shingles array<string> DISTINCT); docs with < n tokens drop
+    out (no shingles -> undefined signature, same as the oracle)."""
+    sh = F.array_distinct(word_shingles(tokens(F.col(text_col)), n))
+    return (
+        docs.select(F.col(id_col), sh.alias("shingles"))
+        .where(F.size("shingles") > 0)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sig array<string>[num_hashes]): per seed s, the minimum of
+    md5('s:' || shingle) over the doc's shingle set. String-min over
+    hex digests is a valid uniform min-hash family and is reproducible
+    in any engine with md5."""
+    ss = shingle_sets(docs, n, text_col, id_col)
+
+    def min_hash(seed: int):
+        # NB: the transform lambda must take exactly ONE argument —
+        # a two-arg lambda would be interpreted as (element, index).
+        prefix = F.lit(f"{seed}:")
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda x: F.md5(F.concat(prefix, x)))
+        )
+
+    sig = F.array(*[min_hash(s) for s in range(num_hashes)])
+    return ss.select(F.col(id_col), sig.alias("sig"))
+
+
+def lsh_bands(sigs: DataFrame, band_width: int = 2, id_col: str = "doc_id") -> DataFrame:
+    """Explode signatures into (id, band, band_sig) rows; band_sig is
+    the concatenation of band_width consecutive minhashes (element_at
+    is 1-based: band b covers sig indices b*w+1 .. b*w+w)."""
+    w = band_width
+    bands = F.transform(
+        F.sequence(F.lit(0), (F.size("sig") / F.lit(w)).cast("int") - 1),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.concat_ws(
+                "|",
+                *[
+                    F.element_at(F.col("sig"), (b * w + j + 1).cast("int"))
+                    for j in range(w)
+                ],
+            ).alias("band_sig"),
+        ),
+    )
+    return sigs.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig")
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    band_width: int = 2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct (a, b) candidate pairs (a < b) sharing at least one LSH
+    band. Equi-join on (band, band_sig) — bucket-local, not O(n^2)."""
+    bands = lsh_bands(
+        minhash_signatures(docs, num_hashes, n, text_col, id_col), band_width, id_col
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
+        .distinct()
+    )
+
+
+# -- n-gram Jaccard ---------------------------------------------------------
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(a, b, jaccard) for pairs sharing >= 1 shingle with Jaccard >=
+    threshold. Inverted-index join: explode distinct shingles, equi-join
+    on the shingle, count intersections, derive the union from set
+    sizes. The heavy join is on the shingle key — partition-parallel,
+    skew-prone only on stop-shingles (AQE skew join handles it)."""
+    ss = shingle_sets(docs, n, text_col, id_col)
+    sizes = ss.select(F.col(id_col), F.size("shingles").alias("n_sh"))
+    ex = ss.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+
+def _token_hash(col: Column) -> Column:
+    """First 15 hex chars of md5 as a 60-bit integer — reproducible in
+    any engine (DuckDB: ('0x'||substr(md5(t),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash(
+    docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash): bit b of the fingerprint is 1 iff the sum over
+    token OCCURRENCES of ±1 (sign of bit b of the token hash) is > 0.
+    One explode + one groupBy; at scale this is a single shuffle on
+    doc id with map-side partial aggregation."""
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", _token_hash(F.col("tok")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*aggs)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return per_doc.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(a, b, hamming) for pairs within max_hamming bits. Brute
+    all-pairs xor+bit_count — cheap JVM ops for fixture scale; at 100 TB
+    block on simhash bands first (same pattern as lsh_candidate_pairs)."""
+    s = simhash(docs, bits, text_col, id_col)
+    a = s.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"))
+    b = s.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# -- embedding near-dup -----------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cos) for all pairs a < b with cosine >= threshold.
+    Exact brute-force (the oracle-checkable baseline); the LSH-bucketed
+    scale path is similarity.lsh_near_dup_pairs."""
+    vecs = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    a = vecs.select(F.col(id_col).alias("a"), F.col("v").alias("va"))
+    b = vecs.select(F.col(id_col).alias("b"), F.col("v").alias("vb"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,111 @@
+"""Multimodal columns: image/audio/video as opaque binary payloads
+with typed metadata, plus feature extraction through the Arrow-batched
+``mapInPandas`` path.
+
+The container ships no media codecs, so the actual decode is STUBBED:
+``decode_media`` raises NotImplementedError unless a codec library is
+importable, and ``extract_features`` uses a deterministic
+digest-derived feature vector instead of real embeddings. Everything
+Spark-side — schema, binary column handling, partition-parallel
+mapInPandas, Arrow batch shapes — is real and tested; swapping the
+stub for PIL/torchaudio is a pure function replacement.
+
+Scale notes: payloads stay in executors end-to-end (no driver
+materialization); mapInPandas streams Arrow record batches, so memory
+is bounded by batch size (spark.sql.execution.arrow.maxRecordsPerBatch),
+not partition size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+KINDS = ["image", "audio", "video"]
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from documents: payload is the
+    utf-8 text bytes (a stand-in for real image/audio blobs), kind
+    cycles by id, metadata is derived arithmetically. JVM-side only."""
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    payload = F.encode(F.col("text"), "utf-8")
+    meta = F.struct(
+        (F.col("doc_id") % 640 + 1).cast("int").alias("width"),
+        (F.col("doc_id") % 480 + 1).cast("int").alias("height"),
+        F.lit(16000).alias("sample_rate"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+        F.lit("stub").alias("codec"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def decode_media(payload: bytes, kind: str):
+    """Real decode hook. Raises until a codec library is available —
+    clearly-marked stub per the build brief."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "media decode requires a codec library (PIL/torchaudio/av); "
+            "not present in this environment — extract_features uses the "
+            "deterministic digest stub instead"
+        )
+    raise NotImplementedError("real decode not wired yet")
+
+
+def _digest_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic fake feature vector: md5 digest bytes scaled to
+    [0, 1). Stands in for a real encoder; stable across runs/engines."""
+    d = hashlib.md5(payload if payload is not None else b"").digest()
+    return [d[i % 16] / 256.0 for i in range(dim)]
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """(media_id, kind, n_bytes, features[dim]) via mapInPandas —
+    Arrow-batched, partition-parallel; the per-batch pandas loop is
+    where a real model's batched inference would run."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda b: 0 if b is None else len(b)
+                    ),
+                    "features": pdf["payload"].map(
+                        lambda b: _digest_features(b, dim)
+                    ),
+                }
+            )
+            yield out
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        batches, schema=FEATURES_SCHEMA
+    )

@@ -1,0 +1,140 @@
+"""Text-analysis operators for training-data pipelines (extension
+surface, SURVEY §7 M6): tokenization, token counting, language-ID,
+quality scoring, document fingerprinting.
+
+All pure Column expressions (JVM-side, codegen) — no Python UDFs.
+Every builder has an exact DuckDB-SQL twin in queries.py; arithmetic
+shapes are kept identical on both sides so results hash-match.
+
+At 100 TB these are scan-local projections: no shuffle, trivially
+partition-parallel, and Catalyst prunes to the `text` column only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+
+# Marker-based n-gram language heuristic: per-language function-word
+# markers counted via literal (non-regex) replace, so the arithmetic is
+# identical in any SQL engine. Order matters: ties resolve to the
+# earlier language; all-zero resolves to 'und'.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " la ", " et "],
+    "es": [" el ", " los ", " que "],
+}
+
+EN_STOPWORDS = [" the ", " and ", " of ", " a ", " to ", " in "]
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased word tokens (BPE-ish alnum runs); null text behaves
+    as empty (so downstream counts/ratios are 0, not null)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(F.coalesce(c, F.lit(""))), F.lit(TOKEN_RE), 0)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(tokens_col: Column, n: int = 3) -> Column:
+    """n-word shingles of a token array; empty array when the doc has
+    fewer than n tokens (guards Spark's descending-sequence surprise
+    for sequence(1, 0))."""
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens_col, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(tokens_col) >= n, make).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _padded(col: Column) -> Column:
+    return F.concat(F.lit(" "), F.lower(F.coalesce(col, F.lit(""))), F.lit(" "))
+
+
+def marker_count(col: Column, marker: str) -> Column:
+    """Occurrences of a literal marker, via length-difference after a
+    literal replace — same semantics in every engine."""
+    p = _padded(col)
+    return (F.length(p) - F.length(F.replace(p, F.lit(marker), F.lit("")))) / F.lit(
+        len(marker)
+    )
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    c = F.col(col) if isinstance(col, str) else col
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        score = marker_count(c, markers[0])
+        for m in markers[1:]:
+            score = score + marker_count(c, m)
+        out[lang] = score
+    return out
+
+
+def lang_id(col: Column | str) -> Column:
+    """Predicted language: argmax of marker scores, ties to the earlier
+    language in LANG_MARKERS order, all-zero -> 'und'. Expressed as the
+    same CASE chain the SQL oracle uses."""
+    s = lang_scores(col)
+    langs = list(LANG_MARKERS)
+    zero = None
+    for lang in langs:
+        cond = s[lang] == 0
+        zero = cond if zero is None else (zero & cond)
+    expr = F.when(zero, F.lit("und"))
+    for i, lang in enumerate(langs[:-1]):
+        cond = None
+        for other in langs[i + 1 :]:
+            c = s[lang] >= s[other]
+            cond = c if cond is None else (cond & c)
+        expr = expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit(langs[-1]))
+
+
+def alpha_ratio(col: Column | str) -> Column:
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    alpha = F.length(F.regexp_replace(F.lower(c), "[^a-z]", ""))
+    return alpha / F.greatest(F.length(c), F.lit(1))
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    cnt = marker_count(c, EN_STOPWORDS[0])
+    for m in EN_STOPWORDS[1:]:
+        cnt = cnt + marker_count(c, m)
+    return cnt / F.greatest(token_count(c), F.lit(1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic quality in [0,1]: length term + alphabetic-character
+    ratio + stopword-presence term (weights 0.4/0.3/0.3)."""
+    c = F.col(col) if isinstance(col, str) else col
+    length_term = F.least(F.lit(1.0), token_count(c) / F.lit(100.0))
+    stop_term = F.least(F.lit(1.0), stopword_ratio(c) * F.lit(5.0))
+    return (
+        F.lit(0.4) * length_term
+        + F.lit(0.3) * alpha_ratio(c)
+        + F.lit(0.3) * stop_term
+    )
+
+
+def normalized_text(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(c), "[^a-z0-9]", "")
+
+
+def fingerprint(col: Column | str) -> Column:
+    """16-hex-char content fingerprint of the normalized text (the
+    rolling-hash role from the survey brief, md5-based so any engine
+    reproduces it)."""
+    return F.substring(F.md5(normalized_text(col)), 1, 16)

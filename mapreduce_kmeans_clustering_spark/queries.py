@@ -324,7 +324,15 @@ SELECT round(sum(sqrt((s.x - c.x) * (s.x - c.x)
 FROM seeds s JOIN c1 c USING (id)""",
 }
 
-# Extension registries are appended by the operator modules' query
-# sections as they land; ALL_QUERIES/ALL_ORACLES is the driver surface.
-ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(KMEANS_QUERIES)
-ALL_ORACLES: dict[str, str] = dict(KMEANS_ORACLES)
+# Merged driver surface: K-Means parity queries + the training-data
+# pipeline / relational extension registry.
+from mapreduce_kmeans_clustering_spark.queries_pipeline import (  # noqa: E402
+    PIPELINE_ORACLES,
+    PIPELINE_QUERIES,
+)
+
+ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    **KMEANS_QUERIES,
+    **PIPELINE_QUERIES,
+}
+ALL_ORACLES: dict[str, str] = {**KMEANS_ORACLES, **PIPELINE_ORACLES}

@@ -1,0 +1,513 @@
+"""Training-data-pipeline + relational query registry: text analysis,
+dedup, similarity search, events analytics, TPC-H-style relational
+queries, multimodal features. Same contract as queries.py — each entry
+is (spark, sf_dir) -> DataFrame with a DuckDB oracle where the
+operation is SQL-expressible (q_media_features is rows-only: the
+mapInPandas stub is not SQL).
+
+Determinism notes mirror queries.py: md5 as the portable hash family,
+identical arithmetic shapes both sides, rounding on aggregates, ranks
+computed over pre-rounded measures.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduce_kmeans_clustering_spark.operators import dedup as D
+from mapreduce_kmeans_clustering_spark.operators import multimodal as MM
+from mapreduce_kmeans_clustering_spark.operators import similarity as SIM
+from mapreduce_kmeans_clustering_spark.operators import text as TX
+
+JACCARD_THRESHOLD = 0.2
+EMBED_DUP_THRESHOLD = 0.5
+ANN_QUERY_IDS = list(range(10))
+ANN_K = 3
+SESSION_GAP_US = 1800 * 1_000_000
+SIMHASH_BITS = 16
+MAX_HAMMING = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which the Spark parquet
+    reader rejects; read nanos as long and convert to a microsecond
+    timestamp (truncation — same as the oracle's ts::TIMESTAMP cast)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # integer `div`, not `/`: nanos ~1.7e18 would lose precision as double
+    return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("source", TX.token_count("text").alias("ntok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("total_tokens"),
+            F.round(F.avg("ntok"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TX.token_count("text").cast("long").alias("n_words"),
+        F.round(TX.alpha_ratio("text"), 6).alias("alpha_ratio"),
+        F.round(TX.stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(TX.quality_score("text"), 6).alias("quality"),
+    )
+
+
+def q_text_lang(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", TX.lang_id("text").alias("pred_lang")
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", TX.fingerprint("text").alias("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dup_groups(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return D.lsh_candidate_pairs(_docs(spark, sf_dir))
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    p = D.jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+    return p.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return D.simhash(_docs(spark, sf_dir), bits=SIMHASH_BITS)
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    p = D.simhash_pairs(_docs(spark, sf_dir), max_hamming=MAX_HAMMING, bits=SIMHASH_BITS)
+    return p.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def q_dedup_embed(spark, sf_dir):
+    p = D.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=EMBED_DUP_THRESHOLD)
+    return p.select("a", "b", F.round("cos", 6).alias("cos"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_ann_topk(spark, sf_dir):
+    t = SIM.cosine_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K)
+    return t.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+
+
+def q_ann_lsh(spark, sf_dir):
+    t = SIM.lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K)
+    return t.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+
+
+# ---------------------------------------------------------------------------
+# Events analytics
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    return (
+        e.groupBy(hour.alias("hour"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+def q_events_sessions(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    return (
+        e.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("new_s").cast("long").alias("n_sessions"),
+        )
+    )
+
+
+def q_events_top_users(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    totals = e.groupBy("user_id").agg(F.round(F.sum("value"), 4).alias("total"))
+    w = Window.orderBy(F.col("total").desc(), F.col("user_id"))
+    return (
+        totals.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 10)
+        .select("user_id", "total", "rank")
+    )
+
+
+def q_events_json(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth (TPC-H-style)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+def q_top_orders(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    joined = rev.join(
+        orders, rev["l_orderkey"] == orders["o_orderkey"]
+    ).join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    return (
+        joined.select("o_orderkey", "c_custkey", "c_mktsegment", "revenue")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 10)
+    )
+
+
+def q_region_rollup(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    j = cust.join(
+        F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+    ).join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "total_acctbal",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (rows-only oracle: mapInPandas stub is not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def q_media_features(spark, sf_dir):
+    media = MM.synthesize_media(_docs(spark, sf_dir))
+    feats = MM.extract_features(media)
+    checksum = F.aggregate(F.col("features"), F.lit(0.0), lambda a, x: a + x)
+    return feats.select(
+        "media_id", "kind", "n_bytes", F.round(checksum, 6).alias("feat_checksum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOK = "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')"
+_PAD = "(' ' || lower(coalesce(text, '')) || ' ')"
+
+
+def _mcount(marker: str) -> str:
+    esc = marker.replace("'", "''")
+    return f"(length({_PAD}) - length(replace({_PAD}, '{esc}', ''))) / {len(marker)}"
+
+
+def _lang_score(lang: str) -> str:
+    return " + ".join(_mcount(m) for m in TX.LANG_MARKERS[lang])
+
+
+_STOP_CNT = " + ".join(_mcount(m) for m in TX.EN_STOPWORDS)
+
+_SQL_SHINGLES = f"""
+toks AS (SELECT doc_id, {_TOK} AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM toks
+),
+shf AS (SELECT * FROM sh WHERE len(s) > 0)"""
+
+_SIG_ITEMS = ", ".join(
+    f"list_aggregate(list_transform(s, x -> md5('{i}:' || x)), 'min')" for i in range(8)
+)
+_SQL_SIG = f"sig AS (SELECT doc_id, [{_SIG_ITEMS}] AS g FROM shf)"
+_SQL_BANDS = "bands AS (" + " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, g[{2*b+1}] || '|' || g[{2*b+2}] AS band_sig FROM sig"
+    for b in range(4)
+) + ")"
+
+_SIMHASH_BITSUMS = ", ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SIMHASH_FP = " + ".join(
+    f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+)
+_SQL_SIMHASH = f"""
+tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+th AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
+bitsum AS (SELECT doc_id, {_SIMHASH_BITSUMS} FROM th GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM bitsum)"""
+
+_COS = (
+    "list_inner_product(va, vb)"
+    " / (sqrt(list_inner_product(va, va)) * sqrt(list_inner_product(vb, vb)))"
+)
+
+_PLANE_BUCKET = " + ".join(
+    f"CASE WHEN list_inner_product(v, {lit}) > 0 THEN {1 << p} ELSE 0 END"
+    for p, lit in enumerate(SIM.sql_plane_literal())
+)
+
+_QUALITY = (
+    f"0.4 * least(1.0, ntok / 100.0) + 0.3 * alpha + 0.3 * least(1.0, stop * 5.0)"
+)
+
+_LANGS = list(TX.LANG_MARKERS)
+_LANG_CASE = (
+    "CASE WHEN "
+    + " AND ".join(f"s_{lang} = 0" for lang in _LANGS)
+    + " THEN 'und' "
+    + " ".join(
+        "WHEN "
+        + " AND ".join(f"s_{lang} >= s_{other}" for other in _LANGS[i + 1 :])
+        + f" THEN '{lang}'"
+        for i, lang in enumerate(_LANGS[:-1])
+    )
+    + f" ELSE '{_LANGS[-1]}' END"
+)
+
+PIPELINE_ORACLES: dict[str, str] = {
+    "q_text_stats": f"""
+WITH t AS (SELECT source, len({_TOK}) AS ntok FROM documents)
+SELECT source, count(*)::BIGINT AS n_docs, sum(ntok)::BIGINT AS total_tokens,
+       round(avg(ntok), 4) AS avg_tokens
+FROM t GROUP BY source""",
+    "q_text_quality": f"""
+WITH t AS (
+  SELECT doc_id, len({_TOK}) AS ntok,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0
+           / greatest(length(text), 1) AS alpha,
+         ({_STOP_CNT}) / greatest(len({_TOK}), 1) AS stop
+  FROM documents)
+SELECT doc_id, ntok::BIGINT AS n_words, round(alpha, 6) AS alpha_ratio,
+       round(stop, 6) AS stop_ratio, round({_QUALITY}, 6) AS quality
+FROM t""",
+    "q_text_lang": f"""
+WITH s AS (
+  SELECT doc_id, {", ".join(f"{_lang_score(lang)} AS s_{lang}" for lang in _LANGS)}
+  FROM documents)
+SELECT doc_id, {_LANG_CASE} AS pred_lang FROM s""",
+    "q_text_fingerprint": """
+SELECT doc_id,
+       substr(md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')), 1, 16) AS fp
+FROM documents""",
+    "q_dedup_exact": """
+SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_copies, min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)""",
+    "q_dedup_minhash": f"""
+WITH {_SQL_SHINGLES},
+{_SQL_SIG},
+{_SQL_BANDS}
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id""",
+    "q_dedup_jaccard": f"""
+WITH {_SQL_SHINGLES},
+sz AS (SELECT doc_id, len(s) AS n_sh FROM shf),
+e AS (SELECT doc_id, unnest(s) AS shingle FROM shf),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT a, b, round(c / (sa.n_sh + sb.n_sh - c), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+WHERE c / (sa.n_sh + sb.n_sh - c) >= {JACCARD_THRESHOLD}""",
+    "q_dedup_simhash": f"WITH {_SQL_SIMHASH} SELECT doc_id, simhash FROM sh",
+    "q_dedup_simhash_pairs": f"""
+WITH {_SQL_SIMHASH}
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {MAX_HAMMING}""",
+    "q_dedup_embed": f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT a.vec_id AS a, b.vec_id AS b, a.v AS va, b.v AS vb
+      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+SELECT a, b, round({_COS}, 6) AS cos FROM p WHERE {_COS} >= {EMBED_DUP_THRESHOLD}""",
+    "q_ann_topk": f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS va FROM v WHERE vec_id < 10),
+s AS (SELECT query_id, c.vec_id AS neighbor_id, va, c.v AS vb
+      FROM q CROSS JOIN v c WHERE c.vec_id <> query_id),
+r AS (SELECT query_id, neighbor_id, {_COS} AS cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY {_COS} DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cos
+FROM r WHERE rank <= {ANN_K}""",
+    "q_ann_lsh": f"""
+WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+vb AS (SELECT vec_id, v, {_PLANE_BUCKET} AS bucket FROM ve),
+q AS (SELECT vec_id AS query_id, v AS va, bucket FROM vb WHERE vec_id < 10),
+s AS (SELECT query_id, c.vec_id AS neighbor_id, va, c.v AS vb
+      FROM q JOIN vb c USING (bucket) WHERE c.vec_id <> query_id),
+r AS (SELECT query_id, neighbor_id, {_COS} AS cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY {_COS} DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cos
+FROM r WHERE rank <= {ANN_K}""",
+    "q_events_hourly": """
+WITH e AS (SELECT ts::TIMESTAMP AS ts, event_type, value FROM events)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS total_value
+FROM e GROUP BY 1, 2""",
+    "q_events_sessions": f"""
+WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events),
+l AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, count(*)::BIGINT AS n_events, sum(new_s)::BIGINT AS n_sessions
+FROM l GROUP BY user_id""",
+    "q_events_top_users": """
+WITH t AS (SELECT user_id, round(sum(value), 4) AS total FROM events GROUP BY user_id),
+r AS (SELECT user_id, total,
+             row_number() OVER (ORDER BY total DESC, user_id) AS rank FROM t)
+SELECT user_id, total, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10""",
+    "q_events_json": """
+SELECT event_type, count(*)::BIGINT AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+FROM events GROUP BY event_type""",
+    "q_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q_top_orders": """
+WITH rev AS (
+  SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY l_orderkey),
+j AS (
+  SELECT o_orderkey, c_custkey, c_mktsegment, revenue
+  FROM rev JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey),
+r AS (SELECT *, row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rank FROM j)
+SELECT o_orderkey, c_custkey, c_mktsegment, revenue, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10""",
+    "q_region_rollup": """
+SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+       count(*)::BIGINT AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)""",
+}
+
+PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_text_stats": q_text_stats,
+    "q_text_quality": q_text_quality,
+    "q_text_lang": q_text_lang,
+    "q_text_fingerprint": q_text_fingerprint,
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_jaccard": q_dedup_jaccard,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "q_dedup_embed": q_dedup_embed,
+    "q_ann_topk": q_ann_topk,
+    "q_ann_lsh": q_ann_lsh,
+    "q_events_hourly": q_events_hourly,
+    "q_events_sessions": q_events_sessions,
+    "q_events_top_users": q_events_top_users,
+    "q_events_json": q_events_json,
+    "q_pricing_summary": q_pricing_summary,
+    "q_top_orders": q_top_orders,
+    "q_region_rollup": q_region_rollup,
+    "q_media_features": q_media_features,  # rows-only: no SQL oracle
+}

@@ -1,0 +1,17 @@
+from mapreduce_kmeans_clustering_spark.streaming.events import (
+    hourly_event_counts,
+    read_events_stream,
+    sessionized_event_stats,
+)
+from mapreduce_kmeans_clustering_spark.streaming.kmeans_stream import (
+    stream_assign,
+    stream_cluster_counts,
+)
+
+__all__ = [
+    "hourly_event_counts",
+    "read_events_stream",
+    "sessionized_event_stats",
+    "stream_assign",
+    "stream_cluster_counts",
+]

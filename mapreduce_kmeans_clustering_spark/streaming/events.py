@@ -1,0 +1,81 @@
+"""Structured-streaming event analytics.
+
+The reference has no streaming surface (SURVEY §2.2); these are the
+Spark-native stream variants of the batch event queries: file-source
+readStream, watermarked tumbling windows for late data, and
+session_window-based sessionization. The same code runs against Kafka
+by swapping the source — transformations are source-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# File-source schema: ts as TimestampType (streams written by this
+# engine use micros; see tests). For raw driver testdata with
+# TIMESTAMP(NANOS) use the batch reader in queries_pipeline.
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming parquet source over an events directory. At scale the
+    same plan reads Kafka: ``spark.readStream.format("kafka")...`` with
+    a from_json projection to this schema."""
+    return (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "8")
+        .load(path)
+    )
+
+
+def hourly_event_counts(
+    events: DataFrame, watermark: str = "1 hour", window: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type; late rows
+    beyond the watermark are dropped, state is bounded."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized_event_stats(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session aggregation via session_window — the streaming
+    twin of the batch lag/cumsum sessionization (q_events_sessions)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )

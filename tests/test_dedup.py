@@ -1,0 +1,88 @@
+"""Behavioral tests for the dedup family (constructed fixtures, not
+oracle comparison — that's test_oracle_parity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_kmeans_clustering_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dup_drops,
+    exact_dup_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("today", "tomorrow")),  # near dup
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, "tiny"),  # < 3 tokens -> no shingles
+        (5, "Punctuated, THE quick brown fox! jumps over the lazy dog again and again today"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_exact_dup_groups_and_drops(docs):
+    groups = {r["text_hash"]: r for r in exact_dup_groups(docs).collect()}
+    assert sum(g["n_copies"] for g in groups.values()) == 6
+    dups = [g for g in groups.values() if g["n_copies"] > 1]
+    assert len(dups) == 1 and dups[0]["keep_id"] == 0
+    drops = exact_dup_drops(docs).collect()
+    assert [(r["doc_id"], r["keep_id"]) for r in drops] == [(1, 0)]
+
+
+def test_minhash_identical_docs_identical_sigs(docs):
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+    assert 4 not in sigs  # too short for shingles
+    # near-dup shares most minhashes
+    shared = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    assert shared >= 4
+
+
+def test_lsh_candidates_include_exact_dups(docs):
+    pairs = {(r["a"], r["b"]) for r in lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_jaccard_exact_dup_is_one(docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in jaccard_pairs(docs, threshold=0.0).collect()}
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    # near dup: one token changed near the end -> most shingles shared
+    assert 0.5 < pairs[(0, 2)] < 1.0
+    # normalization makes doc 5 differ only by its extra leading token
+    assert pairs[(0, 5)] > 0.8
+
+
+def test_simhash_near_dup_close_in_hamming(docs):
+    hs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert hs[0] == hs[1]
+    assert 0 <= hs[0] < (1 << 16)
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=16).collect()}
+    assert pairs[(0, 1)] == 0
+    assert pairs[(0, 2)] <= pairs.get((0, 3), 16)
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),  # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    pairs = {(r["a"], r["b"]): r["cos"] for r in embedding_near_dup_pairs(emb, threshold=0.9).collect()}
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] == pytest.approx(1.0, abs=1e-3)

@@ -1,0 +1,106 @@
+"""Structured-streaming tests: file source -> memory sink, driven
+synchronously with processAllAvailable; streaming results must agree
+with the equivalent batch computation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_kmeans_clustering_spark.sources.seeds import Centroid
+from mapreduce_kmeans_clustering_spark.streaming import (
+    hourly_event_counts,
+    read_events_stream,
+    sessionized_event_stats,
+    stream_assign,
+    stream_cluster_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Batch-convert the nanosecond testdata events to a streamable
+    micros-timestamp parquet directory (several files => several
+    micro-batches under maxFilesPerTrigger)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    e.repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _run_to_memory(df, name):
+    q = (
+        df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def test_hourly_counts_match_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    _run_to_memory(hourly_event_counts(stream), "hourly_out")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], round(r["total_value"], 4))
+        for r in spark.sql("SELECT * FROM hourly_out").collect()
+    }
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        (r["h"], r["event_type"]): (r["n"], round(r["tv"], 4))
+        for r in batch.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_sessionized_stats_cover_all_events(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    _run_to_memory(sessionized_event_stats(stream), "sess_out")
+    rows = spark.sql("SELECT * FROM sess_out").collect()
+    assert sum(r["n_events"] for r in rows) == spark.read.parquet(events_dir).count()
+    for r in rows:
+        assert r["session_start"] <= r["session_end"]
+
+
+def test_stream_assign_matches_batch(spark, events_dir):
+    cents = [Centroid(0, 0.0, 0.0, 0.0), Centroid(1, 200.0, 0.0, 0.0)]
+    stream = read_events_stream(spark, events_dir).select(
+        F.col("value").alias("x"), F.lit(0.0).alias("y"), F.lit(0.0).alias("z"),
+        F.col("ts"),
+    )
+    labeled = stream_assign(stream, cents)
+    q = (
+        labeled.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("assign_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT cluster, count(*) AS n FROM assign_out GROUP BY cluster")
+    batch = spark.read.parquet(events_dir).select(
+        F.when(F.col("value") < 100.0, 0).otherwise(1).alias("cluster")
+    ).groupBy("cluster").count()
+    assert {(r["cluster"], r["n"]) for r in got.collect()} == {
+        (r["cluster"], r["count"]) for r in batch.collect()
+    }
+
+
+def test_stream_cluster_counts_runs(spark, events_dir):
+    cents = [Centroid(0, 0.0, 0.0, 0.0), Centroid(1, 200.0, 0.0, 0.0)]
+    stream = read_events_stream(spark, events_dir).select(
+        F.col("value").alias("x"), F.lit(0.0).alias("y"), F.lit(0.0).alias("z"), "ts"
+    )
+    _run_to_memory(stream_cluster_counts(stream, cents), "ccounts_out")
+    rows = spark.sql("SELECT * FROM ccounts_out").collect()
+    assert sum(r["n"] for r in rows) == spark.read.parquet(events_dir).count()
+    assert {r["cluster"] for r in rows} <= {0, 1}

@@ -1,0 +1,69 @@
+"""Behavioral tests for text-analysis operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_kmeans_clustering_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    tokens,
+    word_shingles,
+)
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    rows = [
+        (0, "The cat and the dog of the house"),  # en markers
+        (1, "der Hund und die Katze und der Vogel"),  # de markers
+        (2, "le chat et la maison et le chien"),  # fr markers
+        (3, "el gato y los perros que corren"),  # es markers
+        (4, "xyzzy plugh"),  # no markers -> und
+        (5, ""),  # empty text
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_tokens_and_count(spark):
+    df = spark.createDataFrame([("A b-c 42 öx",)], "text STRING")
+    [row] = df.select(
+        tokens("text").alias("t"), token_count("text").alias("n")
+    ).collect()
+    assert row["t"] == ["a", "b", "c", "42", "x"]
+    assert row["n"] == 5
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([("one two",), ("one two three four",)], "text STRING")
+    rows = df.select(word_shingles(tokens("text"), 3).alias("s")).collect()
+    assert rows[0]["s"] == []
+    assert rows[1]["s"] == ["one two three", "two three four"]
+
+
+def test_lang_id(tdf):
+    got = {r["doc_id"]: r["lang"] for r in tdf.select("doc_id", lang_id("text").alias("lang")).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "und", 5: "und"}
+
+
+def test_quality_bounds_and_empty(tdf):
+    rows = tdf.select("doc_id", quality_score("text").alias("q")).collect()
+    for r in rows:
+        assert 0.0 <= r["q"] <= 1.0
+    byid = {r["doc_id"]: r["q"] for r in rows}
+    assert byid[5] == 0.0  # empty text scores zero
+    assert byid[0] > byid[4]  # stopword-bearing text beats gibberish
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello, World!"), (1, "hello world"), (2, "HELLO-WORLD"), (3, "different")],
+        "doc_id LONG, text STRING",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in df.select("doc_id", fingerprint("text").alias("fp")).collect()}
+    assert fps[0] == fps[1] == fps[2]
+    assert fps[3] != fps[0]
+    assert len(fps[0]) == 16
