@@ -36,3 +36,34 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
     return dot / (na * nb)
+
+
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Fixed-dimension dot product, fully unrolled into a flat
+    expression tree. Higher-order functions (aggregate/zip_with) are
+    evaluated by the interpreter element-by-element; an unrolled
+    left-associated sum of element_at products stays inside
+    whole-stage codegen — ~10-30x faster on pairwise workloads.
+    Summation order (index-ascending, left-associated) is identical to
+    the aggregate() form and to DuckDB's list_inner_product, so results
+    stay bit-compatible with the SQL oracles."""
+    s = F.element_at(a, 1) * F.element_at(b, 1)
+    for i in range(2, dim + 1):
+        s = s + F.element_at(a, i) * F.element_at(b, i)
+    return s
+
+
+def norm_unrolled(a: Column, dim: int) -> Column:
+    """Fixed-dimension L2 norm via the unrolled dot product."""
+    return F.sqrt(dot_unrolled(a, a, dim))
+
+
+def cosine_unrolled(a: Column, b: Column, dim: int, na: Column | None = None, nb: Column | None = None) -> Column:
+    """Fixed-dimension cosine; pass precomputed norms (na/nb) to hoist
+    the norm work out of a pairwise join — dot/(na*nb) is the same
+    arithmetic whether the norms are computed per pair or per side."""
+    if na is None:
+        na = norm_unrolled(a, dim)
+    if nb is None:
+        nb = norm_unrolled(b, dim)
+    return dot_unrolled(a, b, dim) / (na * nb)

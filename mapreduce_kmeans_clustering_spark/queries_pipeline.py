@@ -24,6 +24,7 @@ from mapreduce_kmeans_clustering_spark.operators import similarity as SIM
 from mapreduce_kmeans_clustering_spark.operators import text as TX
 
 JACCARD_THRESHOLD = 0.2
+VERIFY_THRESHOLD = 0.3
 EMBED_DUP_THRESHOLD = 0.5
 ANN_QUERY_IDS = list(range(10))
 ANN_K = 3
@@ -116,6 +117,12 @@ def q_dedup_simhash(spark, sf_dir):
 def q_dedup_simhash_pairs(spark, sf_dir):
     p = D.simhash_pairs(_docs(spark, sf_dir), max_hamming=MAX_HAMMING, bits=SIMHASH_BITS)
     return p.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def q_dedup_pipeline(spark, sf_dir):
+    """End-to-end dedup verdict per doc: exact dedup -> LSH candidates
+    over survivors -> Jaccard-verified near-dup drops -> keep."""
+    return D.dedup_pipeline(_docs(spark, sf_dir), verify_threshold=VERIFY_THRESHOLD)
 
 
 def q_dedup_embed(spark, sf_dir):
@@ -296,8 +303,10 @@ def _lang_score(lang: str) -> str:
 
 _STOP_CNT = " + ".join(_mcount(m) for m in TX.EN_STOPWORDS)
 
-_SQL_SHINGLES = f"""
-toks AS (SELECT doc_id, {_TOK} AS w FROM documents),
+def _sql_shingles(src: str = "documents") -> str:
+    """toks/sh/shf CTEs: distinct word-3-gram sets per doc of ``src``."""
+    return f"""
+toks AS (SELECT doc_id, {_TOK} AS w FROM {src}),
 sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(w) - 1),
@@ -305,6 +314,9 @@ sh AS (
   FROM toks
 ),
 shf AS (SELECT * FROM sh WHERE len(s) > 0)"""
+
+
+_SQL_SHINGLES = _sql_shingles("documents")
 
 _SIG_ITEMS = ", ".join(
     f"list_aggregate(list_transform(s, x -> md5('{i}:' || x)), 'min')" for i in range(8)
@@ -403,6 +415,45 @@ SELECT a, b, round(c / (sa.n_sh + sb.n_sh - c), 6) AS jaccard
 FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
 WHERE c / (sa.n_sh + sb.n_sh - c) >= {JACCARD_THRESHOLD}""",
     "q_dedup_simhash": f"WITH {_SQL_SIMHASH} SELECT doc_id, simhash FROM sh",
+    "q_dedup_pipeline": f"""
+WITH exgrp AS (
+  SELECT md5(text) AS h, min(doc_id) AS keep FROM documents GROUP BY md5(text)
+),
+exdrop AS (
+  SELECT d.doc_id FROM documents d
+  JOIN exgrp g ON md5(d.text) = g.h AND d.doc_id <> g.keep
+),
+survivors AS (
+  SELECT * FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM exdrop)
+),
+{_sql_shingles("survivors")},
+{_SQL_SIG},
+{_SQL_BANDS},
+cands AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, len(s) AS n_sh FROM shf),
+e AS (SELECT doc_id, unnest(s) AS shingle FROM shf),
+vinter AS (
+  SELECT c.a, c.b, count(*) AS c
+  FROM cands c
+  JOIN e ea ON ea.doc_id = c.a
+  JOIN e eb ON eb.doc_id = c.b AND ea.shingle = eb.shingle
+  GROUP BY c.a, c.b
+),
+neardrop AS (
+  SELECT DISTINCT v.b AS doc_id
+  FROM vinter v JOIN sz sa ON sa.doc_id = v.a JOIN sz sb ON sb.doc_id = v.b
+  WHERE v.c / (sa.n_sh + sb.n_sh - v.c) >= {VERIFY_THRESHOLD}
+)
+SELECT doc_id,
+       CASE WHEN doc_id IN (SELECT doc_id FROM exdrop) THEN 'exact_dup'
+            WHEN doc_id IN (SELECT doc_id FROM neardrop) THEN 'near_dup'
+            ELSE 'keep' END AS status
+FROM documents""",
     "q_dedup_simhash_pairs": f"""
 WITH {_SQL_SIMHASH}
 SELECT a.doc_id AS a, b.doc_id AS b,
@@ -499,6 +550,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_jaccard": q_dedup_jaccard,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "q_dedup_pipeline": q_dedup_pipeline,
     "q_dedup_embed": q_dedup_embed,
     "q_ann_topk": q_ann_topk,
     "q_ann_lsh": q_ann_lsh,
