@@ -99,8 +99,22 @@ SQL_PRELUDE = f"WITH {SQL_PTS},{SQL_SEEDS},{_sql_assign('pts', 'seeds', 'asg1')}
 # ---------------------------------------------------------------------------
 
 
+_POINTS_CACHE: dict[tuple, DataFrame] = {}
+
+
 def scale_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return points_from_lineitem(spark, sf_dir)
+    """The lineitem-derived points relation, persisted per application
+    (buffer-pool caching of a hot derived table: the rid window costs a
+    full shuffle, and most registered queries start from this exact
+    relation). MEMORY_AND_DISK, so larger SFs degrade gracefully."""
+    from pyspark.storagelevel import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _POINTS_CACHE:
+        _POINTS_CACHE[key] = points_from_lineitem(spark, sf_dir).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    return _POINTS_CACHE[key]
 
 
 # Collected seed lists / iteration chains are tiny (K rows) but cost a
@@ -195,6 +209,15 @@ def q_chain2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chain5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroids after 5 fixed Lloyd iterations — the scale twin of the
+    reference's Task2 (numIterations = 5, Task2.java:144)."""
+    cents = chain_centroids(spark, sf_dir, 5)
+    return spark.createDataFrame(
+        [(c.id, c.x, c.y, c.z) for c in cents], schema="id INT, x DOUBLE, y DOUBLE, z DOUBLE"
+    )
+
+
 def q_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O11: full dataset labeled with the after-one-iteration centroids."""
     cents = chain_centroids(spark, sf_dir, 1)
@@ -281,6 +304,7 @@ KMEANS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_assign": q_assign,
     "q_update": q_update,
     "q_chain2": q_chain2,
+    "q_chain5": q_chain5,
     "q_label": q_label,
     "q_members": q_members,
     "q_intra": q_intra,
@@ -331,6 +355,14 @@ KMEANS_ORACLES: dict[str, str] = {
     "q_chain2": (
         f"{SQL_PRELUDE},{_sql_assign('pts', 'c1', 'asg2')},{_sql_update('asg2', 'c2')}"
         " SELECT id, x, y, z FROM c2"
+    ),
+    "q_chain5": (
+        SQL_PRELUDE
+        + "".join(
+            f",{_sql_assign('pts', f'c{i}', f'asg{i + 1}')},{_sql_update(f'asg{i + 1}', f'c{i + 1}')}"
+            for i in range(1, 5)
+        )
+        + " SELECT id, x, y, z FROM c5"
     ),
     "q_label": (
         f"{SQL_PRELUDE},{_sql_assign('pts', 'c1', 'lab')}"
