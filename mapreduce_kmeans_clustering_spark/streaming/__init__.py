@@ -1,6 +1,7 @@
 from mapreduce_kmeans_clustering_spark.streaming.events import (
     hourly_event_counts,
     read_events_stream,
+    running_user_totals,
     sessionized_event_stats,
 )
 from mapreduce_kmeans_clustering_spark.streaming.kmeans_stream import (
@@ -11,6 +12,7 @@ from mapreduce_kmeans_clustering_spark.streaming.kmeans_stream import (
 __all__ = [
     "hourly_event_counts",
     "read_events_stream",
+    "running_user_totals",
     "sessionized_event_stats",
     "stream_assign",
     "stream_cluster_counts",

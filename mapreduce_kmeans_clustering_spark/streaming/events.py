@@ -62,6 +62,41 @@ def hourly_event_counts(
     )
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (n_events, total_value), one updated row emitted per user
+    per micro-batch.
+
+    This is the escape hatch for stateful logic the built-in windowed
+    aggregations can't express (arbitrary per-key state machines);
+    state is a typed 2-field tuple per user, partitioned by the group
+    key, so state size is O(users) spread across executors. The Arrow
+    batch iterator keeps the Python boundary vectorized."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionized_event_stats(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:

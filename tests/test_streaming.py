@@ -11,6 +11,7 @@ from mapreduce_kmeans_clustering_spark.sources.seeds import Centroid
 from mapreduce_kmeans_clustering_spark.streaming import (
     hourly_event_counts,
     read_events_stream,
+    running_user_totals,
     sessionized_event_stats,
     stream_assign,
     stream_cluster_counts,
@@ -93,6 +94,39 @@ def test_stream_assign_matches_batch(spark, events_dir):
     assert {(r["cluster"], r["n"]) for r in got.collect()} == {
         (r["cluster"], r["count"]) for r in batch.collect()
     }
+
+
+def test_running_user_totals_final_state_matches_batch(spark, events_dir):
+    """applyInPandasWithState: the last emitted row per user (largest
+    n_events — the count only grows) must equal the batch per-user
+    aggregate, regardless of how the files split into micro-batches."""
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 4))
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY n_events DESC) AS rn
+                 FROM running_out) WHERE rn = 1"""
+        ).collect()
+    }
+    expected = {
+        r["user_id"]: (r["n"], round(r["tv"], 4))
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert got == expected
 
 
 def test_stream_cluster_counts_runs(spark, events_dir):
