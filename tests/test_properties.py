@@ -1,0 +1,133 @@
+"""Property tests (SURVEY §5.4): algebraic invariants of the Lloyd
+operators over hypothesis-generated point sets.
+
+- centroid means lie inside their members' bounding box;
+- total within-cluster SSE is non-increasing across Lloyd iterations
+  (the classical monotonicity guarantee of Lloyd's algorithm);
+- results are invariant under input row permutation (no operator may
+  depend on partition or row order);
+- displacement(c, c) == 0 and displacement is symmetric.
+
+Examples are kept small (each one runs real Spark jobs); the session
+fixture is session-scoped so hypothesis's function-scoped-fixture
+health check does not apply.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mapreduce_kmeans_clustering_spark.operators.assign import assign
+from mapreduce_kmeans_clustering_spark.plans.kmeans import (
+    displacement,
+    lloyd_iteration,
+)
+from mapreduce_kmeans_clustering_spark.sources.seeds import Centroid
+
+coord = st.floats(
+    min_value=-1000, max_value=1000, allow_nan=False, allow_infinity=False, width=32
+)
+point = st.tuples(coord, coord, coord)
+pointset = st.lists(point, min_size=5, max_size=24)
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _df(spark, pts):
+    return spark.createDataFrame(
+        [(float(x), float(y), float(z)) for x, y, z in pts],
+        schema="x DOUBLE, y DOUBLE, z DOUBLE",
+    )
+
+
+def _seeds(pts, k=3):
+    """First k distinct points as seeds (deterministic, no RNG)."""
+    seen, out = set(), []
+    for x, y, z in pts:
+        t = (float(x), float(y), float(z))
+        if t not in seen:
+            seen.add(t)
+            out.append(Centroid(len(out), *t))
+        if len(out) == k:
+            break
+    return out
+
+
+def _sse(pts, cents):
+    by_id = {c.id: c for c in cents}
+    total = 0.0
+    for x, y, z in pts:
+        total += min(
+            (x - c.x) ** 2 + (y - c.y) ** 2 + (z - c.z) ** 2 for c in by_id.values()
+        )
+    return total
+
+
+@given(pts=pointset)
+@SETTINGS
+def test_centroids_inside_member_bounding_box(spark, pts):
+    seeds = _seeds(pts)
+    df = _df(spark, pts)
+    assigned = assign(df, seeds, keep_cols=["x", "y", "z"])
+    box = assigned.groupBy("cluster").agg(
+        F.min("x").alias("x0"), F.max("x").alias("x1"),
+        F.min("y").alias("y0"), F.max("y").alias("y1"),
+        F.min("z").alias("z0"), F.max("z").alias("z1"),
+    )
+    cents = {c.id: c for c in lloyd_iteration(df, seeds)}
+    eps = 1e-9
+    for r in box.collect():
+        c = cents[r["cluster"]]
+        assert r["x0"] - eps <= c.x <= r["x1"] + eps
+        assert r["y0"] - eps <= c.y <= r["y1"] + eps
+        assert r["z0"] - eps <= c.z <= r["z1"] + eps
+
+
+@given(pts=pointset)
+@SETTINGS
+def test_sse_nonincreasing_over_iterations(spark, pts):
+    cents = _seeds(pts)
+    df = _df(spark, pts)
+    prev_sse = _sse(pts, cents)
+    for _ in range(3):
+        cents = lloyd_iteration(df, cents)
+        sse = _sse(pts, cents)
+        assert sse <= prev_sse + 1e-6 * max(1.0, abs(prev_sse))
+        prev_sse = sse
+
+
+@given(pts=pointset, seed=st.integers(0, 2**31 - 1))
+@SETTINGS
+def test_row_permutation_invariance(spark, pts, seed):
+    import random
+
+    seeds = _seeds(pts)
+    shuffled = list(pts)
+    random.Random(seed).shuffle(shuffled)
+    a = sorted((c.id, c.x, c.y, c.z) for c in lloyd_iteration(_df(spark, pts), seeds))
+    b = sorted(
+        (c.id, c.x, c.y, c.z) for c in lloyd_iteration(_df(spark, shuffled), seeds)
+    )
+    assert len(a) == len(b)
+    for (ia, xa, ya, za), (ib, xb, yb, zb) in zip(a, b):
+        assert ia == ib
+        assert math.isclose(xa, xb, rel_tol=0, abs_tol=1e-9)
+        assert math.isclose(ya, yb, rel_tol=0, abs_tol=1e-9)
+        assert math.isclose(za, zb, rel_tol=0, abs_tol=1e-9)
+
+
+@given(pts=pointset)
+@SETTINGS
+def test_displacement_identity_and_symmetry(spark, pts):
+    a = _seeds(pts)
+    b = [Centroid(c.id, c.x + 1.0, c.y - 2.0, c.z) for c in a]
+    assert displacement(a, a) == 0.0
+    assert math.isclose(displacement(a, b), displacement(b, a), rel_tol=1e-12)
