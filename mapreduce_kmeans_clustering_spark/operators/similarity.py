@@ -133,6 +133,92 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its inverted list: the nearest (by
+    cosine, ties to the lowest list id) of ``nlist`` deterministic seed
+    centroids (the first nlist vectors by id — a seeded coarse
+    quantizer; kmeans refinement of the quantizer is the labeled
+    follow-up, see plans/kmeans.py for the 3-D driver pattern).
+
+    Returns (id, v, list_id). Physical shape: corpus crossJoin a
+    BROADCAST nlist-row seed table (nlist-fold fanout, scan-local, no
+    shuffle) -> one hash aggregate min(struct(-cos, list_id)) keyed on
+    the vector id. At scale the output is written
+    ``partitionBy(list_id)`` so probes prune entire files."""
+    vecs = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    seeds = F.broadcast(
+        vecs.where(F.col(id_col) < nlist).select(
+            F.col(id_col).alias("list_id"), F.col("v").alias("sv")
+        )
+    )
+    cos = cosine_similarity(F.col("v"), F.col("sv"))
+    best = (
+        vecs.crossJoin(seeds)
+        .select(F.col(id_col), "v", "list_id", cos.alias("c"))
+        .groupBy(id_col, "v")
+        .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("list_id").alias("lid"))).alias("b"))
+        .select(F.col(id_col), "v", F.col("b.lid").alias("list_id"))
+    )
+    return best
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: each query scores only the corpus
+    vectors in its ``nprobe`` nearest inverted lists (equi-join on
+    list_id), then exact cosine + rank. Candidate work is
+    |corpus| * nprobe / nlist per query instead of |corpus| — the
+    IVF pruning a vector store uses, expressed as join + window.
+    Recall < 1 by design; the SQL oracle mirrors the algorithm exactly
+    so the comparison is still exact."""
+    assigned = ivf_assign(embeddings, nlist, id_col, vec_col)
+    vecs = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    seeds = F.broadcast(
+        vecs.where(F.col(id_col) < nlist).select(
+            F.col(id_col).alias("list_id"), F.col("v").alias("sv")
+        )
+    )
+    q = vecs.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    qcos = cosine_similarity(F.col("qv"), F.col("sv"))
+    pw = Window.partitionBy("query_id").orderBy(F.col("qc").desc(), F.col("list_id"))
+    probes = (
+        q.crossJoin(seeds)
+        .select("query_id", "qv", "list_id", qcos.alias("qc"))
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "list_id")
+    )
+    cand = (
+        probes.join(assigned, "list_id")
+        .where(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine_similarity(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos")
+    )
+
+
 def sql_plane_literal(dim: int = DEFAULT_DIM, planes: int = DEFAULT_PLANES) -> list[str]:
     """The hyperplane rows as SQL array literals (for the DuckDB
     oracle)."""

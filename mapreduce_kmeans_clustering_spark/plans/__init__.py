@@ -5,5 +5,23 @@ from mapreduce_kmeans_clustering_spark.plans.kmeans import (
     label,
     lloyd_iteration,
 )
+from mapreduce_kmeans_clustering_spark.plans.kmeans_nd import (
+    NdFitResult,
+    assign_nd,
+    fit_nd,
+    seed_centroids_nd,
+    update_centroids_nd,
+)
 
-__all__ = ["FitResult", "displacement", "fit", "label", "lloyd_iteration"]
+__all__ = [
+    "FitResult",
+    "displacement",
+    "fit",
+    "label",
+    "lloyd_iteration",
+    "NdFitResult",
+    "assign_nd",
+    "fit_nd",
+    "seed_centroids_nd",
+    "update_centroids_nd",
+]

@@ -1,0 +1,140 @@
+"""Generalized n-dimensional Lloyd K-Means over array<double> vector
+columns — the engine's extension of the reference's 3-D algorithm
+(SURVEY §2.1 O4-O10) to embedding-sized data, and the refinement path
+for the IVF coarse quantizer (operators/similarity.py ivf_assign).
+
+Semantics mirror the 3-D driver exactly: strict nearest-centroid with
+lowest-index tie-break, unweighted per-cluster mean update, empty
+clusters drop out, summed-Euclidean-displacement early stop.
+
+Physical design per iteration:
+- ASSIGN: Arrow-batched mapInPandas against a broadcast centroid
+  matrix — one BLAS distance block per batch, argmin row-wise
+  (np.argmin takes the FIRST minimum, preserving the lowest-index
+  tie-break). Scan-local: no shuffle, scales with scan bandwidth.
+  At dim=3, k=5 the column-expression path in plans/kmeans.py is
+  faster (no Python boundary); at dim>=32 BLAS wins by an order of
+  magnitude (see SCALE.md §4).
+- UPDATE: one hash aggregate keyed on cluster computing dim avg()
+  columns (partial->final, shuffle moves K rows per partition), then a
+  K-row collect. Centroid state is O(K * dim) on the driver.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_MAX_ITER = 20
+DEFAULT_THRESHOLD = 1e-4
+
+
+@dataclass
+class NdFitResult:
+    centroids: list[list[float]]  # index == cluster id
+    iterations: int
+    converged: bool
+    displacements: list[float] = field(default_factory=list)
+
+
+def seed_centroids_nd(
+    vectors: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """First k vectors by id — deterministic, RNG-free (the same seeded
+    policy as the scale queries; kmeans++ would need RNG the oracle
+    cannot replay)."""
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    return [[float(x) for x in r[1]] for r in rows]
+
+
+def assign_nd(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, cluster): nearest centroid by squared Euclidean distance
+    (monotonic in the Euclidean metric the displacement uses), ties to
+    the lowest centroid index via np.argmin's first-minimum rule."""
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    cmat = np.asarray(centroids, dtype=np.float64)
+    bc = spark.sparkContext.broadcast(cmat)
+
+    def gen(batches):
+        C = bc.value
+        c_sq = (C * C).sum(axis=1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            # ||a-c||^2 = ||a||^2 - 2 a.c + ||c||^2; ||a||^2 constant per row
+            d = c_sq[None, :] - 2.0 * (A @ C.T)
+            cluster = d.argmin(axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: list(pdf[vec_col]),
+                    "cluster": cluster,
+                }
+            )
+
+    schema = f"{id_col} long, {vec_col} array<double>, cluster int"
+    return vectors.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def update_centroids_nd(
+    assigned: DataFrame, dim: int, vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Per-cluster per-dimension mean via one hash aggregate (dim avg
+    columns, partial+final); returns (cluster_id, centroid) sorted by
+    id. Empty clusters are absent — K shrinks like the reference."""
+    aggs = [
+        F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"_d{i}") for i in range(dim)
+    ]
+    rows = assigned.groupBy("cluster").agg(*aggs).orderBy("cluster").collect()
+    return [(int(r["cluster"]), [float(r[f"_d{i}"]) for i in range(dim)]) for r in rows]
+
+
+def fit_nd(
+    vectors: DataFrame,
+    k: int,
+    max_iter: int = DEFAULT_MAX_ITER,
+    threshold: float | None = DEFAULT_THRESHOLD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> NdFitResult:
+    """Lloyd loop with summed-Euclidean-displacement early stop; same
+    control flow as the 3-D fit (Task3.java:185-218 pattern)."""
+    curr = seed_centroids_nd(vectors, k, id_col, vec_col)
+    dim = len(curr[0])
+    result = NdFitResult(centroids=curr, iterations=0, converged=False)
+    for _ in range(max_iter):
+        assigned = assign_nd(vectors, curr, id_col, vec_col)
+        # updated cluster ids index `curr`; compare positionally against
+        # it, then re-index (a dropped cluster shrinks K, like the
+        # reference's vanishing reducer keys).
+        updated = update_centroids_nd(assigned, dim, vec_col)
+        result.iterations += 1
+        d = sum(
+            math.sqrt(sum((a - b) ** 2 for a, b in zip(curr[cid], vec)))
+            for cid, vec in updated
+        )
+        curr = [vec for _, vec in updated]
+        if threshold is not None:
+            result.displacements.append(d)
+            if d < threshold:
+                result.converged = True
+                break
+    result.centroids = curr
+    return result

@@ -28,6 +28,8 @@ VERIFY_THRESHOLD = 0.3
 EMBED_DUP_THRESHOLD = 0.5
 ANN_QUERY_IDS = list(range(10))
 ANN_K = 3
+IVF_NLIST = 16
+IVF_NPROBE = 4
 SESSION_GAP_US = 1800 * 1_000_000
 SIMHASH_BITS = 16
 MAX_HAMMING = 3
@@ -142,6 +144,13 @@ def q_ann_topk(spark, sf_dir):
 
 def q_ann_lsh(spark, sf_dir):
     t = SIM.lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K)
+    return t.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+
+
+def q_ann_ivf(spark, sf_dir):
+    t = SIM.ivf_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K, nlist=IVF_NLIST, nprobe=IVF_NPROBE
+    )
     return t.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
 
 
@@ -486,6 +495,37 @@ r AS (SELECT query_id, neighbor_id, {_COS} AS cos,
       FROM s)
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cos
 FROM r WHERE rank <= {ANN_K}""",
+    "q_ann_ivf": f"""
+WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sd AS (SELECT vec_id AS list_id, v AS sv FROM ve WHERE vec_id < {IVF_NLIST}),
+asg AS (
+  SELECT vec_id, v, list_id FROM (
+    SELECT a.vec_id, a.v, s.list_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_inner_product(a.v, s.sv)
+                      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(s.sv, s.sv))) DESC,
+                      s.list_id) AS rn
+    FROM ve a CROSS JOIN sd s) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM ve WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, qv, list_id FROM (
+    SELECT q.query_id, q.qv, s.list_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_inner_product(q.qv, s.sv)
+                      / (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(s.sv, s.sv))) DESC,
+                      s.list_id) AS rn
+    FROM q CROSS JOIN sd s) WHERE rn <= {IVF_NPROBE}),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, p.qv AS va, a.v AS vb
+  FROM probes p JOIN asg a USING (list_id)
+  WHERE a.vec_id <> p.query_id),
+r AS (SELECT query_id, neighbor_id, {_COS} AS cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY {_COS} DESC, neighbor_id) AS rank
+      FROM cand)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cos
+FROM r WHERE rank <= {ANN_K}""",
     "q_events_hourly": """
 WITH e AS (SELECT ts::TIMESTAMP AS ts, event_type, value FROM events)
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
@@ -554,6 +594,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_embed": q_dedup_embed,
     "q_ann_topk": q_ann_topk,
     "q_ann_lsh": q_ann_lsh,
+    "q_ann_ivf": q_ann_ivf,
     "q_events_hourly": q_events_hourly,
     "q_events_sessions": q_events_sessions,
     "q_events_top_users": q_events_top_users,
