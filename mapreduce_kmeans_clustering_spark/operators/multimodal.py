@@ -83,6 +83,121 @@ def _digest_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [d[i % 16] / 256.0 for i in range(dim)]
 
 
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                    T.StructField("codec", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _stub_resize_bytes(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a decoded+resized image: a digest
+    chain stretched to the target byte budget (width*height/256). A
+    real implementation decodes, resizes, re-encodes — same signature."""
+    if payload is None:
+        payload = b""
+    budget = max(16, (width * height) // 256)
+    out = bytearray()
+    seed = hashlib.md5(payload + f":{width}x{height}".encode()).digest()
+    while len(out) < budget:
+        out.extend(seed)
+        seed = hashlib.md5(seed).digest()
+    return bytes(out[:budget])
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize the image rows to (width, height); audio/video rows pass
+    through untouched. mapInPandas keeps the payloads executor-side and
+    Arrow-batched; the pixel work is the clearly-marked stub
+    (_stub_resize_bytes) — swapping in PIL is a pure function change.
+    Output schema == input schema (MEDIA_SCHEMA), so resize composes
+    with extract_features / sample_frames."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                meta = dict(r.meta)
+                payload = r.payload
+                if r.kind == "image":
+                    payload = _stub_resize_bytes(payload, width, height)
+                    meta["width"], meta["height"] = width, height
+                rows.append((r.media_id, r.kind, payload, meta))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return media.select("media_id", "kind", "payload", "meta").mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
+def sample_frames(
+    media: DataFrame, fps: float = 1.0, max_frames: int = 16
+) -> DataFrame:
+    """Sample frames from the video rows: one output row per sampled
+    frame at 1/fps spacing within duration_ms, capped at max_frames —
+    the decode-to-frames step of a video pipeline, with the frame
+    payload stubbed as a digest of (payload, frame_idx). A generating
+    mapInPandas: input rows fan OUT to frame rows, so the Arrow batch
+    shape (one DataFrame per yielded batch, arbitrary row count) is the
+    real contract a decoder would use. Non-video rows produce nothing."""
+    step_ms = int(1000.0 / fps)
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "video":
+                    continue
+                duration = int(r.meta["duration_ms"] or 0)
+                n = min(max_frames, max(0, duration // step_ms))
+                base = r.payload if r.payload is not None else b""
+                for i in range(n):
+                    out.append(
+                        (
+                            r.media_id,
+                            i,
+                            i * step_ms,
+                            hashlib.md5(base + f":frame:{i}".encode()).digest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "ts_ms", "payload"]
+            )
+
+    return media.select("media_id", "kind", "payload", "meta").mapInPandas(
+        batches, schema=FRAMES_SCHEMA
+    )
+
+
 def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """(media_id, kind, n_bytes, features[dim]) via mapInPandas —
     Arrow-batched, partition-parallel; the per-batch pandas loop is

@@ -9,6 +9,8 @@ from mapreduce_kmeans_clustering_spark.operators.multimodal import (
     FEATURE_DIM,
     decode_media,
     extract_features,
+    resize_media,
+    sample_frames,
     synthesize_media,
 )
 
@@ -51,3 +53,51 @@ def test_extract_features_deterministic_and_partitioned(media):
 def test_decode_is_a_clear_stub():
     with pytest.raises(NotImplementedError, match="codec"):
         decode_media(b"bytes", "image")
+
+
+def test_resize_touches_only_images_and_composes(media):
+    out = resize_media(media, 64, 64)
+    # composable: names and types preserved (nullability may widen)
+    assert out.schema.simpleString() == media.schema.simpleString()
+    rows = {r["media_id"]: r for r in out.collect()}
+    orig = {r["media_id"]: r for r in media.collect()}
+    for mid, r in rows.items():
+        if r["kind"] == "image":
+            assert (r["meta"]["width"], r["meta"]["height"]) == (64, 64)
+            assert r["payload"] != orig[mid]["payload"]
+            assert len(r["payload"]) == max(16, 64 * 64 // 256)
+        else:
+            assert r["payload"] == orig[mid]["payload"]
+            assert r["meta"] == orig[mid]["meta"]
+    # features run unchanged on the resized table
+    assert extract_features(out).count() == media.count()
+
+
+def test_resize_deterministic(media):
+    a = {r["media_id"]: r["payload"] for r in resize_media(media, 32, 32).collect()}
+    b = {
+        r["media_id"]: r["payload"]
+        for r in resize_media(media.repartition(5), 32, 32).collect()
+    }
+    assert a == b
+
+
+def test_sample_frames_counts_and_determinism(media):
+    out = sample_frames(media, fps=1.0, max_frames=4).collect()
+    vids = {r["media_id"]: r["meta"] for r in media.collect() if r["kind"] == "video"}
+    assert {r["media_id"] for r in out} <= set(vids)
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r["media_id"], []).append(r)
+    for mid, frames in by_vid.items():
+        expected = min(4, int(vids[mid]["duration_ms"]) // 1000)
+        assert len(frames) == expected
+        idxs = sorted(f["frame_idx"] for f in frames)
+        assert idxs == list(range(expected))
+        for f in frames:
+            assert f["ts_ms"] == f["frame_idx"] * 1000
+            assert len(f["payload"]) == 16
+    again = sample_frames(media.repartition(3), fps=1.0, max_frames=4).collect()
+    assert sorted((r["media_id"], r["frame_idx"], bytes(r["payload"])) for r in again) == sorted(
+        (r["media_id"], r["frame_idx"], bytes(r["payload"])) for r in out
+    )
