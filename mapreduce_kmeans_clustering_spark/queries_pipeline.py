@@ -1,9 +1,9 @@
 """Training-data-pipeline + relational query registry: text analysis,
 dedup, similarity search, events analytics, TPC-H-style relational
 queries, multimodal features. Same contract as queries.py — each entry
-is (spark, sf_dir) -> DataFrame with a DuckDB oracle where the
-operation is SQL-expressible (q_media_features is rows-only: the
-mapInPandas stub is not SQL).
+is (spark, sf_dir) -> DataFrame with a DuckDB oracle twin (including
+the mapInPandas-based q_media_features — its digest stub is md5 math
+DuckDB can replay).
 
 Determinism notes mirror queries.py: md5 as the portable hash family,
 identical arithmetic shapes both sides, rounding on aggregates, ranks
@@ -280,7 +280,9 @@ def q_region_rollup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Multimodal (rows-only oracle: mapInPandas stub is not SQL-expressible)
+# Multimodal: the digest-stub feature math is md5-over-utf8, so even the
+# mapInPandas path has an exact DuckDB oracle (the checksum terms are
+# binary fractions i/256 — rounding is exact in both engines).
 # ---------------------------------------------------------------------------
 
 
@@ -572,6 +574,20 @@ j AS (
 r AS (SELECT *, row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rank FROM j)
 SELECT o_orderkey, c_custkey, c_mktsegment, revenue, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 10""",
+    "q_media_features": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         (['image','audio','video'])[(doc_id % 3 + 1)::int] AS kind,
+         octet_length(encode(coalesce(text, ''))) AS n_bytes,
+         md5(coalesce(text, '')) AS h
+  FROM documents)
+SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+       round((('0x' || substr(h, 1, 2))::INT + ('0x' || substr(h, 3, 2))::INT
+            + ('0x' || substr(h, 5, 2))::INT + ('0x' || substr(h, 7, 2))::INT
+            + ('0x' || substr(h, 9, 2))::INT + ('0x' || substr(h, 11, 2))::INT
+            + ('0x' || substr(h, 13, 2))::INT + ('0x' || substr(h, 15, 2))::INT) / 256.0,
+             6) AS feat_checksum
+FROM m""",
     "q_region_rollup": """
 SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
        count(*)::BIGINT AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
@@ -602,5 +618,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
     "q_region_rollup": q_region_rollup,
-    "q_media_features": q_media_features,  # rows-only: no SQL oracle
+    "q_media_features": q_media_features,
 }
