@@ -257,6 +257,41 @@ def q_top_orders(spark, sf_dir):
     )
 
 
+def q_brand_revenue(spark, sf_dir):
+    """Revenue per (part brand, supplier nation) for recent shipments:
+    the fact table joins three broadcast dims, with the date predicate
+    pushed to the parquet scan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("p_brand", F.col("n_name").alias("supp_nation"))
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+def q_parts_no_discount(spark, sf_dir):
+    """Anti-join breadth (absent from the reference, SURVEY §2.2):
+    parts that never shipped with a deep discount. LEFT ANTI against
+    the filtered fact table — Catalyst builds the filtered key set
+    once, no materialized distinct needed."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    deep = li.where(F.col("l_discount") > 0.08).select("l_partkey")
+    return part.join(
+        deep, F.col("p_partkey") == F.col("l_partkey"), "left_anti"
+    ).select("p_partkey", "p_brand")
+
+
 def q_region_rollup(spark, sf_dir):
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -574,6 +609,19 @@ j AS (
 r AS (SELECT *, row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rank FROM j)
 SELECT o_orderkey, c_custkey, c_mktsegment, revenue, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 10""",
+    "q_brand_revenue": """
+SELECT p_brand, n_name AS supp_nation,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+GROUP BY p_brand, n_name""",
+    "q_parts_no_discount": """
+SELECT p_partkey, p_brand FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_discount > 0.08)""",
     "q_media_features": """
 WITH m AS (
   SELECT doc_id AS media_id,
@@ -618,5 +666,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
     "q_region_rollup": q_region_rollup,
+    "q_brand_revenue": q_brand_revenue,
+    "q_parts_no_discount": q_parts_no_discount,
     "q_media_features": q_media_features,
 }
