@@ -30,6 +30,7 @@ ANN_QUERY_IDS = list(range(10))
 ANN_K = 3
 IVF_NLIST = 16
 IVF_NPROBE = 4
+KMEANS_ND_K = 8
 SESSION_GAP_US = 1800 * 1_000_000
 SIMHASH_BITS = 16
 MAX_HAMMING = 3
@@ -145,6 +146,49 @@ def q_ann_topk(spark, sf_dir):
 def q_ann_lsh(spark, sf_dir):
     t = SIM.lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K)
     return t.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+
+
+def q_kmeans_nd_step(spark, sf_dir):
+    """One n-dimensional Lloyd step over the embeddings table: assign
+    every vector to the nearest of the first NLIST seed vectors by
+    squared Euclidean distance (lowest-id ties), then per-cluster
+    stats + a per-dimension-mean checksum.
+
+    This query intentionally uses the in-order JVM expression form
+    (zip_with + aggregate) rather than the BLAS path of
+    plans/kmeans_nd.py, so the arithmetic is bit-identical to the
+    DuckDB oracle; the BLAS path is the production driver and is pinned
+    against numpy in tests."""
+    ve = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    seeds = F.broadcast(
+        ve.where(F.col("vec_id") < KMEANS_ND_K).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("c")
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    best = (
+        ve.crossJoin(seeds)
+        .select("vec_id", "v", "cid", dist.alias("d"))
+        .groupBy("vec_id", "v")
+        .agg(F.min(F.struct(F.col("d"), F.col("cid").alias("cid"))).alias("b"))
+        .select("v", F.col("b.cid").alias("cluster"))
+    )
+    dim_mean_sum = None
+    for i in range(1, 65):
+        t = F.avg(F.element_at(F.col("v"), i))
+        dim_mean_sum = t if dim_mean_sum is None else dim_mean_sum + t
+    return best.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg(F.element_at(F.col("v"), 1)), 6).alias("d0"),
+        F.round(F.avg(F.element_at(F.col("v"), 2)), 6).alias("d1"),
+        F.round(dim_mean_sum, 4).alias("mean_sum"),
+    )
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -532,6 +576,22 @@ r AS (SELECT query_id, neighbor_id, {_COS} AS cos,
       FROM s)
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cos
 FROM r WHERE rank <= {ANN_K}""",
+    "q_kmeans_nd_step": f"""
+WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sd AS (SELECT vec_id AS cid, v AS c FROM ve WHERE vec_id < {KMEANS_ND_K}),
+asg AS (
+  SELECT v, cid AS cluster FROM (
+    SELECT a.vec_id, a.v, s.cid,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_sum(list_transform(range(1, 65),
+                               i -> (a.v[i] - s.c[i]) * (a.v[i] - s.c[i]))),
+                      s.cid) AS rn
+    FROM ve a CROSS JOIN sd s) WHERE rn = 1)
+SELECT cluster, count(*)::BIGINT AS n,
+       round(avg(v[1]), 6) AS d0, round(avg(v[2]), 6) AS d1,
+       round({" + ".join(f"avg(v[{i}])" for i in range(1, 65))}, 4) AS mean_sum
+FROM asg GROUP BY cluster""",
     "q_ann_ivf": f"""
 WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 sd AS (SELECT vec_id AS list_id, v AS sv FROM ve WHERE vec_id < {IVF_NLIST}),
@@ -659,6 +719,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_topk": q_ann_topk,
     "q_ann_lsh": q_ann_lsh,
     "q_ann_ivf": q_ann_ivf,
+    "q_kmeans_nd_step": q_kmeans_nd_step,
     "q_events_hourly": q_events_hourly,
     "q_events_sessions": q_events_sessions,
     "q_events_top_users": q_events_top_users,
