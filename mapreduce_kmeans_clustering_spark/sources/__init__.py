@@ -1,3 +1,10 @@
+from mapreduce_kmeans_clustering_spark.sources.documents import (
+    clean_documents,
+    corrupt_documents,
+    read_documents_csv,
+    read_documents_jsonl,
+    read_documents_parquet,
+)
 from mapreduce_kmeans_clustering_spark.sources.points import (
     points_from_lineitem,
     read_points_csv,
@@ -13,6 +20,11 @@ from mapreduce_kmeans_clustering_spark.sources.seeds import (
 
 __all__ = [
     "Centroid",
+    "clean_documents",
+    "corrupt_documents",
+    "read_documents_csv",
+    "read_documents_jsonl",
+    "read_documents_parquet",
     "load_seeds",
     "seeds_df",
     "seeds_from_points",
