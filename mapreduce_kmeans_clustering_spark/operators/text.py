@@ -134,7 +134,53 @@ def normalized_text(col: Column | str) -> Column:
 
 
 def fingerprint(col: Column | str) -> Column:
-    """16-hex-char content fingerprint of the normalized text (the
-    rolling-hash role from the survey brief, md5-based so any engine
-    reproduces it)."""
+    """16-hex-char content fingerprint of the normalized text (whole-
+    document identity; see winnow_fingerprints for the local/rolling
+    variant)."""
     return F.substring(F.md5(normalized_text(col)), 1, 16)
+
+
+def winnow_fingerprints(docs, n: int = 3, window: int = 4, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, fp): robust-winnowing document fingerprints — the
+    rolling-hash fingerprinting of the MOSS family (Schleimer et al.,
+    SIGMOD'03), simplified to "distinct minima of a sliding window over
+    the positional n-gram hash sequence" (full winnowing adds a
+    rightmost-tie selection rule; the distinct-minima variant keeps the
+    same containment-detection property and is order-free, which makes
+    it engine-portable).
+
+    Physical shape mirrors exploded_shingles (posexplode + window
+    lead, all codegen): positional — not distinct — n-gram hashes, a
+    row-frame min over [pos, pos+window-1] restricted to full windows,
+    then distinct. Two partitioned window passes + one distinct
+    shuffle, all keyed on the doc id."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    w_lead = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", j).over(w_lead) for j in range(1, n)]
+    sh = F.concat_ws(" ", F.col("tok"), *leads)
+    hashed = (
+        toks.select(F.col(id_col), F.col("pos"), sh.alias("sh"), leads[-1].alias("_last"))
+        .where(F.col("_last").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long").alias("h"),
+        )
+    )
+    w_min = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    w_doc = Window.partitionBy(id_col)
+    return (
+        hashed.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.min("h").over(w_min).alias("fp"),
+            F.max("pos").over(w_doc).alias("_maxpos"),
+        )
+        .where(F.col("pos") <= F.col("_maxpos") - (window - 1))
+        .select(id_col, "fp")
+        .distinct()
+    )

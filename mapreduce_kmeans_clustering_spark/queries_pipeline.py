@@ -31,6 +31,7 @@ ANN_K = 3
 IVF_NLIST = 16
 IVF_NPROBE = 4
 KMEANS_ND_K = 8
+WINNOW_WINDOW = 4
 SESSION_GAP_US = 1800 * 1_000_000
 SIMHASH_BITS = 16
 MAX_HAMMING = 3
@@ -93,6 +94,11 @@ def q_text_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", TX.fingerprint("text").alias("fp")
     )
+
+
+def q_text_winnow(spark, sf_dir):
+    """Winnowing (rolling-hash) fingerprint sets per document."""
+    return TX.winnow_fingerprints(_docs(spark, sf_dir), n=3, window=WINNOW_WINDOW)
 
 
 # ---------------------------------------------------------------------------
@@ -483,6 +489,20 @@ SELECT doc_id, {_LANG_CASE} AS pred_lang FROM s""",
 SELECT doc_id,
        substr(md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')), 1, 16) AS fp
 FROM documents""",
+    "q_text_winnow": f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS w FROM documents),
+pos_sh AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT AS h
+  FROM toks CROSS JOIN unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)
+),
+win AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_WINDOW - 1} FOLLOWING) AS fp,
+         max(pos) OVER (PARTITION BY doc_id) AS maxpos
+  FROM pos_sh)
+SELECT DISTINCT doc_id, fp FROM win WHERE pos <= maxpos - {WINNOW_WINDOW - 1}""",
     "q_dedup_exact": """
 SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_copies, min(doc_id) AS keep_id
 FROM documents GROUP BY md5(text)""",
@@ -709,6 +729,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_quality": q_text_quality,
     "q_text_lang": q_text_lang,
     "q_text_fingerprint": q_text_fingerprint,
+    "q_text_winnow": q_text_winnow,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_jaccard": q_dedup_jaccard,

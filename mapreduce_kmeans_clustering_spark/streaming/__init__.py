@@ -6,6 +6,7 @@ from mapreduce_kmeans_clustering_spark.streaming.events import (
 )
 from mapreduce_kmeans_clustering_spark.streaming.kmeans_stream import (
     stream_assign,
+    stream_assign_with_refresh,
     stream_cluster_counts,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "running_user_totals",
     "sessionized_event_stats",
     "stream_assign",
+    "stream_assign_with_refresh",
     "stream_cluster_counts",
 ]

@@ -27,6 +27,29 @@ def stream_assign(points_stream: DataFrame, centroids: list[Centroid]) -> DataFr
     return points_stream.withColumn("cluster", assignment_expr(centroids))
 
 
+def stream_assign_with_refresh(
+    points_stream: DataFrame,
+    get_centroids,
+    write_batch,
+):
+    """Micro-batch assignment with LIVE model refresh — the
+    foreachBatch half of the batch-fit / stream-apply split described
+    above. ``get_centroids() -> list[Centroid]`` is called once per
+    micro-batch (e.g., reading the latest periodic ``fit`` output), so
+    a refit takes effect on the next batch without restarting the
+    stream; ``write_batch(labeled_df, epoch_id)`` is the caller's sink.
+
+    Returns the DataStreamWriter (caller applies options and
+    ``.start()``). Assignment inside each batch is the same stateless
+    tie-break-exact expression — distributed, no extra state."""
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        cents = get_centroids()
+        write_batch(batch_df.withColumn("cluster", assignment_expr(cents)), epoch_id)
+
+    return points_stream.writeStream.foreachBatch(_process)
+
+
 def stream_cluster_counts(
     points_stream: DataFrame,
     centroids: list[Centroid],

@@ -138,3 +138,37 @@ def test_stream_cluster_counts_runs(spark, events_dir):
     rows = spark.sql("SELECT * FROM ccounts_out").collect()
     assert sum(r["n"] for r in rows) == spark.read.parquet(events_dir).count()
     assert {r["cluster"] for r in rows} <= {0, 1}
+
+
+def test_stream_assign_with_refresh_swaps_model_between_batches(spark, tmp_path):
+    from mapreduce_kmeans_clustering_spark.streaming import stream_assign_with_refresh
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "pts_stream")
+    schema = T.StructType(
+        [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType()),
+         T.StructField("z", T.DoubleType())]
+    )
+    spark.createDataFrame([(10.0, 0.0, 0.0)], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    model = {"cents": [Centroid(0, 0.0, 0.0, 0.0), Centroid(1, 100.0, 0.0, 0.0)]}
+    seen = []
+
+    def write_batch(df, epoch_id):
+        seen.extend((epoch_id, r["x"], r["cluster"]) for r in df.collect())
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_assign_with_refresh(stream, lambda: model["cents"], write_batch).start()
+    q.processAllAvailable()
+    # refit happened: centroid 1 moved next to the data
+    model["cents"] = [Centroid(0, 1000.0, 0.0, 0.0), Centroid(1, 9.0, 0.0, 0.0)]
+    spark.createDataFrame([(10.0, 0.0, 0.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    clusters = [c for _, x, c in sorted(seen) if x == 10.0]
+    assert clusters == [0, 1]  # old model -> cluster 0, refreshed model -> cluster 1

@@ -67,3 +67,27 @@ def test_fingerprint_normalization(spark):
     assert fps[0] == fps[1] == fps[2]
     assert fps[3] != fps[0]
     assert len(fps[0]) == 16
+
+
+def test_winnow_fingerprints_detect_containment(spark):
+    from mapreduce_kmeans_clustering_spark.operators.text import winnow_fingerprints
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix words here {base} and suffix words here"),
+            (2, base),                      # contained in doc 1
+            (3, "completely different content with nothing shared at all ok"),
+            (4, "hi"),                      # < n tokens -> no fingerprints
+        ],
+        "doc_id LONG, text STRING",
+    )
+    fps = winnow_fingerprints(docs, n=3, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # winnowing guarantee: any match of length >= w + n - 1 tokens shares
+    # at least one fingerprint; doc2 is fully contained in doc1
+    assert by_doc[2] & by_doc[1]
+    assert not (by_doc[3] & by_doc[1])
+    assert 4 not in by_doc
