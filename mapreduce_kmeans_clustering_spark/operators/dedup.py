@@ -157,9 +157,11 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct (a, b) candidate pairs (a < b) sharing at least one LSH
     band. Equi-join on (band, band_sig) — bucket-local, not O(n^2)."""
+    # both self-join sides would otherwise re-run the whole signature
+    # pipeline; materialize the (tiny) band table once
     bands = lsh_bands(
         minhash_signatures(docs, num_hashes, n, text_col, id_col), band_width, id_col
-    )
+    ).localCheckpoint()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -189,8 +191,14 @@ def jaccard_pairs(
     equi-join on the shingle, count intersections, derive the union
     from set sizes. The heavy join is on the shingle key —
     partition-parallel, skew-prone only on stop-shingles (AQE skew
-    join handles it)."""
-    ex = exploded_shingles(docs, n, text_col, id_col)
+    join handles it).
+
+    The exploded index feeds FOUR subplans (both join sides + both
+    size lookups); Catalyst plans each independently (no exchange
+    reuse across the self-join), so the index is materialized once
+    with localCheckpoint — the inverted-index build a dedup stage
+    would persist anyway."""
+    ex = exploded_shingles(docs, n, text_col, id_col).localCheckpoint()
     sizes = ex.groupBy(id_col).agg(F.count("*").cast("int").alias("n_sh"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
@@ -279,8 +287,9 @@ def jaccard_for_pairs(
     """(a, b, jaccard) restricted to the given candidate (a, b) pairs —
     the verification stage after LSH candidate generation. Work is
     O(|pairs| * shingles-per-doc), never all-pairs: candidates are
-    equi-joined to the exploded shingle index on each side."""
-    ex = exploded_shingles(docs, n, text_col, id_col)
+    equi-joined to the exploded shingle index on each side (the index
+    is materialized once — see jaccard_pairs)."""
+    ex = exploded_shingles(docs, n, text_col, id_col).localCheckpoint()
     sizes = ex.groupBy(id_col).agg(F.count("*").cast("int").alias("n_sh"))
     ea = ex.select(F.col(id_col).alias("a"), F.col("sh").alias("sha"))
     eb = ex.select(F.col(id_col).alias("_b"), F.col("sh").alias("shb"))
