@@ -219,6 +219,32 @@ def ivf_topk(
     )
 
 
+def ivf_write_index(
+    embeddings: DataFrame,
+    path: str,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index partitioned by inverted list:
+    ``path/list_id=<n>/*.parquet``. Probing then reads only the probed
+    lists' files — partition pruning does the candidate restriction at
+    the FILE level, before any row is deserialized (verified in tests
+    via the scan's PartitionFilters)."""
+    ivf_assign(embeddings, nlist, id_col, vec_col).withColumnRenamed(
+        "v", vec_col
+    ).write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def ivf_probe_index(
+    spark, path: str, list_ids: list[int], id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Read only the probed inverted lists from a written index. The
+    list_id filter is a partition filter (prunes directories), not a
+    row filter."""
+    return spark.read.parquet(path).where(F.col("list_id").isin(list_ids))
+
+
 def sql_plane_literal(dim: int = DEFAULT_DIM, planes: int = DEFAULT_PLANES) -> list[str]:
     """The hyperplane rows as SQL array literals (for the DuckDB
     oracle)."""

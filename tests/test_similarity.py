@@ -66,3 +66,27 @@ def test_lsh_topk_subset_of_bucket_with_sane_cos(emb):
         key = (r["query_id"], r["neighbor_id"])
         assert key in brute
         assert r["cos"] == pytest.approx(brute[key], abs=1e-12)
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    from mapreduce_kmeans_clustering_spark.operators.similarity import (
+        ivf_assign,
+        ivf_probe_index,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf_index")
+    ivf_write_index(emb, path, nlist=8)
+
+    probed = ivf_probe_index(spark, path, [1, 3])
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # the list filter must prune partitions at the scan, not filter rows
+    assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters")[1][:200]
+
+    expected = ivf_assign(emb, nlist=8)
+    got_ids = {r["vec_id"] for r in probed.collect()}
+    exp_ids = {
+        r["vec_id"] for r in expected.where("list_id in (1, 3)").collect()
+    }
+    assert got_ids == exp_ids and got_ids
