@@ -154,6 +154,19 @@ def q_ann_lsh(spark, sf_dir):
     return t.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
 
 
+def q_embed_quantize(spark, sf_dir):
+    """Symmetric int8 quantization quality stats per embedding."""
+    from mapreduce_kmeans_clustering_spark.operators.quantize import quantization_error
+
+    qe = quantization_error(_emb(spark, sf_dir))
+    return qe.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        "q_sum",
+        F.round("mse", 6).alias("mse"),
+    )
+
+
 def q_kmeans_nd_step(spark, sf_dir):
     """One n-dimensional Lloyd step over the embeddings table: assign
     every vector to the nearest of the first NLIST seed vectors by
@@ -596,6 +609,27 @@ r AS (SELECT query_id, neighbor_id, {_COS} AS cos,
       FROM s)
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cos
 FROM r WHERE rank <= {ANN_K}""",
+    "q_embed_quantize": """
+WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM ve),
+sq AS (
+  SELECT vec_id, v, scale,
+         CASE WHEN scale = 0 THEN 1.0 ELSE scale END AS safe
+  FROM s),
+qz AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(round(x / safe, 0) AS INT)) AS q,
+         safe
+  FROM sq)
+SELECT vec_id, round(scale, 6) AS scale,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       round(list_sum(list_transform(range(1, len(v) + 1),
+                      i -> (v[i] - q[i] * scale) * (v[i] - q[i] * scale)))
+             / len(v), 6) AS mse
+FROM qz""",
     "q_kmeans_nd_step": f"""
 WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 sd AS (SELECT vec_id AS cid, v AS c FROM ve WHERE vec_id < {KMEANS_ND_K}),
@@ -741,6 +775,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_lsh": q_ann_lsh,
     "q_ann_ivf": q_ann_ivf,
     "q_kmeans_nd_step": q_kmeans_nd_step,
+    "q_embed_quantize": q_embed_quantize,
     "q_events_hourly": q_events_hourly,
     "q_events_sessions": q_events_sessions,
     "q_events_top_users": q_events_top_users,
