@@ -1,0 +1,81 @@
+"""Physical-plan regression tests: the plan properties SCALE.md claims
+are asserted here so a refactor can't silently lose them.
+
+These inspect the executed plan string — brittle against Spark version
+changes by design: if an upgrade changes a plan shape, that is exactly
+the review signal wanted.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_kmeans_clustering_spark.operators.assign import assign
+from mapreduce_kmeans_clustering_spark.sources.seeds import Centroid
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_assign_is_scan_local_no_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    pts = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.col("l_quantity").cast("double").alias("x"),
+        (F.col("l_extendedprice") / 100.0).alias("y"),
+        (F.col("l_discount") * 1000.0).alias("z"),
+    )
+    cents = [Centroid(0, 0.0, 0.0, 0.0), Centroid(1, 1.0, 1.0, 1.0)]
+    labeled = assign(pts, cents, keep_cols=["x", "y", "z"])
+    # centroids are literals: no Exchange, no join anywhere in the plan
+    p = _plan(labeled)
+    assert "Join" not in p
+    assert "Exchange" not in p
+
+
+def test_pricing_summary_partial_final_agg_and_pruned_scan(spark):
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import q_pricing_summary
+
+    p = _plan(q_pricing_summary(spark, SF))
+    assert "partial_sum" in p  # map-side combine
+    # column pruning: the scan must not read all 11 lineitem columns
+    scan = p.split("FileScan parquet [")[1].split("]")[0]
+    assert len(scan.split(",")) <= 7
+
+
+def test_brand_revenue_pushes_date_filter_to_scan(spark):
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import q_brand_revenue
+
+    p = _plan(q_brand_revenue(spark, SF))
+    pushed = p.split("PushedFilters: [")[1].split("]")[0]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+
+
+def test_top_orders_uses_broadcast_joins_and_topk(spark):
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import q_top_orders
+
+    p = _plan(q_top_orders(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_dedup_candidate_joins_are_equi_not_nested_loop(spark):
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_dedup_jaccard,
+        q_dedup_minhash,
+    )
+
+    for q in (q_dedup_minhash, q_dedup_jaccard):
+        p = _plan(q(spark, SF))
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+
+
+def test_parts_anti_join_is_broadcast(spark):
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import q_parts_no_discount
+
+    p = _plan(q_parts_no_discount(spark, SF))
+    assert "LeftAnti" in p
