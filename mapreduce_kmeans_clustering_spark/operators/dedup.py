@@ -185,6 +185,7 @@ def jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """(a, b, jaccard) for pairs sharing >= 1 shingle with Jaccard >=
     threshold. Inverted-index join: exploded distinct shingles,
@@ -197,8 +198,23 @@ def jaccard_pairs(
     size lookups); Catalyst plans each independently (no exchange
     reuse across the self-join), so the index is materialized once
     with localCheckpoint — the inverted-index build a dedup stage
-    would persist anyway."""
+    would persist anyway.
+
+    ``max_df`` (opt-in): drop shingles whose document frequency
+    exceeds it BEFORE the join — the standard stop-shingle heavy-hitter
+    mitigation at corpus scale, where a boilerplate shingle shared by
+    10^6 documents would otherwise produce a 10^12-row join key.
+    APPROXIMATE when set: a pair whose only shared shingles are
+    heavy hitters is missed, and set sizes shrink accordingly (so this
+    is a candidate-recall/skew trade, never a default)."""
     ex = exploded_shingles(docs, n, text_col, id_col).localCheckpoint()
+    if max_df is not None:
+        dfreq = ex.groupBy("sh").agg(F.count("*").alias("_df"))
+        ex = (
+            ex.join(dfreq.where(F.col("_df") <= max_df), "sh")
+            .select(id_col, "sh")
+            .localCheckpoint()
+        )
     sizes = ex.groupBy(id_col).agg(F.count("*").cast("int").alias("n_sh"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
