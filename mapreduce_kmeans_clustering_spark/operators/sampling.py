@@ -1,0 +1,48 @@
+"""Deterministic sampling for dataset mixing.
+
+Training-data pipelines weight sources ("2x books, 0.1x web") by
+sampling each source at a fixed rate. RNG-based sampling is neither
+reproducible across engines nor stable across retries, so the keep
+decision is a pure function of the row id: a row survives iff
+md5(id) mod 1000 < rate * 1000 — deterministic, engine-portable,
+and independent per row (hash bits are uniform), which is exactly the
+property Bernoulli sampling needs.
+
+Scan-local projection + filter: no shuffle, pushes through Catalyst
+like any predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 1000
+
+
+def hash_bucket(id_col: Column | str) -> Column:
+    """Deterministic uniform bucket in [0, 1000) from the row id:
+    first 8 md5 hex chars as an int, mod 1000. DuckDB twin:
+    ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT % 1000."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    return (h % BUCKETS).cast("int")
+
+
+def sample_stratified(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each stratum at its configured rate (0..1); strata missing
+    from ``rates`` use default_rate (0 = drop). Rates are exact over
+    the bucket granularity (1/1000)."""
+    bucket = hash_bucket(id_col)
+    expr = F.lit(int(default_rate * BUCKETS))
+    for stratum, rate in sorted(rates.items()):
+        expr = F.when(F.col(strata_col) == stratum, F.lit(int(rate * BUCKETS))).otherwise(
+            expr
+        )
+    return df.where(bucket < expr)

@@ -140,6 +140,27 @@ def fingerprint(col: Column | str) -> Column:
     return F.substring(F.md5(normalized_text(col)), 1, 16)
 
 
+# PII-redaction patterns — deliberately RE2-compatible (no lookaround,
+# no backrefs) so the same regex runs in Spark (Java regex) and any
+# RE2 engine (DuckDB, Go) byte-identically. Order matters: URLs before
+# emails (an email inside a URL is already masked), digits last.
+REDACTION_PATTERNS: list[tuple[str, str]] = [
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{6,}", "<NUM>"),
+]
+
+
+def redact(col: Column | str) -> Column:
+    """Mask URLs, emails, and long digit runs — the PII-scrubbing
+    projection of a training-data pipeline. Pure regexp_replace chain:
+    scan-local, codegen, no shuffle."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    for pat, repl in REDACTION_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def winnow_fingerprints(docs, n: int = 3, window: int = 4, text_col: str = "text", id_col: str = "doc_id"):
     """(id, fp): robust-winnowing document fingerprints — the
     rolling-hash fingerprinting of the MOSS family (Schleimer et al.,

@@ -32,6 +32,7 @@ IVF_NLIST = 16
 IVF_NPROBE = 4
 KMEANS_ND_K = 8
 WINNOW_WINDOW = 4
+SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
 SESSION_GAP_US = 1800 * 1_000_000
 SIMHASH_BITS = 16
 MAX_HAMMING = 3
@@ -99,6 +100,22 @@ def q_text_fingerprint(spark, sf_dir):
 def q_text_winnow(spark, sf_dir):
     """Winnowing (rolling-hash) fingerprint sets per document."""
     return TX.winnow_fingerprints(_docs(spark, sf_dir), n=3, window=WINNOW_WINDOW)
+
+
+def q_text_redact(spark, sf_dir):
+    """PII-masked text (URLs, emails, long digit runs)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", TX.redact("text").alias("redacted")
+    )
+
+
+def q_sample_mix(spark, sf_dir):
+    """Deterministic stratified source mixing: three sources at
+    different rates, the rest dropped."""
+    from mapreduce_kmeans_clustering_spark.operators.sampling import sample_stratified
+
+    out = sample_stratified(_docs(spark, sf_dir), SAMPLE_RATES)
+    return out.select("doc_id", "source")
 
 
 # ---------------------------------------------------------------------------
@@ -502,6 +519,19 @@ SELECT doc_id, {_LANG_CASE} AS pred_lang FROM s""",
 SELECT doc_id,
        substr(md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')), 1, 16) AS fp
 FROM documents""",
+    "q_text_redact": """
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(coalesce(text, ''), 'https?://[^\\s]+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '[0-9]{6,}', '<NUM>', 'g') AS redacted
+FROM documents""",
+    "q_sample_mix": """
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+      < CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500
+                    WHEN 'src2' THEN 100 ELSE 0 END""",
     "q_text_winnow": f"""
 WITH toks AS (SELECT doc_id, {_TOK} AS w FROM documents),
 pos_sh AS (
@@ -764,6 +794,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_lang": q_text_lang,
     "q_text_fingerprint": q_text_fingerprint,
     "q_text_winnow": q_text_winnow,
+    "q_text_redact": q_text_redact,
+    "q_sample_mix": q_sample_mix,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_jaccard": q_dedup_jaccard,

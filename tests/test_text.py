@@ -91,3 +91,34 @@ def test_winnow_fingerprints_detect_containment(spark):
     assert by_doc[2] & by_doc[1]
     assert not (by_doc[3] & by_doc[1])
     assert 4 not in by_doc
+
+
+def test_redact_masks_urls_emails_numbers(spark):
+    from mapreduce_kmeans_clustering_spark.operators.text import redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact me at alice@example.com or visit https://site.io/x?q=1 ref 1234567"),
+            (2, "short 12345 stays, 123456 goes"),
+            (3, None),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r["red"] for r in docs.select("doc_id", redact("text").alias("red")).collect()}
+    assert got[1] == "contact me at <EMAIL> or visit <URL> ref <NUM>"
+    assert got[2] == "short 12345 stays, <NUM> goes"
+    assert got[3] == ""
+
+
+def test_stratified_sampling_rates_and_determinism(spark):
+    from mapreduce_kmeans_clustering_spark.operators.sampling import sample_stratified
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 2}") for i in range(2000)], "doc_id LONG, source STRING"
+    )
+    out = sample_stratified(docs, {"src0": 1.0, "src1": 0.25})
+    counts = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert counts["src0"] == 1000          # rate 1.0 keeps everything
+    assert 175 <= counts["src1"] <= 325    # ~250 expected, hash-uniform
+    again = sample_stratified(docs.repartition(7), {"src0": 1.0, "src1": 0.25})
+    assert {r["doc_id"] for r in again.collect()} == {r["doc_id"] for r in out.collect()}
