@@ -3,6 +3,7 @@ from mapreduce_kmeans_clustering_spark.streaming.events import (
     read_events_stream,
     running_user_totals,
     sessionized_event_stats,
+    stream_exact_dedup,
 )
 from mapreduce_kmeans_clustering_spark.streaming.kmeans_stream import (
     stream_assign,
@@ -15,6 +16,7 @@ __all__ = [
     "read_events_stream",
     "running_user_totals",
     "sessionized_event_stats",
+    "stream_exact_dedup",
     "stream_assign",
     "stream_assign_with_refresh",
     "stream_cluster_counts",

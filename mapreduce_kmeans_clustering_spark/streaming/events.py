@@ -62,6 +62,32 @@ def hourly_event_counts(
     )
 
 
+def stream_exact_dedup(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact-content dedup at stream ingest: only the FIRST arrival of
+    each content hash survives, across micro-batches (stateful
+    dropDuplicates — state holds one entry per distinct hash).
+
+    With ``ts_col`` set, dropDuplicatesWithinWatermark bounds the state:
+    a duplicate arriving later than the watermark delay may pass, which
+    is the standard state-size/recall trade at unbounded scale. Without
+    it, state grows with distinct content — fine for bounded backfills,
+    documented hazard for infinite streams."""
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    df = docs_stream.withColumn("_text_hash", h)
+    if ts_col is not None:
+        out = df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["_text_hash"]
+        )
+    else:
+        out = df.dropDuplicates(["_text_hash"])
+    return out.drop("_text_hash")
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running (n_events, total_value), one updated row emitted per user

@@ -172,3 +172,39 @@ def test_stream_assign_with_refresh_swaps_model_between_batches(spark, tmp_path)
 
     clusters = [c for _, x, c in sorted(seen) if x == 10.0]
     assert clusters == [0, 1]  # old model -> cluster 0, refreshed model -> cluster 1
+
+
+def test_stream_exact_dedup_across_microbatches(spark, tmp_path):
+    from mapreduce_kmeans_clustering_spark.streaming import stream_exact_dedup
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "docs_stream")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    # batch 1: two docs; batch 2 file: one duplicate + one new
+    spark.createDataFrame([(1, "alpha"), (2, "beta")], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream_exact_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream_out")
+        .start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame([(3, "alpha"), (4, "gamma")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT doc_id, text FROM dedup_stream_out").collect()
+    by_text = {r["text"]: r["doc_id"] for r in rows}
+    assert set(by_text) == {"alpha", "beta", "gamma"}
+    assert by_text["alpha"] == 1  # first arrival won, cross-batch duplicate dropped
