@@ -290,6 +290,99 @@ def q_events_json(spark, sf_dir):
     )
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered conversion funnel per user (view -> click -> purchase):
+    each stage's timestamp must not precede the previous stage's first
+    occurrence. Three chained aggregations; every join key is user_id."""
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    tv = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("tv")
+    )
+    tc = (
+        e.join(tv, "user_id")
+        .groupBy("user_id", "tv")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("tv")),
+                    F.col("ts"),
+                )
+            ).alias("tc")
+        )
+    )
+    tp = (
+        e.join(tc, "user_id")
+        .groupBy("user_id", "tv", "tc")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("tc")),
+                    F.col("ts"),
+                )
+            ).alias("tp")
+        )
+    )
+    stage = (
+        F.when(F.col("tp").isNotNull(), "purchase")
+        .when(F.col("tc").isNotNull(), "click")
+        .when(F.col("tv").isNotNull(), "view")
+        .otherwise("none")
+    )
+    return (
+        tp.select(stage.alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+def q_sales_cube(spark, sf_dir):
+    """CUBE over (returnflag, linestatus) — all grouping-set
+    combinations in one pass."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+def q_customer_cumulative(spark, sf_dir):
+    """Running revenue per customer over order date — a cumulative
+    ROWS frame (deterministic: date ties broken by order key, so the
+    in-frame summation order is pinned on both engines)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_revenue"),
+    )
+
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles of event value per type (p50,
+    p90, p99) — the percentile_cont/quantile_cont pair is linear
+    interpolation in both engines."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.9), 4).alias("p90"),
+        F.round(F.percentile("value", 0.99), 4).alias("p99"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational breadth (TPC-H-style)
 # ---------------------------------------------------------------------------
@@ -731,6 +824,39 @@ SELECT user_id, total, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10""",
 SELECT event_type, count(*)::BIGINT AS n,
        round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
 FROM events GROUP BY event_type""",
+    "q_events_funnel": """
+WITH e AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
+tv AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS tv
+       FROM e GROUP BY user_id),
+tc AS (SELECT e.user_id, any_value(tv.tv) AS tv,
+              min(CASE WHEN event_type = 'click' AND ts >= tv.tv THEN ts END) AS tc
+       FROM e JOIN tv ON e.user_id = tv.user_id GROUP BY e.user_id),
+tp AS (SELECT e.user_id, any_value(tc.tv) AS tv, any_value(tc.tc) AS tc,
+              min(CASE WHEN event_type = 'purchase' AND ts >= tc.tc THEN ts END) AS tp
+       FROM e JOIN tc ON e.user_id = tc.user_id GROUP BY e.user_id)
+SELECT CASE WHEN tp IS NOT NULL THEN 'purchase'
+            WHEN tc IS NOT NULL THEN 'click'
+            WHEN tv IS NOT NULL THEN 'view'
+            ELSE 'none' END AS funnel_stage,
+       count(*)::BIGINT AS n_users
+FROM tp GROUP BY 1""",
+    "q_sales_cube": """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*)::BIGINT AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q_customer_cumulative": """
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue
+FROM orders""",
+    "q_value_percentiles": """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type""",
     "q_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -812,6 +938,10 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_events_sessions": q_events_sessions,
     "q_events_top_users": q_events_top_users,
     "q_events_json": q_events_json,
+    "q_events_funnel": q_events_funnel,
+    "q_sales_cube": q_sales_cube,
+    "q_customer_cumulative": q_customer_cumulative,
+    "q_value_percentiles": q_value_percentiles,
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
     "q_region_rollup": q_region_rollup,
