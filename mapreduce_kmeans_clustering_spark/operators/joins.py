@@ -1,0 +1,125 @@
+"""As-of and interval (range) joins — the two time-join shapes Spark's
+built-in join strategies don't express directly (SURVEY.md §2.2 lists
+both as absent from the reference; a training-data/event pipeline needs
+them constantly: attribution, campaign windows, slowly-changing dims).
+
+Both are built as compositions of existing DataFrame ops so Catalyst
+still owns the physical plan — no Python UDFs, no BroadcastNestedLoopJoin
+on the hot path.
+
+**As-of join** (latest right row with right_ts <= left_ts per key):
+the classic implementations are a per-key sorted merge (not expressible
+declaratively) or a non-equi join + argmax (quadratic blow-up per key).
+Instead: UNION the two sides with the right side's payload columns
+nulled on the left rows, then one window
+``last(payload, ignorenulls=True)`` ordered by (ts, side) per key.
+One shuffle on the key, linear work, AQE-sized — at 100 TB this is a
+single sort-exchange over events, which is the floor for any time-join.
+Equal timestamps: right rows sort before left rows (side 0 < 1), so a
+right row at exactly left_ts matches, mirroring standard ASOF `<=`
+semantics (DuckDB, QuestDB, kdb).
+
+**Interval join** (left.ts BETWEEN right.start AND right.end): a raw
+range predicate forces BroadcastNestedLoopJoin — O(|L|·|R|) and a
+broadcast of whichever side is "small". Bucketing fixes the asymptotics:
+quantize time into fixed-width buckets, explode each interval into the
+bucket ids it covers (``F.sequence``), equi-join on bucket id, then
+re-check the exact predicate. The equi-join hashes/broadcasts like any
+other join, and each event is compared only against intervals sharing
+its bucket — at 100 TB the cost is |L| + Σ interval_spans/width instead
+of |L|·|R|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    right_order: str | None = None,
+) -> DataFrame:
+    """For every left row, attach ``payload`` columns from the latest
+    right row of the same ``on`` key with right_ts <= left_ts (null
+    payload when no prior right row exists).
+
+    ``right_order`` breaks ties among right rows sharing a timestamp
+    (highest value wins); required for cross-engine determinism when
+    duplicate (key, ts) pairs are possible.
+
+    Payload column names must not collide with left's columns.
+    """
+    # left's own columns ride along; each side carries nulls for the
+    # other side's columns so the two halves union by name. The
+    # tie-break column travels as internal "__ord" so it need not be
+    # part of the requested payload.
+    carry = [c for c in left.columns if c not in {on, left_ts}]
+    ord_src = right_order or right_ts
+    l = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(right.schema[ord_src].dataType).alias("__ord"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+        *[F.col(c) for c in carry],
+    )
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias(_SIDE),
+        F.col(ord_src).alias("__ord"),
+        *[F.col(c) for c in payload],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in carry],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), F.col(_SIDE).asc(), F.col("__ord").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = r.unionByName(l).select(
+        on,
+        "__ts",
+        _SIDE,
+        *carry,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+    )
+    return (
+        filled.where(F.col(_SIDE) == 1)
+        .drop(_SIDE)
+        .withColumnRenamed("__ts", left_ts)
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    ts: str,
+    start: str,
+    end: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Inner-join each left row to every interval row whose
+    [start, end] (inclusive) contains left.ts, via bucket equi-join.
+
+    ``bucket_seconds`` should be on the order of the typical interval
+    length: too small explodes the interval table, too large degrades
+    toward per-bucket nested loops. Column names must be disjoint.
+    """
+    b = lambda c: F.floor(F.unix_timestamp(F.col(c)) / bucket_seconds)
+    iv = intervals.withColumn(
+        "__bucket", F.explode(F.sequence(b(start), b(end)))
+    )
+    return (
+        left.withColumn("__bucket", b(ts))
+        .join(iv, "__bucket")
+        .where(F.col(ts).between(F.col(start), F.col(end)))
+        .drop("__bucket")
+    )

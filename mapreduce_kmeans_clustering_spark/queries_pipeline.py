@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mapreduce_kmeans_clustering_spark.operators import dedup as D
+from mapreduce_kmeans_clustering_spark.operators import joins as J
 from mapreduce_kmeans_clustering_spark.operators import multimodal as MM
 from mapreduce_kmeans_clustering_spark.operators import similarity as SIM
 from mapreduce_kmeans_clustering_spark.operators import text as TX
@@ -504,6 +505,133 @@ def q_media_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Time joins (as-of + interval), set operations, distinct aggregation,
+# pivot, per-group top-k — the SURVEY §2.2 "absent from the reference"
+# categories, each exercised end-to-end with a DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+# Six fixed 2-day campaign windows over the events month; literal and
+# identical on both engines so the interval join is deterministic.
+CAMPAIGNS = [
+    (i, f"2024-01-{2 + 4 * i:02d} 00:00:00", f"2024-01-{4 + 4 * i:02d} 00:00:00")
+    for i in range(6)
+]
+PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_attrib(spark, sf_dir):
+    """Purchase attribution: each purchase joined AS-OF to the same
+    user's latest prior 'view' (ms_since_view and the view's id; null
+    when the purchase precedes every view). One sort-shuffle on
+    user_id — no range join, no per-key quadratic work."""
+    e = _events(spark, sf_dir)
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    out = J.asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="view_ts",
+        payload=["view_ts", "view_event_id"],
+        right_order="view_event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "view_event_id",
+        F.expr("(unix_micros(ts) - unix_micros(view_ts)) div 1000").alias(
+            "ms_since_view"
+        ),
+    )
+
+
+def q_events_campaign(spark, sf_dir):
+    """Per-campaign reach: events interval-joined to literal campaign
+    windows via day-bucket equi-join (see operators/joins.py), then
+    count / distinct-user / value rollup per campaign."""
+    e = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    iv = spark.createDataFrame(
+        CAMPAIGNS, "campaign_id INT, start_s STRING, end_s STRING"
+    ).select(
+        "campaign_id",
+        F.col("start_s").cast("timestamp").alias("start_ts"),
+        F.col("end_s").cast("timestamp").alias("end_ts"),
+    )
+    joined = J.interval_join(e, iv, "ts", "start_ts", "end_ts", 86400)
+    return joined.groupBy("campaign_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+def q_user_segments(spark, sf_dir):
+    """Set operations (INTERSECT / EXCEPT, distinct semantics): users
+    who both viewed and purchased, minus those who hit an error in the
+    first two days (over a full month every user errors eventually, so
+    the subtrahend is windowed to keep the result non-vacuous)."""
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    of_type = lambda t: e.where(F.col("event_type") == t).select("user_id")
+    early_err = e.where(
+        (F.col("event_type") == "error")
+        & (F.col("ts") < F.lit("2024-01-03").cast("timestamp"))
+    ).select("user_id")
+    return of_type("purchase").intersect(of_type("view")).subtract(early_err)
+
+
+def q_priority_distinct(spark, sf_dir):
+    """Multi-distinct aggregation per nation over the orders fact:
+    Catalyst plans this as a single Expand + two-phase aggregate, so
+    it stays one shuffle despite two DISTINCT columns."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count_distinct("o_custkey").cast("long").alias("active_customers"),
+            F.count_distinct("o_orderpriority").cast("long").alias("n_priorities"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+
+
+def q_events_pivot(spark, sf_dir):
+    """Pivot (long→wide) with an explicit column list — never inferred
+    from data, so the output schema is stable across scale factors and
+    the pivot needs no extra distinct-values job."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", PIVOT_EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 4))
+    )
+
+
+def q_brand_top_parts(spark, sf_dir):
+    """Per-group top-k (rank within partition — q_top_orders is the
+    global variant): 3 priciest parts per brand."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        part.select("p_brand", "p_partkey", "p_retailprice")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
@@ -912,6 +1040,50 @@ SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
 FROM customer JOIN nation ON c_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)""",
+    "q_events_attrib": """
+WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+           WHERE event_type = 'purchase'),
+     v AS (SELECT event_id AS view_event_id, user_id, ts::TIMESTAMP AS view_ts
+           FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, v.view_event_id,
+       (epoch_us(p.ts) - epoch_us(v.view_ts)) // 1000 AS ms_since_view
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.view_ts""",
+    "q_events_campaign": f"""
+WITH c AS (SELECT * FROM (VALUES {", ".join(f"({i}, TIMESTAMP '{s}', TIMESTAMP '{e}')" for i, s, e in CAMPAIGNS)})
+           t(campaign_id, start_ts, end_ts)),
+     e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value FROM events)
+SELECT campaign_id::INT AS campaign_id, count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       round(sum(value), 4) AS total_value
+FROM e JOIN c ON e.ts BETWEEN c.start_ts AND c.end_ts
+GROUP BY campaign_id""",
+    "q_user_segments": """
+(SELECT user_id FROM events WHERE event_type = 'purchase'
+ INTERSECT
+ SELECT user_id FROM events WHERE event_type = 'view')
+EXCEPT
+SELECT user_id FROM events
+WHERE event_type = 'error' AND ts::TIMESTAMP < TIMESTAMP '2024-01-03'""",
+    "q_priority_distinct": """
+SELECT n_name,
+       count(DISTINCT o_custkey)::BIGINT AS active_customers,
+       count(DISTINCT o_orderpriority)::BIGINT AS n_priorities,
+       count(*)::BIGINT AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name""",
+    "q_events_pivot": f"""
+SELECT user_id,
+       {", ".join(f"round(sum(value) FILTER (event_type = '{t}'), 4) AS {t}" for t in PIVOT_EVENT_TYPES)}
+FROM events GROUP BY user_id""",
+    "q_brand_top_parts": """
+WITH r AS (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rank
+  FROM part)
+SELECT p_brand, p_partkey, p_retailprice, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3""",
 }
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -948,4 +1120,10 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_brand_revenue": q_brand_revenue,
     "q_parts_no_discount": q_parts_no_discount,
     "q_media_features": q_media_features,
+    "q_events_attrib": q_events_attrib,
+    "q_events_campaign": q_events_campaign,
+    "q_user_segments": q_user_segments,
+    "q_priority_distinct": q_priority_distinct,
+    "q_events_pivot": q_events_pivot,
+    "q_brand_top_parts": q_brand_top_parts,
 }

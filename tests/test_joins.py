@@ -1,0 +1,117 @@
+"""As-of and interval join semantics: `<=` match (equal-ts right row
+counts as prior), deterministic tie-break among equal-ts right rows,
+null payload when no prior row, inclusive interval bounds, and
+bucket-width invariance of the interval join result."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_kmeans_clustering_spark.operators.joins import asof_join, interval_join
+
+TS = "2024-01-01 00:00:{:02d}"
+
+
+def _tsdf(spark, schema, rows):
+    df = spark.createDataFrame(rows, schema)
+    for c, t in df.dtypes:
+        if c.endswith("ts"):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return _tsdf(
+        spark,
+        "sym STRING, qts STRING, px DOUBLE, qid INT",
+        [
+            ("A", TS.format(10), 1.0, 1),
+            ("A", TS.format(20), 2.0, 2),
+            ("A", TS.format(20), 3.0, 3),  # equal-ts tie: qid 3 must win
+            ("A", TS.format(40), 4.0, 4),
+            ("B", TS.format(30), 9.0, 5),
+        ],
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return _tsdf(
+        spark,
+        "sym STRING, tts STRING, tid INT",
+        [
+            ("A", TS.format(5), 100),   # before any quote -> null
+            ("A", TS.format(20), 101),  # equal ts -> matches, qid 3 wins tie
+            ("A", TS.format(39), 102),  # latest prior is qid 3
+            ("A", TS.format(50), 103),  # qid 4
+            ("B", TS.format(29), 104),  # B has no quote yet -> null
+            ("C", TS.format(30), 105),  # key absent from right -> null
+        ],
+    )
+
+
+def test_asof_semantics(spark, quotes, trades):
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+        payload=["px", "qid"], right_order="qid",
+    )
+    got = {r["tid"]: (r["px"], r["qid"]) for r in out.collect()}
+    assert got == {
+        100: (None, None),
+        101: (3.0, 3),
+        102: (3.0, 3),
+        103: (4.0, 4),
+        104: (None, None),
+        105: (None, None),
+    }
+    # left row count preserved (it's a LEFT as-of join)
+    assert out.count() == trades.count()
+
+
+def test_asof_carries_left_columns(spark, quotes, trades):
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+        payload=["px"], right_order="qid",
+    )
+    assert set(out.columns) == {"sym", "tts", "tid", "px"}
+
+
+@pytest.fixture(scope="module")
+def intervals(spark):
+    return _tsdf(
+        spark,
+        "iv INT, sts STRING, ets STRING",
+        [
+            (1, TS.format(10), TS.format(20)),
+            (2, TS.format(20), TS.format(25)),  # overlaps iv 1 at :20
+            (3, TS.format(50), TS.format(59)),
+        ],
+    )
+
+
+@pytest.fixture(scope="module")
+def points_in_time(spark):
+    return _tsdf(
+        spark,
+        "pts STRING, pid INT",
+        [
+            (TS.format(9), 1),   # before all -> dropped
+            (TS.format(10), 2),  # start-inclusive
+            (TS.format(20), 3),  # in both iv 1 (end) and iv 2 (start)
+            (TS.format(26), 4),  # gap -> dropped
+            (TS.format(59), 5),  # end-inclusive
+        ],
+    )
+
+
+@pytest.mark.parametrize("bucket_seconds", [1, 7, 3600])
+def test_interval_join_inclusive_and_bucket_invariant(
+    spark, intervals, points_in_time, bucket_seconds
+):
+    out = interval_join(
+        points_in_time, intervals, "pts", "sts", "ets", bucket_seconds
+    )
+    got = sorted((r["pid"], r["iv"]) for r in out.collect())
+    assert got == [(2, 1), (3, 1), (3, 2), (5, 3)]
