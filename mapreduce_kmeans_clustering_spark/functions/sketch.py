@@ -1,0 +1,66 @@
+"""KMV (k-minimum-values) distinct-count sketch.
+
+`approx_count_distinct` (HyperLogLog++) is the built-in fast path, but
+its estimates are engine-specific — useless under a cross-engine value
+oracle. KMV is the determinism-friendly alternative: hash every value
+to a uniform point in [0, 1), keep the k smallest distinct hashes, and
+estimate |D| = (k-1) / h_(k) (Bar-Yossef et al., RANDOM 2002). With a
+fixed hash (md5) the estimate is a pure function of the value set, so
+Spark and DuckDB produce bit-identical doubles.
+
+Scale shape: distinct-reduce on (group, value) — the same shuffle an
+exact count-distinct needs — then a per-group sort limited to k rows
+via row_number. At 100 TB the second stage moves only k rows per group
+(the first stage's map-side partial distinct already collapses
+duplicates), so the sketch's win over exact counting is the tiny
+final aggregate, and its real use is as a mergeable per-partition
+summary. The hot path stays in whole-stage codegen: md5 → 13-hex-char
+prefix → 52-bit integer → double in [0, 1) are all built-in exprs.
+
+DuckDB twin of the hash (keep shapes identical, SURVEY registry rule):
+  ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 13))::BIGINT / 4503599627370496.0
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 13 hex chars = 52 bits: exactly representable in a double, so the
+# normalization divides two exact integers and both engines agree.
+_HEX_CHARS = 13
+_SCALE = float(1 << 52)
+
+
+def kmv_hash(col: Column | str) -> Column:
+    """Uniform double in [0, 1) from the value's md5 prefix."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, _HEX_CHARS), 16, 10)
+    return h.cast("double") / F.lit(_SCALE)
+
+
+def kmv_distinct(
+    df: DataFrame, groups: list[str], value: str, k: int = 64
+) -> DataFrame:
+    """Per-group approximate distinct count of ``value``.
+
+    Output: groups + (n_kept INT, est_distinct DOUBLE). Groups holding
+    fewer than k distinct values return the exact count (the sketch is
+    the whole set), so small groups are never approximated badly.
+    """
+    hashed = (
+        df.select(*groups, F.col(value).alias("__v"))
+        .distinct()
+        .withColumn("__h", kmv_hash("__v"))
+    )
+    w = Window.partitionBy(*groups).orderBy("__h")
+    topk = hashed.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= k)
+    return topk.groupBy(*groups).agg(
+        F.count("*").cast("int").alias("n_kept"),
+        F.round(
+            F.when(F.count("*") < k, F.count("*").cast("double")).otherwise(
+                F.lit(float(k - 1)) / F.max("__h")
+            ),
+            4,
+        ).alias("est_distinct"),
+    )

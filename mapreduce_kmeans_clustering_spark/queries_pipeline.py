@@ -23,6 +23,7 @@ from mapreduce_kmeans_clustering_spark.operators import joins as J
 from mapreduce_kmeans_clustering_spark.operators import multimodal as MM
 from mapreduce_kmeans_clustering_spark.operators import similarity as SIM
 from mapreduce_kmeans_clustering_spark.operators import text as TX
+from mapreduce_kmeans_clustering_spark.functions import sketch as SK
 
 JACCARD_THRESHOLD = 0.2
 VERIFY_THRESHOLD = 0.3
@@ -617,6 +618,40 @@ def q_events_pivot(spark, sf_dir):
     )
 
 
+def q_approx_distinct(spark, sf_dir):
+    """KMV distinct-count sketch (functions/sketch.py) next to the
+    exact count: deterministic cross-engine approximate-distinct,
+    unlike HLL whose estimates are engine-specific. Estimates distinct
+    orders per return flag from the lineitem fact."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    est = SK.kmv_distinct(li, ["l_returnflag"], "l_orderkey", k=64)
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "l_returnflag").select(
+        "l_returnflag", "n_kept", "est_distinct", "exact_distinct"
+    )
+
+
+def q_order_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the generalization CUBE/ROLLUP queries
+    specialize): per-priority and per-status order totals plus a grand
+    total in one pass — Catalyst plans a single Expand, one shuffle."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "__orders_gs"
+    )
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
 def q_brand_top_parts(spark, sf_dir):
     """Per-group top-k (rank within partition — q_top_orders is the
     global variant): 3 priciest parts per brand."""
@@ -1076,6 +1111,30 @@ GROUP BY n_name""",
 SELECT user_id,
        {", ".join(f"round(sum(value) FILTER (event_type = '{t}'), 4) AS {t}" for t in PIVOT_EVENT_TYPES)}
 FROM events GROUP BY user_id""",
+    "q_approx_distinct": """
+WITH d AS (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem),
+h AS (SELECT l_returnflag,
+             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 13))::BIGINT
+               / 4503599627370496.0 AS hv
+      FROM d),
+r AS (SELECT l_returnflag, hv,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rk
+      FROM h),
+est AS (SELECT l_returnflag, count(*)::INT AS n_kept,
+               round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                          ELSE 63.0 / max(hv) END, 4) AS est_distinct
+        FROM r WHERE rk <= 64 GROUP BY l_returnflag),
+ex AS (SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS exact_distinct
+       FROM lineitem GROUP BY l_returnflag)
+SELECT est.l_returnflag, n_kept, est_distinct, exact_distinct
+FROM est JOIN ex USING (l_returnflag)""",
+    "q_order_grouping_sets": """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""",
     "q_brand_top_parts": """
 WITH r AS (
   SELECT p_brand, p_partkey, p_retailprice,
@@ -1126,4 +1185,6 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_priority_distinct": q_priority_distinct,
     "q_events_pivot": q_events_pivot,
     "q_brand_top_parts": q_brand_top_parts,
+    "q_approx_distinct": q_approx_distinct,
+    "q_order_grouping_sets": q_order_grouping_sets,
 }
