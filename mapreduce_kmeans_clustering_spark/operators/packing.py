@@ -1,0 +1,65 @@
+"""Sequence packing: lay documents end-to-end into fixed-size training
+sequences (the concatenate-then-chunk strategy LLM pretraining loaders
+use). Each doc gets the pack it *starts* in plus its token offset
+there; docs longer than the remaining space straddle into the next
+pack(s) — chunking, not bin-packing, so no doc is reordered or dropped
+and the layout is a pure function of (ordering key, token counts).
+
+Expressed as one running-sum window per pack group:
+
+    offset      = sum(ntok) over rows before this doc
+    pack_id     = offset div pack_len
+    offset_in_pack = offset mod pack_len
+
+Scale shape: a global ORDER BY would funnel 100 TB through one
+partition, so packing is grouped (default: per source) — one window
+sort per group, partition-parallel across groups, matching how corpus
+shards are packed independently in practice. Everything is built-in
+exprs inside whole-stage codegen; determinism comes from ordering by
+the unique doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduce_kmeans_clustering_spark.operators.text import token_count
+
+
+def pack_sequences(
+    docs: DataFrame,
+    pack_len: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign every doc its pack id and offset within ``group_col``.
+
+    Output: group, id, n_tokens, pack_id, offset_in_pack (+ n_packs
+    the doc spans — >1 when it straddles pack boundaries).
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    ntok = token_count(text_col)
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    # `div` (integer division), not `/`: cumulative offsets are longs
+    # and double division would round above 2^53.
+    return (
+        docs.select(group_col, id_col, ntok.cast("long").alias("n_tokens"))
+        .withColumn("__start", start)
+        .withColumn("__last", F.col("__start") + F.greatest("n_tokens", F.lit(1)) - 1)
+        .select(
+            group_col,
+            id_col,
+            "n_tokens",
+            F.expr(f"__start div {pack_len}").alias("pack_id"),
+            (F.col("__start") % pack_len).alias("offset_in_pack"),
+            (
+                F.expr(f"__last div {pack_len}") - F.expr(f"__start div {pack_len}") + 1
+            ).cast("int").alias("n_packs"),
+        )
+    )

@@ -24,6 +24,7 @@ from mapreduce_kmeans_clustering_spark.operators import multimodal as MM
 from mapreduce_kmeans_clustering_spark.operators import similarity as SIM
 from mapreduce_kmeans_clustering_spark.operators import text as TX
 from mapreduce_kmeans_clustering_spark.functions import sketch as SK
+from mapreduce_kmeans_clustering_spark.operators import packing as PK
 
 JACCARD_THRESHOLD = 0.2
 VERIFY_THRESHOLD = 0.3
@@ -652,6 +653,18 @@ def q_order_grouping_sets(spark, sf_dir):
     )
 
 
+PACK_LEN = 2048
+
+
+def q_doc_pack(spark, sf_dir):
+    """Sequence packing (operators/packing.py): documents laid
+    end-to-end into 2048-token training sequences per source shard;
+    each doc's pack id, offset, and straddle count."""
+    return PK.pack_sequences(
+        _docs(spark, sf_dir), pack_len=PACK_LEN, group_col="source"
+    )
+
+
 def q_brand_top_parts(spark, sf_dir):
     """Per-group top-k (rank within partition — q_top_orders is the
     global variant): 3 priciest parts per brand."""
@@ -1128,6 +1141,21 @@ ex AS (SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS exact_distinct
        FROM lineitem GROUP BY l_returnflag)
 SELECT est.l_returnflag, n_kept, est_distinct, exact_distinct
 FROM est JOIN ex USING (l_returnflag)""",
+    "q_doc_pack": f"""
+WITH t AS (
+  SELECT source, doc_id, len({_TOK})::BIGINT AS n_tokens FROM documents),
+s AS (
+  SELECT source, doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM t)
+SELECT source, doc_id, n_tokens,
+       start // {PACK_LEN} AS pack_id,
+       start % {PACK_LEN} AS offset_in_pack,
+       ((start + greatest(n_tokens, 1) - 1) // {PACK_LEN}
+         - start // {PACK_LEN} + 1)::INT AS n_packs
+FROM s""",
     "q_order_grouping_sets": """
 SELECT coalesce(o_orderpriority, 'ALL') AS priority,
        coalesce(o_orderstatus, 'ALL') AS status,
@@ -1187,4 +1215,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_brand_top_parts": q_brand_top_parts,
     "q_approx_distinct": q_approx_distinct,
     "q_order_grouping_sets": q_order_grouping_sets,
+    "q_doc_pack": q_doc_pack,
 }
