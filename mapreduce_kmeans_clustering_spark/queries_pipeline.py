@@ -653,6 +653,27 @@ def q_order_grouping_sets(spark, sf_dir):
     )
 
 
+def q_engaged_customers(spark, sf_dir):
+    """Semi-join + UNION ALL (the two §2.2 shapes not yet named in the
+    registry): customers that placed a high-value order, unioned with
+    customers holding a high account balance, counted per segment with
+    their provenance."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    big = orders.where(F.col("o_totalprice") > 150000).select("o_custkey")
+    buyers = cust.join(
+        big, cust["c_custkey"] == big["o_custkey"], "left_semi"
+    ).select("c_mktsegment", F.lit("big_order").alias("via"))
+    rich = cust.where(F.col("c_acctbal") > 5000).select(
+        "c_mktsegment", F.lit("high_balance").alias("via")
+    )
+    return (
+        buyers.unionAll(rich)
+        .groupBy("c_mktsegment", "via")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )
+
+
 PACK_LEN = 2048
 
 
@@ -1141,6 +1162,15 @@ ex AS (SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS exact_distinct
        FROM lineitem GROUP BY l_returnflag)
 SELECT est.l_returnflag, n_kept, est_distinct, exact_distinct
 FROM est JOIN ex USING (l_returnflag)""",
+    "q_engaged_customers": """
+WITH buyers AS (
+  SELECT c_mktsegment, 'big_order' AS via FROM customer
+  WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)),
+rich AS (
+  SELECT c_mktsegment, 'high_balance' AS via FROM customer WHERE c_acctbal > 5000)
+SELECT c_mktsegment, via, count(*)::BIGINT AS n_customers
+FROM (SELECT * FROM buyers UNION ALL SELECT * FROM rich)
+GROUP BY c_mktsegment, via""",
     "q_doc_pack": f"""
 WITH t AS (
   SELECT source, doc_id, len({_TOK})::BIGINT AS n_tokens FROM documents),
@@ -1216,4 +1246,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_approx_distinct": q_approx_distinct,
     "q_order_grouping_sets": q_order_grouping_sets,
     "q_doc_pack": q_doc_pack,
+    "q_engaged_customers": q_engaged_customers,
 }
