@@ -119,3 +119,27 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_ord_bucketed")
+
+
+def test_asof_join_is_single_exchange_no_range_join(spark):
+    """The as-of join must plan as one hash exchange on the key plus a
+    window — never a BroadcastNestedLoopJoin/CartesianProduct from a
+    range predicate."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import q_events_attrib
+
+    p = _plan(q_events_attrib(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_interval_join_is_bucket_equi_join(spark):
+    """Bucketing turns the interval predicate into a BroadcastHashJoin
+    on the bucket id; the raw BETWEEN would be a nested-loop plan."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import q_events_campaign
+
+    p = _plan(q_events_campaign(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
