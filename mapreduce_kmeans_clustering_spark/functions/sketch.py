@@ -40,19 +40,41 @@ def kmv_hash(col: Column | str) -> Column:
 
 
 def kmv_distinct(
-    df: DataFrame, groups: list[str], value: str, k: int = 64
+    df: DataFrame, groups: list[str], value: str, k: int = 64, salt_buckets: int = 16
 ) -> DataFrame:
     """Per-group approximate distinct count of ``value``.
 
     Output: groups + (n_kept INT, est_distinct DOUBLE). Groups holding
     fewer than k distinct values return the exact count (the sketch is
     the whole set), so small groups are never approximated badly.
-    """
+
+    The global k smallest hashes per group are found in two stages:
+    k-minima per (group, salt) first, then k-minima over the
+    ``k * salt_buckets`` survivors. The union of per-salt k-minima is a
+    superset of the global k-minima for any deterministic salt, so the
+    result is bit-identical to the single-sort plan — but the big sort
+    runs ``salt_buckets``-way parallel per group instead of funneling
+    every distinct value of a group through one task. The salt reuses
+    md5 hex chars disjoint from the estimate's prefix; correlation is
+    irrelevant (salting only partitions the value set)."""
     hashed = (
         df.select(*groups, F.col(value).alias("__v"))
         .distinct()
         .withColumn("__h", kmv_hash("__v"))
     )
+    if salt_buckets > 1:
+        salt = (
+            F.conv(F.substring(F.md5(F.col("__v").cast("string")), 30, 3), 16, 10)
+            .cast("int")
+            % salt_buckets
+        )
+        w1 = Window.partitionBy(*groups, "__salt").orderBy("__h")
+        hashed = (
+            hashed.withColumn("__salt", salt)
+            .withColumn("__r1", F.row_number().over(w1))
+            .where(F.col("__r1") <= k)
+            .drop("__salt", "__r1")
+        )
     w = Window.partitionBy(*groups).orderBy("__h")
     topk = hashed.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= k)
     return topk.groupBy(*groups).agg(

@@ -38,3 +38,14 @@ def test_duplicates_and_order_do_not_change_estimate(spark):
     ra = kmv_distinct(a, ["g"], "v", k=64).collect()[0]
     rb = kmv_distinct(b, ["g"], "v", k=64).collect()[0]
     assert ra["est_distinct"] == rb["est_distinct"]
+
+
+def test_salted_two_phase_equals_single_sort(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", f"value-{i}") for i in range(3000)], "g STRING, v STRING"
+    ).repartition(8)
+    one = sorted(map(tuple, kmv_distinct(df, ["g"], "v", k=64, salt_buckets=1).collect()))
+    two = sorted(map(tuple, kmv_distinct(df, ["g"], "v", k=64, salt_buckets=16).collect()))
+    assert one == two
