@@ -1,0 +1,49 @@
+"""Hive-partitioned parquet sink: the standard 100 TB dataset layout.
+
+Partitioning by a low-cardinality column (date, source shard) makes
+every query that filters on it skip whole directories — Catalyst turns
+the filter into a PartitionFilter, so a day's query over years of data
+scans one day's files (the pruning plan is pinned by test).
+
+Two file-size hazards are handled at write time:
+
+* **Small files.** A write with P upstream partitions × V partition
+  values creates up to P×V files; thousands of tiny files throttle any
+  later scan on open/seek overhead. Repartitioning by the partition
+  columns first routes each value's rows to one task → one file per
+  value (plus AQE coalescing).
+* **Giant files.** One task per value means a hot value produces one
+  huge file; ``max_records_per_file`` re-splits those so downstream
+  scan parallelism survives skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    max_records_per_file: int = 5_000_000,
+    coalesce_per_value: bool = True,
+) -> None:
+    """Write df as parquet partitioned by ``partition_by``.
+
+    ``coalesce_per_value=False`` skips the pre-shuffle and keeps the
+    upstream partitioning — use when the writer already fans out of a
+    shuffle keyed on the partition columns."""
+    out = df.repartition(*partition_by) if coalesce_per_value else df
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Plain parquet read; partition columns come back from directory
+    names, and filters on them prune at planning time."""
+    return spark.read.parquet(path)

@@ -1,0 +1,49 @@
+"""Partitioned parquet sink: round-trip fidelity, one file per
+partition value (small-files control), and planner-level partition
+pruning on the read side."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from mapreduce_kmeans_clustering_spark.sinks.partitioned import (
+    read_partitioned,
+    write_partitioned,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_round_trip_and_single_file_per_value(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    out = str(tmp_path / "docs_by_source")
+    write_partitioned(docs, out, ["source"])
+
+    back = read_partitioned(spark, out)
+    assert back.count() == docs.count()
+    assert {r["source"] for r in back.select("source").distinct().collect()} == {
+        r["source"] for r in docs.select("source").distinct().collect()
+    }
+    for d in glob.glob(f"{out}/source=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1
+
+
+def test_read_filter_prunes_partitions(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    out = str(tmp_path / "docs_pruned")
+    write_partitioned(docs, out, ["source"])
+
+    one = read_partitioned(spark, out).where(F.col("source") == "src1")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # the equality predicate must land in PartitionFilters (planning-time
+    # directory pruning), not in the row-level data filters
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "= src1" in pf
+    expected = docs.where(F.col("source") == "src1").count()
+    assert one.count() == expected > 0
