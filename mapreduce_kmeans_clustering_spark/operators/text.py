@@ -42,6 +42,25 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style pretokenizer, restricted to RE2 syntax (no lookahead) so
+# the DuckDB oracle can run the identical pattern: contraction tails,
+# space-prefixed letter/digit runs, space-prefixed punctuation runs.
+# Whitespace itself is never a pretoken, so counting matches counts
+# the units a BPE vocab would merge within — which tracks real
+# tokenizer counts far better than word splitting on code/punctuation-
+# heavy text.
+BPE_RE = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+
+
+def bpe_pretokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.coalesce(c, F.lit("")), F.lit(BPE_RE), 0)
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    return F.size(bpe_pretokens(col))
+
+
 def word_shingles(tokens_col: Column, n: int = 3) -> Column:
     """n-word shingles of a token array; empty array when the doc has
     fewer than n tokens (guards Spark's descending-sequence surprise

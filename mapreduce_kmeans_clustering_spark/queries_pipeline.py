@@ -653,6 +653,19 @@ def q_order_grouping_sets(spark, sf_dir):
     )
 
 
+def q_text_tokens(spark, sf_dir):
+    """Word tokens vs GPT-2-style BPE pretokens per doc (operators/
+    text.py BPE_RE — RE2-safe, so DuckDB runs the identical pattern).
+    The divergence between the two counts is itself a quality signal:
+    punctuation/code-heavy docs inflate bpe relative to words."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TX.token_count("text").cast("long").alias("word_tokens"),
+        TX.bpe_token_count("text").cast("long").alias("bpe_tokens"),
+    )
+
+
 def q_engaged_customers(spark, sf_dir):
     """Semi-join + UNION ALL (the two §2.2 shapes not yet named in the
     registry): customers that placed a high-value order, unioned with
@@ -1162,6 +1175,13 @@ ex AS (SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS exact_distinct
        FROM lineitem GROUP BY l_returnflag)
 SELECT est.l_returnflag, n_kept, est_distinct, exact_distinct
 FROM est JOIN ex USING (l_returnflag)""",
+    "q_text_tokens": f"""
+SELECT doc_id,
+       len({_TOK})::BIGINT AS word_tokens,
+       len(regexp_extract_all(coalesce(text, ''),
+           '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+'))::BIGINT
+         AS bpe_tokens
+FROM documents""",
     "q_engaged_customers": """
 WITH buyers AS (
   SELECT c_mktsegment, 'big_order' AS via FROM customer
@@ -1247,4 +1267,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_order_grouping_sets": q_order_grouping_sets,
     "q_doc_pack": q_doc_pack,
     "q_engaged_customers": q_engaged_customers,
+    "q_text_tokens": q_text_tokens,
 }

@@ -122,3 +122,25 @@ def test_stratified_sampling_rates_and_determinism(spark):
     assert 175 <= counts["src1"] <= 325    # ~250 expected, hash-uniform
     again = sample_stratified(docs.repartition(7), {"src0": 1.0, "src1": 0.25})
     assert {r["doc_id"] for r in again.collect()} == {r["doc_id"] for r in out.collect()}
+
+
+def test_bpe_pretokens_vs_word_tokens(spark):
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.operators.text import (
+        bpe_token_count,
+        token_count,
+    )
+
+    rows = [
+        ("plain words here", 3, 3),
+        ("don't!", 2, 3),               # BPE counts the contraction tail + punct
+        ("x=1; y=2;", 4, 8),            # punctuation counts for BPE
+        ("", 0, 0),
+        (None, 0, 0),
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _ in rows], "text STRING").select(
+        token_count("text").alias("w"), bpe_token_count("text").alias("b")
+    )
+    got = [(r["w"], r["b"]) for r in df.collect()]
+    assert got == [(w, b) for _, w, b in rows]
