@@ -48,7 +48,10 @@ def exact_dup_drops(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     groups = exact_dup_groups(docs, text_col, id_col)
     return (
         docs.withColumn("text_hash", F.md5(F.col(text_col)))
-        .join(F.broadcast(groups.where(F.col("n_copies") > 1)), "text_hash")
+        # no broadcast hint: the duplicate-group table grows with the
+        # corpus, so a forced broadcast OOMs at scale — AQE picks
+        # broadcast vs shuffle from the measured size at runtime
+        .join(groups.where(F.col("n_copies") > 1), "text_hash")
         .where(F.col(id_col) != F.col("keep_id"))
         .select(F.col(id_col), "keep_id")
     )
@@ -354,8 +357,10 @@ def dedup_pipeline(
     near_drops = verified.select(F.col("b").alias(id_col)).distinct()
     return (
         docs.select(id_col)
-        .join(F.broadcast(exact_drops.withColumn("_ex", F.lit(1))), id_col, "left")
-        .join(F.broadcast(near_drops.withColumn("_nd", F.lit(1))), id_col, "left")
+        # drop tables scale with the duplicate count — leave the
+        # broadcast-vs-shuffle choice to AQE's runtime size stats
+        .join(exact_drops.withColumn("_ex", F.lit(1)), id_col, "left")
+        .join(near_drops.withColumn("_nd", F.lit(1)), id_col, "left")
         .select(
             id_col,
             F.when(F.col("_ex") == 1, F.lit("exact_dup"))

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _SIDE = "__asof_side"
 
@@ -56,6 +57,12 @@ def asof_join(
     duplicate (key, ts) pairs are possible.
 
     Payload column names must not collide with left's columns.
+
+    NULL payload fields of the matched row propagate: the window fills
+    ONE struct of all payload columns (non-null on every right row), so
+    a legitimately-NULL field of the latest right row stays NULL in the
+    output instead of being skipped for a stale older value — standard
+    ASOF semantics.
     """
     # left's own columns ride along; each side carries nulls for the
     # other side's columns so the two halves union by name. The
@@ -63,12 +70,15 @@ def asof_join(
     # part of the requested payload.
     carry = [c for c in left.columns if c not in {on, left_ts}]
     ord_src = right_order or right_ts
+    p_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in payload]
+    )
     l = left.select(
         F.col(on),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias(_SIDE),
         F.lit(None).cast(right.schema[ord_src].dataType).alias("__ord"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+        F.lit(None).cast(p_type).alias("__p"),
         *[F.col(c) for c in carry],
     )
     r = right.select(
@@ -76,7 +86,7 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias(_SIDE),
         F.col(ord_src).alias("__ord"),
-        *[F.col(c) for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias("__p"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in carry],
     )
     w = (
@@ -89,11 +99,16 @@ def asof_join(
         "__ts",
         _SIDE,
         *carry,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+        F.last("__p", ignorenulls=True).over(w).alias("__p"),
     )
     return (
         filled.where(F.col(_SIDE) == 1)
-        .drop(_SIDE)
+        .select(
+            on,
+            "__ts",
+            *carry,
+            *[F.col(f"__p.{c}").alias(c) for c in payload],
+        )
         .withColumnRenamed("__ts", left_ts)
     )
 

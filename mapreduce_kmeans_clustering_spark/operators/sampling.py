@@ -40,9 +40,12 @@ def sample_stratified(
     from ``rates`` use default_rate (0 = drop). Rates are exact over
     the bucket granularity (1/1000)."""
     bucket = hash_bucket(id_col)
-    expr = F.lit(int(default_rate * BUCKETS))
+    # round(), not int(): rates like 0.29 are not binary-representable
+    # (0.29 * 1000 = 289.999...), and truncation would silently drop a
+    # bucket relative to the documented rate*1000 threshold
+    expr = F.lit(round(default_rate * BUCKETS))
     for stratum, rate in sorted(rates.items()):
-        expr = F.when(F.col(strata_col) == stratum, F.lit(int(rate * BUCKETS))).otherwise(
-            expr
-        )
+        expr = F.when(
+            F.col(strata_col) == stratum, F.lit(round(rate * BUCKETS))
+        ).otherwise(expr)
     return df.where(bucket < expr)

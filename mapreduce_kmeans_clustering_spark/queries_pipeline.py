@@ -525,7 +525,15 @@ def q_events_attrib(spark, sf_dir):
     """Purchase attribution: each purchase joined AS-OF to the same
     user's latest prior 'view' (ms_since_view and the view's id; null
     when the purchase precedes every view). One sort-shuffle on
-    user_id — no range join, no per-key quadratic work."""
+    user_id — no range join, no per-key quadratic work.
+
+    Oracle tie assumption: DuckDB's ASOF JOIN has no tie-break clause,
+    so the oracle relies on (user_id, ts) being unique among views —
+    true of the generated events table (event_id is unique per ts
+    draw). The Spark side passes right_order=view_event_id, which is
+    the deterministic superset of that assumption; if the fixture ever
+    gained duplicate (user_id, ts) views the oracle, not this query,
+    would need a dedup-to-max-event_id pre-step."""
     e = _events(spark, sf_dir)
     purchases = e.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
@@ -806,8 +814,8 @@ FROM t GROUP BY source""",
     "q_text_quality": f"""
 WITH t AS (
   SELECT doc_id, len({_TOK}) AS ntok,
-         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0
-           / greatest(length(text), 1) AS alpha,
+         length(regexp_replace(lower(coalesce(text, '')), '[^a-z]', '', 'g')) * 1.0
+           / greatest(length(coalesce(text, '')), 1) AS alpha,
          ({_STOP_CNT}) / greatest(len({_TOK}), 1) AS stop
   FROM documents)
 SELECT doc_id, ntok::BIGINT AS n_words, round(alpha, 6) AS alpha_ratio,

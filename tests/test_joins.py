@@ -70,6 +70,27 @@ def test_asof_semantics(spark, quotes, trades):
     assert out.count() == trades.count()
 
 
+def test_asof_null_payload_field_propagates(spark):
+    """A legitimately-NULL payload field on the MATCHED (latest) right
+    row must come through as NULL — not be skipped for a stale value
+    from an older row (the struct-fill guarantees this)."""
+    quotes = _tsdf(
+        spark,
+        "sym STRING, qts STRING, px DOUBLE, qid INT",
+        [
+            ("A", TS.format(10), 7.0, 1),
+            ("A", TS.format(20), None, 2),  # latest prior: px is NULL
+        ],
+    )
+    trades = _tsdf(spark, "sym STRING, tts STRING, tid INT", [("A", TS.format(30), 1)])
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+        payload=["px", "qid"], right_order="qid",
+    )
+    row = out.collect()[0]
+    assert row["qid"] == 2 and row["px"] is None
+
+
 def test_asof_carries_left_columns(spark, quotes, trades):
     out = asof_join(
         trades, quotes, on="sym", left_ts="tts", right_ts="qts",
