@@ -275,16 +275,17 @@ def simhash(
     return per_doc.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
 
-def simhash_pairs(
+def simhash_pairs_brute(
     docs: DataFrame,
     max_hamming: int = 3,
     bits: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(a, b, hamming) for pairs within max_hamming bits. Brute
-    all-pairs xor+bit_count — cheap JVM ops for fixture scale; at 100 TB
-    block on simhash bands first (same pattern as lsh_candidate_pairs)."""
+    """(a, b, hamming) for pairs within max_hamming bits, by brute
+    all-pairs xor+bit_count (an O(n^2) BroadcastNestedLoopJoin). The
+    oracle/property twin of simhash_pairs — same definition with no
+    blocking step, kept for fixture-scale equivalence tests only."""
     s = simhash(docs, bits, text_col, id_col)
     a = s.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"))
     b = s.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"))
@@ -293,6 +294,75 @@ def simhash_pairs(
         a.join(b, F.col("a") < F.col("b"))
         .select("a", "b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_segments(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode (id, simhash) into (id, simhash, seg, val) rows: the
+    fingerprint split into ``max_hamming + 1`` contiguous bit segments
+    (ceil/floor split when bits doesn't divide evenly). Pigeonhole:
+    flipping at most max_hamming bits cannot touch every one of the
+    max_hamming + 1 segments, so any pair within the Hamming radius
+    shares at least one (seg, val) exactly."""
+    nseg = max_hamming + 1
+    bounds = [round(i * bits / nseg) for i in range(nseg + 1)]
+    segs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seg"),
+                F.shiftright(F.col("simhash"), bounds[i])
+                .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
+                .alias("val"),
+            )
+            for i in range(nseg)
+        ]
+    )
+    return fingerprints.select(
+        F.col(id_col), F.col("simhash"), F.explode(segs).alias("sv")
+    ).select(id_col, "simhash", F.col("sv.seg").alias("seg"), F.col("sv.val").alias("val"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(a, b, hamming) for pairs within max_hamming bits, via banded
+    candidate generation: equi-join on exact (segment_idx, segment_value)
+    matches, then xor+bit_count verification. EXACT, not approximate —
+    the pigeonhole split (see simhash_segments) guarantees every
+    qualifying pair collides on some segment, so the output equals the
+    brute all-pairs definition (pinned by test) while the join is
+    bucket-local: O(collisions) candidates instead of O(n^2), the same
+    shape as lsh_candidate_pairs. At 100 TB the only hazard is a
+    degenerate segment value shared by a large doc population (e.g.
+    near-empty docs hashing to 0) — that is data skew on an equi-join
+    key, which AQE skew-join splits like any other hot key.
+
+    The segment table feeds both self-join sides; localCheckpoint
+    materializes the simhash aggregation once instead of twice."""
+    s = simhash(docs, bits, text_col, id_col)
+    segs = simhash_segments(s, max_hamming, bits, id_col).localCheckpoint()
+    a = segs.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "seg", "val"
+    )
+    b = segs.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "seg", "val"
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, ["seg", "val"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair may collide on several segments
     )
 
 

@@ -15,6 +15,7 @@ from mapreduce_kmeans_clustering_spark.operators.dedup import (
     minhash_signatures,
     simhash,
     simhash_pairs,
+    simhash_pairs_brute,
 )
 
 
@@ -73,6 +74,22 @@ def test_simhash_near_dup_close_in_hamming(docs):
     pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=16).collect()}
     assert pairs[(0, 1)] == 0
     assert pairs[(0, 2)] <= pairs.get((0, 3), 16)
+
+
+@pytest.mark.parametrize("max_hamming", [0, 1, 3, 16])
+def test_simhash_banded_equals_brute(docs, max_hamming):
+    """The pigeonhole banding is EXACT: banded output == brute all-pairs
+    at every radius, including max_hamming >= bits (zero-width segments
+    make everyone collide, degrading to all-pairs, never missing)."""
+    banded = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=max_hamming).collect()
+    }
+    brute = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_pairs_brute(docs, max_hamming=max_hamming).collect()
+    }
+    assert banded == brute
 
 
 def test_embedding_near_dup(spark):

@@ -74,6 +74,18 @@ def test_dedup_candidate_joins_are_equi_not_nested_loop(spark):
         assert "CartesianProduct" not in p
 
 
+def test_simhash_banded_pairs_plan_is_equi_join(spark):
+    """The banded SimHash pair generator must plan as an equi-join on
+    (seg, val) — never the brute BNLJ the a<b-only join produces."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_dedup_simhash_pairs,
+    )
+
+    p = _plan(q_dedup_simhash_pairs(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_parts_anti_join_is_broadcast(spark):
     from mapreduce_kmeans_clustering_spark.queries_pipeline import q_parts_no_discount
 
