@@ -101,23 +101,45 @@ def lsh_topk(
     k: int = 3,
     dim: int = DEFAULT_DIM,
     planes: int = DEFAULT_PLANES,
+    probe_hamming: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane
     bucket (equi-join on bucket), then exact cosine + rank within the
     bucket. Recall < 1 by design; same algorithm is mirrored in the
-    SQL oracle so the comparison is exact."""
+    SQL oracle so the comparison is exact.
+
+    ``probe_hamming`` > 0 turns on multi-probe: each query also probes
+    every bucket within that Hamming distance of its own (the standard
+    recall lever — a near neighbor that disagrees on a few plane signs
+    is found without adding hash tables). Only the QUERY side fans out
+    (x sum_{j<=r} C(planes, j) rows, then the same equi-join on the
+    bucket key); corpus rows still carry exactly one bucket, so no
+    candidate is produced twice and the join stays hash-shaped. The
+    recall/candidate-fraction trade is measured by recall_vs_exact —
+    on unstructured (near-uniform) vectors high recall inherently
+    requires probing a large corpus fraction; clustered real-world
+    embeddings concentrate neighbors in the low-radius ball."""
     vecs = embeddings.select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("v"),
         lsh_bucket_expr(F.col(vec_col), dim, planes).alias("bucket"),
     )
-    q = F.broadcast(
-        vecs.where(F.col(id_col).isin(query_ids)).select(
-            F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "bucket"
-        )
+    q = vecs.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "bucket"
     )
+    if probe_hamming > 0:
+        masks = [
+            m for m in range(1 << planes) if bin(m).count("1") <= probe_hamming
+        ]
+        q = q.withColumn(
+            "bucket",
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+            ),
+        )
+    q = F.broadcast(q)
     c = vecs.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "bucket")
     cos = cosine_similarity(F.col("qv"), F.col("cv"))
     scored = (
@@ -243,6 +265,28 @@ def ivf_probe_index(
     list_id filter is a partition filter (prunes directories), not a
     row filter."""
     return spark.read.parquet(path).where(F.col("list_id").isin(list_ids))
+
+
+def recall_vs_exact(exact: DataFrame, approx: DataFrame, method: str) -> DataFrame:
+    """One-row recall@k summary of an ANN result against the exact
+    top-k: (method, hits, possible, recall). hits/possible are integer
+    counts (left join on the (query, neighbor) pair), so the recall
+    double is a single division — deterministic cross-engine. This is
+    the tuning gate for planes/nprobe: recall < floor means the ANN
+    variant is returning a different answer, not a faster one."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1))
+    j = e.join(a, ["query_id", "neighbor_id"], "left")
+    agg = j.agg(
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("hits"),
+        F.count("*").cast("long").alias("possible"),
+    )
+    return agg.select(
+        F.lit(method).alias("method"),
+        "hits",
+        "possible",
+        F.round(F.col("hits") * F.lit(1.0) / F.col("possible"), 6).alias("recall"),
+    )
 
 
 def sql_plane_literal(dim: int = DEFAULT_DIM, planes: int = DEFAULT_PLANES) -> list[str]:

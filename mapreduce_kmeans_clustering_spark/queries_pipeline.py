@@ -31,6 +31,12 @@ VERIFY_THRESHOLD = 0.3
 EMBED_DUP_THRESHOLD = 0.5
 ANN_QUERY_IDS = list(range(10))
 ANN_K = 3
+# multi-probe LSH config for q_ann_lsh / q_ann_recall: 4 planes with a
+# Hamming-2 probe ball measures recall 0.73-0.77 on the near-uniform
+# synthetic embeddings (single-bucket probing at 8 planes measured
+# 0.03 — see tests/test_similarity.py's floor assertions)
+LSH_PLANES = 4
+LSH_PROBE_HAMMING = 2
 IVF_NLIST = 16
 IVF_NPROBE = 4
 KMEANS_ND_K = 8
@@ -174,8 +180,30 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    t = SIM.lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K)
+    t = SIM.lsh_topk(
+        _emb(spark, sf_dir),
+        ANN_QUERY_IDS,
+        k=ANN_K,
+        planes=LSH_PLANES,
+        probe_hamming=LSH_PROBE_HAMMING,
+    )
     return t.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+
+
+def q_ann_recall(spark, sf_dir):
+    """Recall@k of both ANN paths (hyperplane LSH, IVF-flat) against
+    the exact brute-force top-k, one row per method — the measurement a
+    vector-search user needs before trusting planes/nprobe settings.
+    hits/possible are integer pair counts; recall is one division."""
+    emb = _emb(spark, sf_dir)
+    exact = SIM.cosine_topk(emb, ANN_QUERY_IDS, k=ANN_K)
+    lsh = SIM.lsh_topk(
+        emb, ANN_QUERY_IDS, k=ANN_K, planes=LSH_PLANES, probe_hamming=LSH_PROBE_HAMMING
+    )
+    ivf = SIM.ivf_topk(emb, ANN_QUERY_IDS, k=ANN_K, nlist=IVF_NLIST, nprobe=IVF_NPROBE)
+    return SIM.recall_vs_exact(exact, lsh, "lsh").unionByName(
+        SIM.recall_vs_exact(exact, ivf, "ivf")
+    )
 
 
 def q_embed_quantize(spark, sf_dir):
@@ -791,6 +819,11 @@ _PLANE_BUCKET = " + ".join(
     for p, lit in enumerate(SIM.sql_plane_literal())
 )
 
+_PLANE_BUCKET4 = " + ".join(
+    f"CASE WHEN list_inner_product(v, {lit}) > 0 THEN {1 << p} ELSE 0 END"
+    for p, lit in enumerate(SIM.sql_plane_literal(planes=LSH_PLANES))
+)
+
 _QUALITY = (
     f"0.4 * least(1.0, ntok / 100.0) + 0.3 * alpha + 0.3 * least(1.0, stop * 5.0)"
 )
@@ -808,6 +841,63 @@ _LANG_CASE = (
     )
     + f" ELSE '{_LANGS[-1]}' END"
 )
+
+_SQL_ANN_TOPK = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS va FROM v WHERE vec_id < 10),
+s AS (SELECT query_id, c.vec_id AS neighbor_id, va, c.v AS vb
+      FROM q CROSS JOIN v c WHERE c.vec_id <> query_id),
+r AS (SELECT query_id, neighbor_id, {_COS} AS cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY {_COS} DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cos
+FROM r WHERE rank <= {ANN_K}"""
+
+_SQL_ANN_LSH = f"""
+WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+vb AS (SELECT vec_id, v, {_PLANE_BUCKET4} AS bucket FROM ve),
+q AS (SELECT vec_id AS query_id, v AS va, bucket AS qb FROM vb WHERE vec_id < 10),
+s AS (SELECT query_id, c.vec_id AS neighbor_id, va, c.v AS vb
+      FROM q JOIN vb c
+        ON bit_count(xor(q.qb::BIGINT, c.bucket::BIGINT)) <= {LSH_PROBE_HAMMING}
+      WHERE c.vec_id <> query_id),
+r AS (SELECT query_id, neighbor_id, {_COS} AS cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY {_COS} DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cos
+FROM r WHERE rank <= {ANN_K}"""
+
+_SQL_ANN_IVF = f"""
+WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sd AS (SELECT vec_id AS list_id, v AS sv FROM ve WHERE vec_id < {IVF_NLIST}),
+asg AS (
+  SELECT vec_id, v, list_id FROM (
+    SELECT a.vec_id, a.v, s.list_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_inner_product(a.v, s.sv)
+                      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(s.sv, s.sv))) DESC,
+                      s.list_id) AS rn
+    FROM ve a CROSS JOIN sd s) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM ve WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, qv, list_id FROM (
+    SELECT q.query_id, q.qv, s.list_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_inner_product(q.qv, s.sv)
+                      / (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(s.sv, s.sv))) DESC,
+                      s.list_id) AS rn
+    FROM q CROSS JOIN sd s) WHERE rn <= {IVF_NPROBE}),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, p.qv AS va, a.v AS vb
+  FROM probes p JOIN asg a USING (list_id)
+  WHERE a.vec_id <> p.query_id),
+r AS (SELECT query_id, neighbor_id, {_COS} AS cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY {_COS} DESC, neighbor_id) AS rank
+      FROM cand)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cos
+FROM r WHERE rank <= {ANN_K}"""
 
 PIPELINE_ORACLES: dict[str, str] = {
     "q_text_stats": f"""
@@ -934,27 +1024,22 @@ vb AS (SELECT vec_id, v, {_PLANE_BUCKET} AS bucket FROM ve),
 p AS (SELECT a.vec_id AS a, b.vec_id AS b, a.v AS va, b.v AS vb
       FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT a, b, round({_COS}, 6) AS cos FROM p WHERE {_COS} >= {EMBED_DUP_THRESHOLD}""",
-    "q_ann_topk": f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS va FROM v WHERE vec_id < 10),
-s AS (SELECT query_id, c.vec_id AS neighbor_id, va, c.v AS vb
-      FROM q CROSS JOIN v c WHERE c.vec_id <> query_id),
-r AS (SELECT query_id, neighbor_id, {_COS} AS cos,
-             row_number() OVER (PARTITION BY query_id ORDER BY {_COS} DESC, neighbor_id) AS rank
-      FROM s)
-SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cos
-FROM r WHERE rank <= {ANN_K}""",
-    "q_ann_lsh": f"""
-WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-vb AS (SELECT vec_id, v, {_PLANE_BUCKET} AS bucket FROM ve),
-q AS (SELECT vec_id AS query_id, v AS va, bucket FROM vb WHERE vec_id < 10),
-s AS (SELECT query_id, c.vec_id AS neighbor_id, va, c.v AS vb
-      FROM q JOIN vb c USING (bucket) WHERE c.vec_id <> query_id),
-r AS (SELECT query_id, neighbor_id, {_COS} AS cos,
-             row_number() OVER (PARTITION BY query_id ORDER BY {_COS} DESC, neighbor_id) AS rank
-      FROM s)
-SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cos
-FROM r WHERE rank <= {ANN_K}""",
+    "q_ann_topk": _SQL_ANN_TOPK,
+    "q_ann_lsh": _SQL_ANN_LSH,
+    "q_ann_recall": f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({_SQL_ANN_TOPK})),
+l AS (SELECT query_id, neighbor_id FROM ({_SQL_ANN_LSH})),
+i AS (SELECT query_id, neighbor_id FROM ({_SQL_ANN_IVF})),
+lm AS (SELECT 'lsh' AS method, count(l.query_id)::BIGINT AS hits,
+              count(*)::BIGINT AS possible
+       FROM exact e LEFT JOIN l
+         ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id),
+im AS (SELECT 'ivf' AS method, count(i.query_id)::BIGINT AS hits,
+              count(*)::BIGINT AS possible
+       FROM exact e LEFT JOIN i
+         ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id)
+SELECT method, hits, possible, round(hits * 1.0 / possible, 6) AS recall
+FROM (SELECT * FROM lm UNION ALL SELECT * FROM im)""",
     "q_embed_quantize": """
 WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 s AS (
@@ -992,37 +1077,7 @@ SELECT cluster, count(*)::BIGINT AS n,
        round(avg(v[1]), 6) AS d0, round(avg(v[2]), 6) AS d1,
        round({" + ".join(f"avg(v[{i}])" for i in range(1, 65))}, 4) AS mean_sum
 FROM asg GROUP BY cluster""",
-    "q_ann_ivf": f"""
-WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-sd AS (SELECT vec_id AS list_id, v AS sv FROM ve WHERE vec_id < {IVF_NLIST}),
-asg AS (
-  SELECT vec_id, v, list_id FROM (
-    SELECT a.vec_id, a.v, s.list_id,
-           row_number() OVER (
-             PARTITION BY a.vec_id
-             ORDER BY list_inner_product(a.v, s.sv)
-                      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(s.sv, s.sv))) DESC,
-                      s.list_id) AS rn
-    FROM ve a CROSS JOIN sd s) WHERE rn = 1),
-q AS (SELECT vec_id AS query_id, v AS qv FROM ve WHERE vec_id < 10),
-probes AS (
-  SELECT query_id, qv, list_id FROM (
-    SELECT q.query_id, q.qv, s.list_id,
-           row_number() OVER (
-             PARTITION BY q.query_id
-             ORDER BY list_inner_product(q.qv, s.sv)
-                      / (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(s.sv, s.sv))) DESC,
-                      s.list_id) AS rn
-    FROM q CROSS JOIN sd s) WHERE rn <= {IVF_NPROBE}),
-cand AS (
-  SELECT p.query_id, a.vec_id AS neighbor_id, p.qv AS va, a.v AS vb
-  FROM probes p JOIN asg a USING (list_id)
-  WHERE a.vec_id <> p.query_id),
-r AS (SELECT query_id, neighbor_id, {_COS} AS cos,
-             row_number() OVER (PARTITION BY query_id ORDER BY {_COS} DESC, neighbor_id) AS rank
-      FROM cand)
-SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cos
-FROM r WHERE rank <= {ANN_K}""",
+    "q_ann_ivf": _SQL_ANN_IVF,
     "q_events_hourly": """
 WITH e AS (SELECT ts::TIMESTAMP AS ts, event_type, value FROM events)
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
@@ -1254,6 +1309,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_topk": q_ann_topk,
     "q_ann_lsh": q_ann_lsh,
     "q_ann_ivf": q_ann_ivf,
+    "q_ann_recall": q_ann_recall,
     "q_kmeans_nd_step": q_kmeans_nd_step,
     "q_embed_quantize": q_embed_quantize,
     "q_events_hourly": q_events_hourly,

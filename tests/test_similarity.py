@@ -68,6 +68,39 @@ def test_lsh_topk_subset_of_bucket_with_sane_cos(emb):
         assert r["cos"] == pytest.approx(brute[key], abs=1e-12)
 
 
+def test_multiprobe_expands_candidates_and_keeps_exact_scores(emb):
+    """Multi-probe LSH must (a) return at least as many hits as
+    single-bucket probing, (b) never invent scores — every returned
+    cosine equals the brute-force cosine for that pair."""
+    single = lsh_topk(emb, query_ids=[0, 7], k=5, dim=4, vec_col="embedding")
+    multi = lsh_topk(
+        emb, query_ids=[0, 7], k=5, dim=4, probe_hamming=2, vec_col="embedding"
+    )
+    n_single = single.count()
+    n_multi = multi.count()
+    assert n_multi >= n_single
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in cosine_topk(emb, query_ids=[0, 7], k=39, vec_col="embedding").collect()
+    }
+    for r in multi.collect():
+        assert r["cos"] == pytest.approx(brute[(r["query_id"], r["neighbor_id"])], abs=1e-12)
+
+
+def test_ann_recall_floors(spark):
+    """The tuning gate VERDICT asked for: measured recall@k of both ANN
+    paths against exact top-k on the synthetic corpus. The registered
+    configs must clear these floors (multi-probe LSH planes=4/r=2
+    measured 0.767, IVF nlist=16/nprobe=4 measured 0.967 at sf0.001;
+    single-bucket 8-plane probing measured 0.03 and is NOT an
+    acceptable registered config)."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import q_ann_recall
+
+    rec = {r["method"]: r["recall"] for r in q_ann_recall(spark, "/root/testdata/sf0.001").collect()}
+    assert rec["lsh"] >= 0.6, rec
+    assert rec["ivf"] >= 0.9, rec
+
+
 def test_ivf_index_partition_pruning(spark, tmp_path):
     from mapreduce_kmeans_clustering_spark.operators.similarity import (
         ivf_assign,
