@@ -47,6 +47,7 @@ def asof_join(
     right_ts: str,
     payload: list[str],
     right_order: str | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
     """For every left row, attach ``payload`` columns from the latest
     right row of the same ``on`` key with right_ts <= left_ts (null
@@ -63,6 +64,17 @@ def asof_join(
     a legitimately-NULL field of the latest right row stays NULL in the
     output instead of being skipped for a stale older value — standard
     ASOF semantics.
+
+    ``salt`` (opt-in skew hatch): one hot key (a bot user with 10^8
+    events) otherwise funnels its whole window partition into a single
+    task. With salt = S, each LEFT row lands in one of S sub-partitions
+    (deterministic hash of its timestamp — no RNG, stable across task
+    retries) while every RIGHT row is replicated to ALL S — so each
+    (key, salt) window still sees the full right history and the
+    result is EXACTLY the unsalted one (property-tested). Cost: right
+    side shuffled S times — the right trade when left >> right, which
+    is the asof shape (events vs dim-updates). Not a default: it
+    S-folds the right shuffle for skew only the caller can see.
     """
     # left's own columns ride along; each side carries nulls for the
     # other side's columns so the two halves union by name. The
@@ -89,8 +101,18 @@ def asof_join(
         F.struct(*[F.col(c) for c in payload]).alias("__p"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in carry],
     )
+    part_keys = [on]
+    if salt and salt > 1:
+        l = l.withColumn("__salt", F.pmod(F.xxhash64(F.col("__ts")), F.lit(salt)))
+        r = r.withColumn(
+            "__salt",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(salt - 1).cast("long"))
+            ),
+        )
+        part_keys.append("__salt")
     w = (
-        Window.partitionBy(on)
+        Window.partitionBy(*part_keys)
         .orderBy(F.col("__ts").asc(), F.col(_SIDE).asc(), F.col("__ord").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

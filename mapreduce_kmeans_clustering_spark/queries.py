@@ -218,6 +218,50 @@ def q_chain5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONVERGE_THRESHOLD = 45.0  # stops at iter 7 (sf0.001) / 4 (sf0.01)
+CONVERGE_CAP = 8
+
+
+def q_chain_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Early-termination Lloyd chain at scale (Task3.java:185-218's
+    convergence loop as an oracle-checked query): iterate
+    assign→update with 6-decimal inter-iteration rounding, stop at the
+    first iteration whose total centroid displacement (sum of Euclidean
+    norms, reference metric Task3.java:121-126) drops below
+    CONVERGE_THRESHOLD, cap at CONVERGE_CAP. Returns the K final
+    centroids tagged with stop_iter.
+
+    The threshold compare happens on a driver-side sum of K=5 sqrt
+    terms over the ROUNDED centroid doubles — the same doubles the
+    DuckDB oracle sums, so the stop decision agrees across engines
+    (a disagreement would need the sum within one ulp of the
+    threshold). chain_centroids memoizes prefixes, so the loop extends
+    one iteration at a time, never recomputing."""
+    import math
+
+    prev = sorted(scale_seeds(spark, sf_dir), key=lambda c: c.id)
+    stop = CONVERGE_CAP
+    cur = prev
+    for i in range(1, CONVERGE_CAP + 1):
+        cur = sorted(chain_centroids(spark, sf_dir, i), key=lambda c: c.id)
+        disp = sum(
+            math.sqrt(
+                (a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y)
+                + (a.z - b.z) * (a.z - b.z)
+            )
+            for a, b in zip(prev, cur)
+        )
+        if disp < CONVERGE_THRESHOLD:
+            stop = i
+            break
+        prev = cur
+    return spark.createDataFrame(
+        [(c.id, c.x, c.y, c.z, stop) for c in cur],
+        schema="id INT, x DOUBLE, y DOUBLE, z DOUBLE, stop_iter INT",
+    )
+
+
 def q_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O11: full dataset labeled with the after-one-iteration centroids."""
     cents = chain_centroids(spark, sf_dir, 1)
@@ -305,6 +349,7 @@ KMEANS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_update": q_update,
     "q_chain2": q_chain2,
     "q_chain5": q_chain5,
+    "q_chain_converge": q_chain_converge,
     "q_label": q_label,
     "q_members": q_members,
     "q_intra": q_intra,
@@ -349,6 +394,44 @@ sil_stats AS (
   WHERE z.n > 1
 )"""
 
+def _sql_chain_converge() -> str:
+    """Unrolled early-stop chain: CONVERGE_CAP assign/update rounds,
+    per-round displacement CTEs, first-below-threshold stop pick, and
+    the centroids of the stop round tagged with its index. Identical
+    rounding/arithmetic contract to q_chain5's oracle."""
+    cap = CONVERGE_CAP
+    sql = SQL_PRELUDE
+    for i in range(1, cap):
+        sql += f",{_sql_assign('pts', f'c{i}', f'asg{i + 1}')},{_sql_update(f'asg{i + 1}', f'c{i + 1}')}"
+    dist = (
+        "sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)"
+        " + (a.z - b.z) * (a.z - b.z))"
+    )
+    for i in range(1, cap + 1):
+        prev_rel = "seeds" if i == 1 else f"c{i - 1}"
+        sql += (
+            f",d{i} AS (SELECT sum({dist}) AS d"
+            f" FROM {prev_rel} a JOIN c{i} b USING (id))"
+        )
+    stop_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN (SELECT d FROM d{i}) < {CONVERGE_THRESHOLD} THEN {i}"
+            for i in range(1, cap + 1)
+        )
+        + f" ELSE {cap} END"
+    )
+    finals = " UNION ALL ".join(
+        f"SELECT id, x, y, z FROM c{i} WHERE (SELECT it FROM stop) = {i}"
+        for i in range(1, cap + 1)
+    )
+    return (
+        f"{sql},stop AS (SELECT {stop_case} AS it)"
+        f" SELECT id, x, y, z, CAST((SELECT it FROM stop) AS INT) AS stop_iter"
+        f" FROM ({finals})"
+    )
+
+
 KMEANS_ORACLES: dict[str, str] = {
     "q_assign": f"{SQL_PRELUDE} SELECT rid, x, y, z, cluster FROM asg1",
     "q_update": f"{SQL_PRELUDE} SELECT id, x, y, z FROM c1",
@@ -364,6 +447,7 @@ KMEANS_ORACLES: dict[str, str] = {
         )
         + " SELECT id, x, y, z FROM c5"
     ),
+    "q_chain_converge": _sql_chain_converge(),
     "q_label": (
         f"{SQL_PRELUDE},{_sql_assign('pts', 'c1', 'lab')}"
         " SELECT rid, x, y, z, cluster FROM lab"

@@ -76,7 +76,11 @@ def stream_exact_dedup(
     a duplicate arriving later than the watermark delay may pass, which
     is the standard state-size/recall trade at unbounded scale. Without
     it, state grows with distinct content — fine for bounded backfills,
-    documented hazard for infinite streams."""
+    documented hazard for infinite streams. RECOMMENDED for any
+    unbounded source: pass ts_col + a watermark sized to the realistic
+    duplicate-arrival spread; both sides of the trade (in-watermark
+    drop, post-expiry re-admit) are pinned in
+    tests/test_streaming.py::test_stream_dedup_with_watermark_bounds_state."""
     h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
     df = docs_stream.withColumn("_text_hash", h)
     if ts_col is not None:

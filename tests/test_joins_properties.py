@@ -54,6 +54,33 @@ def test_asof_matches_bruteforce(spark, lrows, rrows):
     assert got == want
 
 
+@SETTINGS
+@given(lrows=left_rows, rrows=right_rows, salt=st.sampled_from([2, 4, 7]))
+def test_asof_salted_equals_unsalted(spark, lrows, rrows, salt):
+    """The skew hatch must be a pure physical rewrite: replicating the
+    right side to every salt keeps each (key, salt) window complete, so
+    salted output == unsalted output on any input."""
+    left = spark.createDataFrame(
+        [(k, _ts(s), i) for i, (k, s) in enumerate(lrows)],
+        "k INT, lts STRING, lid INT",
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(k, _ts(s), i) for i, (k, s) in enumerate(rrows)] or [],
+        "k INT, rts STRING, rid INT",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+
+    kw = dict(
+        on="k", left_ts="lts", right_ts="rts",
+        payload=["rid"], right_order="rid",
+    )
+    plain = {r["lid"]: r["rid"] for r in asof_join(left, right, **kw).collect()}
+    salted = {
+        r["lid"]: r["rid"]
+        for r in asof_join(left, right, salt=salt, **kw).collect()
+    }
+    assert salted == plain
+
+
 iv_rows = st.lists(st.tuples(sec, st.integers(0, 40)), min_size=0, max_size=10)
 
 

@@ -208,3 +208,54 @@ def test_stream_exact_dedup_across_microbatches(spark, tmp_path):
     by_text = {r["text"]: r["doc_id"] for r in rows}
     assert set(by_text) == {"alpha", "beta", "gamma"}
     assert by_text["alpha"] == 1  # first arrival won, cross-batch duplicate dropped
+
+
+def test_stream_dedup_with_watermark_bounds_state(spark, tmp_path):
+    """The recommended infinite-stream configuration (ts_col set →
+    dropDuplicatesWithinWatermark): state per content hash lives only
+    until the watermark passes its event time + delay. Pins BOTH sides
+    of the trade: a duplicate inside the watermark window is dropped;
+    one arriving after the state expired is re-admitted (bounded state,
+    at the price of imperfect dedup) — the documented hazard of the
+    unbounded no-ts mode, resolved by configuration."""
+    from mapreduce_kmeans_clustering_spark.streaming import stream_exact_dedup
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "docs_ts_stream")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    ts = lambda h, m=0: __import__("datetime").datetime(2024, 1, 1, h, m)  # noqa: E731
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(src)
+
+    write([(1, "alpha", ts(10)), (2, "beta", ts(10))], "overwrite")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        stream_exact_dedup(stream, ts_col="ts", watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_wm_out")
+        .start()
+    )
+    q.processAllAvailable()
+    # in-watermark duplicate (alpha@10:30, state alive until wm > 11:00)
+    # -> dropped; 14:00 row advances the watermark to 13:00
+    write([(3, "alpha", ts(10, 30)), (4, "gamma", ts(14))], "append")
+    q.processAllAvailable()
+    # watermark 13:00 expired alpha's state -> late re-arrival passes
+    write([(5, "alpha", ts(14, 30))], "append")
+    q.processAllAvailable()
+    q.stop()
+
+    ids = sorted(
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM dedup_wm_out").collect()
+    )
+    assert ids == [1, 2, 4, 5]
