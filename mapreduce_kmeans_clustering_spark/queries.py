@@ -61,18 +61,25 @@ seeds AS (
 )"""
 
 
-def _sql_assign(points_rel: str, seeds_rel: str, out: str) -> str:
+def _sql_assign(points_rel: str, seeds_rel: str, out: str, mat: bool = False) -> str:
     """SQL block assigning each row of ``points_rel`` to the nearest
-    centroid of ``seeds_rel`` with (dist, id) tie-break."""
+    centroid of ``seeds_rel`` with (dist, id) tie-break.
+
+    ``mat`` emits AS MATERIALIZED: required when the chain is deep AND
+    multiply-referenced (q_chain_converge references every c_i from the
+    next assign, two displacement CTEs, and the final pick — inlining
+    would duplicate the whole upstream chain per reference, exponential
+    in depth; measured as a 63 GB DuckDB spill at cap 8 before this)."""
+    kw = "MATERIALIZED " if mat else ""
     return f"""
-{out}_cand AS (
+{out}_cand AS {kw}(
   SELECT p.rid, p.x, p.y, p.z, s.id,
          sqrt((p.x - s.x) * (p.x - s.x)
             + (p.y - s.y) * (p.y - s.y)
             + (p.z - s.z) * (p.z - s.z)) AS dist
   FROM {points_rel} p CROSS JOIN {seeds_rel} s
 ),
-{out} AS (
+{out} AS {kw}(
   SELECT rid, x, y, z, id AS cluster
   FROM (
     SELECT *, row_number() OVER (PARTITION BY rid ORDER BY dist, id) AS rn
@@ -81,9 +88,10 @@ def _sql_assign(points_rel: str, seeds_rel: str, out: str) -> str:
 )"""
 
 
-def _sql_update(assigned_rel: str, out: str) -> str:
+def _sql_update(assigned_rel: str, out: str, mat: bool = False) -> str:
+    kw = "MATERIALIZED " if mat else ""
     return f"""
-{out} AS (
+{out} AS {kw}(
   SELECT cluster AS id,
          round(avg(x), 6) AS x,
          round(avg(y), 6) AS y,
@@ -400,9 +408,13 @@ def _sql_chain_converge() -> str:
     the centroids of the stop round tagged with its index. Identical
     rounding/arithmetic contract to q_chain5's oracle."""
     cap = CONVERGE_CAP
-    sql = SQL_PRELUDE
+    # every chain node is multiply-referenced here, so materialize the
+    # whole prelude + chain (see _sql_assign's mat note)
+    sql = f"WITH {SQL_PTS},{SQL_SEEDS},{_sql_assign('pts', 'seeds', 'asg1', mat=True)},{_sql_update('asg1', 'c1', mat=True)}"
+    for name in ("pts", "sd", "seeds"):
+        sql = sql.replace(f"{name} AS (", f"{name} AS MATERIALIZED (")
     for i in range(1, cap):
-        sql += f",{_sql_assign('pts', f'c{i}', f'asg{i + 1}')},{_sql_update(f'asg{i + 1}', f'c{i + 1}')}"
+        sql += f",{_sql_assign('pts', f'c{i}', f'asg{i + 1}', mat=True)},{_sql_update(f'asg{i + 1}', f'c{i + 1}', mat=True)}"
     dist = (
         "sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)"
         " + (a.z - b.z) * (a.z - b.z))"
