@@ -443,6 +443,78 @@ def dedup_pipeline(
     )
 
 
+def dup_groups(
+    pairs: DataFrame,
+    max_iter: int = 10,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Transitive dedup groups from a near-dup pair list: (doc_id,
+    group_id) where group_id is the MINIMUM doc id reachable through
+    any chain of pairs (the canonical representative a dedup pipeline
+    keeps). Pairs alone under-delete: if A~B and B~C but A!~C,
+    keep-lowest-per-pair keeps {A, C}; the connected component keeps
+    only A.
+
+    Algorithm: iterative min-label propagation (the standard
+    large-graph connected-components loop — e.g. Spark GraphX/
+    GraphFrames implement the same fixpoint). Each round every node
+    takes min(own label, neighbors' labels) via one equi-join on the
+    undirected edge list + one groupBy; rounds needed = graph diameter
+    (dup clusters are tiny cliques/chains, so a handful; raises if
+    max_iter rounds don't reach the fixpoint rather than returning a
+    wrong grouping). Each round localCheckpoints the K-row label table:
+    iterative self-joins otherwise re-derive the whole upstream
+    lineage per round (exponential plan growth — same failure mode the
+    DuckDB oracle hits without MATERIALIZED).
+
+    Only nodes that appear in some pair are returned (singletons form
+    their own group trivially — union them in from the corpus if
+    needed)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(F.col("u").alias("node"), F.least("u", "mn").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("node"), F.col("label").alias("group_id"))
+    raise RuntimeError(
+        f"dup_groups did not converge in {max_iter} rounds — raise max_iter "
+        "(diameter of the dup graph exceeds it)"
+    )
+
+
 # -- embedding near-dup -----------------------------------------------------
 
 

@@ -160,6 +160,17 @@ def q_dedup_pipeline(spark, sf_dir):
     return D.dedup_pipeline(_docs(spark, sf_dir), verify_threshold=VERIFY_THRESHOLD)
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Transitive dedup groups: Jaccard near-dup pairs promoted to
+    connected components via iterative min-label propagation, so each
+    document maps to its canonical (minimum-id) representative. The
+    piece pair lists alone miss: A~B~C collapses to ONE group even when
+    A and C don't pair directly."""
+    p = D.jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+    g = D.dup_groups(p)
+    return g.select(F.col("node").alias("doc_id"), F.col("group_id"))
+
+
 def q_dedup_embed(spark, sf_dir):
     """Embedding near-dup pairs within hyperplane-LSH buckets (bucket
     equi-join + exact in-bucket cosine — no driver collect, no
@@ -842,6 +853,18 @@ _LANG_CASE = (
     + f" ELSE '{_LANGS[-1]}' END"
 )
 
+_SQL_JACCARD = f"""
+WITH {_SQL_SHINGLES},
+sz AS (SELECT doc_id, len(s) AS n_sh FROM shf),
+e AS (SELECT doc_id, unnest(s) AS shingle FROM shf),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT a, b, round(c / (sa.n_sh + sb.n_sh - c), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+WHERE c / (sa.n_sh + sb.n_sh - c) >= {JACCARD_THRESHOLD}"""
+
 _SQL_ANN_TOPK = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS va FROM v WHERE vec_id < 10),
@@ -961,17 +984,18 @@ WITH {_SQL_SHINGLES},
 SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id""",
-    "q_dedup_jaccard": f"""
-WITH {_SQL_SHINGLES},
-sz AS (SELECT doc_id, len(s) AS n_sh FROM shf),
-e AS (SELECT doc_id, unnest(s) AS shingle FROM shf),
-inter AS (
-  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
-  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
-SELECT a, b, round(c / (sa.n_sh + sb.n_sh - c), 6) AS jaccard
-FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
-WHERE c / (sa.n_sh + sb.n_sh - c) >= {JACCARD_THRESHOLD}""",
+    "q_dedup_jaccard": _SQL_JACCARD,
+    "q_dedup_groups": f"""
+WITH RECURSIVE
+pairs AS (SELECT a, b FROM ({_SQL_JACCARD})),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+reach(node, r) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT rr.node, e.v FROM reach rr JOIN edges e ON rr.r = e.u
+)
+SELECT node AS doc_id, least(node, min(r)) AS group_id
+FROM reach GROUP BY node""",
     "q_dedup_simhash": f"WITH {_SQL_SIMHASH} SELECT doc_id, simhash FROM sh",
     "q_dedup_pipeline": f"""
 WITH exgrp AS (
@@ -1302,6 +1326,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_jaccard": q_dedup_jaccard,
+    "q_dedup_groups": q_dedup_groups,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
     "q_dedup_pipeline": q_dedup_pipeline,

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_kmeans_clustering_spark.operators.dedup import (
     cosine_for_pairs,
+    dup_groups,
     embedding_near_dup_blas,
     embedding_near_dup_brute,
     embedding_near_dup_pairs,
@@ -77,6 +78,28 @@ def test_simhash_near_dup_close_in_hamming(docs):
     pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=16).collect()}
     assert pairs[(0, 1)] == 0
     assert pairs[(0, 2)] <= pairs.get((0, 3), 16)
+
+
+def test_dup_groups_transitive_closure(spark):
+    """A~B~C must collapse into ONE group with the minimum id as the
+    representative, even though (A, C) never pair directly; components
+    and singleton-free output pinned on a two-component graph with a
+    chain long enough to need several propagation rounds."""
+    pairs = spark.createDataFrame(
+        # component {1,2,3,4,5}: a path 5-4-3-2-1 (diameter 4)
+        [(4, 5), (3, 4), (2, 3), (1, 2), (10, 11), (10, 12)],
+        "a LONG, b LONG",
+    )
+    got = {r["node"]: r["group_id"] for r in dup_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_dup_groups_raises_beyond_max_iter(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "a LONG, b LONG"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_groups(pairs, max_iter=2)
 
 
 @pytest.mark.parametrize("max_hamming", [0, 1, 3, 16])
