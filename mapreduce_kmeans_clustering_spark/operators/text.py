@@ -180,6 +180,49 @@ def redact(col: Column | str) -> Column:
     return c
 
 
+def dup_line_fraction(col: Column | str) -> Column:
+    """Gopher-style repetition signal: fraction of a document's lines
+    that repeat an earlier line (1 - distinct/total). Scan-local array
+    math over split-by-newline — empty text splits to one empty line,
+    so the fraction is 0, never null."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    lines = F.split(c, "\n")
+    return F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines)
+
+
+def repetition_stats(
+    docs, text_col: str = "text", id_col: str = "doc_id"
+):
+    """(id, dup_line_frac, top_bigram_frac): the two cheap repetition
+    filters of the Gopher/MassiveText quality rules — documents
+    dominated by one repeated line or one repeated word-bigram are
+    boilerplate/spam signals.
+
+    dup_line_frac is a scan-local projection. top_bigram_frac (count of
+    the modal 2-gram over all 2-gram occurrences) explodes POSITIONAL
+    bigrams and takes two hash aggregates keyed on the doc id —
+    partition-parallel, the same shape as the shingle index. Docs with
+    fewer than 2 tokens have no bigrams -> 0.0."""
+    bg = docs.select(
+        F.col(id_col), F.explode(word_shingles(tokens(F.col(text_col)), 2)).alias("bg")
+    )
+    frac = (
+        bg.groupBy(id_col, "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg((F.max("c") / F.sum("c")).alias("top_bigram_frac"))
+    )
+    return (
+        docs.select(F.col(id_col), dup_line_fraction(F.col(text_col)).alias("dup_line_frac"))
+        .join(frac, id_col, "left")
+        .select(
+            id_col,
+            "dup_line_frac",
+            F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
+
+
 def winnow_fingerprints(docs, n: int = 3, window: int = 4, text_col: str = "text", id_col: str = "doc_id"):
     """(id, fp): robust-winnowing document fingerprints — the
     rolling-hash fingerprinting of the MOSS family (Schleimer et al.,

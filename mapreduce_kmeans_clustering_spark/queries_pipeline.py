@@ -118,6 +118,17 @@ def q_text_redact(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters: duplicate-line fraction and
+    modal-bigram occupancy per document."""
+    r = TX.repetition_stats(_docs(spark, sf_dir))
+    return r.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )
+
+
 def q_sample_mix(spark, sf_dir):
     """Deterministic stratified source mixing: three sources at
     different rates, the rest dropped."""
@@ -974,6 +985,18 @@ win AS (
          max(pos) OVER (PARTITION BY doc_id) AS maxpos
   FROM pos_sh)
 SELECT DISTINCT doc_id, fp FROM win WHERE pos <= maxpos - {WINNOW_WINDOW - 1}""",
+    "q_text_repetition": f"""
+WITH lines AS (
+  SELECT doc_id, str_split(coalesce(text, ''), chr(10)) AS ls FROM documents),
+lf AS (SELECT doc_id, 1.0 - len(list_distinct(ls)) / len(ls) AS dlf FROM lines),
+toks AS (SELECT doc_id, {_TOK} AS w FROM documents),
+bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+       FROM toks CROSS JOIN unnest(range(1, len(w))) AS t(i)),
+bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+bf AS (SELECT doc_id, max(c) / sum(c) AS tbf FROM bc GROUP BY doc_id)
+SELECT l.doc_id, round(dlf, 6) AS dup_line_frac,
+       round(coalesce(bf.tbf, 0.0), 6) AS top_bigram_frac
+FROM lf l LEFT JOIN bf ON l.doc_id = bf.doc_id""",
     "q_dedup_exact": """
 SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_copies, min(doc_id) AS keep_id
 FROM documents GROUP BY md5(text)""",
@@ -1322,6 +1345,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_fingerprint": q_text_fingerprint,
     "q_text_winnow": q_text_winnow,
     "q_text_redact": q_text_redact,
+    "q_text_repetition": q_text_repetition,
     "q_sample_mix": q_sample_mix,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,

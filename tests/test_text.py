@@ -144,3 +144,27 @@ def test_bpe_pretokens_vs_word_tokens(spark):
     )
     got = [(r["w"], r["b"]) for r in df.collect()]
     assert got == [(w, b) for _, w, b in rows]
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from mapreduce_kmeans_clustering_spark.operators.text import repetition_stats
+
+    rows = [
+        # 4 lines, 3 identical -> dup_line_frac 0.5; bigram "spam spam"
+        # dominates its 2-gram stream
+        (0, "spam spam\nspam spam\nspam spam\nok line"),
+        (1, "every line here is unique\nsecond line\nthird line"),
+        (2, "one"),      # <2 tokens -> no bigrams -> 0.0
+        (3, None),       # null text -> 0.0 / 0.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (round(r["dup_line_frac"], 6), round(r["top_bigram_frac"], 6))
+        for r in repetition_stats(df).collect()
+    }
+    assert got[0][0] == 0.5
+    # "spam spam" occurs at 5 of the 7 bigram positions of doc 0
+    assert got[0][1] == round(5 / 7, 6)
+    assert got[1] == (0.0, round(1 / 8, 6))
+    assert got[2] == (0.0, 0.0)
+    assert got[3] == (0.0, 0.0)
