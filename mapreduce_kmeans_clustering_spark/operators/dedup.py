@@ -336,36 +336,60 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(a, b, hamming) for pairs within max_hamming bits, via banded
-    candidate generation: equi-join on exact (segment_idx, segment_value)
-    matches, then xor+bit_count verification. EXACT, not approximate —
-    the pigeonhole split (see simhash_segments) guarantees every
-    qualifying pair collides on some segment, so the output equals the
-    brute all-pairs definition (pinned by test) while the join is
-    bucket-local: O(collisions) candidates instead of O(n^2), the same
-    shape as lsh_candidate_pairs. At 100 TB the only hazard is a
-    degenerate segment value shared by a large doc population (e.g.
-    near-empty docs hashing to 0) — that is data skew on an equi-join
-    key, which AQE skew-join splits like any other hot key.
+    """(a, b, hamming) for pairs within max_hamming bits. EXACT (equals
+    the brute all-pairs definition, pinned by test), via two stages
+    that both stay bounded at corpus scale:
 
-    The segment table feeds both self-join sides; localCheckpoint
-    materializes the simhash aggregation once instead of twice."""
-    s = simhash(docs, bits, text_col, id_col)
-    segs = simhash_segments(s, max_hamming, bits, id_col).localCheckpoint()
-    a = segs.select(
-        F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "seg", "val"
-    )
-    b = segs.select(
-        F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "seg", "val"
-    )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
+    1. VALUE-SPACE banding: the candidate search runs over DISTINCT
+       fingerprint values — at most 2^bits of them no matter how many
+       documents — split into max_hamming + 1 pigeonhole segments and
+       equi-joined on exact (segment, value) matches (see
+       simhash_segments: any value pair within the Hamming radius
+       shares a segment), then xor+bit_count verification. Work is
+       O(value collisions), independent of corpus size; the doc-space
+       banding alternative was measured 3x slower at 5k docs because
+       bucket populations (not bucket counts) grow with the corpus.
+    2. Expansion: qualifying value pairs hash-join back to doc ids on
+       the fingerprint (va < vb pairs ordered per-doc by least/
+       greatest; va == vb groups expand id-ordered within the group).
+       This join's output IS the result set, so its size is inherent
+       to the query, and a hot fingerprint value is equi-join skew AQE
+       splits like any other.
+
+    The fingerprint table feeds several subplans; localCheckpoint
+    materializes the (tokenize + bit-sum) aggregation once."""
+    s = simhash(docs, bits, text_col, id_col).localCheckpoint()
+    vals = s.select("simhash").distinct()
+    segs = simhash_segments(vals.withColumn("_v", F.col("simhash")), max_hamming, bits, "_v")
+    a = segs.select(F.col("simhash").alias("va"), "seg", "val")
+    b = segs.select(F.col("simhash").alias("vb"), "seg", "val")
+    ham = F.bit_count(F.col("va").bitwiseXOR(F.col("vb")))
+    vpairs = (
         a.join(b, ["seg", "val"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", ham.alias("hamming"))
+        .where(F.col("va") < F.col("vb"))
+        .select("va", "vb", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
-        .distinct()  # a pair may collide on several segments
+        .distinct()  # a value pair may collide on several segments
     )
+    da = s.select(F.col(id_col).alias("ia"), F.col("simhash").alias("va"))
+    db = s.select(F.col(id_col).alias("ib"), F.col("simhash").alias("vb"))
+    cross = (
+        vpairs.join(da, "va")
+        .join(db, "vb")
+        .select(
+            F.least("ia", "ib").alias("a"),
+            F.greatest("ia", "ib").alias("b"),
+            "hamming",
+        )
+    )
+    same = (
+        da.join(
+            s.select(F.col(id_col).alias("ib"), F.col("simhash").alias("va")), "va"
+        )
+        .where(F.col("ia") < F.col("ib"))
+        .select(F.col("ia").alias("a"), F.col("ib").alias("b"), F.lit(0).alias("hamming"))
+    )
+    return cross.unionByName(same.select("a", "b", F.col("hamming").cast(cross.schema["hamming"].dataType)))
 
 
 def jaccard_for_pairs(
