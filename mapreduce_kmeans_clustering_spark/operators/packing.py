@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mapreduce_kmeans_clustering_spark.operators.text import token_count
+from mapreduce_kmeans_clustering_spark.operators.text import token_count, tokens
 
 
 def pack_sequences(
@@ -61,5 +61,49 @@ def pack_sequences(
             (
                 F.expr(f"__last div {pack_len}") - F.expr(f"__start div {pack_len}") + 1
             ).cast("int").alias("n_packs"),
+        )
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_len: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-token-count chunks with optional
+    overlap — the per-document context-window strategy (vs
+    pack_sequences' concatenate-then-chunk): chunk c covers tokens
+    [c*(chunk_len-overlap), ...+chunk_len), the last chunk may be
+    short, and a document shorter than chunk_len yields exactly one
+    chunk. Output (id, chunk_id, chunk_start, chunk_tokens, chunk_text)
+    where chunk_text re-joins the covered word tokens.
+
+    Scale shape: tokenization happens ONCE per doc, chunk ids explode
+    from a sequence expression, and each chunk slices the token array —
+    scan-local projections + one generator, no shuffle at all (the
+    plan has no Exchange). The stride guard (overlap < chunk_len) keeps
+    the chunk count finite."""
+    if not 0 <= overlap < chunk_len:
+        raise ValueError("require 0 <= overlap < chunk_len")
+    stride = chunk_len - overlap
+    toks = tokens(F.col(text_col))
+    ntok = F.size("__toks")
+    # number of chunks: 1 + ceil(max(ntok - chunk_len, 0) / stride)
+    extra = F.greatest(ntok - F.lit(chunk_len), F.lit(0))
+    nchunks = F.lit(1) + F.ceil(extra / F.lit(stride)).cast("int")
+    start = F.col("chunk_id") * stride
+    return (
+        docs.select(F.col(id_col), toks.alias("__toks"))
+        .withColumn("chunk_id", F.explode(F.sequence(F.lit(0), nchunks - 1)))
+        .select(
+            id_col,
+            "chunk_id",
+            start.cast("long").alias("chunk_start"),
+            F.least(ntok - start, F.lit(chunk_len)).cast("long").alias("chunk_tokens"),
+            F.concat_ws(
+                " ", F.slice(F.col("__toks"), start + 1, F.lit(chunk_len))
+            ).alias("chunk_text"),
         )
     )

@@ -761,6 +761,27 @@ def q_doc_pack(spark, sf_dir):
     )
 
 
+CHUNK_LEN = 64
+CHUNK_OVERLAP = 8
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Per-document context-window chunking (fixed token length with
+    overlap) — the other half of sequence prep next to q_doc_pack's
+    concatenate-then-chunk. Scan-local: tokenize once, explode chunk
+    ids, slice the token array; no shuffle in the plan."""
+    c = PK.chunk_documents(
+        _docs(spark, sf_dir), chunk_len=CHUNK_LEN, overlap=CHUNK_OVERLAP
+    )
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        "chunk_start",
+        "chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),  # hash, not 64-token text blobs
+    )
+
+
 def q_brand_top_parts(spark, sf_dir):
     """Per-group top-k (rank within partition — q_top_orders is the
     global variant): 3 priciest parts per brand."""
@@ -1321,6 +1342,19 @@ SELECT source, doc_id, n_tokens,
        ((start + greatest(n_tokens, 1) - 1) // {PACK_LEN}
          - start // {PACK_LEN} + 1)::INT AS n_packs
 FROM s""",
+    "q_doc_chunks": f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS w FROM documents),
+n AS (SELECT doc_id, w, len(w) AS ntok FROM toks),
+c AS (SELECT doc_id, w, ntok,
+             unnest(range(0, 1 + CAST(ceil(greatest(ntok - {CHUNK_LEN}, 0)
+                                           / {CHUNK_LEN - CHUNK_OVERLAP}) AS INT))) AS cid
+      FROM n)
+SELECT doc_id, cid::INT AS chunk_id,
+       (cid * {CHUNK_LEN - CHUNK_OVERLAP})::BIGINT AS chunk_start,
+       least(ntok - cid * {CHUNK_LEN - CHUNK_OVERLAP}, {CHUNK_LEN})::BIGINT AS chunk_tokens,
+       md5(array_to_string(w[cid * {CHUNK_LEN - CHUNK_OVERLAP} + 1
+                             : cid * {CHUNK_LEN - CHUNK_OVERLAP} + {CHUNK_LEN}], ' ')) AS chunk_md5
+FROM c""",
     "q_order_grouping_sets": """
 SELECT coalesce(o_orderpriority, 'ALL') AS priority,
        coalesce(o_orderstatus, 'ALL') AS status,
@@ -1384,6 +1418,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_approx_distinct": q_approx_distinct,
     "q_order_grouping_sets": q_order_grouping_sets,
     "q_doc_pack": q_doc_pack,
+    "q_doc_chunks": q_doc_chunks,
     "q_engaged_customers": q_engaged_customers,
     "q_text_tokens": q_text_tokens,
 }

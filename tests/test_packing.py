@@ -35,3 +35,41 @@ def test_straddle_and_empty_docs(spark):
     assert (got[1]["pack_id"], got[1]["n_packs"]) == (0, 1)
     assert (got[2]["n_tokens"], got[2]["n_packs"], got[2]["offset_in_pack"]) == (0, 1, 8)
     assert (got[3]["pack_id"], got[3]["offset_in_pack"], got[3]["n_packs"]) == (0, 8, 2)
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    from mapreduce_kmeans_clustering_spark.operators.packing import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    rows = [(0, words), (1, "short doc"), (2, ""), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = chunk_documents(df, chunk_len=4, overlap=1)  # stride 3
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_start"], r["chunk_tokens"], r["chunk_text"])
+        for r in out.collect()
+    }
+    # 10 tokens, len 4, stride 3: chunks at 0,3,6 cover to 10 -> 3 chunks
+    assert {k for k in got if k[0] == 0} == {(0, 0), (0, 1), (0, 2)}
+    assert got[(0, 0)] == (0, 4, "w0 w1 w2 w3")
+    assert got[(0, 1)] == (3, 4, "w3 w4 w5 w6")  # 1-token overlap
+    assert got[(0, 2)] == (6, 4, "w6 w7 w8 w9")
+    # shorter than chunk_len -> single short chunk
+    assert got[(1, 0)] == (0, 2, "short doc")
+    # empty / null text -> one empty chunk
+    assert got[(2, 0)] == (0, 0, "")
+    assert got[(3, 0)] == (0, 0, "")
+
+
+def test_chunk_documents_no_shuffle_and_guards(spark):
+    import pytest as _pytest
+
+    from mapreduce_kmeans_clustering_spark.operators.packing import chunk_documents
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        chunk_documents(df, chunk_len=64, overlap=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # scan-local: tokenize + explode + slice
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_len=8, overlap=8)
