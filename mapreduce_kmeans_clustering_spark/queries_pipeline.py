@@ -182,6 +182,39 @@ def q_dedup_groups(spark, sf_dir):
     return g.select(F.col("node").alias("doc_id"), F.col("group_id"))
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Ingest-time incremental dedup: docs with doc_id % 5 == 0 play
+    the arriving batch, the rest the already-ingested corpus. Each
+    batch doc is 'dup_of_corpus' (hash seen historically — the semi-
+    join against the corpus hash set), 'dup_in_batch' (an earlier doc
+    in the same batch claims the hash first), or 'new'. At 100 TB the
+    corpus side is just its DISTINCT hash column — the standard ingest
+    filter a continuously-fed training corpus runs, and the shape
+    dropDuplicatesWithinWatermark mirrors in streaming."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(F.col("text")).alias("h")
+    )
+    batch = d.where(F.col("doc_id") % 5 == 0)
+    seen = (
+        d.where(F.col("doc_id") % 5 != 0)
+        .select("h")
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    firsts = batch.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    return (
+        batch.join(seen, "h", "left")
+        .join(firsts, "h")
+        .select(
+            "doc_id",
+            F.when(F.col("_seen") == 1, F.lit("dup_of_corpus"))
+            .when(F.col("doc_id") != F.col("first_id"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
 def q_dedup_embed(spark, sf_dir):
     """Embedding near-dup pairs within hyperplane-LSH buckets (bucket
     equi-join + exact in-bucket cosine — no driver collect, no
@@ -1041,6 +1074,16 @@ reach(node, r) AS (
 SELECT node AS doc_id, least(node, min(r)) AS group_id
 FROM reach GROUP BY node""",
     "q_dedup_simhash": f"WITH {_SQL_SIMHASH} SELECT doc_id, simhash FROM sh",
+    "q_dedup_incremental": """
+WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+b AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+c AS (SELECT DISTINCT h FROM d WHERE doc_id % 5 <> 0),
+m AS (SELECT h, min(doc_id) AS first_id FROM b GROUP BY h)
+SELECT b.doc_id,
+       CASE WHEN b.h IN (SELECT h FROM c) THEN 'dup_of_corpus'
+            WHEN b.doc_id <> m.first_id THEN 'dup_in_batch'
+            ELSE 'new' END AS status
+FROM b JOIN m USING (h)""",
     "q_dedup_pipeline": f"""
 WITH exgrp AS (
   SELECT md5(text) AS h, min(doc_id) AS keep FROM documents GROUP BY md5(text)
@@ -1385,6 +1428,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_jaccard": q_dedup_jaccard,
     "q_dedup_groups": q_dedup_groups,
+    "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
     "q_dedup_pipeline": q_dedup_pipeline,
