@@ -1,0 +1,227 @@
+"""Corpus-curation operators for LLM training pipelines: benchmark
+decontamination, n-gram language-model quality scoring, and
+deterministic train/val/test splitting with shard assignment.
+
+These extend the dedup/text surface (SURVEY §7 M6) with the three
+curation steps every large pretraining pipeline runs between "raw
+corpus" and "training shards":
+
+- **Decontamination**: drop (or flag) training documents that share
+  verbatim n-grams with an evaluation/benchmark set, so downstream
+  eval numbers aren't inflated by memorized test data. Expressed as a
+  shingle equi-join (the same inverted-index shape as
+  ``dedup.jaccard_pairs``), never a pairwise scan.
+- **LM quality scoring**: a bigram language model with add-one
+  smoothing trained on the corpus itself; each document is scored by
+  its mean negative log-likelihood (low = fluent/common, high =
+  gibberish or boilerplate-free outliers). This is the CCNet-style
+  perplexity filter re-expressed with exact, engine-portable
+  arithmetic so a DuckDB oracle can replay it bit-for-bit (after the
+  6-decimal rounding contract).
+- **Split + shard**: md5-bucket assignment to train/val/test and a
+  shard index within the split — a pure projection, reproducible
+  across engines and retries (same determinism argument as
+  ``operators/sampling.py``).
+
+Scale notes (100 TB): all three are one-or-two-shuffle shapes.
+Decontamination shuffles on the shingle key (heavy-hitter shingles are
+the known skew, handled by AQE skew-join; ``max_df``-style capping from
+``dedup.jaccard_pairs`` applies if a stop-shingle degenerates).
+LM scoring shuffles on the token/bigram key — Zipf skew on "the"-class
+tokens is real but the joined side is a counts table (grouped first),
+so the join is counts-vs-counts with AQE handling residual imbalance.
+Splitting is scan-local. Nothing materializes on the driver except the
+single vocabulary-size scalar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduce_kmeans_clustering_spark.operators.dedup import exploded_shingles
+from mapreduce_kmeans_clustering_spark.operators.sampling import BUCKETS, hash_bucket
+from mapreduce_kmeans_clustering_spark.operators.text import tokens
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def contamination_report(
+    docs: DataFrame,
+    bench_pred: Column,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per TRAINING document: how many distinct word-``n``-grams it
+    shares with the benchmark partition (``bench_pred`` selects the
+    held-out/eval docs), plus a boolean verdict.
+
+    Every training doc appears in the output (``n_hits = 0`` when
+    clean, including docs too short to have any shingle). Plan shape:
+    two shingle explosions (scan-local + per-doc window), one DISTINCT
+    on the benchmark shingle set, one equi-join on the shingle string,
+    one count aggregate, one left join back to the doc list. No
+    pairwise doc×doc work anywhere — cost is O(corpus shingles), and
+    the benchmark side is typically tiny (but NOT force-broadcast:
+    AQE decides from measured size, per the dedup keep-list lesson).
+    """
+    train = docs.where(~bench_pred)
+    bench_sh = (
+        exploded_shingles(docs.where(bench_pred), n=n, text_col=text_col, id_col=id_col)
+        .select("sh")
+        .distinct()
+    )
+    hits = (
+        exploded_shingles(train, n=n, text_col=text_col, id_col=id_col)
+        .join(bench_sh, "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM quality scoring (CCNet-style perplexity filter)
+# ---------------------------------------------------------------------------
+
+def doc_bigrams(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, w1, w2): every bigram occurrence per document (NOT
+    distinct — LM counts need multiplicity). posexplode+lead, same
+    codegen-friendly shape as ``dedup.exploded_shingles`` (the
+    transform()-HOF form re-runs the tokenizer per element)."""
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        toks.select(
+            F.col(id_col),
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+    )
+
+
+def bigram_lm_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mean negative log-likelihood per document under an add-one
+    (Laplace) bigram model trained on the corpus itself:
+
+        nll(d) = avg over bigrams (w1,w2) of
+                 -ln( (c(w1,w2) + 1) / (c(w1) + V) )
+
+    where c() are corpus counts and V is the unigram vocabulary size.
+    Low score = the document is made of common word transitions;
+    high = rare/garbled text. Documents with < 2 tokens drop out (no
+    bigrams → undefined score), matching the oracle.
+
+    Shuffle inventory: token/bigram count aggregates (partial→final,
+    map-side combine collapses the Zipf head), then two equi-joins of
+    the per-doc bigram stream against the two counts tables, then one
+    per-doc aggregate. V is a single scalar collected to the driver
+    (the only driver materialization, K=1).
+    """
+    bg = doc_bigrams(docs, text_col=text_col, id_col=id_col)
+    toks = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    c1 = toks.groupBy(F.col("t").alias("w1")).agg(F.count("*").alias("c1"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    vocab = toks.select(F.countDistinct("t").alias("v")).collect()[0][0]
+    nll = -F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.lit(float(vocab))))
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF term ranking (retrieval-style corpus statistics)
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``k`` terms by TF-IDF (tf · ln(N/df), the
+    plain textbook form — exact arithmetic, no sublinear scaling, so a
+    SQL oracle replays it bit-for-bit after the 6-decimal rounding
+    contract). Ties in the rounded score break on the term string, so
+    the top-k set is deterministic across engines and retries.
+
+    Plan shape: one explode (scan-local), one (doc, term) count
+    aggregate (partial→final — the Zipf head collapses map-side), one
+    term-level document-frequency aggregate derived from it, one
+    equi-join of tf against df (counts-vs-counts, AQE sizes it), one
+    ranking window partitioned by doc. N is the single driver scalar
+    (corpus doc count), same K=1 materialization argument as
+    ``bigram_lm_scores``. No pairwise work, no driver data.
+    """
+    n_docs = docs.count()
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df_counts, "term").select(
+        F.col(id_col),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split + sharding
+# ---------------------------------------------------------------------------
+
+SPLITS = (("train", 980), ("val", 990))  # bucket thresholds of 1000; rest = test
+N_SHARDS = 8
+
+
+def split_assign(
+    df: DataFrame, id_col: str = "doc_id", n_shards: int = N_SHARDS
+) -> DataFrame:
+    """Adds ``split`` ('train'/'val'/'test') and ``shard`` (int in
+    [0, n_shards)) columns, both pure functions of md5(id) — the same
+    engine-portable bucket as ``sampling.hash_bucket``, so membership
+    is reproducible across engines, retries, and corpus growth (a doc
+    never changes split when other docs are added). Scan-local."""
+    b = hash_bucket(id_col)
+    split = F.when(b < SPLITS[0][1], SPLITS[0][0]).when(
+        b < SPLITS[1][1], SPLITS[1][0]
+    ).otherwise(F.lit("test"))
+    return df.withColumn("split", split).withColumn(
+        "shard", (b % n_shards).cast("int")
+    )

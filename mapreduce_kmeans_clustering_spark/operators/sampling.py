@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 BUCKETS = 1000
 
@@ -49,3 +50,33 @@ def sample_stratified(
             F.col(strata_col) == stratum, F.lit(round(rate * BUCKETS))
         ).otherwise(expr)
     return df.where(bucket < expr)
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-balanced downsampling: keep at most ``cap`` rows per key
+    (the Common-Crawl-style per-domain cap that stops one boilerplate
+    host from dominating a corpus). Which rows survive is a pure
+    function of the data — rows are ranked inside each key by
+    (md5(id), id), so the kept set is reproducible across engines,
+    retries, and partitionings, and adding NEW rows to a key evicts
+    only by hash order, not arrival order.
+
+    One ranking window partitioned by the key (a single shuffle on the
+    key — same key distribution the downstream groupBy would pay
+    anyway). A key hotter than one task's memory is the known hazard;
+    at that point the cap itself is the cure (the window's sort is
+    external and the filter drops the tail immediately).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

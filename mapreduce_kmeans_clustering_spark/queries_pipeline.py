@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mapreduce_kmeans_clustering_spark.operators import curation as CU
 from mapreduce_kmeans_clustering_spark.operators import dedup as D
 from mapreduce_kmeans_clustering_spark.operators import joins as J
 from mapreduce_kmeans_clustering_spark.operators import multimodal as MM
@@ -25,6 +26,7 @@ from mapreduce_kmeans_clustering_spark.operators import similarity as SIM
 from mapreduce_kmeans_clustering_spark.operators import text as TX
 from mapreduce_kmeans_clustering_spark.functions import sketch as SK
 from mapreduce_kmeans_clustering_spark.operators import packing as PK
+from mapreduce_kmeans_clustering_spark.operators import sampling as S
 
 JACCARD_THRESHOLD = 0.2
 VERIFY_THRESHOLD = 0.3
@@ -829,6 +831,199 @@ def q_brand_top_parts(spark, sf_dir):
     )
 
 
+BENCH_MOD = 50  # doc_id % BENCH_MOD == 0 → held-out benchmark partition
+
+
+def q_decontam(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any word-3-gram
+    with the held-out partition get flagged (shingle equi-join, never a
+    pairwise scan — operators/curation.py)."""
+    docs = _docs(spark, sf_dir)
+    return CU.contamination_report(docs, F.col("doc_id") % BENCH_MOD == 0)
+
+
+def q_text_perplexity(spark, sf_dir):
+    """CCNet-style quality filter: mean negative log-likelihood per doc
+    under an add-one bigram LM trained on the corpus itself."""
+    return CU.bigram_lm_scores(_docs(spark, sf_dir))
+
+
+def q_corpus_split(spark, sf_dir):
+    """Deterministic train/val/test split + shard assignment (md5
+    buckets — reproducible across engines/retries, stable under corpus
+    growth); reported as per-(split, shard) doc and char totals."""
+    docs = CU.split_assign(_docs(spark, sf_dir))
+    return docs.groupBy("split", "shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+def q_returned_customers(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by revenue on returned items.
+    Fact filtered at the scan (l_returnflag = 'R'), customer join left
+    to AQE (grows with SF — no forced broadcast), nation broadcast,
+    rank over the pre-rounded measure (the q_top_orders determinism
+    contract)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return agg.withColumn("rank", F.row_number().over(w).cast("int")).where(
+        F.col("rank") <= 20
+    )
+
+
+def q_customers_no_orders(spark, sf_dir):
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and no orders in 1995 — scalar-subquery threshold (rounded to
+    cents so both engines agree) + LEFT ANTI against the time-windowed
+    fact, rolled up by segment. (The window matters: this synthetic
+    corpus gives every customer at least one lifetime order, so the
+    unwindowed Q22 anti-join is empty at every SF.)"""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ab = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(F.round(F.avg("c_acctbal"), 2).alias("ab"))
+        .collect()[0][0]
+    )
+    return (
+        cust.where(F.col("c_acctbal") > F.lit(ab))
+        .join(
+            orders.where(F.year("o_orderdate") == 1995).select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+def q_tfidf_terms(spark, sf_dir):
+    """Retrieval-style corpus statistics: per-document top-3 terms by
+    plain TF-IDF (tf · ln(N/df)), ranked with the rounded-score +
+    term-string tie-break so the set is engine-deterministic."""
+    return CU.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+DOMAIN_CAP = 15
+
+
+def q_domain_caps(spark, sf_dir):
+    """Domain-balanced downsampling report: at most DOMAIN_CAP docs
+    survive per source (hash-ranked, so the kept set is reproducible);
+    reports per-source totals vs kept."""
+    docs = _docs(spark, sf_dir)
+    kept = (
+        S.cap_per_key(docs, "source", DOMAIN_CAP)
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+    )
+    tot = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_total"))
+    return tot.join(kept, "source", "left").select(
+        "source",
+        "n_total",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+def q_length_hist(spark, sf_dir):
+    """Corpus length profile: 500-char-wide histogram buckets (capped
+    at bucket 9) per language — the sanity dashboard every corpus
+    ingest runs. Scan-local projection + one aggregate."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.least(F.floor(F.col("n_chars") / 500), F.lit(9)).cast("int")
+    return (
+        docs.groupBy(F.col("lang"), bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+def q_user_moving_avg(spark, sf_dir):
+    """Per-user trailing mean of daily event counts over the 7 most
+    recent active days (rows-frame window — time-series smoothing
+    shape). One aggregate + one window, both keyed by user."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.round(F.avg("n_events").over(w), 6).alias("avg_7d"),
+    )
+
+
+def q_supplier_volume(spark, sf_dir):
+    """TPC-H Q7 shape: 1995 revenue by (supplier nation, customer
+    nation) pair — the two-armed join graph (fact → orders → customer
+    → nation, fact → supplier → nation) with the year filter pushed to
+    the lineitem scan and both 25-row nation dims broadcast."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.year("l_shipdate") == 1995)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+        )
+    )
+
+
+def q_above_avg_orders(spark, sf_dir):
+    """Correlated-aggregate shape: orders priced above 1.5× their own
+    customer's average (average pre-rounded to cents so both engines
+    compare the same threshold), rolled up by priority."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ca = orders.groupBy("o_custkey").agg(
+        F.round(F.avg("o_totalprice"), 2).alias("cavg")
+    )
+    return (
+        orders.join(ca, "o_custkey")
+        .where(F.col("o_totalprice") > 1.5 * F.col("cavg"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -1413,6 +1608,128 @@ WITH r AS (
   FROM part)
 SELECT p_brand, p_partkey, p_retailprice, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 3""",
+    "q_decontam": f"""
+WITH {_SQL_SHINGLES},
+e AS (SELECT doc_id, unnest(s) AS sh FROM shf),
+bsh AS (SELECT DISTINCT sh FROM e WHERE doc_id % {BENCH_MOD} = 0),
+hits AS (
+  SELECT e.doc_id, count(*) AS n_hits
+  FROM e JOIN bsh USING (sh)
+  WHERE e.doc_id % {BENCH_MOD} <> 0
+  GROUP BY e.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {BENCH_MOD} <> 0""",
+    "q_text_perplexity": f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS w FROM documents),
+ug AS (SELECT doc_id, unnest(w) AS t FROM toks),
+c1 AS (SELECT t AS w1, count(*) AS c1 FROM ug GROUP BY 1),
+v AS (SELECT count(DISTINCT t) AS v FROM ug),
+bgi AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks),
+bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM bgi),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2)
+SELECT bg.doc_id, count(*) AS n_bigrams,
+       round(avg(-ln((c2.c2 + 1.0) / (c1.c1 + v.v))), 6) AS avg_nll
+FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY bg.doc_id""",
+    "q_corpus_split": """
+WITH b AS (
+  SELECT n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+           AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 980 THEN 'train'
+            WHEN bucket < 990 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(bucket % 8 AS INT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM b GROUP BY 1, 2""",
+    "q_returned_customers": """
+WITH agg AS (
+  SELECT c_custkey, c_name, n_name AS nation,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1, 2, 3),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rank
+  FROM agg)
+SELECT c_custkey, c_name, nation, revenue, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 20""",
+    "q_customers_no_orders": """
+WITH ab AS (SELECT round(avg(c_acctbal), 2) AS ab
+            FROM customer WHERE c_acctbal > 0)
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer CROSS JOIN ab
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+GROUP BY 1""",
+    "q_tfidf_terms": f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS w FROM documents),
+ug AS (SELECT doc_id, unnest(w) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ug GROUP BY 1, 2),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT doc_id, term, tf, round(tf * ln(n.n / dfc.df), 6) AS tfidf
+      FROM tf JOIN dfc USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rank
+      FROM s)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3""",
+    "q_domain_caps": f"""
+WITH r AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+SELECT source, count(*) AS n_total,
+       CAST(sum(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM r GROUP BY 1""",
+    "q_length_hist": """
+SELECT lang,
+       CAST(least(floor(n_chars / 500), 9) AS INT) AS bucket,
+       count(*) AS n_docs,
+       round(avg(n_chars), 2) AS avg_chars
+FROM documents GROUP BY 1, 2""",
+    "q_user_moving_avg": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events,
+       round(avg(n_events) OVER (PARTITION BY user_id ORDER BY day
+                                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+             6) AS avg_7d
+FROM daily""",
+    "q_supplier_volume": """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE year(l_shipdate) = 1995
+GROUP BY 1, 2""",
+    "q_above_avg_orders": """
+WITH ca AS (SELECT o_custkey, round(avg(o_totalprice), 2) AS cavg
+            FROM orders GROUP BY 1)
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders JOIN ca USING (o_custkey)
+WHERE o_totalprice > 1.5 * cavg
+GROUP BY 1""",
 }
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1465,4 +1782,15 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_doc_chunks": q_doc_chunks,
     "q_engaged_customers": q_engaged_customers,
     "q_text_tokens": q_text_tokens,
+    "q_decontam": q_decontam,
+    "q_text_perplexity": q_text_perplexity,
+    "q_corpus_split": q_corpus_split,
+    "q_returned_customers": q_returned_customers,
+    "q_customers_no_orders": q_customers_no_orders,
+    "q_tfidf_terms": q_tfidf_terms,
+    "q_domain_caps": q_domain_caps,
+    "q_length_hist": q_length_hist,
+    "q_user_moving_avg": q_user_moving_avg,
+    "q_supplier_volume": q_supplier_volume,
+    "q_above_avg_orders": q_above_avg_orders,
 }
