@@ -189,6 +189,54 @@ def ivf_assign(
     return best
 
 
+def ivf_representatives(
+    embeddings: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity/coverage sampling for training-data selection: one
+    representative per inverted list — the member closest (by cosine,
+    ties to the lowest id) to its list's seed centroid — plus the list
+    population. Sampling k spread-out exemplars from a corpus is the
+    coreset step embedding-curation pipelines run before expensive
+    human/LLM labeling; expressing it as "argmax per IVF cell" makes it
+    one aggregate over the already-assigned corpus.
+
+    Physical shape: ``ivf_assign`` (broadcast seed fanout + one hash
+    agg), an equi-join back to the nlist-row seed table (broadcast),
+    then a single ``min(struct(-cos, id))`` aggregate per list — no
+    window, no second shuffle beyond the K-row aggregate. Output
+    (list_id, rep_id, rep_cos, n_members).
+    """
+    assigned = ivf_assign(embeddings, nlist, id_col, vec_col)
+    vecs = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    seeds = F.broadcast(
+        vecs.where(F.col(id_col) < nlist).select(
+            F.col(id_col).alias("list_id"), F.col("v").alias("sv")
+        )
+    )
+    cos = cosine_similarity(F.col("v"), F.col("sv"))
+    scored = assigned.join(seeds, "list_id").select(
+        "list_id", F.col(id_col), cos.alias("c")
+    )
+    return (
+        scored.groupBy("list_id")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min(
+                F.struct((-F.col("c")).alias("nc"), F.col(id_col).alias("vid"))
+            ).alias("b"),
+        )
+        .select(
+            "list_id",
+            F.col("b.vid").alias("rep_id"),
+            F.round(-F.col("b.nc"), 6).alias("rep_cos"),
+            "n_members",
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],

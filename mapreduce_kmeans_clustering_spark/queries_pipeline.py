@@ -869,14 +869,18 @@ def q_returned_customers(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # decimal sum: order-independent across partitionings and engines
+    # (the double sum can land a half-cent from a rounding boundary)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
     agg = (
         li.where(F.col("l_returnflag") == "R")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
     )
     w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
     return agg.withColumn("rank", F.row_number().over(w).cast("int")).where(
@@ -989,7 +993,14 @@ def q_supplier_volume(spark, sf_dir):
     n_supp = nation.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # sum in DECIMAL: a double sum's value depends on partition order,
+    # and at this group size it can land a half-cent from a rounding
+    # boundary (observed at sf0.01); per-row revenue has <= 4 decimal
+    # digits so decimal(18,4) holds it exactly and the sum is
+    # order-independent in both engines
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
     return (
         li.where(F.year("l_shipdate") == 1995)
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -1000,7 +1011,79 @@ def q_supplier_volume(spark, sf_dir):
         .groupBy("supp_nation", "cust_nation")
         .agg(
             F.count("*").cast("long").alias("n_items"),
-            F.round(F.sum(rev), 2).alias("revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_embed_diverse(spark, sf_dir):
+    """Coverage sampling over the embedding corpus: one representative
+    per IVF inverted list (the member nearest its seed centroid) plus
+    list population — the coreset-selection step before expensive
+    labeling, expressed as one aggregate over the assigned corpus."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.ivf_representatives(emb, nlist=IVF_NLIST)
+
+
+def q_events_sliding(spark, sf_dir):
+    """Overlapping 2-hour windows sliding by 1 hour (each event lands
+    in exactly two windows) — the sliding-window aggregation shape,
+    batch twin of the streaming version."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def q_key_skew(spark, sf_dir):
+    """Key-distribution profiler: the 10 hottest user_ids with their
+    share of all events — the diagnostic that decides whether a join or
+    window needs the salting hatch (operators/joins.py,
+    functions/skew.py). One aggregate + a broadcast of the 1-row
+    total; the ranking runs over the already-reduced per-key counts."""
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("n_events"))
+    total = counts.agg(F.sum("n_events").alias("total"))
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 10)
+        .select(
+            "rank",
+            "user_id",
+            "n_events",
+            F.round(F.col("n_events") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
+def q_customer_ntile(spark, sf_dir):
+    """Decile analytics: customers cut into balance deciles within
+    each market segment (ntile window), rolled up to per-(segment,
+    decile) stats."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
         )
     )
 
@@ -1019,7 +1102,9 @@ def q_above_avg_orders(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").cast("long").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total"),
         )
     )
 
@@ -1650,7 +1735,8 @@ FROM b GROUP BY 1, 2""",
     "q_returned_customers": """
 WITH agg AS (
   SELECT c_custkey, c_name, n_name AS nation,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))),
+               2)::DOUBLE AS revenue
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -1713,7 +1799,8 @@ FROM daily""",
     "q_supplier_volume": """
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        count(*) AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))),
+             2)::DOUBLE AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1726,10 +1813,66 @@ GROUP BY 1, 2""",
 WITH ca AS (SELECT o_custkey, round(avg(o_totalprice), 2) AS cavg
             FROM orders GROUP BY 1)
 SELECT o_orderpriority, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total
+       round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE AS total
 FROM orders JOIN ca USING (o_custkey)
 WHERE o_totalprice > 1.5 * cavg
 GROUP BY 1""",
+    "q_embed_diverse": f"""
+WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sd AS (SELECT vec_id AS list_id, v AS sv FROM ve WHERE vec_id < {IVF_NLIST}),
+asg AS (
+  SELECT vec_id, v, list_id FROM (
+    SELECT a.vec_id, a.v, s.list_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_inner_product(a.v, s.sv)
+                      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(s.sv, s.sv))) DESC,
+                      s.list_id) AS rn
+    FROM ve a CROSS JOIN sd s) WHERE rn = 1),
+sc AS (
+  SELECT a.list_id, a.vec_id,
+         list_inner_product(a.v, s.sv)
+           / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(s.sv, s.sv))) AS c
+  FROM asg a JOIN sd s USING (list_id)),
+r AS (
+  SELECT list_id, vec_id, c,
+         row_number() OVER (PARTITION BY list_id ORDER BY c DESC, vec_id) AS rn,
+         count(*) OVER (PARTITION BY list_id) AS n
+  FROM sc)
+SELECT list_id, vec_id AS rep_id, round(c, 6) AS rep_cos,
+       CAST(n AS BIGINT) AS n_members
+FROM r WHERE rn = 1""",
+    "q_events_sliding": """
+WITH x AS (
+  SELECT unnest([date_trunc('hour', ts),
+                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start,
+         value
+  FROM events)
+SELECT win_start, win_start + INTERVAL 2 HOUR AS win_end,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM x GROUP BY 1""",
+    "q_key_skew": """
+WITH c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+t AS (SELECT sum(n_events) AS total FROM c),
+r AS (SELECT user_id, n_events,
+             row_number() OVER (ORDER BY n_events DESC, user_id) AS rank
+      FROM c)
+SELECT CAST(rank AS INT) AS rank, user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       round(n_events * 1.0 / total, 6) AS share
+FROM r CROSS JOIN t WHERE rank <= 10""",
+    "q_customer_ntile": """
+WITH d AS (
+  SELECT c_mktsegment, c_acctbal,
+         ntile(10) OVER (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal DESC, c_custkey) AS decile
+  FROM customer)
+SELECT c_mktsegment, CAST(decile AS INT) AS decile,
+       count(*) AS n_customers,
+       round(avg(c_acctbal), 2) AS avg_bal,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal
+FROM d GROUP BY 1, 2""",
 }
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1793,4 +1936,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_user_moving_avg": q_user_moving_avg,
     "q_supplier_volume": q_supplier_volume,
     "q_above_avg_orders": q_above_avg_orders,
+    "q_embed_diverse": q_embed_diverse,
+    "q_events_sliding": q_events_sliding,
+    "q_key_skew": q_key_skew,
+    "q_customer_ntile": q_customer_ntile,
 }
