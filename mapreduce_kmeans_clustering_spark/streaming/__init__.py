@@ -4,6 +4,7 @@ from mapreduce_kmeans_clustering_spark.streaming.events import (
     running_user_totals,
     sessionized_event_stats,
     stream_exact_dedup,
+    stream_view_click_join,
 )
 from mapreduce_kmeans_clustering_spark.streaming.kmeans_stream import (
     stream_assign,
@@ -17,6 +18,7 @@ __all__ = [
     "running_user_totals",
     "sessionized_event_stats",
     "stream_exact_dedup",
+    "stream_view_click_join",
     "stream_assign",
     "stream_assign_with_refresh",
     "stream_cluster_counts",

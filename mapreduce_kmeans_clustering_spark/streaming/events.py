@@ -92,6 +92,50 @@ def stream_exact_dedup(
     return out.drop("_text_hash")
 
 
+def stream_view_click_join(
+    events: DataFrame,
+    max_lag: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream self-join: each click matched to the same user's
+    views from the preceding ``max_lag`` — the real-time version of the
+    batch attribution query (q_events_attrib's interval side).
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time range, so Spark can expire join state: a buffered view
+    is dropped once the click-side watermark passes view_ts + max_lag.
+    Without the range bound (or the watermarks) the state store grows
+    without limit — the planner enforces this for append-mode
+    stream-stream joins. Output is append-only; each (view, click)
+    match emits exactly once, when both sides have arrived.
+    """
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return clicks.join(
+        views,
+        F.expr(
+            f"user_id = v_user AND view_ts <= click_ts "
+            f"AND view_ts >= click_ts - INTERVAL {max_lag}"
+        ),
+    ).select("user_id", "click_id", "click_ts", "view_id", "view_ts")
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running (n_events, total_value), one updated row emitted per user
