@@ -173,12 +173,15 @@ def tfidf_top_terms(
     the top-k set is deterministic across engines and retries.
 
     Plan shape: one explode (scan-local), one (doc, term) count
-    aggregate (partial→final — the Zipf head collapses map-side), one
-    term-level document-frequency aggregate derived from it, one
-    equi-join of tf against df (counts-vs-counts, AQE sizes it), one
-    ranking window partitioned by doc. N is the single driver scalar
-    (corpus doc count), same K=1 materialization argument as
-    ``bigram_lm_scores``. No pairwise work, no driver data.
+    aggregate (partial→final — the Zipf head collapses map-side), then
+    document frequency as ``count(*) over (partition by term)`` on the
+    tf table itself — a window, not a groupBy+self-join, because the
+    join form re-computes the whole tokenize+aggregate subtree (Spark
+    only reuses *byte-identical* exchanges; measured: two full scans,
+    zero ReusedExchange). One last ranking window partitioned by doc.
+    N is the single driver scalar (corpus doc count), same K=1
+    materialization argument as ``bigram_lm_scores``. No pairwise
+    work, no driver data.
     """
     n_docs = docs.count()
     tf = (
@@ -186,8 +189,9 @@ def tfidf_top_terms(
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )
-    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(df_counts, "term").select(
+    scored = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    ).select(
         F.col(id_col),
         "term",
         F.col("tf").cast("long").alias("tf"),

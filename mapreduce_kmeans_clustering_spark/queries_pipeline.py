@@ -1088,6 +1088,27 @@ def q_customer_ntile(spark, sf_dir):
     )
 
 
+def q_events_trailing24h(spark, sf_dir):
+    """RANGE-frame window: for every event, how many events (and how
+    much value) the same user produced in the trailing 24 hours —
+    a value-based frame over epoch seconds, not a row count, so sparse
+    and bursty users get the same time horizon. One shuffle on
+    user_id; the frame is evaluated inside the per-user sort."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-86400, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).cast("long").alias("n_24h"),
+        F.round(F.sum("value").over(w), 2).alias("value_24h"),
+    )
+
+
 def q_above_avg_orders(spark, sf_dir):
     """Correlated-aggregate shape: orders priced above 1.5× their own
     customer's average (average pre-rounded to cents so both engines
@@ -1861,6 +1882,13 @@ SELECT CAST(rank AS INT) AS rank, user_id,
        CAST(n_events AS BIGINT) AS n_events,
        round(n_events * 1.0 / total, 6) AS share
 FROM r CROSS JOIN t WHERE rank <= 10""",
+    "q_events_trailing24h": """
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS n_24h,
+       round(sum(value) OVER w, 2) AS value_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)""",
     "q_customer_ntile": """
 WITH d AS (
   SELECT c_mktsegment, c_acctbal,
@@ -1940,4 +1968,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_events_sliding": q_events_sliding,
     "q_key_skew": q_key_skew,
     "q_customer_ntile": q_customer_ntile,
+    "q_events_trailing24h": q_events_trailing24h,
 }

@@ -59,3 +59,61 @@ def test_tfidf_k_cut_and_tie_break(spark):
     rows = tfidf_top_terms(df, k=2).collect()
     assert sorted(r["term"] for r in rows) == ["aa", "bb"]
     assert {r["rank"] for r in rows} == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# Property tests: operators must match their plain-Python definitions
+# ---------------------------------------------------------------------------
+
+import hashlib
+import math as _math
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+_corpus = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=12), min_size=1, max_size=10
+)
+
+
+@given(_corpus, st.integers(min_value=1, max_value=4))
+@_SETTINGS
+def test_cap_per_key_matches_python(spark, texts, cap):
+    rows = [(i, f"s{i % 2}") for i in range(len(texts))]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    got = sorted(r["doc_id"] for r in cap_per_key(df, "source", cap).collect())
+    by_key: dict[str, list[int]] = {}
+    for i, src in rows:
+        by_key.setdefault(src, []).append(i)
+    expected = sorted(
+        i
+        for ids in by_key.values()
+        for i in sorted(ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))[:cap]
+    )
+    assert got == expected
+
+
+@given(_corpus)
+@_SETTINGS
+def test_tfidf_matches_python(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["tfidf"])
+        for r in tfidf_top_terms(df, k=1000).collect()
+    }
+    n = len(texts)
+    toks = {i: [t for t in txt.lower().split() if t] for i, txt in enumerate(texts)}
+    tf = {(i, t): c for i, ts in toks.items() for t, c in Counter(ts).items()}
+    dfreq = Counter(t for (_, t) in tf)
+    expected = {
+        (i, t): (c, round(c * _math.log(n / dfreq[t]), 6)) for (i, t), c in tf.items()
+    }
+    assert got.keys() == expected.keys()
+    for k_ in got:
+        assert got[k_][0] == expected[k_][0]
+        assert got[k_][1] == pytest.approx(expected[k_][1], abs=1e-9)
