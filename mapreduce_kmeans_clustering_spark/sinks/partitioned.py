@@ -47,3 +47,43 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Plain parquet read; partition columns come back from directory
     names, and filters on them prune at planning time."""
     return spark.read.parquet(path)
+
+
+def upsert_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Idempotent partition-level upsert: replace exactly the
+    partitions present in ``df``, leave every other partition's files
+    untouched (dynamic partition overwrite — ``mode("overwrite")``
+    alone would delete the whole table root).
+
+    This is the merge primitive a daily/streaming ingest needs without
+    a transactional table format: re-running a day's batch rewrites
+    that day's directory and nothing else, so retries and backfills
+    are safe as long as a batch carries whole partitions (the unit of
+    replacement IS the partition — per-ROW merge needs a format with a
+    transaction log, which is out of scope for a plain-parquet lake).
+    Used from ``foreachBatch`` this gives streaming jobs exactly-once
+    per-partition output on replay.
+
+    The session-level ``partitionOverwriteMode`` conf is set to
+    ``dynamic`` only for the duration of the write and restored after,
+    so other writers in the same session keep static semantics.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            df.repartition(*partition_by)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(key, prev)

@@ -47,3 +47,48 @@ def test_read_filter_prunes_partitions(spark, tmp_path):
     assert "= src1" in pf
     expected = docs.where(F.col("source") == "src1").count()
     assert one.count() == expected > 0
+
+
+def test_upsert_replaces_only_carried_partitions(spark, tmp_path):
+    from mapreduce_kmeans_clustering_spark.sinks.partitioned import upsert_partitions
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    out = str(tmp_path / "docs_upsert")
+    write_partitioned(docs, out, ["source"])
+    before = {
+        r["source"]: r["n"]
+        for r in read_partitioned(spark, out)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    # "re-run" src1's batch with half the rows: only src1 may change
+    batch = docs.where((F.col("source") == "src1") & (F.col("doc_id") % 3 == 1))
+    n_batch = batch.count()
+    assert 0 < n_batch < before["src1"]
+    upsert_partitions(batch, out, ["source"])
+
+    after = {
+        r["source"]: r["n"]
+        for r in read_partitioned(spark, out)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert after["src1"] == n_batch
+    assert {k: v for k, v in after.items() if k != "src1"} == {
+        k: v for k, v in before.items() if k != "src1"
+    }
+
+    # idempotent on retry
+    upsert_partitions(batch, out, ["source"])
+    again = read_partitioned(spark, out).where(F.col("source") == "src1").count()
+    assert again == n_batch
+    # session conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        != "dynamic"
+    )
