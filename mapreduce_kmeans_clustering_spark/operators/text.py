@@ -282,3 +282,50 @@ def winnow_fingerprints(docs, n: int = 3, window: int = 4, text_col: str = "text
         .select(id_col, "fp")
         .distinct()
     )
+
+
+def hash_dim(tok_col: Column, n_features: int) -> Column:
+    """Engine-portable hashing-trick bucket for a token: first 8 md5
+    hex chars as an int, mod ``n_features``. MurmurHash (MLlib's
+    HashingTF) is faster but not replayable in a SQL oracle; md5 is,
+    and the hot path is one hash per token either way. DuckDB twin:
+    ``('0x' || substr(md5(tok), 1, 8))::BIGINT % D``."""
+    return (
+        F.conv(F.substring(F.md5(tok_col), 1, 8), 16, 10).cast("long")
+        % n_features
+    ).cast("int")
+
+
+def hashed_tf(
+    docs,
+    n_features: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Hashing-trick term-frequency features: each document becomes a
+    dense ``n_features``-dim double array (bucketed token counts) —
+    the text→vector bridge into the embedding stack (``fit_nd``,
+    quantization, ANN) with no vocabulary table and no RNG.
+
+    Plan: explode (scan-local) → one groupBy(doc) with ``n_features``
+    conditional sums (codegen; no pivot, no second shuffle). Documents
+    with zero tokens drop out (no rows to group), mirroring
+    ``bigram_lm_scores``'s contract. Dense-vs-exploded consistency is
+    pinned by test against the (doc, dim, weight) form the registered
+    query uses.
+    """
+    t = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).select(F.col(id_col), hash_dim(F.col("tok"), n_features).alias("dim"))
+    sums = [
+        F.sum(F.when(F.col("dim") == i, 1).otherwise(0)).cast("double").alias(f"f{i}")
+        for i in range(n_features)
+    ]
+    return (
+        t.groupBy(id_col)
+        .agg(*sums)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"f{i}") for i in range(n_features)]).alias("features"),
+        )
+    )

@@ -2,6 +2,7 @@ from mapreduce_kmeans_clustering_spark.plans.kmeans import (
     FitResult,
     displacement,
     fit,
+    init_farthest,
     label,
     lloyd_iteration,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "FitResult",
     "displacement",
     "fit",
+    "init_farthest",
     "label",
     "lloyd_iteration",
     "NdFitResult",

@@ -114,6 +114,64 @@ def fit(
     return result
 
 
+def init_farthest(
+    points: DataFrame,
+    k: int,
+    start: tuple[float, float, float] | None = None,
+) -> list[Centroid]:
+    """Deterministic farthest-point seeding (the RNG-free cousin of
+    k-means++ — Gonzalez's 2-approximation for k-center): start from a
+    fixed point and repeatedly add the point farthest from its nearest
+    chosen centroid, ties to the smallest (x, y, z).
+
+    The reference only reads seeds from a file (SURVEY §2.1 O2); this
+    is the library's answer for when no seed file exists. Deterministic
+    by construction — no RNG, ties totally ordered — so a re-run (or a
+    DuckDB replay) picks identical seeds, unlike k-means|| sampling.
+
+    Cost: k driver rounds, each one scan-local distance projection +
+    a 1-row max aggregate (the same shuffle-free shape as ``assign``;
+    O(k·n) total work, O(k) driver state). For the 100 TB corpus cache
+    the points relation first, exactly like ``fit``.
+
+    ``start`` defaults to the minimum (x, y, z) row — any fixed rule
+    works; this one needs no extra pass.
+    """
+    from pyspark.sql import functions as F
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    first = (
+        points.select("x", "y", "z")
+        .orderBy("x", "y", "z")
+        .limit(1)
+        .collect()[0]
+        if start is None
+        else None
+    )
+    sx, sy, sz = (
+        (first["x"], first["y"], first["z"]) if start is None else start
+    )
+    chosen: list[Centroid] = [Centroid(0, float(sx), float(sy), float(sz))]
+    for i in range(1, k):
+        d2 = None
+        for c in chosen:
+            expr = (
+                (F.col("x") - F.lit(c.x)) ** 2
+                + (F.col("y") - F.lit(c.y)) ** 2
+                + (F.col("z") - F.lit(c.z)) ** 2
+            )
+            d2 = expr if d2 is None else F.least(d2, expr)
+        far = (
+            points.select("x", "y", "z", d2.alias("d2"))
+            .orderBy(F.col("d2").desc(), "x", "y", "z")
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append(Centroid(i, far["x"], far["y"], far["z"]))
+    return chosen
+
+
 def label(points: DataFrame, centroids: list[Centroid]) -> DataFrame:
     """Final-assignment labeling sink (O11): the reference recomputes
     assignments in a driver-side loop after convergence

@@ -1088,6 +1088,22 @@ def q_customer_ntile(spark, sf_dir):
     )
 
 
+HASHTF_DIM = 32
+
+
+def q_text_hashtf(spark, sf_dir):
+    """Hashing-trick TF features in exploded (doc, dim, weight) form —
+    the text→vector bridge (dense twin: text.hashed_tf, pinned equal
+    in tests). md5-derived buckets so the oracle replays the hash."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    ).select("doc_id", TX.hash_dim(F.col("tok"), HASHTF_DIM).alias("dim"))
+    return t.groupBy("doc_id", "dim").agg(
+        F.count("*").cast("long").alias("weight")
+    )
+
+
 def q_events_trailing24h(spark, sf_dir):
     """RANGE-frame window: for every event, how many events (and how
     much value) the same user produced in the trailing 24 hours —
@@ -1882,6 +1898,14 @@ SELECT CAST(rank AS INT) AS rank, user_id,
        CAST(n_events AS BIGINT) AS n_events,
        round(n_events * 1.0 / total, 6) AS share
 FROM r CROSS JOIN t WHERE rank <= 10""",
+    "q_text_hashtf": f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS w FROM documents),
+t AS (SELECT doc_id,
+             ('0x' || substr(md5(unnest(w)), 1, 8))::BIGINT % {HASHTF_DIM}
+               AS dim
+      FROM toks)
+SELECT doc_id, CAST(dim AS INT) AS dim, count(*) AS weight
+FROM t GROUP BY 1, 2""",
     "q_events_trailing24h": """
 SELECT event_id, user_id, ts,
        count(*) OVER w AS n_24h,
@@ -1969,4 +1993,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_key_skew": q_key_skew,
     "q_customer_ntile": q_customer_ntile,
     "q_events_trailing24h": q_events_trailing24h,
+    "q_text_hashtf": q_text_hashtf,
 }

@@ -1,0 +1,67 @@
+"""Deterministic farthest-point seeding: matches the plain-Python
+Gonzalez traversal, is permutation-invariant, and feeds fit()."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_kmeans_clustering_spark.plans import fit, init_farthest
+
+
+def _brute(pts, k):
+    pts = sorted(pts)
+    chosen = [pts[0]]
+    for _ in range(1, k):
+        far = max(
+            pts,
+            key=lambda p: (
+                min(
+                    (p[0] - c[0]) ** 2 + (p[1] - c[1]) ** 2 + (p[2] - c[2]) ** 2
+                    for c in chosen
+                ),
+                tuple(-v for v in p),
+            ),
+        )
+        chosen.append(far)
+    return chosen
+
+
+@pytest.fixture(scope="module")
+def pts_df(spark):
+    rows = [
+        (0.0, 0.0, 0.0),
+        (10.0, 0.0, 0.0),
+        (0.0, 10.0, 0.0),
+        (5.0, 5.0, 9.0),
+        (1.0, 1.0, 1.0),
+        (9.0, 9.0, 0.0),
+    ]
+    return spark.createDataFrame(rows, "x DOUBLE, y DOUBLE, z DOUBLE"), rows
+
+
+def test_matches_brute_force(pts_df):
+    df, rows = pts_df
+    got = [(c.x, c.y, c.z) for c in init_farthest(df, 4)]
+    assert got == _brute(rows, 4)
+
+
+def test_ids_and_determinism(pts_df):
+    df, _ = pts_df
+    a = init_farthest(df, 3)
+    b = init_farthest(df.repartition(5), 3)  # partitioning must not matter
+    assert [c.id for c in a] == [0, 1, 2]
+    assert [(c.x, c.y, c.z) for c in a] == [(c.x, c.y, c.z) for c in b]
+    assert len({(c.x, c.y, c.z) for c in a}) == 3  # distinct seeds
+
+
+def test_feeds_fit(pts_df):
+    df, _ = pts_df
+    res = fit(df, init_farthest(df, 2), max_iter=5, threshold=0.1)
+    assert len(res.centroids) == 2
+    assert res.iterations >= 1
+
+
+def test_k_validation(pts_df):
+    df, _ = pts_df
+    with pytest.raises(ValueError):
+        init_farthest(df, 0)
