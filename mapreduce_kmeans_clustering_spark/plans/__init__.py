@@ -10,6 +10,7 @@ from mapreduce_kmeans_clustering_spark.plans.kmeans_nd import (
     NdFitResult,
     assign_nd,
     fit_nd,
+    init_farthest_nd,
     seed_centroids_nd,
     update_centroids_nd,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "NdFitResult",
     "assign_nd",
     "fit_nd",
+    "init_farthest_nd",
     "seed_centroids_nd",
     "update_centroids_nd",
 ]

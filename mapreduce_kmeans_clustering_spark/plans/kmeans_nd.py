@@ -55,6 +55,54 @@ def seed_centroids_nd(
     return [[float(x) for x in r[1]] for r in rows]
 
 
+def init_farthest_nd(
+    vectors: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic farthest-point seeding over array<double> vectors
+    (n-dim twin of ``plans.kmeans.init_farthest``): start from the
+    lowest-id vector, repeatedly add the vector with the largest
+    squared Euclidean distance to its nearest chosen seed, ties to the
+    lowest id. RNG-free, so re-runs and engines agree.
+
+    Cost: k driver rounds; each round is a scan-local ``zip_with``
+    distance projection against the chosen seeds (a broadcast-sized
+    literal array) + a 1-row ``max(struct)`` aggregate. O(k·n·dim)
+    work, no shuffle beyond the 1-row agg, O(k·dim) driver state —
+    the spread-out-seed quality of k-means++ without its RNG.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    first = (
+        vectors.select(id_col, vec_col).orderBy(id_col).limit(1).collect()[0]
+    )
+    chosen = [[float(x) for x in first[1]]]
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    for _ in range(1, k):
+        d2 = None
+        for c in chosen:
+            lit = F.array(*[F.lit(float(x)) for x in c])
+            expr = F.aggregate(
+                F.zip_with(v, lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            d2 = expr if d2 is None else F.least(d2, expr)
+        far = (
+            vectors.select(F.col(id_col).alias("i"), v.alias("vv"), d2.alias("d2"))
+            .agg(
+                F.max(
+                    F.struct(F.col("d2"), (-F.col("i")).alias("ni"), F.col("vv"))
+                ).alias("b")
+            )
+            .collect()[0]["b"]
+        )
+        chosen.append([float(x) for x in far["vv"]])
+    return chosen
+
+
 def assign_nd(
     vectors: DataFrame,
     centroids: list[list[float]],
@@ -113,10 +161,13 @@ def fit_nd(
     threshold: float | None = DEFAULT_THRESHOLD,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seeds: list[list[float]] | None = None,
 ) -> NdFitResult:
     """Lloyd loop with summed-Euclidean-displacement early stop; same
-    control flow as the 3-D fit (Task3.java:185-218 pattern)."""
-    curr = seed_centroids_nd(vectors, k, id_col, vec_col)
+    control flow as the 3-D fit (Task3.java:185-218 pattern).
+    ``seeds`` overrides the default first-k-by-id seeding (pass
+    ``init_farthest_nd(...)`` for spread-out deterministic seeds)."""
+    curr = seeds if seeds is not None else seed_centroids_nd(vectors, k, id_col, vec_col)
     dim = len(curr[0])
     result = NdFitResult(centroids=curr, iterations=0, converged=False)
     for _ in range(max_iter):

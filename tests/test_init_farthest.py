@@ -65,3 +65,32 @@ def test_k_validation(pts_df):
     df, _ = pts_df
     with pytest.raises(ValueError):
         init_farthest(df, 0)
+
+
+def test_nd_matches_brute_and_feeds_fit(spark):
+    from mapreduce_kmeans_clustering_spark.plans import fit_nd, init_farthest_nd
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [10.0, 0.0]),
+        (2, [0.0, 10.0]),
+        (3, [10.0, 10.0]),
+        (4, [5.0, 5.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = init_farthest_nd(df, 3)
+
+    chosen = [rows[0][1]]
+    for _ in range(2):
+        far = max(
+            rows,
+            key=lambda r: (
+                min(sum((a - b) ** 2 for a, b in zip(r[1], c)) for c in chosen),
+                -r[0],
+            ),
+        )
+        chosen.append(far[1])
+    assert got == chosen
+
+    res = fit_nd(df, k=2, max_iter=3, seeds=init_farthest_nd(df, 2))
+    assert len(res.centroids) <= 2
