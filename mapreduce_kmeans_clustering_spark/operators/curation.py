@@ -40,9 +40,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mapreduce_kmeans_clustering_spark.operators.dedup import exploded_shingles
-from mapreduce_kmeans_clustering_spark.operators.sampling import BUCKETS, hash_bucket
-from mapreduce_kmeans_clustering_spark.operators.text import tokens
+from mapreduce_kmeans_clustering_spark.operators.dedup import (
+    exact_dup_drops,
+    exploded_shingles,
+)
+from mapreduce_kmeans_clustering_spark.operators.sampling import (
+    BUCKETS,
+    cap_per_key,
+    hash_bucket,
+)
+from mapreduce_kmeans_clustering_spark.operators.text import quality_score, tokens
 
 
 # ---------------------------------------------------------------------------
@@ -228,4 +235,105 @@ def split_assign(
     ).otherwise(F.lit("test"))
     return df.withColumn("split", split).withColumn(
         "shard", (b % n_shards).cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline
+# ---------------------------------------------------------------------------
+
+def curation_pipeline(
+    docs: DataFrame,
+    bench_pred: Column,
+    quality_min: float = 0.25,
+    domain_cap: int | None = None,
+    key_col: str = "source",
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The whole raw-corpus → training-shards decision in one call —
+    the curation twin of ``dedup.dedup_pipeline``. Per document:
+    (doc_id, verdict, split, shard), where verdict is the FIRST
+    applicable drop reason in fixed precedence (so re-ordering
+    upstream jobs can't change a doc's label):
+
+    1. ``benchmark``  — the held-out partition itself (never trained on);
+    2. ``exact_dup``  — non-lowest id of identical content;
+    3. ``quality``    — quality_score below ``quality_min``;
+    4. ``contaminated`` — shares a word-n-gram with the benchmark set;
+    5. ``domain_cap`` — beyond the per-``key_col`` cap (hash-ranked),
+       applied AFTER the other drops so capped slots aren't wasted on
+       docs already being dropped;
+    6. ``keep``       — training survivor; split/shard are only
+       non-NULL here.
+
+    Every stage is a projection, equi-join, or window the earlier
+    operators already ship; nothing is pairwise and the only driver
+    state is this plan. Precedence is resolved with left joins onto
+    the doc spine, so each doc appears exactly once.
+    """
+    spine = docs.select(id_col, F.col(key_col), (~bench_pred).alias("_train"))
+    ex = exact_dup_drops(docs, text_col, id_col).select(id_col).withColumn(
+        "_ex", F.lit(1)
+    )
+    # threshold on the 6-dp-rounded score (the oracle contract): the
+    # raw double is a fixed expression tree so engines agree, but the
+    # rounding makes the boundary comparison auditable either way
+    lowq = (
+        docs.where(F.round(quality_score(F.col(text_col)), 6) < quality_min)
+        .select(id_col)
+        .withColumn("_lq", F.lit(1))
+    )
+    contam = (
+        contamination_report(docs, bench_pred, n, text_col, id_col)
+        .where(F.col("contaminated"))
+        .select(id_col)
+        .withColumn("_ct", F.lit(1))
+    )
+    flagged = (
+        spine.join(ex, id_col, "left")
+        .join(lowq, id_col, "left")
+        .join(contam, id_col, "left")
+        .withColumn(
+            "_dropped",
+            (~F.col("_train"))
+            | F.col("_ex").isNotNull()
+            | F.col("_lq").isNotNull()
+            | F.col("_ct").isNotNull(),
+        )
+    )
+    if domain_cap is not None:
+        capped = (
+            cap_per_key(
+                flagged.where(~F.col("_dropped")).select(id_col, key_col),
+                key_col,
+                domain_cap,
+                id_col,
+            )
+            .select(id_col)
+            .withColumn("_in_cap", F.lit(1))
+        )
+        flagged = flagged.join(capped, id_col, "left")
+    else:
+        flagged = flagged.withColumn(
+            "_in_cap", F.when(~F.col("_dropped"), F.lit(1))
+        )
+    verdict = (
+        F.when(~F.col("_train"), F.lit("benchmark"))
+        .when(F.col("_ex").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("_lq").isNotNull(), F.lit("quality"))
+        .when(F.col("_ct").isNotNull(), F.lit("contaminated"))
+        .when(F.col("_in_cap").isNull(), F.lit("domain_cap"))
+        .otherwise(F.lit("keep"))
+    )
+    out = flagged.withColumn("verdict", verdict)
+    split_cols = split_assign(out, id_col)
+    return split_cols.select(
+        F.col(id_col),
+        "verdict",
+        F.when(F.col("verdict") == "keep", F.col("split")).alias("split"),
+        F.when(F.col("verdict") == "keep", F.col("shard"))
+        .cast("int")
+        .alias("shard"),
     )

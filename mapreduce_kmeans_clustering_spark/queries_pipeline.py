@@ -1088,6 +1088,23 @@ def q_customer_ntile(spark, sf_dir):
     )
 
 
+CURATION_QUALITY_MIN = 0.35
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """The whole raw-corpus → training-shards decision per document:
+    benchmark / exact_dup / quality / contaminated / domain_cap / keep
+    in fixed precedence, with split+shard for the keeps — the curation
+    twin of q_dedup_pipeline (operators/curation.py)."""
+    docs = _docs(spark, sf_dir)
+    return CU.curation_pipeline(
+        docs,
+        F.col("doc_id") % BENCH_MOD == 0,
+        quality_min=CURATION_QUALITY_MIN,
+        domain_cap=DOMAIN_CAP,
+    )
+
+
 HASHTF_DIM = 32
 
 
@@ -1898,6 +1915,57 @@ SELECT CAST(rank AS INT) AS rank, user_id,
        CAST(n_events AS BIGINT) AS n_events,
        round(n_events * 1.0 / total, 6) AS share
 FROM r CROSS JOIN t WHERE rank <= 10""",
+    "q_curation_pipeline": f"""
+WITH {_SQL_SHINGLES},
+e AS (SELECT doc_id, unnest(s) AS sh FROM shf),
+bsh AS (SELECT DISTINCT sh FROM e WHERE doc_id % {BENCH_MOD} = 0),
+ct AS (SELECT DISTINCT e.doc_id
+       FROM e JOIN bsh USING (sh) WHERE e.doc_id % {BENCH_MOD} <> 0),
+ex AS (SELECT doc_id FROM (
+         SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+                count(*) OVER (PARTITION BY md5(text)) AS n
+         FROM documents) WHERE n > 1 AND doc_id <> keep_id),
+qt AS (
+  SELECT doc_id, len({_TOK}) AS ntok,
+         length(regexp_replace(lower(coalesce(text, '')), '[^a-z]', '', 'g')) * 1.0
+           / greatest(length(coalesce(text, '')), 1) AS alpha,
+         ({_STOP_CNT}) / greatest(len({_TOK}), 1) AS stop
+  FROM documents),
+lq AS (SELECT doc_id FROM qt WHERE round({_QUALITY}, 6) < {CURATION_QUALITY_MIN}),
+fl AS (SELECT d.doc_id, d.source,
+              (d.doc_id % {BENCH_MOD} = 0) AS is_bench,
+              ex.doc_id IS NOT NULL AS is_ex,
+              lq.doc_id IS NOT NULL AS is_lq,
+              ct.doc_id IS NOT NULL AS is_ct
+       FROM documents d
+       LEFT JOIN ex ON d.doc_id = ex.doc_id
+       LEFT JOIN lq ON d.doc_id = lq.doc_id
+       LEFT JOIN ct ON d.doc_id = ct.doc_id),
+cp AS (SELECT doc_id FROM (
+         SELECT doc_id,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         FROM fl WHERE NOT (is_bench OR is_ex OR is_lq OR is_ct))
+       WHERE rn <= {DOMAIN_CAP}),
+bk AS (SELECT doc_id,
+              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+                AS b
+       FROM documents)
+SELECT f.doc_id,
+       CASE WHEN is_bench THEN 'benchmark'
+            WHEN is_ex THEN 'exact_dup'
+            WHEN is_lq THEN 'quality'
+            WHEN is_ct THEN 'contaminated'
+            WHEN cp.doc_id IS NULL THEN 'domain_cap'
+            ELSE 'keep' END AS verdict,
+       CASE WHEN cp.doc_id IS NOT NULL
+            THEN CASE WHEN b < 980 THEN 'train'
+                      WHEN b < 990 THEN 'val'
+                      ELSE 'test' END END AS split,
+       CASE WHEN cp.doc_id IS NOT NULL THEN CAST(b % 8 AS INT) END AS shard
+FROM fl f
+LEFT JOIN cp ON f.doc_id = cp.doc_id
+LEFT JOIN bk ON f.doc_id = bk.doc_id""",
     "q_text_hashtf": f"""
 WITH toks AS (SELECT doc_id, {_TOK} AS w FROM documents),
 t AS (SELECT doc_id,
@@ -1994,4 +2062,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_customer_ntile": q_customer_ntile,
     "q_events_trailing24h": q_events_trailing24h,
     "q_text_hashtf": q_text_hashtf,
+    "q_curation_pipeline": q_curation_pipeline,
 }

@@ -95,3 +95,56 @@ def test_split_stable_under_growth(spark):
     a = {r["doc_id"]: (r["split"], r["shard"]) for r in split_assign(small).collect()}
     b = {r["doc_id"]: (r["split"], r["shard"]) for r in split_assign(big).collect()}
     assert all(b[k] == v for k, v in a.items())
+
+
+def test_curation_pipeline_all_verdicts(spark):
+    from mapreduce_kmeans_clustering_spark.operators.curation import curation_pipeline
+
+    good = "the quick brown fox jumps over the lazy dog and the cat"
+    rows = [
+        (0, "held out benchmark set of words", "s0"),     # benchmark
+        (1, good + " alpha", "s0"),                        # keep (lowest dup id)
+        (2, good + " alpha", "s0"),                        # exact_dup of 1
+        (3, "z z z", "s0"),                                # quality (score ~0.19)
+        (4, "the held out benchmark set of things", "s0"),  # contaminated
+        (10, good + " beta", "s1"),                        # cap pool...
+        (11, good + " gamma", "s1"),
+        (12, good + " delta", "s1"),
+        (13, good + " epsilon", "s1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    out = {
+        r["doc_id"]: (r["verdict"], r["split"], r["shard"])
+        for r in curation_pipeline(
+            df, F.col("doc_id") == 0, quality_min=0.35, domain_cap=2
+        ).collect()
+    }
+    assert len(out) == len(rows)  # every doc verdicted exactly once
+    assert out[0][0] == "benchmark"
+    assert out[1][0] == "keep"
+    assert out[2][0] == "exact_dup"
+    assert out[3][0] == "quality"
+    assert out[4][0] == "contaminated"
+    s1 = [out[i][0] for i in (10, 11, 12, 13)]
+    assert sorted(s1) == ["domain_cap", "domain_cap", "keep", "keep"]
+    for i, (v, split, shard) in out.items():
+        if v == "keep":
+            assert split in {"train", "val", "test"} and 0 <= shard < 8
+        else:
+            assert split is None and shard is None
+
+
+def test_curation_pipeline_precedence(spark):
+    from mapreduce_kmeans_clustering_spark.operators.curation import curation_pipeline
+
+    # doc 2 is BOTH an exact dup of 1 AND contaminated -> exact_dup wins
+    text = "the held out benchmark set of words repeated here"
+    rows = [(0, "the held out benchmark set of words", "s0"),
+            (1, text, "s0"), (2, text, "s0")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    out = {
+        r["doc_id"]: r["verdict"]
+        for r in curation_pipeline(df, F.col("doc_id") == 0, quality_min=0.0).collect()
+    }
+    assert out[2] == "exact_dup"
+    assert out[1] == "contaminated"
