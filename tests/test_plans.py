@@ -167,3 +167,29 @@ def test_interval_join_is_bucket_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_curation_queries_no_pairwise_no_python(spark):
+    """The curation surface must stay equi-join/window shaped: no
+    Cartesian, no unbounded nested loop, no Python row UDFs."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_curation_pipeline,
+        q_decontam,
+        q_text_perplexity,
+    )
+
+    for q in (q_decontam, q_text_perplexity, q_curation_pipeline):
+        p = _plan(q(spark, SF))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "BatchEvalPython" not in p
+
+
+def test_tfidf_is_single_scan(spark):
+    """Document frequency comes from a window over the tf table, not a
+    groupBy+self-join — one pass over the corpus (SCALE.md §4.9)."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import q_tfidf_terms
+
+    p = _plan(q_tfidf_terms(spark, SF))
+    assert p.count("FileScan parquet") == 1
+    assert "WindowGroupLimit" in p  # top-k pushed into the rank window
