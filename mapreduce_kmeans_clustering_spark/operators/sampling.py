@@ -52,6 +52,54 @@ def sample_stratified(
     return df.where(bucket < expr)
 
 
+PRIORITY_HEX = 13  # 52 bits — fits a double's mantissa exactly
+
+
+def weight_priority(
+    id_col: Column | str, weight_col: Column | str, salt: str = "ws:"
+) -> Column:
+    """Deterministic weighted-sampling priority: hash52(id) / weight.
+
+    The k SMALLEST priorities form the sample, so a row's inclusion
+    odds scale with its weight (the deterministic analog of weighted
+    reservoir sampling a la Efraimidis-Spirakis, with the random key
+    replaced by a hash so the sample is reproducible across engines
+    and retries). 13 md5 hex digits = 52 bits are exactly
+    representable in a double, and IEEE division is correctly rounded
+    in any conforming engine, so priorities are bit-identical between
+    Spark and the DuckDB oracle:
+    ('0x' || substr(md5('ws:' || id), 1, 13))::BIGINT::DOUBLE / w.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, PRIORITY_HEX),
+        16,
+        10,
+    ).cast("double")
+    return h / w.cast("double")
+
+
+def sample_weighted(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Global weighted sample of k rows: keep the k smallest
+    priorities (ties broken by id). Planned as TakeOrderedAndProject —
+    each partition keeps its local top-k, the driver merges K rows —
+    never a global sort. Weighting by token/char count is the
+    importance-sampling step that fills a token budget with long
+    documents at the right odds."""
+    pri = weight_priority(id_col, weight_col)
+    return (
+        df.withColumn("priority", pri)
+        .orderBy("priority", id_col)
+        .limit(k)
+    )
+
+
 def cap_per_key(
     df: DataFrame,
     key_col: str,

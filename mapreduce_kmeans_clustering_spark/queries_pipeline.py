@@ -58,13 +58,20 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which the Spark parquet
-    reader rejects; read nanos as long and convert to a microsecond
-    timestamp (truncation — same as the oracle's ts::TIMESTAMP cast)."""
+    """Load the events table with a microsecond ``ts`` TIMESTAMP.
+
+    Handles both generator encodings seen across driver rounds:
+    TIMESTAMP(NANOS) (which the Spark reader only accepts as long via
+    the legacy flag — truncated to micros, same as the oracle's
+    ts::TIMESTAMP cast) and native TIMESTAMP(MICROS)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer `div`, not `/`: nanos ~1.7e18 would lose precision as double
-    return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(e.dtypes)["ts"] == "bigint":
+        # integer `div`, not `/`: nanos ~1.7e18 would lose precision as double
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # TIMESTAMP_NTZ parquet → session-tz TIMESTAMP: value-preserving
+    # (session tz pinned UTC) and what unix_micros/window() expect.
+    return e.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # ---------------------------------------------------------------------------
@@ -1163,6 +1170,245 @@ def q_above_avg_orders(spark, sf_dir):
     )
 
 
+LARGE_ORDER_QTY = 250
+TOP_SUPPLIER_YEAR = 1996
+# corpus-mix weights: first 5 sources get 6x the share of the rest
+# (integer weights so share = w / MIX_TOTAL_W divides deterministically)
+MIX_WEIGHTS = {f"src{i}": (6 if i < 5 else 1) for i in range(20)}
+MIX_TOTAL_W = sum(MIX_WEIGHTS.values())
+PROFILE_COLS = [
+    "l_orderkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_returnflag",
+    "l_shipdate",
+]
+WEIGHTED_SAMPLE_K = 50
+
+
+def q_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold, joined back to orders+customer, global top-20 by price.
+    The HAVING filter runs on the aggregate BEFORE the joins (partial
+    agg collapses each orderkey map-side), and the top-k is
+    TakeOrderedAndProject — no global sort ever materializes."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > LARGE_ORDER_QTY)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+def q_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: share of revenue from PROMO parts per ship
+    year — conditional aggregation over the fact↔part join. Revenue in
+    DECIMAL(18,4) so sums are partition-order-independent; the share
+    divides the two already-rounded doubles, so both engines divide
+    identical inputs."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    agg = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)), 2)
+            .cast("double")
+            .alias("promo_rev"),
+            F.round(F.sum(rev), 2).cast("double").alias("total_rev"),
+        )
+    )
+    return agg.select(
+        "ship_year",
+        "promo_rev",
+        "total_rev",
+        F.round(F.lit(100) * F.col("promo_rev") / F.col("total_rev"), 4).alias(
+            "promo_share"
+        ),
+    )
+
+
+def q_returned_priority(spark, sf_dir):
+    """TPC-H Q4 shape: orders with at least one returned lineitem
+    (EXISTS → LEFT SEMI join on the filtered fact), counted and
+    totaled by order priority. The semi join never duplicates an order
+    no matter how many lineitems matched."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ret = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(ret, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) with maximum discounted
+    revenue in a ship year — scalar-max subquery joined back against
+    the per-supplier aggregate (1-row broadcast, so no second scan of
+    the fact). Comparing rounded DECIMAL-sourced doubles keeps the
+    equality exact in both engines."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    srev = (
+        li.where(F.year("l_shipdate") == TOP_SUPPLIER_YEAR)
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("total_rev"))
+    )
+    mx = srev.agg(F.max("total_rev").alias("__mx"))
+    return (
+        srev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("__mx"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+def q_profile_lineitem(spark, sf_dir):
+    """Data-quality profile of the fact table: per-column null /
+    distinct counts and numeric ranges in one scan
+    (operators/profile.py — wide aggregate + stack unpivot)."""
+    from mapreduce_kmeans_clustering_spark.operators.profile import column_profile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return column_profile(li, PROFILE_COLS)
+
+
+def q_embed_dimstats(spark, sf_dir):
+    """Embedding sanity stats: per-dimension count/mean/min/max over
+    the corpus (posexplode → one hash aggregate on the 64-value dim
+    key — the collapsed-domain shape, shuffle carries 64 rows per
+    partition). The gate that catches a dead or exploding dimension
+    before a training run does."""
+    e = _emb(spark, sf_dir)
+    x = e.select(F.posexplode("embedding").alias("dim", "val")).select(
+        F.col("dim").cast("int").alias("dim"), F.col("val").cast("double").alias("val")
+    )
+    return x.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n_vals"),
+        F.round(F.avg("val"), 6).alias("mean_val"),
+        F.round(F.min("val"), 6).alias("min_val"),
+        F.round(F.max("val"), 6).alias("max_val"),
+    )
+
+
+def q_sample_weighted(spark, sf_dir):
+    """Deterministic weighted sampling: 50 docs drawn with inclusion
+    odds proportional to n_chars (hash-priority reservoir,
+    operators/sampling.py sample_weighted) — the importance-sampling
+    step that fills a token budget. Priorities are bit-identical
+    cross-engine (52-bit hash, IEEE division)."""
+    docs = _docs(spark, sf_dir)
+    s = S.sample_weighted(
+        docs, k=WEIGHTED_SAMPLE_K, weight_col="n_chars", id_col="doc_id"
+    )
+    return s.select(
+        "doc_id", "source", "n_chars", F.round("priority", 6).alias("priority")
+    )
+
+
+def q_corpus_mix(spark, sf_dir):
+    """Training-mix planner: given integer target weights per source,
+    the sampling rate each source needs so the sampled corpus hits the
+    target share of the total char budget (rate capped at 1 — a
+    source can't be upsampled by Bernoulli keep). Broadcast literal
+    dim join + one aggregate; the arithmetic is ordered identically
+    in the oracle so doubles match bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    per_src = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    wdf = spark.createDataFrame(
+        sorted(MIX_WEIGHTS.items()), "source string, weight int"
+    )
+    tot = per_src.agg(F.sum("chars").alias("total_chars"))
+    rate = F.least(
+        F.lit(1.0),
+        F.col("weight").cast("double")
+        / F.lit(float(MIX_TOTAL_W))
+        * F.col("total_chars")
+        / F.col("chars"),
+    )
+    return (
+        per_src.join(F.broadcast(wdf), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "chars",
+            F.col("weight").cast("int").alias("weight"),
+            F.round(rate, 6).alias("rate"),
+            F.floor(rate * F.col("chars")).cast("long").alias("planned_chars"),
+        )
+    )
+
+
+def q_customer_order_gaps(spark, sf_dir):
+    """Inter-order gap analytics: days between consecutive orders per
+    customer (lag window — one shuffle on custkey), rolled up by
+    market segment. The repeat-purchase cadence query every retention
+    dashboard runs."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.withColumn(
+            "gap", F.datediff("o_orderdate", F.lag("o_orderdate").over(w))
+        )
+        .where(F.col("gap").isNotNull())
+        .select("o_custkey", F.col("gap").cast("long").alias("gap"))
+    )
+    return (
+        gaps.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.round(F.avg("gap"), 2).alias("avg_gap_days"),
+            F.max("gap").alias("max_gap_days"),
+        )
+    )
+
+
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-size histogram: how many transitive dup groups
+    of each size the corpus carries — the summary that tells a
+    curation run whether it's facing scattered pairs or a few giant
+    boilerplate clusters (which need the skew hatches). Composition of
+    q_dedup_groups + two tiny aggregates."""
+    p = D.jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+    g = D.dup_groups(p)
+    sizes = g.groupBy("group_id").agg(
+        F.count("*").cast("long").alias("grp_size")
+    )
+    return sizes.groupBy("grp_size").agg(
+        F.count("*").cast("long").alias("n_groups")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -1320,6 +1566,21 @@ r AS (SELECT query_id, neighbor_id, {_COS} AS cos,
       FROM cand)
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cos
 FROM r WHERE rank <= {ANN_K}"""
+
+# numeric columns get min/max; others NULL (mirrors profile.column_profile)
+_PROFILE_NUMERIC = {"l_orderkey", "l_quantity", "l_extendedprice", "l_discount"}
+_SQL_PROFILE = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name, count(*) AS n_rows,"
+    f" count(*) - count({c}) AS n_null,"
+    f" count(DISTINCT {c}) AS n_distinct,"
+    + (
+        f" min({c})::DOUBLE AS min_val, max({c})::DOUBLE AS max_val"
+        if c in _PROFILE_NUMERIC
+        else " CAST(NULL AS DOUBLE) AS min_val, CAST(NULL AS DOUBLE) AS max_val"
+    )
+    + " FROM lineitem"
+    for c in PROFILE_COLS
+)
 
 PIPELINE_ORACLES: dict[str, str] = {
     "q_text_stats": f"""
@@ -1993,6 +2254,104 @@ SELECT c_mktsegment, CAST(decile AS INT) AS decile,
        round(min(c_acctbal), 2) AS min_bal,
        round(max(c_acctbal), 2) AS max_bal
 FROM d GROUP BY 1, 2""",
+    "q_large_orders": f"""
+WITH big AS (SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem
+             GROUP BY 1 HAVING sum(l_quantity) > {LARGE_ORDER_QTY})
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+    "q_promo_share": """
+WITH j AS (
+  SELECT year(l_shipdate)::INT AS ship_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+a AS (
+  SELECT ship_year,
+         round(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                        ELSE CAST(0 AS DECIMAL(18,4)) END), 2)::DOUBLE
+           AS promo_rev,
+         round(sum(rev), 2)::DOUBLE AS total_rev
+  FROM j GROUP BY 1)
+SELECT ship_year, promo_rev, total_rev,
+       round(100 * promo_rev / total_rev, 4) AS promo_share
+FROM a""",
+    "q_returned_priority": """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE AS total
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+GROUP BY 1""",
+    "q_top_supplier": f"""
+WITH sr AS (
+  SELECT l_suppkey,
+         round(sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4))), 2)::DOUBLE AS total_rev
+  FROM lineitem WHERE year(l_shipdate) = {TOP_SUPPLIER_YEAR} GROUP BY 1)
+SELECT s_suppkey, s_name, total_rev
+FROM sr JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM sr)""",
+    "q_profile_lineitem": _SQL_PROFILE,
+    "q_embed_dimstats": """
+WITH x AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                  unnest(embedding::DOUBLE[]) AS val
+           FROM embeddings)
+SELECT CAST(dim AS INT) AS dim, count(*) AS n_vals,
+       round(avg(val), 6) AS mean_val,
+       round(min(val), 6) AS min_val,
+       round(max(val), 6) AS max_val
+FROM x GROUP BY 1""",
+    "q_sample_weighted": f"""
+WITH p AS (
+  SELECT doc_id, source, n_chars,
+         ('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 13))
+           ::BIGINT::DOUBLE / n_chars AS pri
+  FROM documents)
+SELECT doc_id, source, n_chars, round(pri, 6) AS priority
+FROM p ORDER BY pri, doc_id LIMIT {WEIGHTED_SAMPLE_K}""",
+    "q_corpus_mix": f"""
+WITH w(source, weight) AS (VALUES {", ".join(f"('{s}', {v})" for s, v in sorted(MIX_WEIGHTS.items()))}),
+s AS (SELECT source, count(*) AS n_docs, sum(n_chars) AS chars
+      FROM documents GROUP BY 1),
+t AS (SELECT sum(chars) AS total_chars FROM s),
+j AS (SELECT s.source, s.n_docs, s.chars, w.weight,
+             least(1.0, CAST(w.weight AS DOUBLE) / {float(MIX_TOTAL_W)}
+                        * t.total_chars / s.chars) AS rate
+      FROM s JOIN w USING (source) CROSS JOIN t)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(chars AS BIGINT) AS chars, CAST(weight AS INT) AS weight,
+       round(rate, 6) AS rate,
+       CAST(floor(rate * chars) AS BIGINT) AS planned_chars
+FROM j""",
+    "q_customer_order_gaps": """
+WITH g AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap
+  FROM orders),
+f AS (SELECT o_custkey, CAST(gap AS BIGINT) AS gap FROM g
+      WHERE gap IS NOT NULL)
+SELECT c_mktsegment, count(*) AS n_gaps,
+       round(avg(gap), 2) AS avg_gap_days,
+       CAST(max(gap) AS BIGINT) AS max_gap_days
+FROM f JOIN customer ON o_custkey = c_custkey GROUP BY 1""",
+    "q_dedup_cluster_sizes": f"""
+WITH RECURSIVE
+pairs AS (SELECT a, b FROM ({_SQL_JACCARD})),
+edges AS (SELECT a AS u, b AS v FROM pairs
+          UNION SELECT b AS u, a AS v FROM pairs),
+reach(node, r) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT rr.node, e.v FROM reach rr JOIN edges e ON rr.r = e.u
+),
+grp AS (SELECT node, least(node, min(r)) AS group_id FROM reach GROUP BY node),
+sz AS (SELECT group_id, count(*) AS grp_size FROM grp GROUP BY 1)
+SELECT CAST(grp_size AS BIGINT) AS grp_size, count(*) AS n_groups
+FROM sz GROUP BY 1""",
 }
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2063,4 +2422,14 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_events_trailing24h": q_events_trailing24h,
     "q_text_hashtf": q_text_hashtf,
     "q_curation_pipeline": q_curation_pipeline,
+    "q_large_orders": q_large_orders,
+    "q_promo_share": q_promo_share,
+    "q_returned_priority": q_returned_priority,
+    "q_top_supplier": q_top_supplier,
+    "q_profile_lineitem": q_profile_lineitem,
+    "q_embed_dimstats": q_embed_dimstats,
+    "q_sample_weighted": q_sample_weighted,
+    "q_corpus_mix": q_corpus_mix,
+    "q_customer_order_gaps": q_customer_order_gaps,
+    "q_dedup_cluster_sizes": q_dedup_cluster_sizes,
 }

@@ -23,11 +23,10 @@ def events_dir(spark, tmp_path_factory):
     """Batch-convert the nanosecond testdata events to a streamable
     micros-timestamp parquet directory (several files => several
     micro-batches under maxFilesPerTrigger)."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import _events
+
     out = str(tmp_path_factory.mktemp("events_stream"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    e = _events(spark, "/root/testdata/sf0.001")
     e.repartition(4).write.mode("overwrite").parquet(out)
     return out
 
