@@ -185,6 +185,39 @@ def test_curation_queries_no_pairwise_no_python(spark):
         assert "BatchEvalPython" not in p
 
 
+def test_new_relational_queries_topk_and_equi_joins(spark):
+    """Round-2 additions: top-k stays TakeOrderedAndProject (never a
+    global sort), joins stay hash-joinable, no Python row UDFs."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_customer_order_gaps,
+        q_large_orders,
+        q_promo_share,
+        q_sample_weighted,
+        q_top_supplier,
+    )
+
+    for q in (q_large_orders, q_sample_weighted):
+        p = _plan(q(spark, SF))
+        assert "TakeOrderedAndProject" in p
+        assert "Sort " not in p.split("TakeOrderedAndProject")[0]
+    for q in (q_promo_share, q_top_supplier, q_customer_order_gaps):
+        p = _plan(q(spark, SF))
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p
+
+
+def test_profile_is_single_scan(spark):
+    """column_profile: one scan of the files (Expand multiplies rows
+    for the multi-DISTINCT, but never re-reads), no shuffle beyond the
+    single aggregate exchange pair."""
+    from mapreduce_kmeans_clustering_spark.operators.profile import column_profile
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    p = _plan(column_profile(li, ["l_orderkey", "l_quantity", "l_returnflag"]))
+    assert p.count("FileScan parquet") == 1
+    assert "BatchEvalPython" not in p
+
+
 def test_tfidf_is_single_scan(spark):
     """Document frequency comes from a window over the tf table, not a
     groupBy+self-join — one pass over the corpus (SCALE.md §4.9)."""

@@ -117,3 +117,78 @@ def test_tfidf_matches_python(spark, texts):
     for k_ in got:
         assert got[k_][0] == expected[k_][0]
         assert got[k_][1] == pytest.approx(expected[k_][1], abs=1e-9)
+
+
+def test_sample_weighted_matches_python(spark):
+    """sample_weighted == plain-Python replay of the 52-bit hash
+    priority (hash(id)/weight, k smallest)."""
+    import hashlib
+
+    from mapreduce_kmeans_clustering_spark.operators.sampling import sample_weighted
+
+    rows = [(i, (i % 7) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id LONG, w LONG")
+    got = [r["doc_id"] for r in sample_weighted(df, 20, "w", "doc_id").collect()]
+
+    def pri(i, w):
+        h = int(hashlib.md5(f"ws:{i}".encode()).hexdigest()[:13], 16)
+        return float(h) / w
+
+    want = [i for i, w in sorted(rows, key=lambda t: (pri(*t), t[0]))[:20]]
+    assert got == want
+
+
+def test_sample_weighted_favors_heavy_rows(spark):
+    """A row with 1000x the weight of its peers is (near-)certain to be
+    sampled: priority scales as 1/w."""
+    from mapreduce_kmeans_clustering_spark.operators.sampling import sample_weighted
+
+    rows = [(i, 1_000_000 if i == 42 else 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id LONG, w LONG")
+    got = {r["doc_id"] for r in sample_weighted(df, 10, "w", "doc_id").collect()}
+    assert 42 in got
+
+
+def test_column_profile_matches_pandas(spark):
+    """column_profile == pandas ground truth per metric, including a
+    NULL-bearing numeric column and a non-numeric column."""
+    from mapreduce_kmeans_clustering_spark.operators.profile import column_profile
+
+    rows = [
+        (1, 2.5, "a"),
+        (2, None, "b"),
+        (3, 7.0, None),
+        (4, 2.5, "a"),
+        (5, -1.0, "c"),
+    ]
+    df = spark.createDataFrame(rows, "k LONG, v DOUBLE, s STRING")
+    got = {
+        r["col_name"]: r.asDict()
+        for r in column_profile(df, ["k", "v", "s"]).collect()
+    }
+    assert got["k"] == {
+        "col_name": "k", "n_rows": 5, "n_null": 0, "n_distinct": 5,
+        "min_val": 1.0, "max_val": 5.0,
+    }
+    assert got["v"] == {
+        "col_name": "v", "n_rows": 5, "n_null": 1, "n_distinct": 3,
+        "min_val": -1.0, "max_val": 7.0,
+    }
+    assert got["s"] == {
+        "col_name": "s", "n_rows": 5, "n_null": 1, "n_distinct": 3,
+        "min_val": None, "max_val": None,
+    }
+
+
+def test_column_profile_approx_mode(spark):
+    """approx=True swaps exact distinct for HLL: counts stay within the
+    documented ~2% envelope on a small domain (exact here)."""
+    from mapreduce_kmeans_clustering_spark.operators.profile import column_profile
+
+    df = spark.range(1000).selectExpr("id", "id % 10 AS m")
+    got = {
+        r["col_name"]: r["n_distinct"]
+        for r in column_profile(df, ["id", "m"], approx=True).collect()
+    }
+    assert abs(got["id"] - 1000) <= 50
+    assert abs(got["m"] - 10) <= 1
