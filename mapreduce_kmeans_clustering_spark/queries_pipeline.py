@@ -1409,6 +1409,90 @@ def q_dedup_cluster_sizes(spark, sf_dir):
     )
 
 
+def q_events_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by first-seen week, how
+    many are still active N weeks later — the table behind every
+    retention curve. Two aggregates (first-seen per user; distinct
+    user-weeks) joined on user_id; the user grain keeps both sides
+    partition-parallel and the result is cohort×week tiny."""
+    ev = _events(spark, sf_dir)
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    first = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(first, "user_id")
+        .select(
+            "cohort_week",
+            F.expr("datediff(week, cohort_week) div 7").cast("int").alias("week_n"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_n")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+NATION_BAL_MIN = 9000.0
+
+
+def q_nation_flow(spark, sf_dir):
+    """FULL OUTER join shape: per-nation high-balance customer vs
+    supplier aggregates stitched into one row per nation — either side
+    may be absent (the filter empties small nations on the 100-row
+    supplier side), so inner/left joins would silently drop rows.
+    Aggregate-then-join keeps the outer join at nation grain (25
+    keys), never row grain."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cb = (
+        cust.where(F.col("c_acctbal") > NATION_BAL_MIN)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").cast("long").alias("n_rich_cust"))
+    )
+    sb = (
+        supp.where(F.col("s_acctbal") > NATION_BAL_MIN)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").cast("long").alias("n_rich_supp"))
+    )
+    j = cb.join(sb, "nk", "full_outer")
+    return (
+        j.join(F.broadcast(nation), j["nk"] == nation["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.coalesce("n_rich_cust", F.lit(0)).cast("long").alias("n_rich_cust"),
+            F.coalesce("n_rich_supp", F.lit(0)).cast("long").alias("n_rich_supp"),
+        )
+    )
+
+
+def q_events_rollup(spark, sf_dir):
+    """Hypertable-style time rollup: one scan producing day AND
+    (day, hour) grains via ROLLUP — the continuous-aggregate shape a
+    time-series store materializes. Coarser grains come free from the
+    same partial aggregates; no second pass over the events."""
+    ev = _events(spark, sf_dir)
+    g = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        "value",
+    )
+    return (
+        g.rollup("day", "hr")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .where(F.col("day").isNotNull())  # keep day and day×hour grains
+        .select(
+            "day",
+            F.coalesce(F.col("hr").cast("string"), F.lit("ALL")).alias("hr"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -2352,6 +2436,36 @@ grp AS (SELECT node, least(node, min(r)) AS group_id FROM reach GROUP BY node),
 sz AS (SELECT group_id, count(*) AS grp_size FROM grp GROUP BY 1)
 SELECT CAST(grp_size AS BIGINT) AS grp_size, count(*) AS n_groups
 FROM sz GROUP BY 1""",
+    "q_events_retention": """
+WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts)::TIMESTAMP AS week
+            FROM events),
+f AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, week) // 7 AS INT) AS week_n,
+       count(DISTINCT user_id) AS n_users
+FROM uw JOIN f USING (user_id)
+GROUP BY 1, 2""",
+    "q_nation_flow": f"""
+WITH cb AS (SELECT c_nationkey AS nk, count(*) AS n_rich_cust
+            FROM customer WHERE c_acctbal > {NATION_BAL_MIN} GROUP BY 1),
+sb AS (SELECT s_nationkey AS nk, count(*) AS n_rich_supp
+       FROM supplier WHERE s_acctbal > {NATION_BAL_MIN} GROUP BY 1),
+j AS (SELECT coalesce(cb.nk, sb.nk) AS nk, n_rich_cust, n_rich_supp
+      FROM cb FULL OUTER JOIN sb ON cb.nk = sb.nk)
+SELECT n_name AS nation,
+       CAST(coalesce(n_rich_cust, 0) AS BIGINT) AS n_rich_cust,
+       CAST(coalesce(n_rich_supp, 0) AS BIGINT) AS n_rich_supp
+FROM j JOIN nation ON nk = n_nationkey""",
+    "q_events_rollup": """
+SELECT day,
+       coalesce(CAST(hr AS VARCHAR), 'ALL') AS hr,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS total_value
+FROM (SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+             date_trunc('hour', ts)::TIMESTAMP AS hr, value
+      FROM events)
+GROUP BY ROLLUP (day, hr)
+HAVING day IS NOT NULL""",
 }
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2432,4 +2546,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_corpus_mix": q_corpus_mix,
     "q_customer_order_gaps": q_customer_order_gaps,
     "q_dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "q_events_retention": q_events_retention,
+    "q_nation_flow": q_nation_flow,
+    "q_events_rollup": q_events_rollup,
 }
