@@ -86,3 +86,55 @@ def kmv_distinct(
             4,
         ).alias("est_distinct"),
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value: str,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    buckets: int = 100,
+    groups: list[str] | None = None,
+) -> DataFrame:
+    """Single-pass fixed-width-histogram quantile estimates — the
+    deterministic, mergeable alternative to ``percentile_approx``
+    (whose Greenwald-Khanna sketch is engine-specific and
+    merge-order-dependent, so a cross-engine oracle can't replay it).
+
+    One hash aggregate builds the (group, bucket) counts — partial→
+    final, at most ``buckets`` keys per group ever shuffle — then a
+    cumulative window over ≤``buckets`` rows per group interpolates
+    each requested quantile inside its covering bucket:
+
+        est = lo + width * (bucket + (q*total - cum_prev) / n_bucket)
+
+    Error is bounded by the bucket width (exact counts, linear
+    interpolation within one bucket); the counts table is a mergeable
+    summary (sum counts across shards/days, re-derive quantiles).
+    All arithmetic is integer-derived doubles combined in a fixed
+    order, so Spark and the DuckDB oracle agree bit-for-bit.
+    """
+    groups = groups or []
+    width = (hi - lo) / buckets
+    b = F.least(
+        F.lit(buckets - 1),
+        F.greatest(F.lit(0), F.floor((F.col(value) - F.lit(lo)) / F.lit(width))),
+    ).cast("int")
+    counts = df.groupBy(*groups, b.alias("bucket")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wspec = Window.partitionBy(*groups).orderBy("bucket")
+    tspec = Window.partitionBy(*groups)
+    c = counts.withColumn("cum", F.sum("n").over(wspec)).withColumn(
+        "total", F.sum("n").over(tspec)
+    )
+    qdf = df.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    j = c.crossJoin(F.broadcast(qdf)).withColumn("qt", F.col("q") * F.col("total"))
+    est = F.lit(lo) + F.lit(width) * (
+        F.col("bucket") + (F.col("qt") - (F.col("cum") - F.col("n"))) / F.col("n")
+    )
+    return (
+        j.where((F.col("cum") >= F.col("qt")) & ((F.col("cum") - F.col("n")) < F.col("qt")))
+        .select(*groups, "q", F.round(est, 6).alias("est"))
+    )

@@ -1493,6 +1493,27 @@ def q_events_rollup(spark, sf_dir):
     )
 
 
+HISTQ_LO, HISTQ_HI, HISTQ_BUCKETS = 0.0, 500.0, 100
+HISTQ_QS = [0.5, 0.95]
+
+
+def q_value_quantile_sketch(spark, sf_dir):
+    """Histogram-sketch quantiles of event value per type (p50/p95):
+    the deterministic single-pass alternative to percentile_approx —
+    exact bucket counts + in-bucket linear interpolation, mergeable
+    across shards (functions/sketch.py histogram_quantiles)."""
+    ev = _events(spark, sf_dir)
+    return SK.histogram_quantiles(
+        ev,
+        "value",
+        qs=HISTQ_QS,
+        lo=HISTQ_LO,
+        hi=HISTQ_HI,
+        buckets=HISTQ_BUCKETS,
+        groups=["event_type"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -2466,6 +2487,23 @@ FROM (SELECT date_trunc('day', ts)::TIMESTAMP AS day,
       FROM events)
 GROUP BY ROLLUP (day, hr)
 HAVING day IS NOT NULL""",
+    "q_value_quantile_sketch": """
+WITH c AS (
+  SELECT event_type,
+         CAST(least(99, greatest(0, floor((value - 0.0) / 5.0))) AS INT)
+           AS bucket,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+w AS (SELECT event_type, bucket, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS total
+      FROM c),
+q(q) AS (VALUES (0.5::DOUBLE), (0.95::DOUBLE)),
+j AS (SELECT event_type, q, bucket, n, cum, total, q * total AS qt
+      FROM w CROSS JOIN q)
+SELECT event_type, q,
+       round(0.0 + 5.0 * (bucket + (qt - (cum - n)) / n), 6) AS est
+FROM j WHERE cum >= qt AND (cum - n) < qt""",
 }
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2549,4 +2587,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_events_retention": q_events_retention,
     "q_nation_flow": q_nation_flow,
     "q_events_rollup": q_events_rollup,
+    "q_value_quantile_sketch": q_value_quantile_sketch,
 }

@@ -92,3 +92,39 @@ def test_upsert_replaces_only_carried_partitions(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         != "dynamic"
     )
+
+
+def test_range_sorted_files_are_disjoint_and_sorted(spark, tmp_path):
+    """write_range_sorted: every parquet file covers a disjoint range
+    of the sort key (airtight min/max stats => row-group skipping) and
+    rows inside each file are sorted."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_kmeans_clustering_spark.sinks.partitioned import (
+        write_range_sorted,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    out = str(tmp_path / "orders_ranged")
+    write_range_sorted(df, out, ["o_orderkey"], num_files=8)
+
+    ranges = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        t = pq.read_table(f, columns=["o_orderkey"])
+        ks = t["o_orderkey"].to_pylist()
+        if not ks:
+            continue
+        assert ks == sorted(ks), f"{f} not sorted"
+        ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    assert len(ranges) >= 4  # actually split into multiple files
+    for (alo, ahi), (blo, bhi) in zip(ranges, ranges[1:]):
+        assert ahi < blo, "file ranges overlap"
+
+    # read-time half: the filter reaches the scan as a pushed filter
+    back = spark.read.parquet(out).where("o_orderkey = 17")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,17)]" in plan
+    assert back.count() == df.where("o_orderkey = 17").count()

@@ -49,3 +49,62 @@ def test_salted_two_phase_equals_single_sort(spark):
     one = sorted(map(tuple, kmv_distinct(df, ["g"], "v", k=64, salt_buckets=1).collect()))
     two = sorted(map(tuple, kmv_distinct(df, ["g"], "v", k=64, salt_buckets=16).collect()))
     assert one == two
+
+
+def test_histogram_quantiles_within_bucket_width_of_exact(spark):
+    """Sketch p50/p95 vs exact percentile: error bounded by one bucket
+    width (5.0 at the registered config)."""
+    from mapreduce_kmeans_clustering_spark.functions.sketch import (
+        histogram_quantiles,
+    )
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import _events
+
+    ev = _events(spark, "/root/testdata/sf0.001")
+    got = {
+        (r["event_type"], r["q"]): r["est"]
+        for r in histogram_quantiles(
+            ev, "value", qs=[0.5, 0.95], lo=0.0, hi=500.0, buckets=100,
+            groups=["event_type"],
+        ).collect()
+    }
+    exact = {
+        (r["event_type"], q): r[f"p{int(q*100)}"]
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .collect()
+        for q in (0.5, 0.95)
+    }
+    assert set(got) == set(exact)
+    # 1.5 bucket widths: the sketch interpolates mass inside a bucket,
+    # percentile() interpolates order statistics — conventions differ
+    # by up to half a width on top of the one-width histogram bound
+    for k in got:
+        assert abs(got[k] - exact[k]) <= 7.5, (k, got[k], exact[k])
+
+
+def test_histogram_quantiles_mergeable_counts(spark):
+    """Splitting the input and summing histograms gives the same
+    estimates as one pass — the mergeability claim."""
+    from mapreduce_kmeans_clustering_spark.functions.sketch import (
+        histogram_quantiles,
+    )
+
+    df = spark.range(1000).selectExpr("CAST(id AS DOUBLE) AS v")
+    whole = {
+        r["q"]: r["est"]
+        for r in histogram_quantiles(
+            df, "v", qs=[0.5, 0.9], lo=0.0, hi=1000.0, buckets=50
+        ).collect()
+    }
+    halves = df.where("v < 300").unionAll(df.where("v >= 300"))
+    merged = {
+        r["q"]: r["est"]
+        for r in histogram_quantiles(
+            halves, "v", qs=[0.5, 0.9], lo=0.0, hi=1000.0, buckets=50
+        ).collect()
+    }
+    assert whole == merged
+    assert abs(whole[0.5] - 500.0) <= 20.0
