@@ -337,3 +337,57 @@ def curation_pipeline(
         .cast("int")
         .alias("shard"),
     )
+
+
+def linear_score(
+    docs: DataFrame,
+    weights: dict[int, float],
+    bias: float = 0.0,
+    n_features: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained linear quality classifier at corpus scale:
+    logit = bias + sum_d w_d * tf_d over hashing-trick count features
+    (the FineWeb/CCNet deployment shape — training happens offline on
+    a sample; scoring must be a cheap distributed pass).
+
+    Exactness contract: token counts are integers and weights carry
+    <= 4 decimal digits, so every product is exact in DECIMAL and the
+    per-doc sum is partition-order-independent — the logit (and the
+    keep verdict at any threshold) is deterministic and replayable by
+    the SQL oracle. No sigmoid on the hot path: the keep decision
+    only needs the logit's sign/threshold, and exp() is the one step
+    whose low bits differ across engines.
+
+    One explode + two hash aggregates (token counts collapse map-side;
+    weight table is an n_features-row broadcast).
+    """
+    from mapreduce_kmeans_clustering_spark.operators.text import hash_dim, tokens
+
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(int(d), str(round(w, 4))) for d, w in sorted(weights.items())],
+        "dim int, wt string",
+    ).select("dim", F.col("wt").cast("decimal(8,4)").alias("wt"))
+    tf = (
+        docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+        .select(id_col, hash_dim(F.col("tok"), n_features).alias("dim"))
+        .groupBy(id_col, "dim")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    acc = (
+        tf.join(F.broadcast(wdf), "dim")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("n").cast("decimal(18,4)") * F.col("wt")).alias("acc"))
+    )
+    logit = F.coalesce(F.col("acc").cast("double"), F.lit(0.0)) + F.lit(bias)
+    return (
+        docs.select(id_col)
+        .join(acc, id_col, "left")
+        .select(
+            id_col,
+            F.round(logit, 4).alias("logit"),
+            (logit > 0).alias("keep"),
+        )
+    )

@@ -1514,6 +1514,32 @@ def q_value_quantile_sketch(spark, sf_dir):
     )
 
 
+LR_DIM = 32
+LR_BIAS = 0.0
+
+
+def _lr_weight(d: int) -> float:
+    """Deterministic stand-in for offline-trained weights: md5-derived
+    value in [-0.1, 0.1] with exactly 4 decimal digits."""
+    import hashlib
+
+    h = int(hashlib.md5(f"lrw:{d}".encode()).hexdigest()[:8], 16)
+    return round(((h % 2001) - 1000) / 10000.0, 4)
+
+
+LR_WEIGHTS = {d: _lr_weight(d) for d in range(LR_DIM)}
+
+
+def q_text_lr_score(spark, sf_dir):
+    """Linear quality-classifier scoring over hashing-trick count
+    features (curation.linear_score): per-doc logit + keep verdict —
+    exact DECIMAL arithmetic end-to-end, so the classifier's decision
+    is reproducible across engines and retries."""
+    return CU.linear_score(
+        _docs(spark, sf_dir), LR_WEIGHTS, bias=LR_BIAS, n_features=LR_DIM
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -2504,6 +2530,20 @@ j AS (SELECT event_type, q, bucket, n, cum, total, q * total AS qt
 SELECT event_type, q,
        round(0.0 + 5.0 * (bucket + (qt - (cum - n)) / n), 6) AS est
 FROM j WHERE cum >= qt AND (cum - n) < qt""",
+    "q_text_lr_score": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOK}) AS tok FROM documents),
+tf AS (SELECT doc_id,
+              CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % {LR_DIM} AS INT)
+                AS dim,
+              count(*) AS n
+       FROM toks GROUP BY 1, 2),
+w(dim, wt) AS (VALUES {", ".join(f"({d}, '{w:.4f}'::DECIMAL(8,4))" for d, w in sorted(LR_WEIGHTS.items()))}),
+s AS (SELECT doc_id, sum(CAST(n AS DECIMAL(18,4)) * wt) AS acc
+      FROM tf JOIN w USING (dim) GROUP BY 1)
+SELECT d.doc_id,
+       round(coalesce(acc, 0)::DOUBLE + {LR_BIAS}, 4) AS logit,
+       (coalesce(acc, 0)::DOUBLE + {LR_BIAS}) > 0 AS keep
+FROM documents d LEFT JOIN s USING (doc_id)""",
 }
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2588,4 +2628,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_nation_flow": q_nation_flow,
     "q_events_rollup": q_events_rollup,
     "q_value_quantile_sketch": q_value_quantile_sketch,
+    "q_text_lr_score": q_text_lr_score,
 }

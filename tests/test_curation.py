@@ -148,3 +148,31 @@ def test_curation_pipeline_precedence(spark):
     }
     assert out[2] == "exact_dup"
     assert out[1] == "contaminated"
+
+
+def test_linear_score_hand_check(spark):
+    """linear_score on a crafted vocab: logit replays exactly as
+    bias + sum(count * weight) over md5 feature buckets."""
+    import hashlib
+
+    from mapreduce_kmeans_clustering_spark.operators.curation import linear_score
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "cherry"), (3, None), (4, "")],
+        "doc_id LONG, text STRING",
+    )
+    dim = 8
+    weights = {d: round(0.01 * (d - 4), 4) for d in range(dim)}
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % dim
+
+    got = {r["doc_id"]: r for r in linear_score(docs, weights, bias=0.5, n_features=dim).collect()}
+    want1 = 0.5 + 2 * weights[bucket("apple")] + weights[bucket("banana")]
+    want2 = 0.5 + weights[bucket("cherry")]
+    assert got[1]["logit"] == round(want1, 4)
+    assert got[2]["logit"] == round(want2, 4)
+    assert got[3]["logit"] == 0.5  # NULL text: bias only
+    assert got[4]["logit"] == 0.5  # empty text: bias only
+    assert got[1]["keep"] == (want1 > 0)
+    assert all(got[d]["keep"] for d in (3, 4))
