@@ -138,3 +138,88 @@ def histogram_quantiles(
         j.where((F.col("cum") >= F.col("qt")) & ((F.col("cum") - F.col("n")) < F.col("qt")))
         .select(*groups, "q", F.round(est, 6).alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_bucket(col: Column | str, row: int, width: int) -> Column:
+    """Row ``row``'s md5-derived bucket for a value — the fixed hash
+    family that makes the sketch replayable cross-engine. DuckDB twin:
+    ('0x' || substr(md5('cms{row}:' || v), 1, 8))::BIGINT % width."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cms{row}:"), c.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (h % width).cast("int")
+
+
+def cms_counts(
+    df: DataFrame,
+    value: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build the sketch as a (row, bucket, cnt) table — depth*width
+    counters no matter how many distinct values flow through, and
+    MERGEABLE: union the tables and re-sum to combine shards/days.
+
+    One explode (depth rows per input row) + one hash aggregate whose
+    partial step collapses to <= depth*width counters per map task —
+    the bounded-memory frequency summary for a key domain too large
+    to count exactly (think raw URLs at 100 TB)."""
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"), cms_bucket(value, d, width).alias("b")
+                )
+                for d in range(depth)
+            ]
+        )
+    ).alias("rb")
+    return (
+        df.select(rows)
+        .select("rb.d", "rb.b")
+        .groupBy("d", "b")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame,
+    cms: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-estimate each key's frequency: min over the depth rows of
+    its counters (classic CMS — never underestimates, overestimates by
+    collision mass ~ n/width per row). Equi-join on (d, bucket) against
+    the counter table, one min-aggregate per key."""
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        cms_bucket(key_col, d, width).alias("b"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(key_col, "rb.d", "rb.b")
+    return (
+        probes.join(cms, ["d", "b"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_n"))
+    )

@@ -1540,6 +1540,25 @@ def q_text_lr_score(spark, sf_dir):
     )
 
 
+def q_user_heavy_hitters(spark, sf_dir):
+    """Heavy hitters with a count-min sketch audit: the exact top-10
+    users by event count next to their CMS estimates (depth 4 x width
+    256 counters — bounded memory regardless of key cardinality,
+    mergeable across shards). est_n >= true_n always (CMS never
+    undercounts); the gap is the collision mass the sketch config
+    trades for its 1 KB footprint."""
+    ev = _events(spark, sf_dir)
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("true_n"))
+        .orderBy(F.col("true_n").desc(), "user_id")
+        .limit(10)
+    )
+    cms = SK.cms_counts(ev, "user_id")
+    est = SK.cms_estimate(exact.select("user_id"), cms, "user_id")
+    return exact.join(est, "user_id").select("user_id", "true_n", "est_n")
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -2544,6 +2563,26 @@ SELECT d.doc_id,
        round(coalesce(acc, 0)::DOUBLE + {LR_BIAS}, 4) AS logit,
        (coalesce(acc, 0)::DOUBLE + {LR_BIAS}) > 0 AS keep
 FROM documents d LEFT JOIN s USING (doc_id)""",
+    "q_user_heavy_hitters": """
+WITH ex AS (SELECT user_id, count(*) AS true_n FROM events GROUP BY 1
+            ORDER BY true_n DESC, user_id LIMIT 10),
+cms AS (
+  SELECT d,
+         ('0x' || substr(md5('cms' || CAST(d AS VARCHAR) || ':'
+                              || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           % 256 AS b,
+         count(*) AS cnt
+  FROM events, range(4) r(d) GROUP BY 1, 2),
+probes AS (
+  SELECT user_id, d,
+         ('0x' || substr(md5('cms' || CAST(d AS VARCHAR) || ':'
+                              || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           % 256 AS b
+  FROM ex, range(4) r(d)),
+est AS (SELECT user_id, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_n
+        FROM probes LEFT JOIN cms USING (d, b) GROUP BY 1)
+SELECT ex.user_id, CAST(true_n AS BIGINT) AS true_n, est_n
+FROM ex JOIN est USING (user_id)""",
 }
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2629,4 +2668,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_events_rollup": q_events_rollup,
     "q_value_quantile_sketch": q_value_quantile_sketch,
     "q_text_lr_score": q_text_lr_score,
+    "q_user_heavy_hitters": q_user_heavy_hitters,
 }

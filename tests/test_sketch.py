@@ -108,3 +108,40 @@ def test_histogram_quantiles_mergeable_counts(spark):
     }
     assert whole == merged
     assert abs(whole[0.5] - 500.0) <= 20.0
+
+
+def test_cms_never_undercounts_and_is_tight_when_wide(spark):
+    from mapreduce_kmeans_clustering_spark.functions.sketch import (
+        cms_counts,
+        cms_estimate,
+    )
+
+    df = spark.range(10_000).selectExpr("CAST(id % 100 AS STRING) AS v")
+    cms = cms_counts(df, "v", depth=4, width=1024)
+    keys = df.distinct()
+    est = {
+        r["v"]: r["est_n"] for r in cms_estimate(keys, cms, "v", 4, 1024).collect()
+    }
+    assert all(e >= 100 for e in est.values())  # never undercounts
+    assert sum(est.values()) <= 10_000 * 1.10  # collisions bounded
+
+
+def test_cms_merge_equals_single_build(spark):
+    """Union of per-shard sketches re-summed == one-pass sketch (the
+    mergeability that makes CMS a per-day/per-shard summary)."""
+    from pyspark.sql import functions as F2
+
+    from mapreduce_kmeans_clustering_spark.functions.sketch import cms_counts
+
+    df = spark.range(5000).selectExpr("CAST(id % 37 AS STRING) AS v")
+    whole = cms_counts(df, "v").orderBy("d", "b").collect()
+    a = cms_counts(df.where("id < 2000"), "v")
+    b = cms_counts(df.where("id >= 2000"), "v")
+    merged = (
+        a.unionAll(b)
+        .groupBy("d", "b")
+        .agg(F2.sum("cnt").cast("long").alias("cnt"))
+        .orderBy("d", "b")
+        .collect()
+    )
+    assert whole == merged
