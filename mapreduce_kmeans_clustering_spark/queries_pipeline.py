@@ -180,14 +180,29 @@ def q_dedup_pipeline(spark, sf_dir):
     return D.dedup_pipeline(_docs(spark, sf_dir), verify_threshold=VERIFY_THRESHOLD)
 
 
+_GROUPS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _dup_groups_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup groups, memoized per (application, sf_dir):
+    the iterative label propagation is the most expensive derived
+    relation in the dedup family and two registered queries
+    (q_dedup_groups, q_dedup_cluster_sizes) start from it — the same
+    buffer-pool pattern as queries.scale_points."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _GROUPS_CACHE:
+        p = D.jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+        _GROUPS_CACHE[key] = D.dup_groups(p).localCheckpoint(eager=False)
+    return _GROUPS_CACHE[key]
+
+
 def q_dedup_groups(spark, sf_dir):
     """Transitive dedup groups: Jaccard near-dup pairs promoted to
     connected components via iterative min-label propagation, so each
     document maps to its canonical (minimum-id) representative. The
     piece pair lists alone miss: A~B~C collapses to ONE group even when
     A and C don't pair directly."""
-    p = D.jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
-    g = D.dup_groups(p)
+    g = _dup_groups_df(spark, sf_dir)
     return g.select(F.col("node").alias("doc_id"), F.col("group_id"))
 
 
@@ -1398,9 +1413,9 @@ def q_dedup_cluster_sizes(spark, sf_dir):
     of each size the corpus carries — the summary that tells a
     curation run whether it's facing scattered pairs or a few giant
     boilerplate clusters (which need the skew hatches). Composition of
-    q_dedup_groups + two tiny aggregates."""
-    p = D.jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
-    g = D.dup_groups(p)
+    q_dedup_groups + two tiny aggregates (shares its memoized groups
+    relation)."""
+    g = _dup_groups_df(spark, sf_dir)
     sizes = g.groupBy("group_id").agg(
         F.count("*").cast("long").alias("grp_size")
     )
