@@ -1574,6 +1574,76 @@ def q_user_heavy_hitters(spark, sf_dir):
     return exact.join(est, "user_id").select("user_id", "true_n", "est_n")
 
 
+def q_events_dense_hours(spark, sf_dir):
+    """Time-series densification: every (event_type, hour) cell over
+    the observed range, zero-filled where nothing happened — the gap
+    fill a chart or downstream window needs before it can trust
+    'no row = zero'. Grid = tiny dims (types x sequence of hours)
+    built from a 1-row bounds aggregate, LEFT JOIN against the hourly
+    counts; events shuffle once for their own aggregate, never for
+    the grid."""
+    ev = _events(spark, sf_dir)
+    hr = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.agg(
+        F.min(hr).alias("lo"), F.max(hr).alias("hi")
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+    )
+    counts = ev.groupBy("event_type", hr.alias("hr")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return grid.join(counts, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+def q_latest_event_per_user(spark, sf_dir):
+    """CDC-style compaction read: each user's latest event (row_number
+    over ts desc, event_id desc = 1) — the keep-last-version query
+    every changelog consumer runs. Planned with WindowGroupLimit, so
+    each partition discards non-latest rows before the full sort."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+def q_sql_interface(spark, sf_dir):
+    """The SQL front door: the same engine driven by ANSI SQL text
+    over registered views (spark.sql) instead of the DataFrame API —
+    a reference user who writes plain SQL needs nothing else. The
+    text below runs verbatim-shaped on the oracle too."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "v_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM v_orders
+        GROUP BY o_orderstatus, o_orderpriority
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -2598,6 +2668,30 @@ est AS (SELECT user_id, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_n
         FROM probes LEFT JOIN cms USING (d, b) GROUP BY 1)
 SELECT ex.user_id, CAST(true_n AS BIGINT) AS true_n, est_n
 FROM ex JOIN est USING (user_id)""",
+    "q_events_dense_hours": """
+WITH b AS (SELECT min(date_trunc('hour', ts))::TIMESTAMP AS lo,
+                  max(date_trunc('hour', ts))::TIMESTAMP AS hi
+           FROM events),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+  FROM (SELECT DISTINCT event_type FROM events), b),
+c AS (SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS hr,
+             count(*) AS n
+      FROM events GROUP BY 1, 2)
+SELECT g.event_type, g.hr,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_events
+FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.hr = c.hr""",
+    "q_latest_event_per_user": """
+SELECT user_id, event_id, ts, event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1""",
+    "q_sql_interface": """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM orders GROUP BY o_orderstatus, o_orderpriority""",
 }
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2684,4 +2778,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_value_quantile_sketch": q_value_quantile_sketch,
     "q_text_lr_score": q_text_lr_score,
     "q_user_heavy_hitters": q_user_heavy_hitters,
+    "q_events_dense_hours": q_events_dense_hours,
+    "q_latest_event_per_user": q_latest_event_per_user,
+    "q_sql_interface": q_sql_interface,
 }

@@ -226,3 +226,25 @@ def test_tfidf_is_single_scan(spark):
     p = _plan(q_tfidf_terms(spark, SF))
     assert p.count("FileScan parquet") == 1
     assert "WindowGroupLimit" in p  # top-k pushed into the rank window
+
+
+def test_latest_event_uses_window_group_limit(spark):
+    """CDC compaction: the rn=1 filter must push into the window sort
+    (WindowGroupLimit) so non-latest rows drop before the full sort."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_latest_event_per_user,
+    )
+
+    p = _plan(q_latest_event_per_user(spark, SF))
+    assert "WindowGroupLimit" in p
+
+
+def test_dense_hours_grid_joins_broadcast(spark):
+    """Densification: the hour grid is dim-sized and broadcast; the
+    events relation is never nested-looped."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_events_dense_hours,
+    )
+
+    p = _plan(q_events_dense_hours(spark, SF))
+    assert "CartesianProduct" not in p

@@ -302,3 +302,39 @@ def test_stream_view_click_join_matches_batch(spark, events_dir):
     # match and the bulk of the batch result must have been emitted
     assert got <= expected
     assert len(got) >= 0.9 * len(expected)
+
+
+def test_stream_cms_shards_merge_to_batch_sketch(spark, events_dir, tmp_path):
+    """Streaming sketch pipeline: each micro-batch writes its own CMS
+    shard (foreachBatch append); re-summing the shards equals the
+    one-pass batch sketch — the mergeability that lets a stream keep a
+    bounded-memory frequency summary forever."""
+    from mapreduce_kmeans_clustering_spark.functions.sketch import cms_counts
+
+    out = str(tmp_path / "cms_shards")
+
+    def sink(batch_df, batch_id):
+        cms_counts(batch_df, "user_id").write.mode("append").parquet(out)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(events_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    q = stream.writeStream.foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+
+    merged = (
+        spark.read.parquet(out)
+        .groupBy("d", "b")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .orderBy("d", "b")
+        .collect()
+    )
+    whole = (
+        cms_counts(spark.read.parquet(events_dir), "user_id")
+        .orderBy("d", "b")
+        .collect()
+    )
+    assert merged == whole
