@@ -131,3 +131,62 @@ def test_displacement_identity_and_symmetry(spark, pts):
     b = [Centroid(c.id, c.x + 1.0, c.y - 2.0, c.z) for c in a]
     assert displacement(a, a) == 0.0
     assert math.isclose(displacement(a, b), displacement(b, a), rel_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Property tests: sketches and weighted sampling on random data
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=200)
+)
+@settings(max_examples=8, deadline=None)
+def test_cms_never_undercounts_property(spark, values):
+    from collections import Counter
+
+    from mapreduce_kmeans_clustering_spark.functions.sketch import (
+        cms_counts,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([(str(v),) for v in values], "v STRING")
+    cms = cms_counts(df, "v", depth=3, width=64)
+    est = {
+        r["v"]: r["est_n"]
+        for r in cms_estimate(df.distinct(), cms, "v", 3, 64).collect()
+    }
+    true = Counter(str(v) for v in values)
+    for k, n in true.items():
+        assert est[k] >= n  # the CMS invariant
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=1, max_value=1000),
+        ),
+        min_size=1,
+        max_size=100,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=20),
+)
+@settings(max_examples=8, deadline=None)
+def test_sample_weighted_matches_python_property(spark, rows, k):
+    import hashlib
+
+    from mapreduce_kmeans_clustering_spark.operators.sampling import (
+        sample_weighted,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id LONG, w LONG")
+    got = [r["doc_id"] for r in sample_weighted(df, k, "w", "doc_id").collect()]
+
+    def pri(t):
+        h = int(hashlib.md5(f"ws:{t[0]}".encode()).hexdigest()[:13], 16)
+        return (float(h) / t[1], t[0])
+
+    want = [i for i, _ in sorted(rows, key=lambda t: pri(t))[:k]]
+    assert got == want
