@@ -118,3 +118,72 @@ def write_range_sorted(
         .option("maxRecordsPerFile", max_records_per_file)
         .parquet(path)
     )
+
+
+def zorder_key(
+    col_specs: "list[tuple[str, float, float]]", bits: int = 16
+) -> "Column":
+    """Morton (z-order) key over 2+ numeric columns: each column is
+    scaled into ``bits`` levels over its [lo, hi) range, then the bit
+    planes interleave — points close in EVERY dimension get close
+    keys, so sorting by the key clusters files in all dimensions at
+    once (the Delta/Iceberg OPTIMIZE ZORDER idea, as a plain column
+    expression in whole-stage codegen).
+
+    col_specs: (column, lo, hi) per dimension; ranges come from stats
+    the caller already has (a profile pass or partition metadata).
+    Pure integer bit math — deterministic everywhere.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(col_specs)
+    if n < 2:
+        raise ValueError("z-order needs >= 2 columns; use range sort for 1")
+    if bits * n > 62:
+        raise ValueError(f"bits * n_cols must fit a long (<= 62), got {bits * n}")
+    levels = (1 << bits) - 1
+    key = F.lit(0).cast("long")
+    for d, (c, lo, hi) in enumerate(col_specs):
+        scaled = F.least(
+            F.lit(levels),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(float(lo)))
+                    / F.lit(float(hi - lo))
+                    * F.lit(float(levels + 1))
+                ),
+            ),
+        ).cast("long")
+        for b in range(bits):
+            # bit b of dim d lands at interleaved position b*n + d
+            key = key + F.shiftleft(
+                F.shiftright(scaled, b).bitwiseAND(F.lit(1)), b * n + d
+            ).cast("long")
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_specs: "list[tuple[str, float, float]]",
+    num_files: int = 16,
+    bits: int = 16,
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Multi-dimensional clustered layout: range-partition + sort on
+    the Morton key, drop the key before writing. Each file then covers
+    a small hyper-rectangle in every z-ordered dimension, so min/max
+    row-group stats prune scans filtering on ANY of them — where the
+    1-D range sort only serves its leading column."""
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn("__zkey", zorder_key(col_specs, bits))
+    (
+        keyed.repartitionByRange(num_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )

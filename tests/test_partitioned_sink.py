@@ -128,3 +128,62 @@ def test_range_sorted_files_are_disjoint_and_sorted(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,17)]" in plan
     assert back.count() == df.where("o_orderkey = 17").count()
+
+
+def test_zorder_clusters_both_dimensions(spark, tmp_path):
+    """Z-ordered files bound their extent in EVERY dimension — a
+    filter on x OR y prunes files. The 1-D range sort is thin: tight
+    in x, but each file spans y's whole range, so y-filters scan
+    everything. Quantified per dimension: the z-layout's mean y-extent
+    is a fraction of the x-sorted layout's, while its x-extent stays
+    far below the full range."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_kmeans_clustering_spark.sinks.partitioned import (
+        write_range_sorted,
+        write_zordered,
+    )
+
+    df = (
+        spark.range(20_000)
+        .selectExpr(
+            "CAST(id % 141 AS DOUBLE) AS x",
+            "CAST((id * 7919) % 139 AS DOUBLE) AS y",
+        )
+    )
+
+    def mean_extents(path):
+        ex, ey, n = 0.0, 0.0, 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            t = pq.read_table(f, columns=["x", "y"])
+            xs, ys = t["x"].to_pylist(), t["y"].to_pylist()
+            if xs:
+                ex += max(xs) - min(xs)
+                ey += max(ys) - min(ys)
+                n += 1
+        assert n >= 8
+        return ex / n, ey / n
+
+    zpath, xpath = str(tmp_path / "z"), str(tmp_path / "x")
+    write_zordered(df, zpath, [("x", 0.0, 141.0), ("y", 0.0, 139.0)], num_files=16)
+    write_range_sorted(df, xpath, ["x"], num_files=16)
+    zx, zy = mean_extents(zpath)
+    xx, xy = mean_extents(xpath)
+    assert xy > 0.9 * 139  # the thin layout cannot prune on y ...
+    assert zy < 0.6 * xy, (zy, xy)  # ... the z layout can
+    assert zx < 0.6 * 141, (zx,)  # while staying selective on x too
+    # round trip intact
+    assert spark.read.parquet(zpath).count() == 20_000
+
+
+def test_zorder_validates_inputs(spark):
+    import pytest
+
+    from mapreduce_kmeans_clustering_spark.sinks.partitioned import zorder_key
+
+    with pytest.raises(ValueError):
+        zorder_key([("x", 0.0, 1.0)])
+    with pytest.raises(ValueError):
+        zorder_key([("x", 0.0, 1.0), ("y", 0.0, 1.0), ("z", 0.0, 1.0)], bits=21)
