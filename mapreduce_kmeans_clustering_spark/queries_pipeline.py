@@ -1644,6 +1644,86 @@ def q_sql_interface(spark, sf_dir):
     )
 
 
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: one tight conjunctive filter + a single global
+    aggregate — the query whose entire cost is the scan, so every
+    predicate must reach the parquet reader (PushedFilters pinned in
+    test_plans). Revenue in DECIMAL for order-independence."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    amt = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
+    return (
+        li.where(
+            (F.year("l_shipdate") == 1995)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(F.sum(amt), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_shipping_modes(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive (brand, size,
+    quantity) windows evaluated after the part equi-join — the OR
+    branches cannot all push to one scan, but the join stays a single
+    hash join with the residual predicate on top (never one join per
+    branch)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#7") & (F.col("p_size") <= 20)
+           & (F.col("l_quantity") >= 5) & (F.col("l_quantity") <= 35))
+        | ((F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 30)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 50))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return j.where(branch).groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+    )
+
+
+PART_SHARE_BPS = 5.0  # keep parts above 5 basis points of total revenue
+
+
+def q_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: per-part revenue kept only when it exceeds a
+    fraction of the GLOBAL total — group-HAVING against a scalar
+    subquery. The scalar re-aggregates the grouped table (no second
+    fact scan) and broadcasts as one row."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.round(F.sum(rev), 2).cast("double").alias("part_rev")
+    )
+    total = per_part.agg(
+        F.round(F.sum(F.col("part_rev").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("__tot")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("part_rev") > F.col("__tot") * (PART_SHARE_BPS / 10000.0))
+        .select(
+            "l_partkey",
+            "part_rev",
+            F.round(F.lit(10000.0) * F.col("part_rev") / F.col("__tot"), 4).alias(
+                "share_bps"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -2692,6 +2772,37 @@ SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
        round(avg(o_totalprice), 2) AS avg_price
 FROM orders GROUP BY o_orderstatus, o_orderpriority""",
+    "q_forecast_revenue": """
+SELECT count(*) AS n_items,
+       round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2)
+         ::DOUBLE AS revenue
+FROM lineitem
+WHERE year(l_shipdate) = 1995 AND l_discount >= 0.05
+  AND l_discount <= 0.07 AND l_quantity < 24""",
+    "q_shipping_modes": """
+SELECT p_brand, count(*) AS n_items,
+       round(sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#7' AND p_size <= 20
+       AND l_quantity BETWEEN 5 AND 35)
+   OR (p_brand = 'Brand#13' AND p_size <= 30
+       AND l_quantity BETWEEN 10 AND 50)
+GROUP BY 1""",
+    "q_important_parts": f"""
+WITH pp AS (
+  SELECT l_partkey,
+         round(sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4))), 2)::DOUBLE AS part_rev
+  FROM lineitem GROUP BY 1),
+t AS (SELECT round(sum(CAST(part_rev AS DECIMAL(18,2))), 2)::DOUBLE AS tot
+      FROM pp)
+SELECT l_partkey, part_rev,
+       round(10000.0 * part_rev / tot, 4) AS share_bps
+FROM pp CROSS JOIN t
+WHERE part_rev > tot * ({PART_SHARE_BPS} / 10000.0)""",
 }
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2781,4 +2892,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_events_dense_hours": q_events_dense_hours,
     "q_latest_event_per_user": q_latest_event_per_user,
     "q_sql_interface": q_sql_interface,
+    "q_forecast_revenue": q_forecast_revenue,
+    "q_shipping_modes": q_shipping_modes,
+    "q_important_parts": q_important_parts,
 }

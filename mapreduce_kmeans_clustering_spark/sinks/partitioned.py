@@ -187,3 +187,29 @@ def write_zordered(
         .option("maxRecordsPerFile", max_records_per_file)
         .parquet(path)
     )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str],
+    predicate: str | None = None,
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Small-file compaction — the maintenance job every streaming or
+    micro-batch ingest owes its table: rewrite the selected partitions
+    (``predicate`` like "day = '2024-01-02'", default all) so each
+    partition value collapses back to one file per value (plus the
+    giant-file re-split). Values are untouched; only layout changes.
+
+    Built on the same dynamic-partition-overwrite upsert as
+    ``upsert_partitions``: the rewrite replaces exactly the partitions
+    it read, is retry-safe, and leaves concurrent readers a consistent
+    directory (parquet replaces files atomically per task commit).
+    Run it off the ingest path; at 100 TB compaction is bandwidth-
+    bound and embarrassingly parallel across partition values.
+    """
+    df = spark.read.parquet(path)
+    if predicate:
+        df = df.where(predicate)
+    upsert_partitions(df, path, partition_by, max_records_per_file)

@@ -187,3 +187,34 @@ def test_zorder_validates_inputs(spark):
         zorder_key([("x", 0.0, 1.0)])
     with pytest.raises(ValueError):
         zorder_key([("x", 0.0, 1.0), ("y", 0.0, 1.0), ("z", 0.0, 1.0)], bits=21)
+
+
+def test_compact_partitions_collapses_files_and_keeps_rows(spark, tmp_path):
+    """After a many-small-files ingest, compaction leaves one file per
+    partition value, identical rows, and untouched partitions keep
+    their files when a predicate scopes the rewrite."""
+    import glob
+
+    from mapreduce_kmeans_clustering_spark.sinks.partitioned import (
+        compact_partitions,
+    )
+
+    out = str(tmp_path / "t")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    # simulate a micro-batch ingest: many files per partition value
+    ev.repartition(8).write.partitionBy("event_type").parquet(out)
+    before = ev.orderBy("event_id").collect()
+    some_type = sorted(
+        r["event_type"] for r in ev.select("event_type").distinct().collect()
+    )[0]
+    n_files = lambda v: len(glob.glob(f"{out}/event_type={v}/*.parquet"))
+    assert n_files(some_type) > 1
+
+    compact_partitions(
+        spark, out, ["event_type"], predicate=f"event_type = '{some_type}'"
+    )
+    assert n_files(some_type) == 1  # compacted
+    back = spark.read.parquet(out).select("event_id", "user_id", "event_type")
+    assert back.orderBy("event_id").collect() == before  # values intact
