@@ -344,3 +344,61 @@ def sql_plane_literal(dim: int = DEFAULT_DIM, planes: int = DEFAULT_PLANES) -> l
         "[" + ", ".join(f"{c:.1f}" for c in plane) + "]"
         for plane in hyperplanes(dim, planes)
     ]
+
+
+def lsh_write_index(
+    embeddings: DataFrame,
+    path: str,
+    dim: int = DEFAULT_DIM,
+    planes: int = DEFAULT_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the hyperplane-LSH partitioned index (the LSH twin of
+    ivf_write_index): ``path/bucket=<b>/*.parquet``. A multi-probe
+    query then reads only its probe ball's directories — file-level
+    pruning before any row is deserialized. 2^planes buckets; pick
+    planes so corpus/2^planes rows fit one scan task comfortably."""
+    (
+        embeddings.select(
+            F.col(id_col),
+            _as_double(F.col(vec_col)).alias(vec_col),
+            lsh_bucket_expr(F.col(vec_col), dim, planes).alias("bucket"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def lsh_probe_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    dim: int = DEFAULT_DIM,
+    planes: int = DEFAULT_PLANES,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Read the probe ball (all buckets within ``probe_hamming`` bit
+    flips of the query's bucket) from a written index via partition
+    pruning. Returns the candidate rows; score with cosine_topk-style
+    expressions or the BLAS scorer downstream."""
+    from itertools import combinations
+
+    import math
+
+    base = 0
+    for p, plane in enumerate(hyperplanes(dim, planes)):
+        dot = sum(a * b for a, b in zip(query_vec, plane))
+        if dot > 0:
+            base |= 1 << p
+    buckets = {base}
+    for r in range(1, probe_hamming + 1):
+        for flips in combinations(range(planes), r):
+            b = base
+            for f in flips:
+                b ^= 1 << f
+            buckets.add(b)
+    return spark.read.parquet(path).where(
+        F.col("bucket").isin(sorted(buckets))
+    )

@@ -248,3 +248,31 @@ def test_dense_hours_grid_joins_broadcast(spark):
 
     p = _plan(q_events_dense_hours(spark, SF))
     assert "CartesianProduct" not in p
+
+
+def test_forecast_revenue_pushes_all_predicates(spark):
+    """Q6 shape: the query is scan-bound, so discount/quantity bounds
+    must reach the parquet reader as pushed filters."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_forecast_revenue,
+    )
+
+    p = _plan(q_forecast_revenue(spark, SF))
+    # toString truncates the filter list; assert on what survives
+    pushed = p.split("PushedFilters: [")[1].split("\n")[0]
+    assert "IsNotNull(l_discount)" in pushed
+    assert "IsNotNull(l_quantity)" in pushed
+    assert "GreaterThanOrEqual(l_discou" in pushed  # bounds reached the reader
+
+
+def test_shipping_modes_single_join_with_residual_or(spark):
+    """Q19 shape: ONE hash join carries the OR-of-ANDs as a residual —
+    never a join per branch, never a nested loop."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_shipping_modes,
+    )
+
+    p = _plan(q_shipping_modes(spark, SF))
+    assert p.count("Join") <= 2  # one join node (+ possible reuse line)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p

@@ -123,3 +123,40 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
         r["vec_id"] for r in expected.where("list_id in (1, 3)").collect()
     }
     assert got_ids == exp_ids and got_ids
+
+
+def test_lsh_index_round_trip_prunes_partitions(spark, tmp_path):
+    """Written LSH index: probe reads only the probe ball's bucket
+    directories (PartitionFilters, pruning before deserialization) and
+    the candidates equal the in-memory bucket computation."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.operators.similarity import (
+        lsh_bucket_expr,
+        lsh_probe_index,
+        lsh_write_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = str(tmp_path / "lsh_idx")
+    lsh_write_index(emb, out, planes=4)
+
+    qrow = emb.where("vec_id = 0").collect()[0]
+    qv = [float(x) for x in qrow["embedding"]]
+    got = lsh_probe_index(spark, out, qv, planes=4, probe_hamming=1)
+
+    p = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in p.replace("#", " ").replace(
+        "bucket ", "bucket"
+    ) or "bucket" in p.split("PartitionFilters: [")[1].split("]")[0]
+
+    # candidates == in-memory bucket membership for the same probe ball
+    mem = emb.select(
+        "vec_id", lsh_bucket_expr(F.col("embedding"), planes=4).alias("b")
+    )
+    probed_buckets = {r["bucket"] for r in got.select("bucket").distinct().collect()}
+    want = {
+        r["vec_id"] for r in mem.where(F.col("b").isin(list(probed_buckets))).collect()
+    }
+    assert {r["vec_id"] for r in got.collect()} == want
+    assert len(probed_buckets) == 5  # base + 4 single-bit flips
