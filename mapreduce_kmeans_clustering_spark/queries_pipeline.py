@@ -1724,6 +1724,37 @@ def q_important_parts(spark, sf_dir):
     )
 
 
+def q_value_outliers(spark, sf_dir):
+    """Per-type anomaly gate: how many events sit more than 3 rounded
+    standard deviations from their type's rounded mean — the data-
+    quality tripwire before values feed training. Two-phase: stats
+    aggregate (1 shuffle), rounded stats broadcast back over the scan
+    (no second shuffle of events). Rounding the stats BEFORE the
+    comparison keeps the cut deterministic cross-engine."""
+    ev = _events(spark, sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_pop("value"), 6).alias("sigma"),
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max("mu").alias("mu"),
+            F.max("sigma").alias("sigma"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("mu"))
+                    > F.lit(3.0) * F.col("sigma")
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -2803,6 +2834,16 @@ SELECT l_partkey, part_rev,
        round(10000.0 * part_rev / tot, 4) AS share_bps
 FROM pp CROSS JOIN t
 WHERE part_rev > tot * ({PART_SHARE_BPS} / 10000.0)""",
+    "q_value_outliers": """
+WITH st AS (SELECT event_type, round(avg(value), 6) AS mu,
+                   round(stddev_pop(value), 6) AS sigma
+            FROM events GROUP BY 1)
+SELECT event_type, count(*) AS n_events, max(mu) AS mu,
+       max(sigma) AS sigma,
+       CAST(sum(CASE WHEN abs(value - mu) > 3.0 * sigma
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events JOIN st USING (event_type)
+GROUP BY 1""",
 }
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2895,4 +2936,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_forecast_revenue": q_forecast_revenue,
     "q_shipping_modes": q_shipping_modes,
     "q_important_parts": q_important_parts,
+    "q_value_outliers": q_value_outliers,
 }

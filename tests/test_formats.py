@@ -68,3 +68,35 @@ def test_csv_malformed_failfast(spark, tmp_path):
     )
     with pytest.raises(Exception, match="Malformed|FAILFAST"):
         df.collect()
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Lake reality: a writer adds a column mid-stream. mergeSchema
+    unifies; old files read NULL for the new column."""
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id LONG, v STRING").write.parquet(out)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id LONG, v STRING, score DOUBLE"
+    ).write.mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", True).parquet(out)
+    assert set(back.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["score"] is None
+    assert rows[2]["score"] == 9.5
+
+
+def test_corrupt_file_handling_both_postures(spark, tmp_path):
+    """A truncated/garbage parquet file: default read raises (fail
+    loudly), ignoreCorruptFiles=true skips it (keep the pipeline
+    alive) — both postures must be available and predictable."""
+    out = str(tmp_path / "mixed")
+    spark.createDataFrame([(1,), (2,)], "id LONG").write.parquet(out)
+    with open(f"{out}/part-corrupt.parquet", "wb") as f:
+        f.write(b"PAR1 this is not a real parquet footer")
+    strict = spark.read.parquet(out)
+    with pytest.raises(Exception):
+        strict.count()
+    lax = (
+        spark.read.option("ignoreCorruptFiles", True).parquet(out)
+    )
+    assert lax.count() == 2
