@@ -702,3 +702,42 @@ def cosine_for_pairs(
         .join(eb, "b")
         .select("a", "b", cos.alias("cos"))
     )
+
+
+def repeated_passages(
+    docs: DataFrame,
+    gram_len: int = 20,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Passage-level repetition: character ``gram_len``-grams that
+    recur across >= ``min_docs`` distinct documents — the sliding-
+    window analog of exact-substring training-data dedup (Lee et al.,
+    2022 find repeated passages, not whole-doc copies, dominate web
+    corpora; their suffix-array tool is single-machine, this is the
+    partition-parallel shape).
+
+    One generator (positions per doc) + one hash aggregate keyed on
+    the gram hash — inverted-index style, never doc x doc. Shuffle
+    carries md5(gram) not the gram text. Boilerplate grams are the
+    usual hot keys: AQE skew-join plus the same max_df-style cap as
+    jaccard_pairs apply if a gram goes degenerate.
+
+    Output: (h, n_occurrences, n_docs) for qualifying grams.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    eligible = docs.where(F.length(t) >= gram_len)
+    # sequence(1, n) needs n >= 1 (it counts DOWN when stop < start)
+    pos = F.explode(
+        F.sequence(F.lit(1), F.length(t) - F.lit(gram_len - 1))
+    ).alias("pos")
+    grams = eligible.select(F.col(id_col), pos, t.alias("__t")).select(
+        id_col,
+        F.md5(F.substring(F.col("__t"), F.col("pos"), F.lit(gram_len))).alias("h"),
+    )
+    agg = grams.groupBy("h").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.countDistinct(id_col).cast("long").alias("n_docs"),
+    )
+    return agg.where(F.col("n_docs") >= min_docs)

@@ -1755,6 +1755,24 @@ def q_value_outliers(spark, sf_dir):
     )
 
 
+PASSAGE_GRAM = 20
+PASSAGE_TOP = 20
+
+
+def q_dedup_passages(spark, sf_dir):
+    """Cross-document repeated passages: top char-20-grams by how many
+    distinct documents they appear in (dedup.repeated_passages) — the
+    passage-level signal whole-doc dedup misses (boilerplate headers,
+    licence blocks). Top-k via TakeOrderedAndProject; ties broken by
+    occurrence count then hash."""
+    top = D.repeated_passages(
+        _docs(spark, sf_dir), gram_len=PASSAGE_GRAM, min_docs=2
+    )
+    return top.orderBy(
+        F.col("n_docs").desc(), F.col("n_occurrences").desc(), "h"
+    ).limit(PASSAGE_TOP)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -2844,6 +2862,19 @@ SELECT event_type, count(*) AS n_events, max(mu) AS mu,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM events JOIN st USING (event_type)
 GROUP BY 1""",
+    "q_dedup_passages": """
+WITH e AS (SELECT doc_id, coalesce(text, '') AS t FROM documents
+           WHERE length(coalesce(text, '')) >= 20),
+g AS (
+  SELECT doc_id, md5(substr(t, CAST(pos AS INT), 20)) AS h
+  FROM e, LATERAL (SELECT unnest(range(1, length(t) - 18)) AS pos)),
+a AS (SELECT h, count(*) AS n_occurrences,
+             count(DISTINCT doc_id) AS n_docs
+      FROM g GROUP BY 1
+      HAVING count(DISTINCT doc_id) >= 2)
+SELECT h, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM a ORDER BY n_docs DESC, n_occurrences DESC, h LIMIT 20""",
 }
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2937,4 +2968,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_shipping_modes": q_shipping_modes,
     "q_important_parts": q_important_parts,
     "q_value_outliers": q_value_outliers,
+    "q_dedup_passages": q_dedup_passages,
 }

@@ -189,3 +189,25 @@ def test_cosine_for_pairs_restricts_to_candidates(spark, copies_emb):
     assert set(got) == {(0, 1), (0, 3), (2, 9)}
     assert got[(0, 1)] == pytest.approx(1.0)  # scaled copy
     assert got[(2, 9)] == pytest.approx(0.0, abs=1e-12)  # orthogonal
+
+
+def test_repeated_passages_finds_shared_block_only(spark):
+    """Two docs share one exact 24-char block -> its 5 char-20-grams
+    all surface with n_docs=2; a doc with unique text contributes
+    nothing; short/NULL docs are skipped, not crashed."""
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        repeated_passages,
+    )
+
+    block = "SHARED LICENSE BLOCK ABC"  # 24 chars -> 5 grams of 20
+    rows = [
+        (1, f"1111111111{block}8888888888"),  # flanks fully distinct,
+        (2, f"2222222222{block}9999999999"),  # so ONLY the block repeats
+        (3, "completely unique body of text with no repeats at all"),
+        (4, "tiny"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = repeated_passages(df, gram_len=20, min_docs=2).collect()
+    assert len(got) == 5  # exactly the shared block's grams
+    assert all(r["n_docs"] == 2 and r["n_occurrences"] == 2 for r in got)

@@ -338,3 +338,34 @@ def test_stream_cms_shards_merge_to_batch_sketch(spark, events_dir, tmp_path):
         .collect()
     )
     assert merged == whole
+
+
+def test_stream_histogram_counts_match_batch(spark, events_dir):
+    """Streaming histogram: bucket counts aggregated in complete mode
+    equal the batch bucketing — the counts table IS the quantile
+    sketch state, so a stream can serve p50/p95 continuously."""
+    from mapreduce_kmeans_clustering_spark.functions.sketch import (
+        histogram_quantiles,
+    )
+
+    bucket = F.least(
+        F.lit(99), F.greatest(F.lit(0), F.floor(F.col("value") / 5.0))
+    ).cast("int")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(events_dir).schema)
+        .parquet(events_dir)
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+    _run_to_memory(stream, "hist_out")
+    got = {
+        (r["bucket"]): r["n"] for r in spark.sql("SELECT * FROM hist_out").collect()
+    }
+    want = {
+        r["bucket"]: r["n"]
+        for r in spark.read.parquet(events_dir)
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
