@@ -1773,6 +1773,75 @@ def q_dedup_passages(spark, sf_dir):
     ).limit(PASSAGE_TOP)
 
 
+ATTRIB_WINDOW_S = 7 * 86400
+
+
+def q_events_multitouch(spark, sf_dir):
+    """Linear multi-touch attribution: each purchase's value splits
+    evenly across the same user's views in the trailing 7 days (the
+    fair-share counterpart of q_events_attrib's last-touch AS-OF).
+    One RANGE-frame window per user counts trailing views — no
+    self-join, one shuffle on user_id — then per-day attributed
+    revenue. Purchases with no prior view keep their value under
+    'unattributed'."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-ATTRIB_WINDOW_S, 0)
+    )
+    n_views = F.sum(
+        F.when(F.col("event_type") == "view", 1).otherwise(0)
+    ).over(w)
+    p = (
+        ev.withColumn("n_views", n_views)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("value"),
+            F.col("n_views").cast("long").alias("n_views"),
+        )
+    )
+    return p.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.round(
+            F.sum(F.when(F.col("n_views") > 0, F.col("value")).otherwise(0.0)), 2
+        ).alias("attributed_value"),
+        F.round(
+            F.sum(F.when(F.col("n_views") == 0, F.col("value")).otherwise(0.0)), 2
+        ).alias("unattributed_value"),
+        F.round(F.avg(F.col("n_views").cast("double")), 4).alias("avg_touches"),
+    )
+
+
+def q_revenue_mom(spark, sf_dir):
+    """Month-over-month revenue: monthly totals (DECIMAL, rounded)
+    with absolute and percent change via lag — the delta query every
+    finance dashboard opens with. Percent divides two already-rounded
+    doubles, so both engines divide identical inputs."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    m = (
+        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    # first month: lag is NULL -> 0.0 (keeps result columns non-NULL,
+    # which sort-based cross-engine compares need)
+    return m.select(
+        "month",
+        "revenue",
+        F.coalesce(F.round(F.col("revenue") - prev, 2), F.lit(0.0)).alias("delta"),
+        F.coalesce(
+            F.round((F.col("revenue") - prev) / prev * 100.0, 4), F.lit(0.0)
+        ).alias("pct_change"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -2875,6 +2944,37 @@ a AS (SELECT h, count(*) AS n_occurrences,
 SELECT h, CAST(n_occurrences AS BIGINT) AS n_occurrences,
        CAST(n_docs AS BIGINT) AS n_docs
 FROM a ORDER BY n_docs DESC, n_occurrences DESC, h LIMIT 20""",
+    "q_events_multitouch": """
+WITH x AS (
+  SELECT ts, user_id, event_type, value,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+           RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS n_views
+  FROM events),
+p AS (SELECT date_trunc('day', ts)::TIMESTAMP AS day, value,
+             CAST(n_views AS BIGINT) AS n_views
+      FROM x WHERE event_type = 'purchase')
+SELECT day, count(*) AS n_purchases,
+       round(sum(CASE WHEN n_views > 0 THEN value ELSE 0.0 END), 2)
+         AS attributed_value,
+       round(sum(CASE WHEN n_views = 0 THEN value ELSE 0.0 END), 2)
+         AS unattributed_value,
+       round(avg(n_views::DOUBLE), 4) AS avg_touches
+FROM p GROUP BY 1""",
+    "q_revenue_mom": """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+         round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE
+           AS revenue
+  FROM orders GROUP BY 1)
+SELECT month, revenue,
+       coalesce(round(revenue - lag(revenue) OVER (ORDER BY month), 2),
+                0.0) AS delta,
+       coalesce(round((revenue - lag(revenue) OVER (ORDER BY month))
+                      / lag(revenue) OVER (ORDER BY month) * 100.0, 4),
+                0.0) AS pct_change
+FROM m""",
 }
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2969,4 +3069,6 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_important_parts": q_important_parts,
     "q_value_outliers": q_value_outliers,
     "q_dedup_passages": q_dedup_passages,
+    "q_events_multitouch": q_events_multitouch,
+    "q_revenue_mom": q_revenue_mom,
 }
