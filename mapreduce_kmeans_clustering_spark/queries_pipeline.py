@@ -1842,6 +1842,34 @@ def q_revenue_mom(spark, sf_dir):
     )
 
 
+def q_lineitem_expectations(spark, sf_dir):
+    """Data-contract gate over the fact table: declared rules →
+    violation counts (operators/expectations.py) — nulls, ranges,
+    domains, uniqueness of the line id, and referential integrity
+    against orders. Row rules share ONE scan; the FK check is one
+    anti-join."""
+    from mapreduce_kmeans_clustering_spark.operators.expectations import expect
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li2 = li.withColumn(
+        "line_uid",
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")),
+    )
+    return expect(
+        li2,
+        [
+            ("not_null", "l_orderkey"),
+            ("between", "l_quantity", 1.0, 50.0),
+            ("between", "l_discount", 0.0, 0.1),
+            ("in_set", "l_returnflag", ["A", "N", "R"]),
+            ("regex", "l_linestatus", "^[FO]$"),
+            ("unique", "line_uid"),
+            ("fk", "l_orderkey", orders, "o_orderkey"),
+        ],
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -2975,6 +3003,40 @@ SELECT month, revenue,
                       / lag(revenue) OVER (ORDER BY month) * 100.0, 4),
                 0.0) AS pct_change
 FROM m""",
+    "q_lineitem_expectations": """
+SELECT 'not_null:l_orderkey' AS rule,
+       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations FROM lineitem
+UNION ALL
+SELECT 'between:l_quantity',
+       CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0
+                       OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'between:l_discount',
+       CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+                       OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'in_set:l_returnflag',
+       CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'regex:l_linestatus',
+       CAST(sum(CASE WHEN NOT regexp_matches(coalesce(l_linestatus, ''),
+                                             '^[FO]$')
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'unique:line_uid',
+       CAST(count(*) - count(DISTINCT l_orderkey || '-' || l_linenumber)
+            AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'fk:l_orderkey',
+       CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)""",
 }
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3071,4 +3133,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_passages": q_dedup_passages,
     "q_events_multitouch": q_events_multitouch,
     "q_revenue_mom": q_revenue_mom,
+    "q_lineitem_expectations": q_lineitem_expectations,
 }
