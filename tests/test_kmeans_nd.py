@@ -104,3 +104,27 @@ def test_mllib_backend_clusters_reference_data(spark):
     counts = {r["cluster"]: r["count"] for r in labeled.groupBy("cluster").count().collect()}
     assert sum(counts.values()) == 5000
     assert set(counts) == {0, 1, 2, 3, 4}
+
+
+def test_fused_partials_equal_two_phase_update(spark):
+    """lloyd_partials_nd (fused Arrow partials) == assign_nd +
+    update_centroids_nd at 1e-9 on real embeddings — same clusters,
+    same means, only the Python-boundary volume differs."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.plans.kmeans_nd import (
+        assign_nd,
+        lloyd_partials_nd,
+        seed_centroids_nd,
+        update_centroids_nd,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    seeds = seed_centroids_nd(emb, 6)
+    a = update_centroids_nd(assign_nd(emb, seeds), 64)
+    b = lloyd_partials_nd(emb, seeds)
+    assert [c for c, _ in a] == [c for c, _ in b]
+    for (_, va), (_, vb) in zip(a, b):
+        assert max(abs(x - y) for x, y in zip(va, vb)) < 1e-9
