@@ -1870,6 +1870,26 @@ def q_lineitem_expectations(spark, sf_dir):
     )
 
 
+def q_corpus_shard_manifest(spark, sf_dir):
+    """Shard manifest with content checksums: per (split, shard) the
+    doc count, char total, and an order-independent digest —
+    md5 over the sorted doc-id list — so a consumer can verify a
+    delivered shard matches what the producer cut without comparing
+    rows. The digest is deterministic because the id list is sorted
+    inside the aggregate (collect_list order is not stable; sort_array
+    makes it canonical)."""
+    docs = CU.split_assign(_docs(spark, sf_dir))
+    return docs.groupBy("split", "shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.md5(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.col("doc_id")))
+            )
+        ).alias("content_digest"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -3037,6 +3057,21 @@ UNION ALL
 SELECT 'fk:l_orderkey',
        CAST(count(*) AS BIGINT)
 FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)""",
+    "q_corpus_shard_manifest": """
+WITH b AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+           AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 980 THEN 'train'
+            WHEN bucket < 990 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(bucket % 8 AS INT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+         AS content_digest
+FROM b GROUP BY 1, 2""",
 }
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3134,4 +3169,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_events_multitouch": q_events_multitouch,
     "q_revenue_mom": q_revenue_mom,
     "q_lineitem_expectations": q_lineitem_expectations,
+    "q_corpus_shard_manifest": q_corpus_shard_manifest,
 }

@@ -192,3 +192,36 @@ def test_column_profile_approx_mode(spark):
     }
     assert abs(got["id"] - 1000) <= 50
     assert abs(got["m"] - 10) <= 1
+
+
+def test_write_shuffled_is_deterministic_and_salt_sensitive(spark, tmp_path):
+    """Deterministic global shuffle: same salt -> identical file order
+    across runs; different salt -> different permutation; all rows
+    survive exactly once."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_kmeans_clustering_spark.operators.sampling import (
+        write_shuffled,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+
+    def order(path):
+        ids = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            ids.extend(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+        return ids
+
+    a, b, c = (str(tmp_path / x) for x in "abc")
+    write_shuffled(docs, a, num_files=4)
+    write_shuffled(docs, b, num_files=4)
+    write_shuffled(docs, c, num_files=4, salt="epoch2:")
+    oa, ob, oc = order(a), order(b), order(c)
+    assert oa == ob  # reproducible
+    assert sorted(oa) == sorted(oc)  # same rows...
+    assert oa != oc  # ...new permutation per epoch salt
+    assert len(oa) == n
+    assert oa != sorted(oa)  # actually shuffled, not id-ordered
