@@ -1890,6 +1890,29 @@ def q_corpus_shard_manifest(spark, sf_dir):
     )
 
 
+def q_value_winsorized(spark, sf_dir):
+    """Winsorization gate: clip event value at its type's rounded p99
+    (outlier capping before values feed a model). Two-phase like the
+    outlier query: exact percentile per type (rounded → deterministic
+    threshold), broadcast back, clip with least() — one events
+    shuffle total. Reports per type: rows clipped and the mass the
+    cap removed."""
+    ev = _events(spark, sf_dir)
+    caps = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.99), 4).alias("cap")
+    )
+    j = ev.join(F.broadcast(caps), "event_type")
+    clipped = F.least(F.col("value"), F.col("cap"))
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max("cap").alias("cap"),
+        F.sum((F.col("value") > F.col("cap")).cast("int"))
+        .cast("long")
+        .alias("n_clipped"),
+        F.round(F.sum(F.col("value") - clipped), 2).alias("mass_removed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -3072,6 +3095,16 @@ SELECT CASE WHEN bucket < 980 THEN 'train'
        md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
          AS content_digest
 FROM b GROUP BY 1, 2""",
+    "q_value_winsorized": """
+WITH caps AS (SELECT event_type, round(quantile_cont(value, 0.99), 4)
+                       AS cap
+              FROM events GROUP BY 1)
+SELECT event_type, count(*) AS n_events, max(cap) AS cap,
+       CAST(sum(CASE WHEN value > cap THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped,
+       round(sum(value - least(value, cap)), 2) AS mass_removed
+FROM events JOIN caps USING (event_type)
+GROUP BY 1""",
 }
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3170,4 +3203,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_revenue_mom": q_revenue_mom,
     "q_lineitem_expectations": q_lineitem_expectations,
     "q_corpus_shard_manifest": q_corpus_shard_manifest,
+    "q_value_winsorized": q_value_winsorized,
 }
