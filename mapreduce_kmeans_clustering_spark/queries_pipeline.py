@@ -1913,6 +1913,55 @@ def q_value_winsorized(spark, sf_dir):
     )
 
 
+# SCD2-style versioned rate table: (valid_from, rate) — each order
+# takes the latest rate at or before its order date. Literal and
+# identical in both engines.
+FX_VERSIONS = [
+    (f"{1995 + i // 2}-{'01' if i % 2 == 0 else '07'}-01 00:00:00", round(1.0 + 0.02 * i, 4))
+    for i in range(14)
+]
+
+
+def q_orders_fx(spark, sf_dir):
+    """Temporal dimension lookup (SCD2 / currency-rate shape): every
+    order joined AS-OF to the latest version of a rates table valid at
+    its order date, revenue restated under that rate. Same one-
+    sort-shuffle asof_join machinery as event attribution — a
+    versioned dimension is just an as-of join where the right side is
+    tiny. Yearly rollup of restated revenue."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_totalprice",
+        F.lit("usd").alias("ccy"),
+    )
+    rates = spark.createDataFrame(
+        [(t, r) for t, r in FX_VERSIONS], "valid_from string, rate double"
+    ).select(
+        F.lit("usd").alias("ccy"),
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        "rate",
+    )
+    j = J.asof_join(
+        orders,
+        rates,
+        on="ccy",
+        left_ts="o_orderdate",
+        right_ts="valid_from",
+        payload=["rate"],
+    )
+    restated = (
+        F.col("o_totalprice") * F.coalesce(F.col("rate"), F.lit(1.0))
+    ).cast("decimal(18,4)")
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum(restated), 2).cast("double").alias("restated_revenue"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -3105,6 +3154,15 @@ SELECT event_type, count(*) AS n_events, max(cap) AS cap,
        round(sum(value - least(value, cap)), 2) AS mass_removed
 FROM events JOIN caps USING (event_type)
 GROUP BY 1""",
+    "q_orders_fx": f"""
+WITH r(vf, rate) AS (VALUES {", ".join(f"(TIMESTAMP '{t}', {r}::DOUBLE)" for t, r in FX_VERSIONS)}),
+j AS (
+  SELECT o.o_orderdate, o.o_totalprice, r.rate
+  FROM orders o ASOF LEFT JOIN r ON o.o_orderdate >= r.vf)
+SELECT year(o_orderdate)::INT AS order_year, count(*) AS n_orders,
+       round(sum(CAST(o_totalprice * coalesce(rate, 1.0)
+                      AS DECIMAL(18,4))), 2)::DOUBLE AS restated_revenue
+FROM j GROUP BY 1""",
 }
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3204,4 +3262,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lineitem_expectations": q_lineitem_expectations,
     "q_corpus_shard_manifest": q_corpus_shard_manifest,
     "q_value_winsorized": q_value_winsorized,
+    "q_orders_fx": q_orders_fx,
 }
