@@ -1962,6 +1962,31 @@ def q_orders_fx(spark, sf_dir):
     )
 
 
+def q_user_lifetime(spark, sf_dir):
+    """Engagement-tenure histogram: per-user first→last event span
+    bucketed into weeks, with user counts and average activity per
+    bucket — the lifetime table cohort/LTV analyses start from. One
+    aggregate to user grain, one to bucket grain; integer week math
+    so the bucket cut is exact."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    weeks = F.expr("datediff(last_ts, first_ts) div 7").cast("int")
+    return (
+        per_user.select(weeks.alias("tenure_weeks"), "n_events")
+        .groupBy("tenure_weeks")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.round(F.avg(F.col("n_events").cast("double")), 4).alias(
+                "avg_events"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -3163,6 +3188,15 @@ SELECT year(o_orderdate)::INT AS order_year, count(*) AS n_orders,
        round(sum(CAST(o_totalprice * coalesce(rate, 1.0)
                       AS DECIMAL(18,4))), 2)::DOUBLE AS restated_revenue
 FROM j GROUP BY 1""",
+    "q_user_lifetime": """
+WITH u AS (SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+                  count(*) AS n_events
+           FROM events GROUP BY 1)
+SELECT CAST(date_diff('day', CAST(first_ts AS DATE),
+                      CAST(last_ts AS DATE)) // 7 AS INT) AS tenure_weeks,
+       count(*) AS n_users,
+       round(avg(n_events::DOUBLE), 4) AS avg_events
+FROM u GROUP BY 1""",
 }
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3263,4 +3297,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_corpus_shard_manifest": q_corpus_shard_manifest,
     "q_value_winsorized": q_value_winsorized,
     "q_orders_fx": q_orders_fx,
+    "q_user_lifetime": q_user_lifetime,
 }
