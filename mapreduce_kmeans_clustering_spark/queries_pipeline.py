@@ -1987,6 +1987,86 @@ def q_user_lifetime(spark, sf_dir):
     )
 
 
+OVERLAP_TOP = 15
+
+
+def q_source_overlap(spark, sf_dir):
+    """Vocabulary overlap between sources: Jaccard similarity of each
+    source pair's distinct token sets — the corpus-composition check
+    that flags two 'different' feeds scraping the same sites. Shape:
+    distinct (source, token) inverted index, self-equi-join on token
+    (never source x source), |A∪B| = |A|+|B|-|A∩B| from per-source
+    counts. Top pairs by similarity."""
+    docs = _docs(spark, sf_dir)
+    st = docs.select(
+        "source", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    ).distinct()
+    sizes = st.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    a = st.select(F.col("source").alias("s1"), "tok")
+    b = st.select(F.col("source").alias("s2"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("s1"), F.col("n").alias("n1"))
+    sb = sizes.select(F.col("source").alias("s2"), F.col("n").alias("n2"))
+    j = (
+        inter.join(F.broadcast(sa), "s1")
+        .join(F.broadcast(sb), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n1") + F.col("n2") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return j.orderBy(F.col("jaccard").desc(), "s1", "s2").limit(OVERLAP_TOP)
+
+
+ZIPF_TOP = 20
+
+
+def q_token_zipf(spark, sf_dir):
+    """Zipf head of the corpus: top tokens by frequency with their
+    rank and rank*frequency product (roughly constant under Zipf's
+    law — the sanity plot every corpus report includes). One token
+    aggregate + a rank window over the rounded head."""
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), "tok")
+    return (
+        tf.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= ZIPF_TOP)
+        .select(
+            "rank", "tok", "freq", (F.col("rank") * F.col("freq")).alias("rf")
+        )
+    )
+
+
+def q_events_dow_hour(spark, sf_dir):
+    """Activity heatmap: events by (day-of-week 1=Sunday, hour) — the
+    load-pattern matrix behind capacity planning and bot detection.
+    One hash aggregate on a 7x24 key domain."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -3197,6 +3277,38 @@ SELECT CAST(date_diff('day', CAST(first_ts AS DATE),
        count(*) AS n_users,
        round(avg(n_events::DOUBLE), 4) AS avg_events
 FROM u GROUP BY 1""",
+    "q_source_overlap": f"""
+WITH st AS (SELECT DISTINCT source, unnest({_TOK}) AS tok FROM documents),
+sz AS (SELECT source, count(*) AS n FROM st GROUP BY 1),
+inter AS (
+  SELECT a.source AS s1, b.source AS s2, count(*) AS n_common
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2),
+j AS (
+  SELECT s1, s2, CAST(n_common AS BIGINT) AS n_common,
+         round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 6)
+           AS jaccard
+  FROM inter
+  JOIN sz sa ON inter.s1 = sa.source
+  JOIN sz sb ON inter.s2 = sb.source)
+SELECT * FROM j ORDER BY jaccard DESC, s1, s2 LIMIT {OVERLAP_TOP}""",
+    "q_token_zipf": f"""
+WITH tf AS (
+  SELECT tok, count(*) AS freq
+  FROM (SELECT unnest({_TOK}) AS tok FROM documents)
+  GROUP BY 1),
+r AS (SELECT tok, CAST(freq AS BIGINT) AS freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, tok) AS INT)
+               AS rank
+      FROM tf)
+SELECT rank, tok, freq, CAST(rank * freq AS BIGINT) AS rf
+FROM r WHERE rank <= {ZIPF_TOP}""",
+    "q_events_dow_hour": """
+SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+       CAST(hour(ts) AS INT) AS hr,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2""",
 }
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3298,4 +3410,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_value_winsorized": q_value_winsorized,
     "q_orders_fx": q_orders_fx,
     "q_user_lifetime": q_user_lifetime,
+    "q_source_overlap": q_source_overlap,
+    "q_token_zipf": q_token_zipf,
+    "q_events_dow_hour": q_events_dow_hour,
 }
