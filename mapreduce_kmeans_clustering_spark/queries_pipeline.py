@@ -2067,6 +2067,82 @@ def q_events_dow_hour(spark, sf_dir):
     )
 
 
+def q_brand_type_share(spark, sf_dir):
+    """Share-of-group via window ratio: each brand's revenue as a
+    percent of its part type's total — the within-category share
+    pattern (window sum over the grouped table, no second scan or
+    self-join). DECIMAL totals rounded before the division."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    g = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "p_brand")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("brand_rev"))
+    )
+    w = Window.partitionBy("p_type")
+    return g.select(
+        "p_type",
+        "p_brand",
+        "brand_rev",
+        # the window total goes through DECIMAL so the divisor is
+        # partition-order-independent (same rule as every money sum)
+        F.round(
+            F.lit(100.0)
+            * F.col("brand_rev")
+            / F.sum(F.col("brand_rev").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double"),
+            4,
+        ).alias("type_share_pct"),
+    )
+
+
+def q_customer_rfm(spark, sf_dir):
+    """RFM segmentation: every customer scored into quartiles of
+    Recency (days since last order, vs the corpus max date), Frequency
+    (order count) and Monetary (total spend), rolled up per R-F-M
+    segment code — the classic marketing cut, all ntile windows with
+    custkey tie-breaks so the cut is deterministic."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    anchor = orders.agg(F.max("o_orderdate").alias("__mx"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.expr("datediff(__mx, o_orderdate)"))
+            .cast("int")
+            .alias("recency_days"),
+            F.count("*").cast("long").alias("frequency"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    r = F.ntile(4).over(
+        Window.orderBy(F.col("recency_days"), F.col("o_custkey"))
+    )
+    f_ = F.ntile(4).over(
+        Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    )
+    m = F.ntile(4).over(
+        Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "monetary",
+        F.concat(F.lit("R"), r, F.lit("F"), f_, F.lit("M"), m).alias("segment"),
+    )
+    return scored.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.round(F.sum(F.col("monetary").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("segment_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -3309,6 +3385,40 @@ SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
        count(*) AS n_events,
        round(sum(value), 2) AS total_value
 FROM events GROUP BY 1, 2""",
+    "q_brand_type_share": """
+WITH g AS (
+  SELECT p_type, p_brand,
+         round(sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4))), 2)::DOUBLE AS brand_rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2)
+SELECT p_type, p_brand, brand_rev,
+       round(100.0 * brand_rev
+             / (sum(CAST(brand_rev AS DECIMAL(18,2)))
+                  OVER (PARTITION BY p_type))::DOUBLE, 4)
+         AS type_share_pct
+FROM g""",
+    "q_customer_rfm": """
+WITH mx AS (SELECT max(o_orderdate) AS m FROM orders),
+pc AS (
+  SELECT o_custkey,
+         CAST(min(date_diff('day', CAST(o_orderdate AS DATE),
+                            CAST(m AS DATE))) AS INT) AS recency_days,
+         count(*) AS frequency,
+         round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE
+           AS monetary
+  FROM orders CROSS JOIN mx GROUP BY 1),
+sc AS (
+  SELECT o_custkey, monetary,
+         'R' || ntile(4) OVER (ORDER BY recency_days, o_custkey)
+         || 'F' || ntile(4) OVER (ORDER BY frequency DESC, o_custkey)
+         || 'M' || ntile(4) OVER (ORDER BY monetary DESC, o_custkey)
+           AS segment
+  FROM pc)
+SELECT segment, count(*) AS n_customers,
+       round(sum(CAST(monetary AS DECIMAL(18,2))), 2)::DOUBLE
+         AS segment_value
+FROM sc GROUP BY 1""",
 }
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3413,4 +3523,6 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_source_overlap": q_source_overlap,
     "q_token_zipf": q_token_zipf,
     "q_events_dow_hour": q_events_dow_hour,
+    "q_brand_type_share": q_brand_type_share,
+    "q_customer_rfm": q_customer_rfm,
 }

@@ -81,3 +81,13 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert set(df.columns) == {"x", "y", "z", "cluster"}
+
+
+def test_every_query_has_an_oracle():
+    """The registry's contract is 'none rows-only': a queries() entry
+    without an oracle_sql() twin silently weakens the gate (the parity
+    test falls back to a vacuous rows-only branch), so its absence
+    must fail loudly here instead."""
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    missing = sorted(k for k in qs if k not in oracles)
+    assert not missing, f"queries without oracles: {missing}"
