@@ -2143,6 +2143,34 @@ def q_customer_rfm(spark, sf_dir):
     )
 
 
+def q_session_conversion(spark, sf_dir):
+    """Per-day session conversion: sessions (30-min inactivity cut)
+    grouped by their start day, with the share that contained a
+    purchase — the KPI sitting on top of sessionization + funnel.
+    Session ids come from a running sum of the new-session flag (one
+    user_id shuffle); conversion is a per-session any-purchase flag
+    rolled up to day grain."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = e.withColumn("sid", F.sum(new_s).over(run))
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.date_trunc("day", F.min("ts")).alias("day"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted"),
+    )
+    return per_sess.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.round(
+            F.sum("converted") / F.count("*").cast("double") * 100.0, 4
+        ).alias("conversion_pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -3419,6 +3447,30 @@ SELECT segment, count(*) AS n_customers,
        round(sum(CAST(monetary AS DECIMAL(18,2))), 2)::DOUBLE
          AS segment_value
 FROM sc GROUP BY 1""",
+    "q_session_conversion": f"""
+WITH e AS (SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts
+           FROM events),
+l AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_type, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM l),
+ps AS (
+  SELECT user_id, sid, date_trunc('day', min(ts))::TIMESTAMP AS day,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM s GROUP BY 1, 2)
+SELECT day, count(*) AS n_sessions,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       round(sum(converted) / CAST(count(*) AS DOUBLE) * 100.0, 4)
+         AS conversion_pct
+FROM ps GROUP BY 1""",
 }
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3525,4 +3577,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_events_dow_hour": q_events_dow_hour,
     "q_brand_type_share": q_brand_type_share,
     "q_customer_rfm": q_customer_rfm,
+    "q_session_conversion": q_session_conversion,
 }
