@@ -2171,6 +2171,28 @@ def q_session_conversion(spark, sf_dir):
     )
 
 
+def q_order_backlog(spark, sf_dir):
+    """Backlog aging: non-final orders bucketed by age (180-day bands
+    against the corpus max date), counts and value per (status, band)
+    — the operations view of unfinished work. One broadcast anchor
+    row, one aggregate."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    anchor = orders.agg(F.max("o_orderdate").alias("__mx"))
+    age = F.expr("datediff(__mx, o_orderdate)")
+    band = F.least(F.lit(4), F.floor(age / 180)).cast("int")
+    return (
+        orders.where(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(anchor))
+        .groupBy(F.col("o_orderstatus").alias("status"), band.alias("age_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("backlog_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -3471,6 +3493,18 @@ SELECT day, count(*) AS n_sessions,
        round(sum(converted) / CAST(count(*) AS DOUBLE) * 100.0, 4)
          AS conversion_pct
 FROM ps GROUP BY 1""",
+    "q_order_backlog": """
+WITH mx AS (SELECT max(o_orderdate) AS m FROM orders)
+SELECT o_orderstatus AS status,
+       CAST(least(4, date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(m AS DATE)) // 180) AS INT)
+         AS age_band,
+       count(*) AS n_orders,
+       round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE
+         AS backlog_value
+FROM orders CROSS JOIN mx
+WHERE o_orderstatus <> 'F'
+GROUP BY 1, 2""",
 }
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3578,4 +3612,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_brand_type_share": q_brand_type_share,
     "q_customer_rfm": q_customer_rfm,
     "q_session_conversion": q_session_conversion,
+    "q_order_backlog": q_order_backlog,
 }
