@@ -70,13 +70,54 @@ def main() -> None:
         ),
         3,
     )
+
+    # The external driver captures only the TAIL of stdout; in round 2
+    # the single giant JSON line (~118 query entries) pushed
+    # `suite_seconds` out of the capture window and the record came
+    # back unparsed. So: full per-query detail goes to a sidecar file
+    # and an earlier stdout line, and the LAST line is a compact
+    # summary that always fits the tail window. The compact line keeps
+    # the `queries` key (schema the driver expects) but limits it to
+    # the headline fits plus the slowest entries.
+    detail = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    print(json.dumps(detail))
+
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if not k.endswith("iterations")),
+            key=lambda kv: kv[1],
+            reverse=True,
+        )[:8]
+    )
+    compact_queries = {
+        "fit_converge": timings["fit_converge"],
+        "fit_iterations": timings["fit_iterations"],
+        "fit_nd_converge": timings["fit_nd_converge"],
+        "fit_nd_iterations": timings["fit_nd_iterations"],
+        **slowest,
+    }
     print(
         json.dumps(
             {
                 "metric": "suite_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": sum(
+                    1 for k in timings if not k.endswith("iterations")
+                ),
+                "queries": compact_queries,
+                "detail_file": "BENCH_DETAIL.json",
                 "sf": sf,
             }
         )

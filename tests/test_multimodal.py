@@ -50,6 +50,35 @@ def test_extract_features_deterministic_and_partitioned(media):
     assert a == b  # partitioning must not affect results
 
 
+def test_extract_features_engines_agree(media):
+    """The JVM column-expression digest path (registered) and the
+    Arrow mapInPandas path (future real-inference shape) must produce
+    identical rows — same md5-byte math, two execution engines."""
+    jvm = {
+        r["media_id"]: (r["kind"], r["n_bytes"], r["features"])
+        for r in extract_features(media, engine="jvm").collect()
+    }
+    arrow = {
+        r["media_id"]: (r["kind"], r["n_bytes"], r["features"])
+        for r in extract_features(media, engine="arrow").collect()
+    }
+    assert jvm == arrow
+
+
+def test_extract_features_jvm_plan_stays_in_jvm(media):
+    """engine='jvm' must not pay a Python/Arrow round-trip; the arrow
+    engine must actually use one (it's the real-decode shape)."""
+    jvm_plan = extract_features(media, engine="jvm")._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in jvm_plan and "Python" not in jvm_plan
+    arrow_plan = extract_features(media, engine="arrow")._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in arrow_plan
+
+
+def test_extract_features_rejects_unknown_engine(media):
+    with pytest.raises(ValueError, match="engine"):
+        extract_features(media, engine="gpu")
+
+
 def test_decode_is_a_clear_stub():
     with pytest.raises(NotImplementedError, match="codec"):
         decode_media(b"bytes", "image")
