@@ -57,13 +57,27 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+# Buffer-pool cache for the events relation, keyed per application ×
+# sf_dir like queries.scale_points: ~20 registered queries start from
+# this exact (scan + ts-normalization) relation, and without the pin
+# each re-reads the parquet and re-derives ts. MEMORY_AND_DISK so a
+# larger SF degrades to spill instead of OOM; at true fact-table scale
+# a caller would skip the persist (one-shot queries) or pin only the
+# hot projection — the helper is the single choke point to change.
+_EVENTS_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the events table with a microsecond ``ts`` TIMESTAMP.
+    """Load the events table with a microsecond ``ts`` TIMESTAMP,
+    persisted per (application, sf_dir).
 
     Handles both generator encodings seen across driver rounds:
     TIMESTAMP(NANOS) (which the Spark reader only accepts as long via
     the legacy flag — truncated to micros, same as the oracle's
     ts::TIMESTAMP cast) and native TIMESTAMP(MICROS)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _EVENTS_CACHE:
+        return _EVENTS_CACHE[key]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(e.dtypes)["ts"] == "bigint":
@@ -71,7 +85,13 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # TIMESTAMP_NTZ parquet → session-tz TIMESTAMP: value-preserving
     # (session tz pinned UTC) and what unix_micros/window() expect.
-    return e.withColumn("ts", F.col("ts").cast("timestamp"))
+    from pyspark.storagelevel import StorageLevel
+
+    e = e.withColumn("ts", F.col("ts").cast("timestamp")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _EVENTS_CACHE[key] = e
+    return e
 
 
 # ---------------------------------------------------------------------------
