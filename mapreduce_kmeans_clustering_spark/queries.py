@@ -245,6 +245,23 @@ def q_chain_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a disagreement would need the sum within one ulp of the
     threshold). chain_centroids memoizes prefixes, so the loop extends
     one iteration at a time, never recomputing."""
+    return _chain_converge(spark, sf_dir, CONVERGE_THRESHOLD)
+
+
+def q_chain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cap-binds twin of q_chain_converge: threshold 0.0, and the
+    displacement test is strict `<`, so no iteration can early-stop
+    and the loop must run all CONVERGE_CAP rounds with
+    stop_iter == CONVERGE_CAP. This oracle-checks the reference's
+    cap-without-convergence exit (Task3.java:192: the iteration loop's
+    bound firing before the convergence break) — q_chain_converge only
+    ever exercises the early-break path at both driver SFs."""
+    return _chain_converge(spark, sf_dir, 0.0)
+
+
+def _chain_converge(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
     import math
 
     prev = sorted(scale_seeds(spark, sf_dir), key=lambda c: c.id)
@@ -260,7 +277,7 @@ def q_chain_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for a, b in zip(prev, cur)
         )
-        if disp < CONVERGE_THRESHOLD:
+        if disp < threshold:
             stop = i
             break
         prev = cur
@@ -358,6 +375,7 @@ KMEANS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_chain2": q_chain2,
     "q_chain5": q_chain5,
     "q_chain_converge": q_chain_converge,
+    "q_chain_cap": q_chain_cap,
     "q_label": q_label,
     "q_members": q_members,
     "q_intra": q_intra,
@@ -402,11 +420,12 @@ sil_stats AS (
   WHERE z.n > 1
 )"""
 
-def _sql_chain_converge() -> str:
+def _sql_chain_converge(threshold: float = CONVERGE_THRESHOLD) -> str:
     """Unrolled early-stop chain: CONVERGE_CAP assign/update rounds,
     per-round displacement CTEs, first-below-threshold stop pick, and
     the centroids of the stop round tagged with its index. Identical
-    rounding/arithmetic contract to q_chain5's oracle."""
+    rounding/arithmetic contract to q_chain5's oracle. threshold=0.0
+    is the cap-binds twin (strict `<` never fires, ELSE cap)."""
     cap = CONVERGE_CAP
     # every chain node is multiply-referenced here, so materialize the
     # whole prelude + chain (see _sql_assign's mat note)
@@ -428,7 +447,7 @@ def _sql_chain_converge() -> str:
     stop_case = (
         "CASE "
         + " ".join(
-            f"WHEN (SELECT d FROM d{i}) < {CONVERGE_THRESHOLD} THEN {i}"
+            f"WHEN (SELECT d FROM d{i}) < {threshold} THEN {i}"
             for i in range(1, cap + 1)
         )
         + f" ELSE {cap} END"
@@ -460,6 +479,7 @@ KMEANS_ORACLES: dict[str, str] = {
         + " SELECT id, x, y, z FROM c5"
     ),
     "q_chain_converge": _sql_chain_converge(),
+    "q_chain_cap": _sql_chain_converge(0.0),
     "q_label": (
         f"{SQL_PRELUDE},{_sql_assign('pts', 'c1', 'lab')}"
         " SELECT rid, x, y, z, cluster FROM lab"
@@ -494,16 +514,17 @@ from mapreduce_kmeans_clustering_spark.queries_pipeline import (  # noqa: E402
 
 # The external correctness driver records only the FIRST 50 keys of
 # queries() (observed cap in CORRECTNESS_r01/r02). To get every
-# registered query driver-verified across rounds, we rotate: the 11
-# K-Means parity queries (SURVEY §2.3) always occupy the first slots,
-# and the remaining 39 slots are filled with queries that have not yet
-# appeared in any CORRECTNESS_r*.json. Queries verified in rounds 1-2
-# (see those JSON files) move to the tail; the full registry is still
-# covered every round by tests/test_oracle_parity.py (the local mirror
-# of the driver's DuckDB gate).
+# registered query driver-verified across rounds, we rotate: the 12
+# K-Means parity queries (SURVEY §2.3, incl. the new q_chain_cap)
+# always occupy the first slots, and the remaining 38 slots are filled
+# with queries that have not yet appeared in any CORRECTNESS_r*.json.
+# Queries verified in rounds 1-2 (see those JSON files) move to the
+# tail; the full registry is still covered every round by
+# tests/test_oracle_parity.py (the local mirror of the driver's DuckDB
+# gate).
 #
-# Round-3 rotation: first 39 of the 61 never-driver-verified keys, in
-# original registry order. The ~22 remaining rotate in next round.
+# Round-3 rotation: first 38 of the 61 never-driver-verified keys, in
+# original registry order. The remainder rotates in next round.
 DRIVER_ROTATION: list[str] = [
     "q_order_grouping_sets", "q_doc_pack", "q_doc_chunks",
     "q_engaged_customers", "q_text_tokens", "q_decontam",
@@ -517,7 +538,7 @@ DRIVER_ROTATION: list[str] = [
     "q_profile_lineitem", "q_embed_dimstats", "q_sample_weighted",
     "q_corpus_mix", "q_customer_order_gaps", "q_dedup_cluster_sizes",
     "q_events_retention", "q_nation_flow", "q_events_rollup",
-    "q_value_quantile_sketch", "q_text_lr_score", "q_user_heavy_hitters",
+    "q_value_quantile_sketch", "q_text_lr_score",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
