@@ -114,15 +114,29 @@ def histogram_quantiles(
     summary (sum counts across shards/days, re-derive quantiles).
     All arithmetic is integer-derived doubles combined in a fixed
     order, so Spark and the DuckDB oracle agree bit-for-bit.
+
+    Edge contract: quantiles must lie in (0, 1] — q<=0 raises
+    (the covering-bucket predicate ``cum_prev < q*total`` has no
+    solution at q=0, which would silently drop the row); NULL values
+    are excluded before bucketing (they'd otherwise form a spurious
+    bucket that inflates ``total``, ordered differently by engine).
     """
+    bad = [q for q in qs if not 0.0 < q <= 1.0]
+    if bad:
+        raise ValueError(
+            f"quantiles must be in (0, 1], got {bad}; "
+            "q=0.0 is the min — read it off the first bucket directly"
+        )
     groups = groups or []
     width = (hi - lo) / buckets
     b = F.least(
         F.lit(buckets - 1),
         F.greatest(F.lit(0), F.floor((F.col(value) - F.lit(lo)) / F.lit(width))),
     ).cast("int")
-    counts = df.groupBy(*groups, b.alias("bucket")).agg(
-        F.count("*").cast("long").alias("n")
+    counts = (
+        df.where(F.col(value).isNotNull())
+        .groupBy(*groups, b.alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n"))
     )
     wspec = Window.partitionBy(*groups).orderBy("bucket")
     tspec = Window.partitionBy(*groups)

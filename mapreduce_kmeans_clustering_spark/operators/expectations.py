@@ -78,8 +78,18 @@ def expect(df: DataFrame, rules: list[tuple]) -> DataFrame:
         )
     for r in fk_rules:
         _, c, other, other_col = r
-        orphans = df.select(F.col(c).alias("__k")).join(
-            other.select(F.col(other_col).alias("__k")).distinct(),
+        # NULL contract (pinned so the Spark check and any SQL twin
+        # agree even if the data ever gains NULL keys): a NULL FK is
+        # NOT an orphan (that's a not_null rule's job), and NULLs in
+        # the referenced column match nothing. Both sides filtered
+        # explicitly — a bare NOT IN oracle would collapse to 0
+        # violations the moment either side held a NULL, silently.
+        orphans = df.select(F.col(c).alias("__k")).where(
+            F.col("__k").isNotNull()
+        ).join(
+            other.select(F.col(other_col).alias("__k"))
+            .where(F.col("__k").isNotNull())
+            .distinct(),
             "__k",
             "left_anti",
         )

@@ -385,8 +385,6 @@ def lsh_probe_index(
     expressions or the BLAS scorer downstream."""
     from itertools import combinations
 
-    import math
-
     base = 0
     for p, plane in enumerate(hyperplanes(dim, planes)):
         dot = sum(a * b for a, b in zip(query_vec, plane))

@@ -3379,7 +3379,9 @@ FROM lineitem
 UNION ALL
 SELECT 'fk:l_orderkey',
        CAST(count(*) AS BIGINT)
-FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)""",
+FROM lineitem l WHERE l_orderkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey)""",
     "q_corpus_shard_manifest": """
 WITH b AS (
   SELECT doc_id, n_chars,

@@ -42,7 +42,7 @@ def test_every_rule_kind_counts_planted_violations(spark):
         "in_set:f": 1,
         "regex:uid": 1,  # "bad id"
         "unique:uid": 1,  # "ok-1" twice
-        "fk:k": 2,  # NULL k and 99 both lack parents
+        "fk:k": 1,  # only 99: a NULL FK is not_null's finding, not fk's
     }
 
 
@@ -52,3 +52,20 @@ def test_rules_validated(spark):
         expect(df, [])
     with pytest.raises(ValueError):
         expect(df, [("nope", "k")])
+
+
+def test_fk_rule_null_contract(spark):
+    """NULL FKs are not orphans (not_null's job); NULLs in the
+    referenced column match nothing — and the count must not collapse
+    to 0 the way a bare NOT IN would when either side has a NULL."""
+    from mapreduce_kmeans_clustering_spark.operators.expectations import expect
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (99,), (None,)], "k INT"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (None,)], "k INT")
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in expect(child, [("fk", "k", parent, "k")]).collect()
+    }
+    assert out == {"fk:k": 1}  # only 99 is an orphan

@@ -145,3 +145,31 @@ def test_cms_merge_equals_single_build(spark):
         .collect()
     )
     assert whole == merged
+
+
+def test_histogram_quantiles_rejects_q_zero_and_drops_nulls(spark):
+    """Edge contract: q<=0 raises (the covering-bucket predicate has
+    no solution at 0 and would silently drop the row); NULL values
+    must not form a bucket or inflate the total."""
+    import pytest
+
+    from mapreduce_kmeans_clustering_spark.functions.sketch import (
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)] + [(None,)] * 50,
+        "v DOUBLE",
+    )
+    with pytest.raises(ValueError, match=r"quantiles"):
+        histogram_quantiles(df, "v", [0.0, 0.5], lo=0.0, hi=100.0)
+    with pytest.raises(ValueError, match=r"quantiles"):
+        histogram_quantiles(df, "v", [1.5], lo=0.0, hi=100.0)
+    # with NULLs excluded, the median of 1..100 interpolates near 50
+    rows = histogram_quantiles(
+        df, "v", [0.5, 1.0], lo=0.0, hi=100.0, buckets=100
+    ).collect()
+    est = {r["q"]: r["est"] for r in rows}
+    assert len(rows) == 2  # q=1.0 still yields a row (max bucket)
+    assert abs(est[0.5] - 50.0) <= 1.0  # one bucket width
+    assert est[1.0] <= 100.0
