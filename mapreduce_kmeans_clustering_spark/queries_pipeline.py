@@ -2213,6 +2213,139 @@ def q_order_backlog(spark, sf_dir):
     )
 
 
+def q_custdist(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of customers by order count,
+    INCLUDING zero-order customers — the outer-join-then-double-
+    aggregate pattern (left outer join, per-customer count where NULL
+    keys count 0, then a second aggregate over the counts). Two
+    shuffles: custkey, then c_count; both partial->final."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per = (
+        cust.join(
+            orders.select("o_custkey", "o_orderkey"),
+            cust["c_custkey"] == orders["o_custkey"],
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_sole_return_supplier(spark, sf_dir):
+    """TPC-H Q21 shape on our schema: suppliers who shipped a returned
+    line (flag 'R') on a multi-supplier order where NO OTHER supplier
+    had a return on that order — the EXISTS + NOT EXISTS pair over the
+    same fact, planned as one semi and one anti equi-join on orderkey
+    (never a per-row subquery). The two derived sides are built from
+    one groupBy pass over the returns subset."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rets = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("ns"))
+        .where(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    sole = (
+        rets.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("nret"),
+            F.min("l_suppkey").alias("the_supp"),
+        )
+        .where(F.col("nret") == 1)
+        .join(multi, "l_orderkey", "left_semi")
+    )
+    return (
+        sole.groupBy("the_supp")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .join(F.broadcast(supp), sole["the_supp"] == supp["s_suppkey"])
+        .select(
+            "s_name",
+            "numwait",
+        )
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+    )
+
+
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape without a partsupp table: for each small part
+    (p_size < 10), the supplier that shipped it at the minimum unit
+    price — per-group argmin via one min(struct(price, suppkey))
+    aggregate (deterministic suppkey tie-break), never a correlated
+    per-part subquery or a window sort. The part/supplier dims
+    broadcast into the fact aggregate's result."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    best = (
+        li.groupBy("l_partkey")
+        .agg(F.min(F.struct(unit.alias("u"), F.col("l_suppkey").alias("sk"))).alias("b"))
+        .select(
+            "l_partkey",
+            F.round(F.col("b.u"), 4).alias("min_unit_price"),
+            F.col("b.sk").alias("l_suppkey"),
+        )
+    )
+    return (
+        best.join(
+            F.broadcast(part.where(F.col("p_size") < 10)),
+            best["l_partkey"] == part["p_partkey"],
+        )
+        .join(F.broadcast(supp), best["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "min_unit_price",
+        )
+    )
+
+
+def q_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and no orders, per nation — the scalar-aggregate threshold
+    (computed once, broadcast) plus an anti join. The above-average
+    test is done in integer cents cross-multiplied against (sum, n) —
+    ``cents * n > sum_cents`` — so no engine ever compares a fractional
+    average (a double-vs-decimal threshold could flip a customer
+    sitting exactly on the mean)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    pos = cust.where(F.col("c_acctbal") > 0).select(
+        "c_custkey", "c_nationkey", cents.alias("__c")
+    )
+    thr = pos.agg(
+        F.sum("__c").alias("__s"), F.count("*").cast("long").alias("__n")
+    )
+    return (
+        pos.crossJoin(F.broadcast(thr))
+        .where(F.col("__c") * F.col("__n") > F.col("__s"))
+        .join(
+            orders.select("o_custkey"),
+            pos["c_custkey"] == orders["o_custkey"],
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.round(F.sum("__c") / 100.0, 2).alias("total_bal"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -3527,6 +3660,45 @@ SELECT o_orderstatus AS status,
 FROM orders CROSS JOIN mx
 WHERE o_orderstatus <> 'F'
 GROUP BY 1, 2""",
+    "q_custdist": """
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count""",
+    "q_sole_return_supplier": """
+WITH rets AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+              WHERE l_returnflag = 'R'),
+     multi AS (SELECT l_orderkey FROM lineitem
+               GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1),
+     sole AS (SELECT l_orderkey, min(l_suppkey) AS the_supp FROM rets
+              GROUP BY l_orderkey HAVING count(*) = 1)
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM sole JOIN multi USING (l_orderkey)
+          JOIN supplier ON the_supp = s_suppkey
+GROUP BY s_name""",
+    "q_min_cost_supplier": """
+WITH u AS (SELECT l_partkey, l_suppkey,
+                  l_extendedprice / l_quantity AS uprice FROM lineitem),
+     b AS (SELECT l_partkey, min(uprice) AS mu FROM u GROUP BY l_partkey),
+     c AS (SELECT u.l_partkey, b.mu, min(u.l_suppkey) AS the_supp
+           FROM u JOIN b ON u.l_partkey = b.l_partkey AND u.uprice = b.mu
+           GROUP BY u.l_partkey, b.mu)
+SELECT p_partkey, p_brand, s_name, round(mu, 4) AS min_unit_price
+FROM c JOIN part ON l_partkey = p_partkey
+       JOIN supplier ON the_supp = s_suppkey
+WHERE p_size < 10""",
+    "q_idle_rich_customers": """
+WITH pos AS (SELECT c_custkey, c_nationkey,
+                    CAST(round(c_acctbal * 100) AS BIGINT) AS c
+             FROM customer WHERE c_acctbal > 0),
+     thr AS (SELECT sum(c) AS s, count(*)::BIGINT AS n FROM pos)
+SELECT c_nationkey, count(*)::BIGINT AS n_cust,
+       round(sum(c) / 100.0, 2) AS total_bal
+FROM pos CROSS JOIN thr
+WHERE c * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey""",
 }
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3635,4 +3807,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_customer_rfm": q_customer_rfm,
     "q_session_conversion": q_session_conversion,
     "q_order_backlog": q_order_backlog,
+    "q_custdist": q_custdist,
+    "q_sole_return_supplier": q_sole_return_supplier,
+    "q_min_cost_supplier": q_min_cost_supplier,
+    "q_idle_rich_customers": q_idle_rich_customers,
 }
