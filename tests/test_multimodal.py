@@ -1,5 +1,6 @@
-"""Multimodal plumbing tests: schema, Arrow batch path, determinism.
-The decode itself is a documented stub (no codecs in the container)."""
+"""Multimodal tests: schema, Arrow batch path, determinism, and the
+real stdlib decode (netpbm/WAV); compressed formats remain a labeled
+NotImplementedError (no codec packages in the container)."""
 
 from __future__ import annotations
 
@@ -130,3 +131,75 @@ def test_sample_frames_counts_and_determinism(media):
     assert sorted((r["media_id"], r["frame_idx"], bytes(r["payload"])) for r in again) == sorted(
         (r["media_id"], r["frame_idx"], bytes(r["payload"])) for r in out
     )
+
+
+def test_real_decode_roundtrip_ppm_and_wav():
+    """decode_media genuinely parses what encode_ppm/encode_wav emit
+    (pure-stdlib formats — no codec package involved)."""
+    from mapreduce_kmeans_clustering_spark.operators.multimodal import (
+        decode_media,
+        encode_ppm,
+        encode_wav,
+    )
+
+    img = decode_media(encode_ppm(8, 6, seed=3), "image")
+    assert (img["width"], img["height"], img["channels"]) == (8, 6, 3)
+    assert len(img["pixels"]) == 8 * 6 * 3
+
+    au = decode_media(encode_wav(16000, 480, seed=3), "audio")
+    assert au["sample_rate"] == 16000
+    assert au["n_frames"] == 480
+    assert au["channels"] == 1 and au["sample_width"] == 2
+    assert len(au["pcm"]) == 480 * 2
+
+
+def test_real_decode_rejects_compressed_and_video():
+    from mapreduce_kmeans_clustering_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError, match="netpbm"):
+        decode_media(b"\x89PNG\r\n", "image")
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_media(b"ID3\x04mp3data", "audio")
+    with pytest.raises(NotImplementedError, match="video"):
+        decode_media(b"anything", "video")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_media(b"P6\n4 4\n255\nxx", "image")
+
+
+def test_decoded_stats_over_synthesized_decodable_media(spark):
+    """End-to-end real-decode pass: synthesize valid PPM/WAV payloads
+    executor-side, decode them back through the Arrow path, and check
+    the stats against a driver-side replay of the same pure functions.
+    Repartitioning must not change anything."""
+    from mapreduce_kmeans_clustering_spark.operators.multimodal import (
+        decode_media,
+        decoded_stats,
+        encode_ppm,
+        encode_wav,
+        synthesize_decodable_media,
+    )
+    import struct
+
+    ids = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    media = synthesize_decodable_media(ids)
+    got = {r["media_id"]: r for r in decoded_stats(media).collect()}
+    assert len(got) == 20
+    for i in range(20):
+        r = got[i]
+        if i % 2 == 0:
+            payload = encode_ppm(8 + i % 8, 6 + i % 5, i)
+            d = decode_media(payload, "image")
+            assert (r["width"], r["height"]) == (d["width"], d["height"])
+            assert r["mean_value"] == sum(d["pixels"]) / len(d["pixels"])
+        else:
+            payload = encode_wav(16000, 400 + (i % 7) * 40, i)
+            d = decode_media(payload, "audio")
+            assert r["sample_rate"] == 16000
+            assert r["n_samples"] == d["n_frames"]
+            vals = struct.unpack(f"<{len(d['pcm']) // 2}h", d["pcm"])
+            assert r["mean_value"] == sum(abs(v) for v in vals) / len(vals)
+    again = {
+        r["media_id"]: r["mean_value"]
+        for r in decoded_stats(media.repartition(7)).collect()
+    }
+    assert again == {k: v["mean_value"] for k, v in got.items()}
