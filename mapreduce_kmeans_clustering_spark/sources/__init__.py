@@ -3,7 +3,10 @@ from mapreduce_kmeans_clustering_spark.sources.documents import (
     corrupt_documents,
     read_documents_csv,
     read_documents_jsonl,
+    read_documents_orc,
     read_documents_parquet,
+    write_documents_jsonl_sharded,
+    write_documents_orc,
 )
 from mapreduce_kmeans_clustering_spark.sources.points import (
     points_from_lineitem,
@@ -24,7 +27,10 @@ __all__ = [
     "corrupt_documents",
     "read_documents_csv",
     "read_documents_jsonl",
+    "read_documents_orc",
     "read_documents_parquet",
+    "write_documents_jsonl_sharded",
+    "write_documents_orc",
     "load_seeds",
     "seeds_df",
     "seeds_from_points",

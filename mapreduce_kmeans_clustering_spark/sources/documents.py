@@ -86,3 +86,49 @@ def read_documents_csv(spark: SparkSession, path: str) -> DataFrame:
         .option("escape", '"')
         .csv(path)
     )
+
+
+def read_documents_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC documents reader — Spark-native columnar alternative to
+    parquet (predicate pushdown / column pruning work identically;
+    useful when the upstream lake standardized on ORC)."""
+    return spark.read.schema(schemas.DOCUMENTS).orc(path)
+
+
+def write_documents_orc(docs: DataFrame, path: str) -> None:
+    """ORC writer for the canonical documents shape."""
+    docs.select(*[f.name for f in schemas.DOCUMENTS.fields]).write.mode(
+        "overwrite"
+    ).orc(path)
+
+
+def write_documents_jsonl_sharded(
+    docs: DataFrame,
+    path: str,
+    split_col: str = "split",
+    shard_col: str = "shard",
+) -> None:
+    """The training-handoff sink: documents as JSON-lines text files
+    hive-partitioned by (split, shard) — the layout a downstream
+    tokenizer/loader consumes (one directory per split, one file set
+    per shard, one JSON object per line; round-trips through
+    read_documents_jsonl).
+
+    Scale shape: ``to_json`` is a codegen projection; repartition on
+    the partition columns keeps it to ONE file per (split, shard)
+    (without it every input partition opens a writer per pair —
+    thousands of small files at 100 TB, the classic small-files
+    failure). Writer-side shuffle is the only exchange.
+    """
+    doc_cols = [f.name for f in schemas.DOCUMENTS.fields]
+    (
+        docs.repartition(F.col(split_col), F.col(shard_col))
+        .select(
+            F.to_json(F.struct(*doc_cols)).alias("value"),
+            F.col(split_col),
+            F.col(shard_col),
+        )
+        .write.mode("overwrite")
+        .partitionBy(split_col, shard_col)
+        .text(path)
+    )

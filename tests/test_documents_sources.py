@@ -59,3 +59,61 @@ def test_csv_roundtrip(spark, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in src.collect()
     )
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from mapreduce_kmeans_clustering_spark.sources.documents import (
+        read_documents_orc,
+        write_documents_orc,
+    )
+
+    docs = clean_documents(
+        spark.createDataFrame(
+            [
+                (1, "alpha beta", "en", "web", 10),
+                (2, "gamma delta", "en", "books", 11),
+            ],
+            "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+        )
+    )
+    path = str(tmp_path / "docs_orc")
+    write_documents_orc(docs, path)
+    back = read_documents_orc(spark, path)
+    assert sorted(back.collect()) == sorted(docs.collect())
+
+
+def test_jsonl_sharded_sink_roundtrip_one_file_per_shard(spark, tmp_path):
+    """The training-handoff layout: hive-partitioned by (split, shard),
+    exactly one data file per pair (small-files guard), and the
+    content round-trips through the JSONL reader."""
+    import glob
+
+    from mapreduce_kmeans_clustering_spark.operators.curation import split_assign
+    from mapreduce_kmeans_clustering_spark.sources.documents import (
+        write_documents_jsonl_sharded,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"text number {i}", "en", "web", 12 + (i % 3))
+            for i in range(200)
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    tagged = split_assign(docs, n_shards=4).repartition(8)  # messy input layout
+    path = str(tmp_path / "shards")
+    write_documents_jsonl_sharded(tagged, path)
+
+    pairs = {
+        tuple(p.split("/")[-3:-1])
+        for p in glob.glob(f"{path}/split=*/shard=*/part-*.txt")
+    }
+    for split, shard in pairs:
+        files = glob.glob(f"{path}/{split}/{shard}/part-*.txt")
+        assert len(files) == 1, (split, shard, files)
+
+    back = clean_documents(
+        read_documents_jsonl(spark, f"{path}/split=*/shard=*/*.txt")
+    )
+    assert back.count() == 200
+    assert {r["doc_id"] for r in back.collect()} == set(range(200))
