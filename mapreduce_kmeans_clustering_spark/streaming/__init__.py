@@ -6,6 +6,10 @@ from mapreduce_kmeans_clustering_spark.streaming.events import (
     stream_exact_dedup,
     stream_view_click_join,
 )
+from mapreduce_kmeans_clustering_spark.streaming.ingest import (
+    read_documents_stream,
+    stream_corpus_ingest,
+)
 from mapreduce_kmeans_clustering_spark.streaming.kmeans_stream import (
     stream_assign,
     stream_assign_with_refresh,
@@ -19,6 +23,8 @@ __all__ = [
     "sessionized_event_stats",
     "stream_exact_dedup",
     "stream_view_click_join",
+    "read_documents_stream",
+    "stream_corpus_ingest",
     "stream_assign",
     "stream_assign_with_refresh",
     "stream_cluster_counts",

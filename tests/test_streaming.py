@@ -435,3 +435,79 @@ def test_stream_static_dimension_enrichment(spark, events_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_corpus_ingest_dedups_and_shards(spark, tmp_path):
+    """Continuous corpus ingest end-to-end: corpus-hash anti-join,
+    in-batch first-claim, batch-pipeline-identical split/shard tags,
+    per-epoch overwrite layout (replay-safe), JSONL round-trip."""
+    import glob
+    import hashlib
+    import json
+
+    from mapreduce_kmeans_clustering_spark.operators.curation import split_assign
+    from mapreduce_kmeans_clustering_spark.sources.documents import (
+        clean_documents,
+        read_documents_jsonl,
+    )
+    from mapreduce_kmeans_clustering_spark.streaming.ingest import (
+        read_documents_stream,
+        stream_corpus_ingest,
+    )
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    # doc 0 duplicates the corpus; docs 3 and 103 duplicate each other
+    rows = [
+        {"doc_id": 0, "text": "already in corpus", "lang": "en", "source": "web", "n_chars": 17},
+        {"doc_id": 3, "text": "fresh duplicate pair", "lang": "en", "source": "web", "n_chars": 20},
+        {"doc_id": 103, "text": "fresh duplicate pair", "lang": "en", "source": "web", "n_chars": 20},
+    ] + [
+        {"doc_id": i, "text": f"unique arrival {i}", "lang": "en", "source": "web", "n_chars": 16}
+        for i in range(10, 40)
+    ]
+    (src / "a.jsonl").write_text("\n".join(json.dumps(r) for r in rows[:10]) + "\n")
+    (src / "b.jsonl").write_text("\n".join(json.dumps(r) for r in rows[10:]) + "\n")
+
+    corpus_hashes = spark.createDataFrame(
+        [(hashlib.md5(b"already in corpus").hexdigest(),)], "h STRING"
+    )
+    out = str(tmp_path / "out")
+    q = stream_corpus_ingest(
+        read_documents_stream(spark, str(src), max_files_per_trigger=1),
+        corpus_hashes,
+        out,
+        str(tmp_path / "ckpt"),
+        n_shards=4,
+    )
+    q.awaitTermination(120)
+
+    back = clean_documents(
+        read_documents_jsonl(
+            spark, f"{out}/ingest_batch=*/split=*/shard=*/*.txt"
+        )
+    )
+    got = {r["doc_id"] for r in back.collect()}
+    # 0 dropped (corpus dup); 103 dropped (3 claimed the hash first,
+    # same micro-batch); everything else kept exactly once
+    assert got == {3} | set(range(10, 40))
+    # split/shard match the batch pipeline's pure-function assignment
+    expected = {
+        (r["doc_id"], r["split"], r["shard"])
+        for r in split_assign(
+            spark.createDataFrame(
+                [(i,) for i in sorted(got)], "doc_id LONG"
+            ),
+            n_shards=4,
+        ).collect()
+    }
+    actual = set()
+    for p in glob.glob(f"{out}/ingest_batch=*/split=*/shard=*/part-*.txt"):
+        parts = dict(
+            kv.split("=") for kv in p.split("/") if "=" in kv
+        )
+        for line in open(p):
+            actual.add(
+                (json.loads(line)["doc_id"], parts["split"], int(parts["shard"]))
+            )
+    assert actual == expected
