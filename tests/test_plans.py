@@ -276,3 +276,32 @@ def test_shipping_modes_single_join_with_residual_or(spark):
     assert p.count("Join") <= 2  # one join node (+ possible reuse line)
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_tpch_shape_queries_plan_clean(spark):
+    """The four round-3 TPC-H shapes: no nested loops anywhere, the
+    Q21 pair plans as semi+anti equi-joins, the Q2 argmin stays one
+    aggregate (no window sort over the fact), and the Q22 anti join
+    is an anti — never a per-row subquery."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_custdist,
+        q_idle_rich_customers,
+        q_min_cost_supplier,
+        q_sole_return_supplier,
+    )
+
+    for q in (q_custdist, q_sole_return_supplier, q_min_cost_supplier,
+              q_idle_rich_customers):
+        p = _plan(q(spark, SF))
+        assert "CartesianProduct" not in p, q.__name__
+        # BroadcastNestedLoopJoin appears only for the 1-row scalar
+        # broadcasts (threshold / anchor rows), never between facts
+        bnlj = p.count("BroadcastNestedLoopJoin")
+        assert bnlj <= 1, (q.__name__, bnlj)
+
+    p21 = _plan(q_sole_return_supplier(spark, SF))
+    assert "LeftSemi" in p21
+    p2 = _plan(q_min_cost_supplier(spark, SF))
+    assert "Window" not in p2  # argmin via min(struct), not rank
+    p22 = _plan(q_idle_rich_customers(spark, SF))
+    assert "LeftAnti" in p22
