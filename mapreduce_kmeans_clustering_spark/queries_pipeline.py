@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mapreduce_kmeans_clustering_spark.operators import curation as CU
+from mapreduce_kmeans_clustering_spark.operators import incremental as INC
 from mapreduce_kmeans_clustering_spark.operators import dedup as D
 from mapreduce_kmeans_clustering_spark.operators import joins as J
 from mapreduce_kmeans_clustering_spark.operators import multimodal as MM
@@ -2346,6 +2347,45 @@ def q_idle_rich_customers(spark, sf_dir):
     )
 
 
+def q_events_rollup_incremental(spark, sf_dir):
+    """Continuous-rollup maintenance proved exact: the per-(day, type)
+    aggregate computed as TWO batch summaries (facts split by event_id
+    parity, so every group genuinely straddles both) merged with
+    operators/incremental.merge_aggregates — O(batch)+O(aggregate)
+    maintenance, never a history rescan. The oracle recomputes the
+    aggregate from scratch; equality IS the mergeability claim.
+    DECIMAL sums so the split/merge can't drift a low bit."""
+    e = _events(spark, sf_dir)
+    facts = e.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+        "event_id",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    spec = {
+        "n_events": ("count", ""),
+        "sum_value": ("sum", "v"),
+        "min_value": ("min", "v"),
+        "max_value": ("max", "v"),
+    }
+    keys = ["day", "event_type"]
+    base = INC.aggregate_batch(
+        facts.where(F.col("event_id") % 2 == 0), keys, spec
+    )
+    delta = INC.aggregate_batch(
+        facts.where(F.col("event_id") % 2 == 1), keys, spec
+    )
+    merged = INC.merge_aggregates([base, delta], keys, spec)
+    return merged.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).cast("double").alias("sum_value"),
+        F.round("min_value", 4).cast("double").alias("min_value"),
+        F.round("max_value", 4).cast("double").alias("max_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -3699,6 +3739,13 @@ FROM pos CROSS JOIN thr
 WHERE c * n > s
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY c_nationkey""",
+    "q_events_rollup_incremental": """
+SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day, event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(CAST(value AS DECIMAL(18,4))), 4)::DOUBLE AS sum_value,
+       round(min(CAST(value AS DECIMAL(18,4))), 4)::DOUBLE AS min_value,
+       round(max(CAST(value AS DECIMAL(18,4))), 4)::DOUBLE AS max_value
+FROM events GROUP BY 1, 2""",
 }
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3811,4 +3858,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sole_return_supplier": q_sole_return_supplier,
     "q_min_cost_supplier": q_min_cost_supplier,
     "q_idle_rich_customers": q_idle_rich_customers,
+    "q_events_rollup_incremental": q_events_rollup_incremental,
 }
