@@ -2386,6 +2386,296 @@ def q_events_rollup_incremental(spark, sf_dir):
     )
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: unshipped-revenue top-10 for one market segment
+    — segment filter pushed into the (broadcastable) customer dim,
+    date filters pushed to both the orders and lineitem scans, one
+    hash aggregate on (orderkey, orderdate), top-10 via
+    TakeOrderedAndProject (never a global sort). Deterministic
+    orderkey tie-break so LIMIT is stable cross-engine."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cut = F.to_timestamp(F.lit("1996-07-01"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.where(F.col("l_shipdate") > cut)
+        .join(
+            orders.where(F.col("o_orderdate") < cut),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 1996 revenue per nation where the customer and
+    the supplier share a nation, market scoped to one region — the
+    colocated-commerce join graph. The year filter is pushed to the
+    orders scan; nation and the 1-row filtered region broadcast; the
+    c_nationkey = s_nationkey equality rides the supplier hash join as
+    an extra condition (no extra shuffle)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(
+            orders.where(F.year("o_orderdate") == 1996),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_7's share of the ASIA ECONOMY-part
+    market per order year — conditional aggregation (two DECIMAL sums
+    from one pass) over the two-armed join graph, part/nation/region
+    dims broadcast. The share divides the two sums as doubles at the
+    very end; nothing iterates, nothing scans twice."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(
+            F.broadcast(part.where(F.col("p_type") == "ECONOMY").select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
+            F.col("cn_region") == F.col("r_regionkey"),
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(zero))
+            .alias("__num"),
+            F.sum(rev).alias("__den"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("__num").cast("double") / F.col("__den").cast("double"), 6
+            ).alias("mkt_share"),
+        )
+    )
+
+
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape without a partsupp table: per (supplier nation,
+    order year) profit on 'red' parts, where unit supply cost is
+    proxied as 60% of p_retailprice — revenue and cost each cast to
+    DECIMAL(18,4) per row so the group sums are order-independent.
+    The name filter prunes the broadcast part dim before the fact
+    join; one hash aggregate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    cost = (F.col("p_retailprice") * F.col("l_quantity") * 0.6).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(
+            F.broadcast(
+                part.where(F.col("p_name").contains("red")).select(
+                    "p_partkey", "p_retailprice"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(rev - cost), 2).cast("double").alias("profit"))
+    )
+
+
+def q_ship_lag_priority(spark, sf_dir):
+    """TPC-H Q12 shape on our schema (no shipmode/commitdate columns):
+    order-to-ship lag bands × order-priority class — the
+    derived-band + conditional-count pattern. One equi-join on
+    orderkey, the CASE band computed in codegen, two conditional sums
+    in a single hash aggregate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    band = (
+        F.when(lag <= 30, "0-30d")
+        .when(lag <= 90, "31-90d")
+        .otherwise("90d+")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.select("l_orderkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(band.alias("lag_band"))
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+def q_part_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape with lineitem as the part-supplier bridge: how
+    many distinct suppliers ever shipped each (brand, type, size)
+    among small parts, excluding suppliers in arrears — the
+    anti-join-then-count-distinct pattern. The 6-row exclusion list
+    broadcasts into a LEFT ANTI before the distinct pairs are formed;
+    NULL-safe by construction (keys are non-null, and the anti join —
+    unlike NOT IN — would stay correct if they weren't)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    bad = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .distinct()
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                part.where(
+                    (F.col("p_brand") != "Brand#15") & (F.col("p_size") <= 10)
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: yearly revenue locked in small-quantity lines
+    — lines under 20% of their part's average quantity, for small
+    parts. The per-part average is carried as exact integer (sum, n)
+    partials and the threshold test cross-multiplies
+    (5·qty·n < sum), so no engine ever compares against a fractional
+    average. One per-part aggregate joined back to the fact — the
+    decorrelated form of Q17's correlated subquery."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    qty = F.col("l_quantity").cast("long")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty).alias("sq"), F.count("*").alias("nq")
+    )
+    return (
+        li.join(
+            F.broadcast(part.where(F.col("p_size") <= 5).select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(pa, F.col("l_partkey") == F.col("pk"))
+        .where(qty * F.lit(5) * F.col("nq") < F.col("sq"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q_promotable_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape with lineitem as the availability signal:
+    suppliers who shipped more than half of some 'red' part's 1996
+    volume — the nested-semi-join chain (part filter → per-(part,
+    supplier) volume → per-part total → majority test → supplier
+    semi join). The per-part total reuses the per-pair aggregate
+    (no second fact scan); integer quantity sums cross-multiply so
+    the majority test is exact."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    red = part.where(F.col("p_name").startswith("red ")).select("p_partkey")
+    pq = (
+        li.where(F.year("l_shipdate") == 1996)
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sq"))
+    )
+    tot = pq.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("sq").alias("tq")
+    )
+    cand = (
+        pq.join(tot, F.col("l_partkey") == F.col("pk"))
+        .where(F.col("sq") * 2 > F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(cand, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -3748,6 +4038,115 @@ SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day, event_type,
 FROM events GROUP BY 1, 2""",
 }
 
+PIPELINE_ORACLES.update(
+    {
+        "q_shipping_priority": """
+SELECT l_orderkey, o_orderdate,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))),
+             2)::DOUBLE AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND l_shipdate > TIMESTAMP '1996-07-01'
+GROUP BY 1, 2
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10""",
+        "q_local_supplier_volume": """
+SELECT n_name,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))),
+             2)::DOUBLE AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+GROUP BY 1""",
+        "q_market_share": """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum(CASE WHEN sn.n_name = 'NATION_7'
+                           THEN CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(18,4))
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE),
+             6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+GROUP BY 1""",
+        "q_product_profit": """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+               - CAST(p_retailprice * l_quantity * 0.6 AS DECIMAL(18,4))),
+             2)::DOUBLE AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2""",
+        "q_ship_lag_priority": """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN '0-30d'
+            WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN '31-90d'
+            ELSE '90d+' END AS lag_band,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1""",
+        "q_part_supplier_variety": """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey
+      FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                        WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0))
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#15' AND p_size <= 10
+GROUP BY 1, 2, 3""",
+        "q_small_qty_revenue": """
+WITH pa AS (SELECT l_partkey AS pk,
+                   CAST(sum(l_quantity) AS BIGINT) AS sq,
+                   count(*) AS nq
+            FROM lineitem GROUP BY 1)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN pa ON l_partkey = pk
+WHERE p_size <= 5
+  AND CAST(l_quantity AS BIGINT) * 5 * nq < sq""",
+        "q_promotable_suppliers": """
+WITH pq AS (SELECT l_partkey, l_suppkey,
+                   CAST(sum(l_quantity) AS BIGINT) AS sq
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'red %' AND year(l_shipdate) = 1996
+            GROUP BY 1, 2),
+     tot AS (SELECT l_partkey AS pk, sum(sq) AS tq FROM pq GROUP BY 1)
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM pq JOIN tot ON l_partkey = pk
+                    WHERE sq * 2 > tq)
+ORDER BY s_name""",
+    }
+)
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_stats": q_text_stats,
     "q_text_quality": q_text_quality,
@@ -3859,4 +4258,12 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_min_cost_supplier": q_min_cost_supplier,
     "q_idle_rich_customers": q_idle_rich_customers,
     "q_events_rollup_incremental": q_events_rollup_incremental,
+    "q_shipping_priority": q_shipping_priority,
+    "q_local_supplier_volume": q_local_supplier_volume,
+    "q_market_share": q_market_share,
+    "q_product_profit": q_product_profit,
+    "q_ship_lag_priority": q_ship_lag_priority,
+    "q_part_supplier_variety": q_part_supplier_variety,
+    "q_small_qty_revenue": q_small_qty_revenue,
+    "q_promotable_suppliers": q_promotable_suppliers,
 }

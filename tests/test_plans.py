@@ -305,3 +305,45 @@ def test_tpch_shape_queries_plan_clean(spark):
     assert "Window" not in p2  # argmin via min(struct), not rank
     p22 = _plan(q_idle_rich_customers(spark, SF))
     assert "LeftAnti" in p22
+
+
+def test_tpch_completion_queries_plan_clean(spark):
+    """The eight shapes that complete the 22-query TPC-H family: no
+    Cartesian products, no Python eval nodes, no nested-loop joins
+    (these queries have no scalar-broadcast excuse), Q3's top-10 is
+    TakeOrderedAndProject (never a global sort of the aggregate), the
+    Q16 supplier exclusion is a broadcast anti join, and the Q20
+    majority chain ends in a semi join."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_local_supplier_volume,
+        q_market_share,
+        q_part_supplier_variety,
+        q_product_profit,
+        q_promotable_suppliers,
+        q_ship_lag_priority,
+        q_shipping_priority,
+        q_small_qty_revenue,
+    )
+
+    qs = (
+        q_shipping_priority,
+        q_local_supplier_volume,
+        q_market_share,
+        q_product_profit,
+        q_ship_lag_priority,
+        q_part_supplier_variety,
+        q_small_qty_revenue,
+        q_promotable_suppliers,
+    )
+    for q in qs:
+        p = _plan(q(spark, SF))
+        assert "CartesianProduct" not in p, q.__name__
+        assert "BroadcastNestedLoopJoin" not in p, q.__name__
+        assert "BatchEvalPython" not in p, q.__name__
+
+    p3 = _plan(q_shipping_priority(spark, SF))
+    assert "TakeOrderedAndProject" in p3
+    p16 = _plan(q_part_supplier_variety(spark, SF))
+    assert "LeftAnti" in p16 and "BroadcastHashJoin" in p16
+    p20 = _plan(q_promotable_suppliers(spark, SF))
+    assert "LeftSemi" in p20
