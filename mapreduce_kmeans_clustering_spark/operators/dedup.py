@@ -749,3 +749,92 @@ def repeated_passages(
         F.count("*").cast("long").alias("n_docs"),
     )
     return agg.where(F.col("n_docs") >= min_docs)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    threshold: float = 0.5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the corpus into k clusters, then
+    prune any vector with a lower-id in-CLUSTER neighbor at cosine >=
+    threshold. Returns one verdict row per vector:
+    (id, cluster, status in {'keep', 'prune'}).
+
+    Scale shape — the whole point of SemDeDup: the O(n^2) pair space
+    collapses to per-cluster blocks, expressed as a hash equi-join on
+    the cluster id (never a cross join). At 100 TB, k grows with the
+    corpus (the paper uses 50k clusters on LAION) so blocks stay
+    bounded; here k seed centroids broadcast as a k-row side (the same
+    K-row fanout pattern as the reference's own assign step) and the
+    argmin is one min(struct(dist, cid)) aggregate — no window sort.
+
+    Determinism for the oracle gate: centroids are the first k vectors
+    by id (no RNG), ties in the argmin break to the lowest centroid
+    id, and the in-cluster cosine uses the unrolled in-order
+    expressions (functions/distance.py) so DuckDB replays the same
+    doubles bit-for-bit. Production would swap the seed centroids for
+    plans/kmeans_nd.fit_nd output (kmeans|| init) — the verdict logic
+    is unchanged.
+
+    The survivor rule is min-id-wins per qualifying pair (prune ``b``
+    whenever some ``a < b`` in the same cluster clears the threshold)
+    — matching the exact/near-dup verdict convention used by
+    dedup_pipeline."""
+    from mapreduce_kmeans_clustering_spark.functions.distance import (
+        dot_unrolled,
+        norm_unrolled,
+        sqdist_unrolled,
+    )
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        norm_unrolled(v, dim).alias("_n"),
+    )
+    seeds = base.where(F.col("_id") < k).select(
+        F.col("_id").alias("cid"), F.col("_v").alias("c")
+    )
+    d = sqdist_unrolled(F.col("_v"), F.col("c"), dim)
+    asg = (
+        base.crossJoin(F.broadcast(seeds))
+        .groupBy("_id")
+        .agg(
+            F.min(F.struct(d.alias("d"), F.col("cid").alias("cid"))).alias("b"),
+            F.first("_v").alias("_v"),
+            F.first("_n").alias("_n"),
+        )
+        .select("_id", F.col("b.cid").alias("cluster"), "_v", "_n")
+        .localCheckpoint()
+    )
+    a = asg.select(
+        F.col("_id").alias("a"), F.col("_v").alias("va"), F.col("_n").alias("na"),
+        "cluster",
+    )
+    b = asg.select(
+        F.col("_id").alias("b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"),
+        "cluster",
+    )
+    cos = dot_unrolled(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
+    pruned = (
+        a.join(b, "cluster")
+        .where(F.col("a") < F.col("b"))
+        .where(cos >= threshold)
+        .select(F.col("b").alias("_pruned"))
+        .distinct()
+    )
+    return (
+        asg.join(pruned, asg["_id"] == pruned["_pruned"], "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            F.when(F.col("_pruned").isNull(), "keep")
+            .otherwise("prune")
+            .alias("status"),
+        )
+    )

@@ -32,6 +32,10 @@ from mapreduce_kmeans_clustering_spark.operators import sampling as S
 JACCARD_THRESHOLD = 0.2
 VERIFY_THRESHOLD = 0.3
 EMBED_DUP_THRESHOLD = 0.5
+# SemDeDup prune threshold: the synthetic corpus tops out at ~0.47-0.49
+# in-cluster cosine, so 0.4 keeps the prune branch live at every SF
+# (0.5 would register an all-'keep' query and never test pruning).
+SEMDEDUP_THRESHOLD = 0.4
 ANN_QUERY_IDS = list(range(10))
 ANN_K = 3
 # multi-probe LSH config for q_ann_lsh / q_ann_recall: 4 planes with a
@@ -2386,6 +2390,17 @@ def q_events_rollup_incremental(spark, sf_dir):
     )
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup verdicts over the embeddings corpus: assign to the
+    first-KMEANS_ND_K seed centroids, prune in-cluster cosine near-dups
+    (min-id survivor). Pair space bounded by cluster blocks — the
+    cluster-then-prune scale path for embedding dedup (see
+    operators/dedup.semantic_dedup)."""
+    return D.semantic_dedup(
+        _emb(spark, sf_dir), k=KMEANS_ND_K, threshold=SEMDEDUP_THRESHOLD
+    )
+
+
 def q_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: unshipped-revenue top-10 for one market segment
     — segment filter pushed into the (broadcastable) customer dim,
@@ -4040,6 +4055,28 @@ FROM events GROUP BY 1, 2""",
 
 PIPELINE_ORACLES.update(
     {
+        "q_dedup_semantic": f"""
+WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sd AS (SELECT vec_id AS cid, v AS c FROM ve WHERE vec_id < {KMEANS_ND_K}),
+asg AS (
+  SELECT vec_id, v, cid AS cluster FROM (
+    SELECT a.vec_id, a.v, s.cid,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_sum(list_transform(range(1, 65),
+                               i -> (a.v[i] - s.c[i]) * (a.v[i] - s.c[i]))),
+                      s.cid) AS rn
+    FROM ve a CROSS JOIN sd s) WHERE rn = 1),
+pr AS (
+  SELECT DISTINCT b.vec_id AS pruned
+  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_inner_product(a.v, b.v)
+        / (sqrt(list_inner_product(a.v, a.v))
+           * sqrt(list_inner_product(b.v, b.v))) >= {SEMDEDUP_THRESHOLD})
+SELECT vec_id, cluster,
+       CASE WHEN vec_id IN (SELECT pruned FROM pr)
+            THEN 'prune' ELSE 'keep' END AS status
+FROM asg""",
         "q_shipping_priority": """
 SELECT l_orderkey, o_orderdate,
        round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))),
@@ -4258,6 +4295,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_min_cost_supplier": q_min_cost_supplier,
     "q_idle_rich_customers": q_idle_rich_customers,
     "q_events_rollup_incremental": q_events_rollup_incremental,
+    "q_dedup_semantic": q_dedup_semantic,
     "q_shipping_priority": q_shipping_priority,
     "q_local_supplier_volume": q_local_supplier_volume,
     "q_market_share": q_market_share,
