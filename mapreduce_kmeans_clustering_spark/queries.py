@@ -523,22 +523,26 @@ from mapreduce_kmeans_clustering_spark.queries_pipeline import (  # noqa: E402
 # tests/test_oracle_parity.py (the local mirror of the driver's DuckDB
 # gate).
 #
-# Round-3 rotation: first 38 of the 61 never-driver-verified keys, in
-# original registry order. The remainder rotates in next round.
+# Round-4 rotation: the final 37 never-driver-verified keys (after the
+# r1-r3 windows, cumulative 94/131) plus q_doc_pack, whose round-3 row
+# was red on an oracle HUGEINT typing bug (fixed — ::BIGINT casts) and
+# must re-verify. 12 pins + 38 here = exactly the driver's 50-row
+# window, completing the 131/131 sweep this round.
 DRIVER_ROTATION: list[str] = [
-    "q_order_grouping_sets", "q_doc_pack", "q_doc_chunks",
-    "q_engaged_customers", "q_text_tokens", "q_decontam",
-    "q_text_perplexity", "q_corpus_split", "q_returned_customers",
-    "q_customers_no_orders", "q_tfidf_terms", "q_domain_caps",
-    "q_length_hist", "q_user_moving_avg", "q_supplier_volume",
-    "q_above_avg_orders", "q_embed_diverse", "q_events_sliding",
-    "q_key_skew", "q_customer_ntile", "q_events_trailing24h",
-    "q_text_hashtf", "q_curation_pipeline", "q_large_orders",
-    "q_promo_share", "q_returned_priority", "q_top_supplier",
-    "q_profile_lineitem", "q_embed_dimstats", "q_sample_weighted",
-    "q_corpus_mix", "q_customer_order_gaps", "q_dedup_cluster_sizes",
-    "q_events_retention", "q_nation_flow", "q_events_rollup",
-    "q_value_quantile_sketch", "q_text_lr_score",
+    "q_doc_pack",
+    "q_user_heavy_hitters", "q_events_dense_hours", "q_latest_event_per_user",
+    "q_sql_interface", "q_forecast_revenue", "q_shipping_modes",
+    "q_important_parts", "q_value_outliers", "q_dedup_passages",
+    "q_events_multitouch", "q_revenue_mom", "q_lineitem_expectations",
+    "q_corpus_shard_manifest", "q_value_winsorized", "q_orders_fx",
+    "q_user_lifetime", "q_source_overlap", "q_token_zipf",
+    "q_events_dow_hour", "q_brand_type_share", "q_customer_rfm",
+    "q_session_conversion", "q_order_backlog", "q_custdist",
+    "q_sole_return_supplier", "q_min_cost_supplier", "q_idle_rich_customers",
+    "q_events_rollup_incremental", "q_dedup_semantic", "q_shipping_priority",
+    "q_local_supplier_volume", "q_market_share", "q_product_profit",
+    "q_ship_lag_priority", "q_part_supplier_variety", "q_small_qty_revenue",
+    "q_promotable_suppliers",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -3257,8 +3257,8 @@ s AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
   FROM t)
 SELECT source, doc_id, n_tokens,
-       start // {PACK_LEN} AS pack_id,
-       start % {PACK_LEN} AS offset_in_pack,
+       (start // {PACK_LEN})::BIGINT AS pack_id,
+       (start % {PACK_LEN})::BIGINT AS offset_in_pack,
        ((start + greatest(n_tokens, 1) - 1) // {PACK_LEN}
          - start // {PACK_LEN} + 1)::INT AS n_packs
 FROM s""",
@@ -4138,9 +4138,9 @@ SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN '0-30d'
             WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN '31-90d'
             ELSE '90d+' END AS lag_band,
        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1""",
