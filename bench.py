@@ -34,6 +34,23 @@ def main() -> None:
     # warm the JVM/codegen once so per-query numbers reflect steady state
     scale_points(spark, sf_dir).limit(1).count()
 
+    # The chain family (q_chain2/5/cap/converge, q_disp, q_label, ...)
+    # shares the per-application iteration cache (chain_centroids), so
+    # without an explicit warmup each member's number depends on which
+    # one happens to run FIRST — and alphabetical position shifts as
+    # the registry grows (r3's new q_chain_cap silently absorbed the
+    # cost q_chain_converge paid in r1, inflating apparent drift).
+    # Warm the deepest prefix once as its own timed entry; family
+    # members then measure only their terminal work, reproducibly.
+    from mapreduce_kmeans_clustering_spark.queries import (
+        CONVERGE_CAP,
+        chain_centroids,
+    )
+
+    t0 = time.perf_counter()
+    chain_centroids(spark, sf_dir, CONVERGE_CAP)
+    timings["chain_warmup"] = round(time.perf_counter() - t0, 3)
+
     for name, fn in sorted(ALL_QUERIES.items()):
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()

@@ -4057,7 +4057,8 @@ PIPELINE_ORACLES.update(
     {
         "q_dedup_semantic": f"""
 WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-sd AS (SELECT vec_id AS cid, v AS c FROM ve WHERE vec_id < {KMEANS_ND_K}),
+sd AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid, v AS c
+       FROM ve ORDER BY vec_id LIMIT {KMEANS_ND_K}),
 asg AS (
   SELECT vec_id, v, cid AS cluster FROM (
     SELECT a.vec_id, a.v, s.cid,

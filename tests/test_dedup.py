@@ -236,12 +236,18 @@ def test_semantic_dedup_prunes_within_cluster_only(spark):
     assert got[2][0] == 0 and got[2][1] == "prune"
     assert got[3][0] == 1 and got[3][1] == "prune"
     assert got[4][1] == "keep"
-    # cross-cluster near-dup is missed by design: move 3's twin into
-    # cluster 0 by distance but keep it cosine-close to 1
-    rows2 = rows + [(5, [0.45, 0.55, 0.0, 0.0])]  # nearer c0? cos(5,1)~0.77<0.9
+    # cross-cluster near-dup is missed BY DESIGN (the recall trade of
+    # cluster blocking): 5=(0.8,0.6) and 6=(0.6,0.8) have cosine 0.96
+    # >= 0.9, but 5 is nearer centroid 0 (sqdist 0.40 vs 0.80) and 6
+    # nearer centroid 1 (symmetric), and neither clears 0.9 against
+    # any same-cluster member (max is cos(5, id2) ~ 0.861) — so the
+    # pair lands in different blocks and BOTH must come back 'keep'.
+    rows2 = rows + [(5, [0.8, 0.6, 0.0, 0.0]), (6, [0.6, 0.8, 0.0, 0.0])]
     emb2 = spark.createDataFrame(rows2, "vec_id LONG, embedding ARRAY<DOUBLE>")
     out2 = semantic_dedup(emb2, k=2, threshold=0.9, dim=4)
-    assert {r["vec_id"]: r["status"] for r in out2.collect()}[5] in ("keep", "prune")
+    got2 = {r["vec_id"]: (r["cluster"], r["status"]) for r in out2.collect()}
+    assert got2[5] == (0, "keep")
+    assert got2[6] == (1, "keep")
 
 
 def test_semantic_dedup_min_id_survives_chain(spark):
@@ -261,3 +267,81 @@ def test_semantic_dedup_min_id_survives_chain(spark):
     out = semantic_dedup(emb, k=2, threshold=0.95, dim=2)
     got = {r["vec_id"]: r["status"] for r in out.collect()}
     assert got == {0: "keep", 1: "keep", 2: "prune", 3: "prune", 4: "prune"}
+
+
+def test_semantic_dedup_sparse_ids_and_fitted_centroids(spark):
+    """Seeding takes the k LOWEST ids (not `< k`), so a sparse/offset
+    id space still yields k centroids; and an explicit fitted-centroid
+    list (the fit_nd handoff) overrides seeding entirely."""
+    from mapreduce_kmeans_clustering_spark.operators.dedup import semantic_dedup
+
+    rows = [  # ids nowhere near 0..k-1
+        (100, [1.0, 0.0]),
+        (205, [0.0, 1.0]),
+        (310, [0.99, 0.01]),
+        (415, [0.0, 0.98]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {
+        r["vec_id"]: (r["cluster"], r["status"])
+        for r in semantic_dedup(emb, k=2, threshold=0.95, dim=2).collect()
+    }
+    # centroids = vectors of ids 100 (cid 0) and 205 (cid 1)
+    assert got == {
+        100: (0, "keep"), 205: (1, "keep"),
+        310: (0, "prune"), 415: (1, "prune"),
+    }
+    # fitted centroids: hand the clusterer explicit centers instead
+    fitted = [[0.0, 1.0], [1.0, 0.0]]  # swapped order -> swapped cids
+    got2 = {
+        r["vec_id"]: r["cluster"]
+        for r in semantic_dedup(
+            emb, threshold=0.95, dim=2, centroids=fitted
+        ).collect()
+    }
+    assert got2 == {100: 1, 205: 0, 310: 1, 415: 0}
+
+
+def test_semantic_dedup_large_k_blas_path(spark):
+    """k > SEMANTIC_LITERAL_K_MAX routes assignment through the
+    broadcast BLAS argmin (plans/kmeans_nd.assign_nd) — same verdicts,
+    no literal expression blow-up."""
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        SEMANTIC_LITERAL_K_MAX,
+        semantic_dedup,
+    )
+
+    k = SEMANTIC_LITERAL_K_MAX + 2
+    # two real clusters + (k-2) far-away decoy centroids nothing maps to
+    cents = [[1.0, 0.0], [0.0, 1.0]] + [
+        [100.0 + 10.0 * i, 100.0] for i in range(k - 2)
+    ]
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.99, 0.01]),
+        (3, [0.0, 0.98]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {
+        r["vec_id"]: (r["cluster"], r["status"])
+        for r in semantic_dedup(
+            emb, threshold=0.95, dim=2, centroids=cents
+        ).collect()
+    }
+    assert got == {
+        0: (0, "keep"), 1: (1, "keep"), 2: (0, "prune"), 3: (1, "prune"),
+    }
+
+
+def test_suggested_semantic_k_scales_with_corpus():
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        suggested_semantic_k,
+    )
+
+    assert suggested_semantic_k(0) == 8
+    assert suggested_semantic_k(100) == 10
+    assert suggested_semantic_k(1_000_000) == 1000
+    # the SemDeDup paper's regime: 440M LAION -> ~21k clusters (they
+    # used 50k; same order of magnitude)
+    assert 15_000 <= suggested_semantic_k(440_000_000) <= 25_000
