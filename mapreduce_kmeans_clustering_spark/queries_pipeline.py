@@ -2078,6 +2078,86 @@ def q_token_zipf(spark, sf_dir):
     )
 
 
+PMI_VOCAB = 50
+PMI_MIN_PAIR = 5
+BPE_TOP = 20
+
+
+def q_token_pmi(spark, sf_dir):
+    """Token co-occurrence PMI within documents over the top-PMI_VOCAB
+    document-frequency vocabulary — the association-mining pass behind
+    collocation extraction and topic seeding.
+
+    Scale shape: the vocabulary is a V-row broadcast (V fixed, chosen
+    by df rank with a deterministic tiebreak), so the pair key space
+    is bounded by C(V,2) regardless of corpus size and the per-doc
+    pair fanout by C(V_present,2). One distinct, one broadcast
+    semi-join, one equi-join on doc_id, one hash aggregate; the corpus
+    total is a 1-row broadcast, never a driver-side count."""
+    docs = _docs(spark, sf_dir)
+    dt = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    ).distinct()
+    dfreq = dt.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    # top-V via orderBy+limit -> TakeOrderedAndProject (distributed
+    # partial top-k), NOT an unpartitioned rank window (which would
+    # funnel the whole corpus vocabulary through one task)
+    vocab = dfreq.orderBy(F.col("df").desc(), "tok").limit(PMI_VOCAB)
+    dv = dt.join(F.broadcast(vocab), "tok").select("doc_id", "tok", "df")
+    a = dv.select("doc_id", F.col("tok").alias("ta"), F.col("df").alias("dfa"))
+    b = dv.select("doc_id", F.col("tok").alias("tb"), F.col("df").alias("dfb"))
+    nd = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb", "dfa", "dfb")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= PMI_MIN_PAIR)
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_ab").cast("double") * F.col("n_docs"))
+            / (F.col("dfa").cast("double") * F.col("dfb"))
+        ),
+        4,
+    )
+    return pairs.crossJoin(F.broadcast(nd)).select(
+        "ta", "tb", "n_ab", pmi.alias("pmi")
+    )
+
+
+def q_bpe_merge_pairs(spark, sf_dir):
+    """First BPE merge iteration (Sennrich et al. 2016, arXiv:
+    1508.07909): adjacent character-pair frequencies, counted per
+    word occurrence — the argmax of this table IS the first merge a
+    tokenizer trainer would learn.
+
+    The word-level pre-aggregation is the classic trainer trick: the
+    corpus-scale work is ONE token hash aggregate (map-side partials);
+    the pair explosion then runs over the DISTINCT vocabulary weighted
+    by word count, so generator cost is vocabulary-sized, not
+    corpus-sized. Top-BPE_TOP via a rank window over the (tiny)
+    aggregated pair table, ties broken lexicographically."""
+    docs = _docs(spark, sf_dir)
+    wf = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("wc"))
+        .where(F.length("w") >= 2)
+    )
+    pos = F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("pos")
+    pairs = wf.select("w", "wc", pos).select(
+        F.col("w").substr(F.col("pos"), F.lit(2)).alias("pair"), "wc"
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("wc").cast("long").alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), "pair")
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= BPE_TOP)
+        .select("rank", "pair", "freq")
+    )
+
+
 def q_events_dow_hour(spark, sf_dir):
     """Activity heatmap: events by (day-of-week 1=Sunday, hour) — the
     load-pattern matrix behind capacity planning and bot detection.
@@ -3929,6 +4009,37 @@ r AS (SELECT tok, CAST(freq AS BIGINT) AS freq,
       FROM tf)
 SELECT rank, tok, freq, CAST(rank * freq AS BIGINT) AS rf
 FROM r WHERE rank <= {ZIPF_TOP}""",
+    "q_token_pmi": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOK}) AS tok FROM documents),
+dt AS (SELECT DISTINCT doc_id, tok FROM toks),
+dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM dt GROUP BY tok),
+vocab AS (
+  SELECT tok, df FROM (
+    SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok) AS r
+    FROM dfreq) WHERE r <= {PMI_VOCAB}),
+dv AS (SELECT doc_id, tok, df FROM dt JOIN vocab USING (tok)),
+nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+pairs AS (
+  SELECT a.tok AS ta, b.tok AS tb, a.df AS dfa, b.df AS dfb,
+         count(*)::BIGINT AS n_ab
+  FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2, 3, 4 HAVING count(*) >= {PMI_MIN_PAIR})
+SELECT ta, tb, n_ab,
+       round(ln((n_ab::DOUBLE * n_docs) / (dfa::DOUBLE * dfb)), 4) AS pmi
+FROM pairs CROSS JOIN nd""",
+    "q_bpe_merge_pairs": f"""
+WITH wf AS (
+  SELECT w, count(*)::BIGINT AS wc
+  FROM (SELECT unnest({_TOK}) AS w FROM documents)
+  WHERE len(w) >= 2 GROUP BY w),
+p AS (
+  SELECT substr(w, pos, 2) AS pair, wc
+  FROM (SELECT w, wc, unnest(range(1, len(w))) AS pos FROM wf)),
+agg AS (SELECT pair, sum(wc)::BIGINT AS freq FROM p GROUP BY pair),
+r AS (SELECT pair, freq,
+             (row_number() OVER (ORDER BY freq DESC, pair))::INT AS rank
+      FROM agg)
+SELECT rank, pair, freq FROM r WHERE rank <= {BPE_TOP}""",
     "q_events_dow_hour": """
 SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
        CAST(hour(ts) AS INT) AS hr,
@@ -4286,6 +4397,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_user_lifetime": q_user_lifetime,
     "q_source_overlap": q_source_overlap,
     "q_token_zipf": q_token_zipf,
+    "q_token_pmi": q_token_pmi,
+    "q_bpe_merge_pairs": q_bpe_merge_pairs,
     "q_events_dow_hour": q_events_dow_hour,
     "q_brand_type_share": q_brand_type_share,
     "q_customer_rfm": q_customer_rfm,

@@ -379,3 +379,24 @@ def test_semantic_dedup_assignment_is_scan_local(spark):
     assert "Exchange" not in pa
     assert "Join" not in pa
     assert "Aggregate" not in pa
+
+
+def test_token_pmi_and_bpe_plans_are_bounded(spark):
+    """q_token_pmi: vocab selection must be TakeOrderedAndProject
+    (distributed top-k), never an unpartitioned rank window funneling
+    the corpus vocabulary through one task; the only BNLJ is the
+    deliberate 1-row corpus-total broadcast. q_bpe_merge_pairs: one
+    token aggregate + generator over the distinct vocabulary; no
+    nested-loop joins at all."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_bpe_merge_pairs,
+        q_token_pmi,
+    )
+
+    p = _plan(q_token_pmi(spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert p.count("BroadcastNestedLoopJoin") == 1  # 1-row n_docs total
+    assert "CartesianProduct" not in p
+    p2 = _plan(q_bpe_merge_pairs(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p2
+    assert "CartesianProduct" not in p2
