@@ -190,3 +190,53 @@ def test_sample_weighted_matches_python_property(spark, rows, k):
 
     want = [i for i, _ in sorted(rows, key=lambda t: pri(t))[:k]]
     assert got == want
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100,
+                max_value=100,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=6,
+            max_size=6,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_hof_distance_forms_bit_equal_unrolled(spark, vecs):
+    """functions/distance claims the HOF forms (dot_hof, norm_hof,
+    sqdist_to_const) produce BIT-identical doubles to the unrolled
+    forms — same index-ascending left-associated summation — which is
+    what licenses swapping them inside oracle-gated operators
+    (semantic_dedup round 4). Pin it: exact equality, no tolerance."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.functions.distance import (
+        dot_hof,
+        dot_unrolled,
+        norm_hof,
+        norm_unrolled,
+        sqdist_to_const,
+        sqdist_unrolled,
+    )
+
+    dim = 6
+    const = vecs[0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "i LONG, v ARRAY<DOUBLE>"
+    )
+    c = F.array(*[F.lit(float(x)) for x in const])
+    got = df.select(
+        (dot_hof(F.col("v"), F.col("v")) == dot_unrolled(F.col("v"), F.col("v"), dim)).alias("dot_eq"),
+        (norm_hof(F.col("v")) == norm_unrolled(F.col("v"), dim)).alias("norm_eq"),
+        (sqdist_to_const(F.col("v"), const) == sqdist_unrolled(F.col("v"), c, dim)).alias("sq_eq"),
+    ).collect()
+    for r in got:
+        assert r["dot_eq"] and r["norm_eq"] and r["sq_eq"]
