@@ -788,6 +788,54 @@ def semantic_assign_expr(cvecs: list[list[float]], vec: str = "_v"):
     return F.array_min(F.array(*cands))["cid"]
 
 
+def _semantic_asg(
+    embeddings: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]] | None,
+) -> DataFrame:
+    """Shared cluster-assignment stage for semantic_dedup and its BLAS
+    twin: (_id, cluster, _v, _n), scan-local (literal argmin for small
+    k, broadcast BLAS argmin above SEMANTIC_LITERAL_K_MAX), deferred
+    localCheckpoint so both pair-stage consumers reuse one
+    materialization."""
+    from mapreduce_kmeans_clustering_spark.functions.distance import norm_hof
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+    )
+    if centroids is None:
+        # k-row collect, the same driver-side channel fit() uses every
+        # iteration; orderBy.limit is an Exchange-free TakeOrdered.
+        rows = base.orderBy("_id").limit(k).collect()
+        if not rows:
+            raise ValueError("semantic_dedup: empty corpus, no seed centroids")
+        cvecs = [list(map(float, r["_v"])) for r in rows]
+    else:
+        cvecs = [list(map(float, c)) for c in centroids]
+        if not cvecs:
+            raise ValueError("semantic_dedup: empty centroid list")
+    if len(cvecs) <= SEMANTIC_LITERAL_K_MAX:
+        asg = base.select(
+            "_id",
+            semantic_assign_expr(cvecs).alias("cluster"),
+            "_v",
+        )
+    else:
+        from mapreduce_kmeans_clustering_spark.plans.kmeans_nd import assign_nd
+
+        asg = assign_nd(base, cvecs, id_col="_id", vec_col="_v").select(
+            "_id", "cluster", "_v"
+        )
+    return asg.select(
+        "_id", "cluster", "_v", norm_hof(F.col("_v")).alias("_n")
+    ).localCheckpoint(eager=False)
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     k: int = 8,
@@ -831,42 +879,9 @@ def semantic_dedup(
     whenever some ``a < b`` in the same cluster clears the threshold)
     — matching the exact/near-dup verdict convention used by
     dedup_pipeline."""
-    from mapreduce_kmeans_clustering_spark.functions.distance import (
-        dot_hof,
-        norm_hof,
-    )
+    from mapreduce_kmeans_clustering_spark.functions.distance import dot_hof
 
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = embeddings.select(
-        F.col(id_col).alias("_id"),
-        v.alias("_v"),
-    )
-    if centroids is None:
-        # k-row collect, the same driver-side channel fit() uses every
-        # iteration; orderBy.limit is an Exchange-free TakeOrdered.
-        rows = base.orderBy("_id").limit(k).collect()
-        if not rows:
-            raise ValueError("semantic_dedup: empty corpus, no seed centroids")
-        cvecs = [list(map(float, r["_v"])) for r in rows]
-    else:
-        cvecs = [list(map(float, c)) for c in centroids]
-        if not cvecs:
-            raise ValueError("semantic_dedup: empty centroid list")
-    if len(cvecs) <= SEMANTIC_LITERAL_K_MAX:
-        asg = base.select(
-            "_id",
-            semantic_assign_expr(cvecs).alias("cluster"),
-            "_v",
-        )
-    else:
-        from mapreduce_kmeans_clustering_spark.plans.kmeans_nd import assign_nd
-
-        asg = assign_nd(base, cvecs, id_col="_id", vec_col="_v").select(
-            "_id", "cluster", "_v"
-        )
-    asg = asg.select(
-        "_id", "cluster", "_v", norm_hof(F.col("_v")).alias("_n")
-    ).localCheckpoint(eager=False)
+    asg = _semantic_asg(embeddings, k, dim, id_col, vec_col, centroids)
     a = asg.select(
         F.col("_id").alias("a"), F.col("_v").alias("va"), F.col("_n").alias("na"),
         "cluster",
@@ -895,4 +910,62 @@ def semantic_dedup(
             .otherwise("prune")
             .alias("status"),
         )
+    )
+
+
+def semantic_dedup_blas(
+    embeddings: DataFrame,
+    k: int = 8,
+    threshold: float = 0.5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Production twin of semantic_dedup: identical cluster blocking
+    (shared _semantic_asg stage — same centroids, same argmin, same
+    block boundaries), but each cluster's pair stage runs as ONE BLAS
+    gram block (``M @ M.T / outer(norms)``) inside a grouped
+    applyInPandas, emitting verdicts directly — no self-join, no
+    per-pair expression evaluation. Dense linear algebra is the hot
+    path where vectorized Pandas beats the JVM expression engine by an
+    order of magnitude (SCALE.md §4 finding 2); the same reasoning as
+    embedding_near_dup_blas.
+
+    Memory is O(block * dim + block^2) per task; blocks are ~n/k, so
+    pick k with suggested_semantic_k (~sqrt(n)) — at the SemDeDup
+    paper's 50k-cluster regime every block fits easily. A pathological
+    giant cluster is the skew hatch's job: raise k (fitted centroids
+    split dense regions hardest).
+
+    Labeled NON-ORACLE twin: numpy's SIMD/pairwise dot summation can
+    differ from the SQL engines' sequential sum in the last ulp, so a
+    pair sitting exactly on the threshold could flip verdict. The
+    registered oracle-gated query stays on semantic_dedup;
+    tests pin this twin equal to it on the real embeddings tables."""
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+
+    def verdicts(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        mat = np.array([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0.0] = np.nan  # zero vectors: cos undefined -> never pruned
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        with np.errstate(invalid="ignore"):
+            hit = (sims >= thr) & (ids[:, None] < ids[None, :])
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": pdf["cluster"].to_numpy(),
+                "status": np.where(hit.any(axis=0), "prune", "keep"),
+            }
+        )
+
+    asg = _semantic_asg(embeddings, k, dim, id_col, vec_col, centroids)
+    return asg.groupBy("cluster").applyInPandas(
+        verdicts, f"{id_col} long, cluster int, status string"
     )

@@ -345,3 +345,39 @@ def test_suggested_semantic_k_scales_with_corpus():
     # the SemDeDup paper's regime: 440M LAION -> ~21k clusters (they
     # used 50k; same order of magnitude)
     assert 15_000 <= suggested_semantic_k(440_000_000) <= 25_000
+
+
+def test_semantic_dedup_blas_twin_matches_expression_form(spark):
+    """The production BLAS twin (per-cluster gram blocks via
+    applyInPandas) must produce identical verdicts to the oracle-gated
+    expression form on the real embeddings table and on the
+    constructed fixtures — same blocking, same min-id survivor rule."""
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_blas,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ref = {
+        (r["vec_id"]): (r["cluster"], r["status"])
+        for r in semantic_dedup(emb, k=8, threshold=0.5, dim=64).collect()
+    }
+    got = {
+        (r["vec_id"]): (r["cluster"], r["status"])
+        for r in semantic_dedup_blas(emb, k=8, threshold=0.5, dim=64).collect()
+    }
+    assert got == ref and len(ref) > 0
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.99, 0.01]),
+        (3, [0.98, 0.02]),
+        (4, [0.97, 0.03]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got2 = {
+        r["vec_id"]: r["status"]
+        for r in semantic_dedup_blas(df, k=2, threshold=0.95, dim=2).collect()
+    }
+    assert got2 == {0: "keep", 1: "keep", 2: "prune", 3: "prune", 4: "prune"}
