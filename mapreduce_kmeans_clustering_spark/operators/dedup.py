@@ -892,8 +892,13 @@ def semantic_dedup(
     )
     # HOF dot: same summation order as the unrolled form / DuckDB's
     # list_inner_product, but ~3.3x faster in the join-predicate
-    # evaluation context (see functions/distance.dot_hof)
-    cos = dot_hof(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # evaluation context (see functions/distance.dot_hof). The norm
+    # guard defines zero-vector pairs as NOT near-dups (cosine
+    # undefined -> NULL -> filtered): without it ANSI mode raises
+    # DIVIDE_BY_ZERO the moment a corpus contains an all-zero
+    # embedding. The BLAS twin mirrors this via NaN exclusion.
+    den = F.col("na") * F.col("nb")
+    cos = F.when(den != 0, dot_hof(F.col("va"), F.col("vb")) / den)
     pruned = (
         a.join(b, "cluster")
         .where(F.col("a") < F.col("b"))
@@ -953,9 +958,12 @@ def semantic_dedup_blas(
         ids = pdf["_id"].to_numpy(dtype=np.int64)
         mat = np.array([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
         norms = np.sqrt((mat * mat).sum(axis=1))
-        norms[norms == 0.0] = np.nan  # zero vectors: cos undefined -> never pruned
-        sims = (mat @ mat.T) / np.outer(norms, norms)
+        # zero vectors: cosine undefined -> NaN -> numpy comparison
+        # false -> never a near-dup, matching the expression form's
+        # norm-guarded NULL cosine
+        norms[norms == 0.0] = np.nan
         with np.errstate(invalid="ignore"):
+            sims = (mat @ mat.T) / np.outer(norms, norms)
             hit = (sims >= thr) & (ids[:, None] < ids[None, :])
         return pd.DataFrame(
             {

@@ -4182,9 +4182,12 @@ asg AS (
 pr AS (
   SELECT DISTINCT b.vec_id AS pruned
   FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-  WHERE list_inner_product(a.v, b.v)
-        / (sqrt(list_inner_product(a.v, a.v))
-           * sqrt(list_inner_product(b.v, b.v))) >= {SEMDEDUP_THRESHOLD})
+  WHERE CASE WHEN sqrt(list_inner_product(a.v, a.v))
+                  * sqrt(list_inner_product(b.v, b.v)) <> 0
+             THEN list_inner_product(a.v, b.v)
+                  / (sqrt(list_inner_product(a.v, a.v))
+                     * sqrt(list_inner_product(b.v, b.v)))
+             END >= {SEMDEDUP_THRESHOLD})
 SELECT vec_id, cluster,
        CASE WHEN vec_id IN (SELECT pruned FROM pr)
             THEN 'prune' ELSE 'keep' END AS status

@@ -381,3 +381,35 @@ def test_semantic_dedup_blas_twin_matches_expression_form(spark):
         for r in semantic_dedup_blas(df, k=2, threshold=0.95, dim=2).collect()
     }
     assert got2 == {0: "keep", 1: "keep", 2: "prune", 3: "prune", 4: "prune"}
+
+
+def test_semantic_dedup_zero_vector_cosine_undefined_keeps(spark):
+    """Zero vectors: cosine is undefined, so a zero-vector pair is NOT
+    a near-dup — the expression form's norm guard yields NULL (and,
+    critically, does not trip ANSI DIVIDE_BY_ZERO), the BLAS twin's
+    NaN comparison is false; both keep every zero vector and the two
+    forms agree."""
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_blas,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.0, 0.0]),  # zero vector
+        (3, [0.0, 0.0]),  # its twin: cos undefined -> both keep
+        (4, [0.99, 0.01]),  # real near-dup of 0 still prunes
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    expr = {
+        r["vec_id"]: r["status"]
+        for r in semantic_dedup(emb, k=2, threshold=0.95, dim=2).collect()
+    }
+    blas = {
+        r["vec_id"]: r["status"]
+        for r in semantic_dedup_blas(emb, k=2, threshold=0.95, dim=2).collect()
+    }
+    assert expr == blas
+    assert expr[2] == "keep" and expr[3] == "keep"
+    assert expr[4] == "prune"
