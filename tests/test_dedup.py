@@ -413,3 +413,30 @@ def test_semantic_dedup_zero_vector_cosine_undefined_keeps(spark):
     assert expr == blas
     assert expr[2] == "keep" and expr[3] == "keep"
     assert expr[4] == "prune"
+
+
+def test_semantic_dedup_fit_nd_handoff(spark):
+    """The documented production wiring (DEPLOY.md): fit_nd centroids
+    flow straight into semantic_dedup / semantic_dedup_blas. Both
+    forms agree on the fitted clustering, every vector gets a verdict,
+    and cluster ids stay within the fitted k."""
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_blas,
+    )
+    from mapreduce_kmeans_clustering_spark.plans.kmeans_nd import fit_nd
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n = emb.count()
+    fit = fit_nd(emb, k=4, max_iter=3, threshold=None)
+    expr = semantic_dedup(emb, threshold=0.5, dim=64, centroids=fit.centroids)
+    blas = semantic_dedup_blas(emb, threshold=0.5, dim=64, centroids=fit.centroids)
+    e = {r["vec_id"]: (r["cluster"], r["status"]) for r in expr.collect()}
+    b = {r["vec_id"]: (r["cluster"], r["status"]) for r in blas.collect()}
+    assert e == b
+    assert len(e) == n
+    assert {c for c, _ in e.values()} <= set(range(4))
