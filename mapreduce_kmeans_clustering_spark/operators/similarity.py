@@ -400,3 +400,75 @@ def lsh_probe_index(
     return spark.read.parquet(path).where(
         F.col("bucket").isin(sorted(buckets))
     )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 3,
+    dim: int = DEFAULT_DIM,
+    planes: int = DEFAULT_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH: for EVERY vector, its
+    top-k in-bucket cosine neighbors — the all-vectors twin of
+    lsh_topk (which serves a fixed query set) and the substrate for
+    graph-based curation: connectivity filtering, degree-based
+    near-dup pruning, label propagation over similarity edges.
+
+    Scale shape: hyperplane-LSH bucket equi-join (candidate space =
+    in-bucket pairs, never n^2); ONE cosine evaluation per unordered
+    pair, mirrored into both directions before a per-source rank
+    window (partitioned by the source id — embarrassingly parallel,
+    no global sort). Approximate by design: neighbors outside the
+    source's bucket are unseen (P[same bucket] rises with cosine —
+    the LSH property); more planes = smaller buckets = faster and
+    lower recall. At 100 TB, write the corpus bucketed-by(bucket) so
+    the self-join is exchange-free.
+
+    Determinism: derived hyperplanes (no RNG), rank over the
+    UNROUNDED cosine with (cos desc, dst) ties — the HOF dot is the
+    same index-ascending left-associated sum as DuckDB's
+    list_inner_product, so both engines rank identical doubles.
+    Zero vectors have undefined cosine and contribute no edges
+    (norm-guarded NULL, same convention as semantic_dedup).
+
+    Output: (src, dst, rank, cos) with rank 1..k per src.
+    """
+    from mapreduce_kmeans_clustering_spark.functions.distance import (
+        dot_hof,
+        norm_hof,
+    )
+
+    v = _as_double(F.col(vec_col))
+    vb = embeddings.select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        norm_hof(v).alias("_n"),
+        lsh_bucket_expr(F.col(vec_col), dim, planes).alias("_bucket"),
+    ).localCheckpoint(eager=False)
+    a = vb.select(
+        F.col("_id").alias("a"), F.col("_v").alias("va"), F.col("_n").alias("na"),
+        "_bucket",
+    )
+    b = vb.select(
+        F.col("_id").alias("b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"),
+        "_bucket",
+    )
+    den = F.col("na") * F.col("nb")
+    cos = F.when(den != 0, dot_hof(F.col("va"), F.col("vb")) / den)
+    und = (
+        a.join(b, "_bucket")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", cos.alias("cos"))
+        .where(F.col("cos").isNotNull())
+    )
+    edges = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "cos"
+    ).union(und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "cos"))
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
+    return (
+        edges.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", "rank", "cos")
+    )

@@ -273,6 +273,18 @@ def q_dedup_embed(spark, sf_dir):
     return p.select("a", "b", F.round("cos", 6).alias("cos"))
 
 
+KNN_K = 3
+
+
+def q_knn_graph(spark, sf_dir):
+    """Approximate kNN graph: every vector's top-KNN_K in-bucket
+    cosine neighbors (operators/similarity.knn_graph) — the graph
+    substrate for connectivity-based curation; bucket equi-join +
+    per-source rank window, never n^2."""
+    g = SIM.knn_graph(_emb(spark, sf_dir), k=KNN_K)
+    return g.select("src", "dst", "rank", F.round("cos", 6).alias("cos"))
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -3092,6 +3104,20 @@ vb AS (SELECT vec_id, v, {_PLANE_BUCKET} AS bucket FROM ve),
 p AS (SELECT a.vec_id AS a, b.vec_id AS b, a.v AS va, b.v AS vb
       FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT a, b, round({_COS}, 6) AS cos FROM p WHERE {_COS} >= {EMBED_DUP_THRESHOLD}""",
+    "q_knn_graph": f"""
+WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+vb AS (SELECT vec_id, v, {_PLANE_BUCKET} AS bucket FROM ve),
+p AS (SELECT a.vec_id AS a, b.vec_id AS b, a.v AS va, b.v AS vb
+      FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+c AS (SELECT a, b, {_COS} AS cos FROM p
+      WHERE list_inner_product(va, va) <> 0 AND list_inner_product(vb, vb) <> 0),
+e AS (SELECT a AS src, b AS dst, cos FROM c
+      UNION ALL SELECT b AS src, a AS dst, cos FROM c),
+r AS (SELECT src, dst, cos,
+             row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+      FROM e)
+SELECT src, dst, rank::INT AS rank, round(cos, 6) AS cos
+FROM r WHERE rank <= {KNN_K}""",
     "q_ann_topk": _SQL_ANN_TOPK,
     "q_ann_lsh": _SQL_ANN_LSH,
     "q_ann_recall": f"""
@@ -4317,6 +4343,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
     "q_dedup_pipeline": q_dedup_pipeline,
     "q_dedup_embed": q_dedup_embed,
+    "q_knn_graph": q_knn_graph,
     "q_ann_topk": q_ann_topk,
     "q_ann_lsh": q_ann_lsh,
     "q_ann_ivf": q_ann_ivf,

@@ -160,3 +160,42 @@ def test_lsh_index_round_trip_prunes_partitions(spark, tmp_path):
     }
     assert {r["vec_id"] for r in got.collect()} == want
     assert len(probed_buckets) == 5  # base + 4 single-bit flips
+
+
+def test_knn_graph_properties(spark):
+    """kNN graph on the real embeddings: every vector with in-bucket
+    company gets 1..k neighbors ranked by descending cosine with
+    deterministic ties; src never equals dst; the rank-1 neighbor of a
+    duplicated vector is its exact copy (cos 1)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.operators.similarity import knn_graph
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    g = knn_graph(emb, k=3).cache()
+    rows = g.collect()
+    assert rows
+    per_src = {}
+    for r in rows:
+        assert r["src"] != r["dst"]
+        per_src.setdefault(r["src"], []).append((r["rank"], r["cos"], r["dst"]))
+    for src, lst in per_src.items():
+        lst.sort()
+        assert [x[0] for x in lst] == list(range(1, len(lst) + 1))
+        assert len(lst) <= 3
+        coss = [x[1] for x in lst]
+        assert coss == sorted(coss, reverse=True)
+    g.unpersist()
+
+    # constructed duplicate: the copy is rank-1 with cos ~ 1
+    rows2 = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector: no edges at all
+    ]
+    df = spark.createDataFrame(rows2, "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = {(r["src"], r["rank"]): (r["dst"], r["cos"]) for r in knn_graph(df, k=2, dim=4).collect()}
+    assert got[(0, 1)][0] == 1 and got[(0, 1)][1] > 0.999
+    assert got[(1, 1)][0] == 0
+    assert not any(s == 3 or d == 3 for (s, _), (d, _c) in got.items())
