@@ -2170,6 +2170,49 @@ def q_bpe_merge_pairs(spark, sf_dir):
     )
 
 
+VOCAB_CUTOFFS = (100, 1000, 10000)
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve: what fraction of all token
+    OCCURRENCES the top-V most frequent types cover, at the standard
+    report cutoffs — the first number a tokenizer/vocab decision
+    looks at (diminishing-returns knee).
+
+    Scale shape: one token hash aggregate; the global rank is taken
+    with orderBy+limit(max cutoff) — TakeOrderedAndProject, so only
+    the CONSTANT-bounded head (10k rows) ever sits in one partition
+    for the cumulative window; cutoffs and the corpus total are 1-3
+    row broadcasts."""
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    total = tf.agg(F.sum("freq").cast("long").alias("total"))
+    top = tf.orderBy(F.col("freq").desc(), "tok").limit(max(VOCAB_CUTOFFS))
+    rank_w = Window.orderBy(F.col("freq").desc(), "tok")
+    cum_w = rank_w.rowsBetween(Window.unboundedPreceding, 0)
+    cum = top.select(
+        F.row_number().over(rank_w).alias("r"),
+        F.sum("freq").over(cum_w).alias("cum"),
+    )
+    cuts = spark.createDataFrame([(v,) for v in VOCAB_CUTOFFS], "vocab_size INT")
+    cv = (
+        cum.join(F.broadcast(cuts), F.col("r") <= F.col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(F.max("cum").cast("long").alias("covered_tokens"))
+    )
+    return cv.crossJoin(F.broadcast(total)).select(
+        "vocab_size",
+        "covered_tokens",
+        F.round(F.col("covered_tokens").cast("double") / F.col("total"), 6).alias(
+            "coverage"
+        ),
+    )
+
+
 def q_events_dow_hour(spark, sf_dir):
     """Activity heatmap: events by (day-of-week 1=Sunday, hour) — the
     load-pattern matrix behind capacity planning and bot detection.
@@ -4053,6 +4096,22 @@ pairs AS (
 SELECT ta, tb, n_ab,
        round(ln((n_ab::DOUBLE * n_docs) / (dfa::DOUBLE * dfb)), 4) AS pmi
 FROM pairs CROSS JOIN nd""",
+    "q_vocab_coverage": f"""
+WITH tf AS (
+  SELECT tok, count(*)::BIGINT AS freq
+  FROM (SELECT unnest({_TOK}) AS tok FROM documents) GROUP BY tok),
+tot AS (SELECT sum(freq)::BIGINT AS total FROM tf),
+rk AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) AS r FROM tf),
+top AS (SELECT r, sum(freq) OVER (ORDER BY r) AS cum
+        FROM rk WHERE r <= {max(VOCAB_CUTOFFS)}),
+cv AS (
+  SELECT v.vocab_size, max(cum)::BIGINT AS covered_tokens
+  FROM top JOIN (VALUES {", ".join(f"({v})" for v in VOCAB_CUTOFFS)}) v(vocab_size)
+    ON top.r <= v.vocab_size
+  GROUP BY 1)
+SELECT vocab_size::INT AS vocab_size, covered_tokens,
+       round(covered_tokens::DOUBLE / total, 6) AS coverage
+FROM cv CROSS JOIN tot""",
     "q_bpe_merge_pairs": f"""
 WITH wf AS (
   SELECT w, count(*)::BIGINT AS wc
@@ -4429,6 +4488,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_token_zipf": q_token_zipf,
     "q_token_pmi": q_token_pmi,
     "q_bpe_merge_pairs": q_bpe_merge_pairs,
+    "q_vocab_coverage": q_vocab_coverage,
     "q_events_dow_hour": q_events_dow_hour,
     "q_brand_type_share": q_brand_type_share,
     "q_customer_rfm": q_customer_rfm,
