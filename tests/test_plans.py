@@ -400,3 +400,22 @@ def test_token_pmi_and_bpe_plans_are_bounded(spark):
     p2 = _plan(q_bpe_merge_pairs(spark, SF))
     assert "BroadcastNestedLoopJoin" not in p2
     assert "CartesianProduct" not in p2
+
+
+def test_knn_graph_and_vocab_coverage_plans(spark):
+    """q_knn_graph: bucket equi-join (no nested loop anywhere — the
+    union mirror doubles edges, not joins). q_vocab_coverage: the
+    ranked head must be TakeOrderedAndProject-bounded; the only BNLJs
+    are the 1-3-row cutoff/total broadcasts."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_knn_graph,
+        q_vocab_coverage,
+    )
+
+    p = _plan(q_knn_graph(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    p2 = _plan(q_vocab_coverage(spark, SF))
+    assert "TakeOrderedAndProject" in p2
+    assert "CartesianProduct" not in p2
+    assert p2.count("BroadcastNestedLoopJoin") <= 2  # cutoffs + total
