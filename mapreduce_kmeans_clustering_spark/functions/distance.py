@@ -25,9 +25,25 @@ def euclidean(ax: Column, ay: Column, az: Column, bx, by, bz) -> Column:
     return F.sqrt(euclidean_sq(ax, ay, az, bx, by, bz))
 
 
+def safe_cosine(dot: Column, na: Column, nb: Column) -> Column:
+    """``dot / (na * nb)`` with the undefined cases nulled out: a zero
+    or NaN norm product yields NULL instead of an ANSI DIVIDE_BY_ZERO
+    error (Spark 4 default) or a NaN that Spark's NaN-greatest
+    comparison semantics would treat as "similar to everything"
+    (`NaN >= t` is TRUE in Spark SQL). NULL fails every threshold
+    predicate and sorts last under a desc rank — undefined similarity
+    is never a match. The numpy twins get the same verdicts for free
+    (IEEE NaN comparisons are false), which is what keeps the BLAS
+    paths pinned equal."""
+    den = na * nb
+    return F.when((den != 0) & ~F.isnan(den), dot / den)
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<numeric> columns, JVM-side via
-    zip_with + aggregate (no Python in the loop)."""
+    zip_with + aggregate (no Python in the loop). Norm-guarded: zero
+    or NaN vectors yield NULL, never DIVIDE_BY_ZERO (see
+    safe_cosine)."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -35,7 +51,7 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     )
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (na * nb)
+    return safe_cosine(dot, na, nb)
 
 
 def dot_unrolled(a: Column, b: Column, dim: int) -> Column:

@@ -579,6 +579,7 @@ def embedding_near_dup_pairs(
     from mapreduce_kmeans_clustering_spark.functions.distance import (
         dot_unrolled,
         norm_unrolled,
+        safe_cosine,
     )
 
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -596,7 +597,13 @@ def embedding_near_dup_pairs(
         F.col("_id").alias("b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"),
         "_bucket",
     )
-    cos = dot_unrolled(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
+    # safe_cosine: zero/NaN vectors yield NULL (never ANSI
+    # DIVIDE_BY_ZERO, never NaN-matches-everything), which the
+    # threshold predicate then filters — same convention as
+    # semantic_dedup and the numpy twin below
+    cos = safe_cosine(
+        dot_unrolled(F.col("va"), F.col("vb"), dim), F.col("na"), F.col("nb")
+    )
     return (
         a.join(b, "_bucket")
         .where(F.col("a") < F.col("b"))
@@ -772,10 +779,12 @@ def semantic_assign_expr(cvecs: list[list[float]], vec: str = "_v"):
     list: ``array_min(array(struct(sqdist_to_const, cid), ...))["cid"]``
     — the n-dim twin of operators/assign.assignment_expr. No join, no
     Exchange, no aggregate; ties break to the lowest cid via struct
-    ordering. Each per-centroid sqdist is the constant-size HOF form
-    (functions/distance.sqdist_to_const), so plan size is O(k), not
-    O(k * dim), and the doubles match the SQL oracle's
-    list_sum(list_transform(...)) bit-for-bit."""
+    ordering. Each per-centroid sqdist is the HOF form
+    (functions/distance.sqdist_to_const): the EXPRESSION-NODE count is
+    O(k) (one zip_with/aggregate pair per centroid, vs O(k * dim)
+    arithmetic nodes unrolled — the janino-compile cost that motivated
+    the switch), while the serialized plan still carries the k * dim
+    centroid literals themselves."""
     from mapreduce_kmeans_clustering_spark.functions.distance import sqdist_to_const
 
     cands = [
@@ -795,28 +804,35 @@ def _semantic_asg(
     id_col: str,
     vec_col: str,
     centroids: list[list[float]] | None,
+    with_norm: bool = True,
 ) -> DataFrame:
     """Shared cluster-assignment stage for semantic_dedup and its BLAS
-    twin: (_id, cluster, _v, _n), scan-local (literal argmin for small
-    k, broadcast BLAS argmin above SEMANTIC_LITERAL_K_MAX), deferred
-    localCheckpoint so both pair-stage consumers reuse one
-    materialization."""
+    twin: (_id, cluster, _v[, _n]), scan-local (literal argmin for
+    small k, broadcast BLAS argmin above SEMANTIC_LITERAL_K_MAX),
+    deferred localCheckpoint so both pair-stage consumers reuse one
+    materialization. Vectors (and explicit centroids) are truncated to
+    the first ``dim`` coordinates — the same dim-prefix semantics the
+    unrolled expressions had. ``with_norm=False`` skips the norm
+    column for consumers that recompute norms themselves (the BLAS
+    twin), keeping it out of the checkpoint and the cluster shuffle.
+
+    The default seeding performs a K-row collect at CONSTRUCTION time
+    (one TakeOrdered job — the same driver-side channel fit() uses per
+    iteration); pass ``centroids`` to keep construction job-free."""
     from mapreduce_kmeans_clustering_spark.functions.distance import norm_hof
 
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    v = F.slice(F.transform(F.col(vec_col), lambda x: x.cast("double")), 1, dim)
     base = embeddings.select(
         F.col(id_col).alias("_id"),
         v.alias("_v"),
     )
     if centroids is None:
-        # k-row collect, the same driver-side channel fit() uses every
-        # iteration; orderBy.limit is an Exchange-free TakeOrdered.
         rows = base.orderBy("_id").limit(k).collect()
         if not rows:
             raise ValueError("semantic_dedup: empty corpus, no seed centroids")
         cvecs = [list(map(float, r["_v"])) for r in rows]
     else:
-        cvecs = [list(map(float, c)) for c in centroids]
+        cvecs = [list(map(float, c))[:dim] for c in centroids]
         if not cvecs:
             raise ValueError("semantic_dedup: empty centroid list")
     if len(cvecs) <= SEMANTIC_LITERAL_K_MAX:
@@ -831,9 +847,11 @@ def _semantic_asg(
         asg = assign_nd(base, cvecs, id_col="_id", vec_col="_v").select(
             "_id", "cluster", "_v"
         )
-    return asg.select(
-        "_id", "cluster", "_v", norm_hof(F.col("_v")).alias("_n")
-    ).localCheckpoint(eager=False)
+    if with_norm:
+        asg = asg.select(
+            "_id", "cluster", "_v", norm_hof(F.col("_v")).alias("_n")
+        )
+    return asg.localCheckpoint(eager=False)
 
 
 def semantic_dedup(
@@ -892,13 +910,14 @@ def semantic_dedup(
     )
     # HOF dot: same summation order as the unrolled form / DuckDB's
     # list_inner_product, but ~3.3x faster in the join-predicate
-    # evaluation context (see functions/distance.dot_hof). The norm
-    # guard defines zero-vector pairs as NOT near-dups (cosine
-    # undefined -> NULL -> filtered): without it ANSI mode raises
-    # DIVIDE_BY_ZERO the moment a corpus contains an all-zero
-    # embedding. The BLAS twin mirrors this via NaN exclusion.
-    den = F.col("na") * F.col("nb")
-    cos = F.when(den != 0, dot_hof(F.col("va"), F.col("vb")) / den)
+    # evaluation context (see functions/distance.dot_hof). safe_cosine
+    # defines zero/NaN-vector pairs as NOT near-dups (undefined ->
+    # NULL -> filtered) — never ANSI DIVIDE_BY_ZERO, never Spark's
+    # NaN-matches-everything; the BLAS twin mirrors this via numpy's
+    # false NaN comparisons.
+    from mapreduce_kmeans_clustering_spark.functions.distance import safe_cosine
+
+    cos = safe_cosine(dot_hof(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
     pruned = (
         a.join(b, "cluster")
         .where(F.col("a") < F.col("b"))
@@ -973,7 +992,9 @@ def semantic_dedup_blas(
             }
         )
 
-    asg = _semantic_asg(embeddings, k, dim, id_col, vec_col, centroids)
+    asg = _semantic_asg(
+        embeddings, k, dim, id_col, vec_col, centroids, with_norm=False
+    )
     return asg.groupBy("cluster").applyInPandas(
         verdicts, f"{id_col} long, cluster int, status string"
     )

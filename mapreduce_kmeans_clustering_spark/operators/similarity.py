@@ -438,9 +438,10 @@ def knn_graph(
     from mapreduce_kmeans_clustering_spark.functions.distance import (
         dot_hof,
         norm_hof,
+        safe_cosine,
     )
 
-    v = _as_double(F.col(vec_col))
+    v = F.slice(_as_double(F.col(vec_col)), 1, dim)
     vb = embeddings.select(
         F.col(id_col).alias("_id"),
         v.alias("_v"),
@@ -455,8 +456,7 @@ def knn_graph(
         F.col("_id").alias("b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"),
         "_bucket",
     )
-    den = F.col("na") * F.col("nb")
-    cos = F.when(den != 0, dot_hof(F.col("va"), F.col("vb")) / den)
+    cos = safe_cosine(dot_hof(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
     und = (
         a.join(b, "_bucket")
         .where(F.col("a") < F.col("b"))

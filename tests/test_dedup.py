@@ -440,3 +440,54 @@ def test_semantic_dedup_fit_nd_handoff(spark):
     assert e == b
     assert len(e) == n
     assert {c for c, _ in e.values()} <= set(range(4))
+
+
+def test_cosine_family_survives_zero_and_nan_vectors(spark):
+    """ANSI-mode hazard regression (round-4 review): every pairwise
+    cosine path must treat zero/NaN vectors as 'undefined, never a
+    match' instead of raising DIVIDE_BY_ZERO or letting Spark's
+    NaN-greatest comparisons match them to everything."""
+    import math
+
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        cosine_for_pairs,
+        embedding_near_dup_pairs,
+        semantic_dedup,
+        semantic_dedup_blas,
+    )
+    from mapreduce_kmeans_clustering_spark.operators.similarity import (
+        cosine_topk,
+        knn_graph,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),            # seed centroid 0
+        (1, [0.0, 1.0]),            # seed centroid 1
+        (2, [0.99, 0.01]),          # near-dup of 0, cluster 0 -> prune
+        (3, [0.0, 0.0]),            # zero vector
+        (4, [float("nan"), 1.0]),   # NaN vector
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    nd = {(r["a"], r["b"]) for r in embedding_near_dup_pairs(emb, threshold=0.9, dim=2).collect()}
+    assert (0, 2) in nd  # real pair survives
+    assert not any(3 in p or 4 in p for p in nd)  # no crash, no zero/NaN pair
+
+    se = {r["vec_id"]: r["status"] for r in semantic_dedup(emb, k=2, threshold=0.9, dim=2).collect()}
+    sb = {r["vec_id"]: r["status"] for r in semantic_dedup_blas(emb, k=2, threshold=0.9, dim=2).collect()}
+    assert se == sb
+    assert se[2] == "prune" and se[3] == "keep" and se[4] == "keep"
+
+    g = knn_graph(emb, k=3, dim=2).collect()
+    assert all(r["src"] != 3 and r["dst"] != 3 for r in g)
+    assert all(r["cos"] is None or not math.isnan(r["cos"]) for r in g)
+
+    tk = cosine_topk(emb, [0], k=4).collect()
+    ranked = [(r["rank"], r["neighbor_id"]) for r in sorted(tk, key=lambda r: r["rank"])]
+    assert ranked[0] == (1, 2)  # real neighbor first; undefined cos sorts last
+
+    cp = {(r["a"], r["b"]): r["cos"] for r in cosine_for_pairs(
+        emb, spark.createDataFrame([(0, 3), (0, 4), (0, 2)], "a LONG, b LONG")
+    ).collect()}
+    assert cp[(0, 3)] is None and cp[(0, 4)] is None
+    assert cp[(0, 2)] > 0.9
