@@ -4,15 +4,18 @@ with typed metadata, plus feature extraction through the Arrow-batched
 
 Decode surface, honestly scoped to this container (no codec packages):
 ``decode_media`` REALLY decodes pure-stdlib formats — binary netpbm
-(P6/P5) images and RIFF/WAVE PCM audio — and ``decoded_stats`` runs
-that decode executor-side over Arrow batches
-(``synthesize_decodable_media`` generates valid payloads to drive it).
-Compressed formats and video raise NotImplementedError with the codec
-message; ``extract_features`` keeps a deterministic digest-derived
-feature vector as the model-embedding stand-in. Everything Spark-side
-— schema, binary column handling, partition-parallel mapInPandas,
-Arrow batch shapes — is real and tested; widening decode to JPEG/MP3
-via PIL/torchaudio is a pure function replacement.
+(P6/P5) images, PNG (zlib inflate + full filter reconstruction,
+8-bit gray/RGB/RGBA/gray-alpha/palette, non-interlaced), and
+RIFF/WAVE PCM audio — and ``decoded_stats`` runs that decode
+executor-side over Arrow batches (``synthesize_decodable_media``
+generates valid payloads, alternating PPM and PNG, to drive it).
+Remaining compressed formats (JPEG/MP3/...) and video raise
+NotImplementedError with the codec message; ``extract_features``
+keeps a deterministic digest-derived feature vector as the
+model-embedding stand-in. Everything Spark-side — schema, binary
+column handling, partition-parallel mapInPandas, Arrow batch shapes —
+is real and tested; widening decode to JPEG/MP3 via PIL/torchaudio is
+a pure function replacement.
 
 Scale notes: payloads stay in executors end-to-end (no driver
 materialization); mapInPandas streams Arrow record batches, so memory
@@ -66,29 +69,211 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> dict:
+    """Real PNG decode with the standard library only: chunk walk,
+    zlib inflate of the IDAT stream, and full per-row filter
+    reconstruction (None/Sub/Up/Average/Paeth). Supports bit depth 8,
+    color types 0 (gray), 2 (RGB), 3 (palette -> expanded to RGB),
+    4 (gray+alpha), 6 (RGBA), interlace method 0. Returns the same
+    dict shape as the netpbm branch: (width, height, channels,
+    pixels bytes, row-major, no filter bytes)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG: bad signature")
+    i = 8
+    idat = bytearray()
+    plte: bytes | None = None
+    header = None
+    while i + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[i : i + 4])
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + length]
+        i += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            header = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if header is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color, _comp, _filt, interlace = header
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} not supported (8 only)")
+    if color not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {color} not supported")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    channels = _PNG_CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError(
+            f"PNG raster size mismatch: expected {height * (stride + 1)}"
+            f" bytes after inflate, got {len(raw)}"
+        )
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    bpp = channels  # bytes per pixel at depth 8
+    for _y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        row = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                up_left = prev[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + _paeth(left, prev[x], up_left)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out += row
+        prev = row
+    if color == 3:  # palette indices -> RGB
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        rgb = bytearray()
+        for idx in out:
+            rgb += plte[idx * 3 : idx * 3 + 3]
+        out = rgb
+        channels = 3
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "pixels": bytes(out),
+    }
+
+
+def encode_png(width: int, height: int, seed: int, color_type: int = 2) -> bytes:
+    """Deterministic valid PNG test image (md5-chain raster, same
+    generator family as encode_ppm). Row ``y`` is written with filter
+    type ``y % 5``, so a roundtrip through decode_png exercises every
+    filter reconstruction path. Pure stdlib."""
+    import struct
+    import zlib
+
+    channels = _PNG_CHANNELS[color_type]
+    if color_type == 3:
+        raise ValueError("use color_type 0/2/4/6 for encoding")
+    need = width * height * channels
+    pix = bytearray()
+    block = hashlib.md5(f"png:{seed}".encode()).digest()
+    while len(pix) < need:
+        pix += block
+        block = hashlib.md5(block).digest()
+    pix = pix[:need]
+
+    stride = width * channels
+    bpp = channels
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        row = pix[y * stride : (y + 1) * stride]
+        f = y % 5
+        raw.append(f)
+        if f == 0:
+            raw += row
+        elif f == 1:
+            raw += bytes(
+                (row[x] - (row[x - bpp] if x >= bpp else 0)) & 0xFF
+                for x in range(stride)
+            )
+        elif f == 2:
+            raw += bytes((row[x] - prev[x]) & 0xFF for x in range(stride))
+        elif f == 3:
+            raw += bytes(
+                (row[x] - (((row[x - bpp] if x >= bpp else 0) + prev[x]) >> 1)) & 0xFF
+                for x in range(stride)
+            )
+        else:
+            raw += bytes(
+                (
+                    row[x]
+                    - _paeth(
+                        row[x - bpp] if x >= bpp else 0,
+                        prev[x],
+                        prev[x - bpp] if x >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for x in range(stride)
+            )
+        prev = bytearray(row)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_media(payload: bytes, kind: str) -> dict:
     """Real decode for the formats the standard library can handle —
     no codec package required:
 
-    - ``image``: binary netpbm (P6 RGB / P5 gray) → dict(width,
+    - ``image``: binary netpbm (P6 RGB / P5 gray) or PNG (stdlib
+      zlib + filter reconstruction, see decode_png) → dict(width,
       height, channels, pixels bytes).
     - ``audio``: RIFF/WAVE PCM (via stdlib ``wave``) → dict(
       sample_rate, n_frames, channels, sample_width, pcm bytes).
     - ``video``: no stdlib codec exists → NotImplementedError
       (clearly-marked gap; PyAV/PIL-sequence would slot in here).
 
-    Compressed formats (JPEG/PNG/MP3/...) raise NotImplementedError
-    with the codec message — honest about what this container can
-    decode rather than pretending.
+    Remaining compressed formats (JPEG/MP3/...) raise
+    NotImplementedError with the codec message — honest about what
+    this container can decode rather than pretending.
     """
     if payload is None:
         raise ValueError("cannot decode a NULL payload")
     if kind == "image":
+        if payload[:8] == _PNG_MAGIC:
+            return decode_png(payload)
         if payload[:2] not in (b"P6", b"P5"):
             raise NotImplementedError(
-                "image decode supports binary netpbm (P6/P5) only; "
-                "compressed formats need a codec library (PIL) not "
-                "present in this environment"
+                "image decode supports binary netpbm (P6/P5) and PNG; "
+                "other compressed formats need a codec library (PIL) "
+                "not present in this environment"
             )
         # header: magic, width, height, maxval — whitespace/comment
         # separated, then a single whitespace byte before raster data
@@ -200,11 +385,13 @@ DECODABLE_MEDIA_SCHEMA = T.StructType(
 def synthesize_decodable_media(
     df: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """A media table whose payloads are REAL decodable bytes (P6 PPM
-    images / PCM WAV audio, alternating by id) generated executor-side
-    via mapInPandas — payload synthesis scales with partitions and
-    nothing row-scale touches the driver. Video stays out (no stdlib
-    codec), mirroring decode_media's honest surface."""
+    """A media table whose payloads are REAL decodable bytes,
+    alternating by id: id % 2 == 1 is PCM WAV audio; even ids split
+    between P6 PPM (id % 4 == 0) and PNG (id % 4 == 2, cycling the
+    supported color types) — generated executor-side via mapInPandas,
+    so payload synthesis scales with partitions and nothing row-scale
+    touches the driver. Video stays out (no stdlib codec), mirroring
+    decode_media's honest surface."""
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
@@ -214,9 +401,12 @@ def synthesize_decodable_media(
             rows = []
             for i in ids:
                 if i % 2 == 0:
-                    rows.append(
-                        (i, "image", encode_ppm(8 + i % 8, 6 + i % 5, i))
-                    )
+                    if i % 4 == 0:
+                        payload = encode_ppm(8 + i % 8, 6 + i % 5, i)
+                    else:
+                        ct = (0, 2, 4, 6)[(i // 4) % 4]
+                        payload = encode_png(8 + i % 8, 6 + i % 5, i, color_type=ct)
+                    rows.append((i, "image", payload))
                 else:
                     rows.append(
                         (i, "audio", encode_wav(16000, 400 + (i % 7) * 40, i))

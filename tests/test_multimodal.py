@@ -157,13 +157,67 @@ def test_real_decode_rejects_compressed_and_video():
     from mapreduce_kmeans_clustering_spark.operators.multimodal import decode_media
 
     with pytest.raises(NotImplementedError, match="netpbm"):
-        decode_media(b"\x89PNG\r\n", "image")
+        decode_media(b"\xff\xd8\xff\xe0jpegdata", "image")  # JPEG SOI
     with pytest.raises(NotImplementedError, match="codec"):
         decode_media(b"ID3\x04mp3data", "audio")
     with pytest.raises(NotImplementedError, match="video"):
         decode_media(b"anything", "video")
     with pytest.raises(ValueError, match="truncated"):
         decode_media(b"P6\n4 4\n255\nxx", "image")
+    # a PNG signature with garbage after it is a bad PNG, not an
+    # unsupported format
+    with pytest.raises(ValueError, match="IHDR"):
+        decode_media(b"\x89PNG\r\n\x1a\n" + b"junk", "image")
+
+
+def test_png_roundtrip_all_filters_and_color_types():
+    """decode_png genuinely reconstructs what encode_png emits — and
+    encode_png writes row y with filter type y % 5, so a >=5-row
+    image exercises None/Sub/Up/Average/Paeth reconstruction; all
+    four encodable color types roundtrip; a foreign-built palette PNG
+    expands through PLTE."""
+    import struct
+    import zlib
+
+    from mapreduce_kmeans_clustering_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        decode_media,
+        encode_png,
+    )
+
+    for ct, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        img = decode_media(encode_png(7, 9, seed=11, color_type=ct), "image")
+        assert (img["width"], img["height"], img["channels"]) == (7, 9, ch)
+        assert len(img["pixels"]) == 7 * 9 * ch
+        # deterministic: same seed -> same pixels
+        again = decode_media(encode_png(7, 9, seed=11, color_type=ct), "image")
+        assert again["pixels"] == img["pixels"]
+
+    # hand-built palette (color type 3) PNG: 2x2 indices into a
+    # 3-entry palette
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = bytes([0, 0, 1, 0, 2, 1])  # two rows, filter 0, indices
+    pal = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    img = decode_media(pal, "image")
+    assert (img["width"], img["height"], img["channels"]) == (2, 2, 3)
+    assert img["pixels"] == bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 255, 0]
+    )
 
 
 def test_decoded_stats_over_synthesized_decodable_media(spark):
@@ -174,6 +228,7 @@ def test_decoded_stats_over_synthesized_decodable_media(spark):
     from mapreduce_kmeans_clustering_spark.operators.multimodal import (
         decode_media,
         decoded_stats,
+        encode_png,
         encode_ppm,
         encode_wav,
         synthesize_decodable_media,
@@ -187,7 +242,11 @@ def test_decoded_stats_over_synthesized_decodable_media(spark):
     for i in range(20):
         r = got[i]
         if i % 2 == 0:
-            payload = encode_ppm(8 + i % 8, 6 + i % 5, i)
+            if i % 4 == 0:
+                payload = encode_ppm(8 + i % 8, 6 + i % 5, i)
+            else:
+                ct = (0, 2, 4, 6)[(i // 4) % 4]
+                payload = encode_png(8 + i % 8, 6 + i % 5, i, color_type=ct)
             d = decode_media(payload, "image")
             assert (r["width"], r["height"]) == (d["width"], d["height"])
             assert r["mean_value"] == sum(d["pixels"]) / len(d["pixels"])
