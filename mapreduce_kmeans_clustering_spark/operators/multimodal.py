@@ -248,6 +248,71 @@ def encode_png(width: int, height: int, seed: int, color_type: int = 2) -> bytes
     )
 
 
+def decode_bmp(payload: bytes) -> dict:
+    """Real BMP decode, stdlib only: BITMAPINFOHEADER, 24-bit
+    uncompressed (BI_RGB). Handles 4-byte row padding, bottom-up and
+    top-down row order, and BGR->RGB channel swap. Returns the same
+    dict shape as the other image branches."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP: bad signature")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise NotImplementedError(f"BMP DIB header size {hdr_size} not supported")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bitcount,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bitcount != 24 or compression != 0:
+        raise NotImplementedError(
+            f"BMP bitcount={bitcount} compression={compression} not "
+            "supported (24-bit BI_RGB only)"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = width * 3
+    padded = (row_bytes + 3) & ~3
+    out = bytearray()
+    rows = range(height - 1, -1, -1) if bottom_up else range(height)
+    for y in rows:
+        start = off + y * padded
+        row = payload[start : start + row_bytes]
+        if len(row) != row_bytes:
+            raise ValueError("truncated BMP raster")
+        for x in range(0, row_bytes, 3):  # BGR -> RGB
+            out += bytes((row[x + 2], row[x + 1], row[x]))
+    return {"width": width, "height": height, "channels": 3, "pixels": bytes(out)}
+
+
+def encode_bmp(width: int, height: int, seed: int) -> bytes:
+    """Deterministic valid 24-bit bottom-up BMP test image (md5-chain
+    raster, same generator family as encode_ppm/encode_png)."""
+    import struct
+
+    need = width * height * 3
+    pix = bytearray()
+    block = hashlib.md5(f"bmp:{seed}".encode()).digest()
+    while len(pix) < need:
+        pix += block
+        block = hashlib.md5(block).digest()
+    pix = pix[:need]
+    row_bytes = width * 3
+    padded = (row_bytes + 3) & ~3
+    raster = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = pix[y * row_bytes : (y + 1) * row_bytes]
+        bgr = bytearray()
+        for x in range(0, row_bytes, 3):
+            bgr += bytes((row[x + 2], row[x + 1], row[x]))
+        raster += bgr + b"\x00" * (padded - row_bytes)
+    off = 14 + 40
+    file_size = off + len(raster)
+    header = b"BM" + struct.pack("<IHHI", file_size, 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return header + dib + raster
+
+
 def decode_media(payload: bytes, kind: str) -> dict:
     """Real decode for the formats the standard library can handle —
     no codec package required:
@@ -269,11 +334,13 @@ def decode_media(payload: bytes, kind: str) -> dict:
     if kind == "image":
         if payload[:8] == _PNG_MAGIC:
             return decode_png(payload)
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
         if payload[:2] not in (b"P6", b"P5"):
             raise NotImplementedError(
-                "image decode supports binary netpbm (P6/P5) and PNG; "
-                "other compressed formats need a codec library (PIL) "
-                "not present in this environment"
+                "image decode supports binary netpbm (P6/P5), PNG and "
+                "24-bit BMP; other compressed formats need a codec "
+                "library (PIL) not present in this environment"
             )
         # header: magic, width, height, maxval — whitespace/comment
         # separated, then a single whitespace byte before raster data

@@ -1,6 +1,7 @@
 """Multimodal tests: schema, Arrow batch path, determinism, and the
-real stdlib decode (netpbm/WAV); compressed formats remain a labeled
-NotImplementedError (no codec packages in the container)."""
+real stdlib decode (netpbm/PNG/BMP/WAV); remaining compressed formats
+(JPEG/MP3) and video stay a labeled NotImplementedError (no codec
+packages in the container)."""
 
 from __future__ import annotations
 
@@ -262,3 +263,28 @@ def test_decoded_stats_over_synthesized_decodable_media(spark):
         for r in decoded_stats(media.repartition(7)).collect()
     }
     assert again == {k: v["mean_value"] for k, v in got.items()}
+
+
+def test_bmp_roundtrip_and_cross_format_consistency():
+    """decode_bmp reconstructs encode_bmp exactly (padding, bottom-up
+    order, BGR swap all exercised by odd widths); and since encode_ppm
+    / encode_png / encode_bmp share the md5-chain generator... each
+    format roundtrips to ITS OWN deterministic raster."""
+    from mapreduce_kmeans_clustering_spark.operators.multimodal import (
+        decode_media,
+        encode_bmp,
+    )
+
+    for w, h in ((5, 4), (7, 3), (1, 1)):  # odd widths force row padding
+        img = decode_media(encode_bmp(w, h, seed=9), "image")
+        assert (img["width"], img["height"], img["channels"]) == (w, h, 3)
+        assert len(img["pixels"]) == w * h * 3
+        again = decode_media(encode_bmp(w, h, seed=9), "image")
+        assert again["pixels"] == img["pixels"]
+    # the raster is the generator output in row-major RGB: check a
+    # known prefix against the md5 chain directly
+    import hashlib
+
+    img = decode_media(encode_bmp(4, 2, seed=9), "image")
+    chain = hashlib.md5(b"bmp:9").digest()
+    assert img["pixels"][:16] == chain
