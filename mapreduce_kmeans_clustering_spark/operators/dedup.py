@@ -717,6 +717,7 @@ def repeated_passages(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Passage-level repetition: character ``gram_len``-grams that
     recur across >= ``min_docs`` distinct documents — the sliding-
@@ -727,21 +728,34 @@ def repeated_passages(
 
     One generator (positions per doc) + one hash aggregate keyed on
     the gram hash — inverted-index style, never doc x doc. Shuffle
-    carries md5(gram) not the gram text. Boilerplate grams are the
+    carries hash(gram) not the gram text. Boilerplate grams are the
     usual hot keys: AQE skew-join plus the same max_df-style cap as
     jaccard_pairs apply if a gram goes degenerate.
 
+    ``hash_fn``: ``"md5"`` (default) is the oracle-replayable form
+    DuckDB can compute; ``"xxhash64"`` is the PRODUCTION hash — the
+    hash dominates this operator's cost (one hash per character
+    position), and Spark's xxhash64 is several times cheaper than md5
+    per call with a 64-bit output that keeps collisions negligible at
+    corpus scale (~n²/2⁶⁵). Same qualifying grams either way
+    (hash-equality is gram-equality modulo collisions); only the ``h``
+    column's representation differs (hex string vs signed long).
+
     Output: (h, n_occurrences, n_docs) for qualifying grams.
     """
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     t = F.coalesce(F.col(text_col), F.lit(""))
     eligible = docs.where(F.length(t) >= gram_len)
     # sequence(1, n) needs n >= 1 (it counts DOWN when stop < start)
     pos = F.explode(
         F.sequence(F.lit(1), F.length(t) - F.lit(gram_len - 1))
     ).alias("pos")
+    gram = F.substring(F.col("__t"), F.col("pos"), F.lit(gram_len))
+    h = F.md5(gram) if hash_fn == "md5" else F.xxhash64(gram)
     grams = eligible.select(F.col(id_col), pos, t.alias("__t")).select(
         id_col,
-        F.md5(F.substring(F.col("__t"), F.col("pos"), F.lit(gram_len))).alias("h"),
+        h.alias("h"),
     )
     # two stacked aggregates instead of count+countDistinct in one:
     # the (h, doc) pre-aggregate collapses map-side (most grams are

@@ -491,3 +491,33 @@ def test_cosine_family_survives_zero_and_nan_vectors(spark):
     ).collect()}
     assert cp[(0, 3)] is None and cp[(0, 4)] is None
     assert cp[(0, 2)] > 0.9
+
+
+def test_repeated_passages_xxhash_production_twin(spark):
+    """hash_fn='xxhash64' (the production hash) finds the SAME
+    repeated-passage structure as the oracle-gated md5 form — same
+    number of qualifying grams, same (n_occurrences, n_docs)
+    multiset — only the hash representation differs."""
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        repeated_passages,
+    )
+
+    block = "SHARED LICENSE BLOCK ABC"
+    rows = [
+        (1, f"1111111111{block}8888888888"),
+        (2, f"2222222222{block}9999999999"),
+        (3, "completely unique body of text with no repeats at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    md5_counts = sorted(
+        (r["n_occurrences"], r["n_docs"])
+        for r in repeated_passages(df, gram_len=20, min_docs=2).collect()
+    )
+    xx = repeated_passages(df, gram_len=20, min_docs=2, hash_fn="xxhash64")
+    xx_rows = xx.collect()
+    assert sorted((r["n_occurrences"], r["n_docs"]) for r in xx_rows) == md5_counts
+    assert dict(xx.dtypes)["h"] == "bigint"  # 64-bit hash, not hex string
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash_fn"):
+        repeated_passages(df, hash_fn="sha1")
