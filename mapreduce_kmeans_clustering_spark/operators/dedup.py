@@ -166,7 +166,7 @@ def lsh_candidate_pairs(
     # pipeline; materialize the (tiny) band table once
     bands = lsh_bands(
         minhash_signatures(docs, num_hashes, n, text_col, id_col), band_width, id_col
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -212,13 +212,13 @@ def jaccard_pairs(
     APPROXIMATE when set: a pair whose only shared shingles are
     heavy hitters is missed, and set sizes shrink accordingly (so this
     is a candidate-recall/skew trade, never a default)."""
-    ex = exploded_shingles(docs, n, text_col, id_col).localCheckpoint()
+    ex = exploded_shingles(docs, n, text_col, id_col).localCheckpoint(eager=False)
     if max_df is not None:
         dfreq = ex.groupBy("sh").agg(F.count("*").alias("_df"))
         ex = (
             ex.join(dfreq.where(F.col("_df") <= max_df), "sh")
             .select(id_col, "sh")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     sizes = ex.groupBy(id_col).agg(F.count("*").cast("int").alias("n_sh"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -358,7 +358,7 @@ def simhash_pairs(
 
     The fingerprint table feeds several subplans; localCheckpoint
     materializes the (tokenize + bit-sum) aggregation once."""
-    s = simhash(docs, bits, text_col, id_col).localCheckpoint()
+    s = simhash(docs, bits, text_col, id_col).localCheckpoint(eager=False)
     vals = s.select("simhash").distinct()
     segs = simhash_segments(vals.withColumn("_v", F.col("simhash")), max_hamming, bits, "_v")
     a = segs.select(F.col("simhash").alias("va"), "seg", "val")
@@ -404,7 +404,7 @@ def jaccard_for_pairs(
     O(|pairs| * shingles-per-doc), never all-pairs: candidates are
     equi-joined to the exploded shingle index on each side (the index
     is materialized once — see jaccard_pairs)."""
-    ex = exploded_shingles(docs, n, text_col, id_col).localCheckpoint()
+    ex = exploded_shingles(docs, n, text_col, id_col).localCheckpoint(eager=False)
     sizes = ex.groupBy(id_col).agg(F.count("*").cast("int").alias("n_sh"))
     ea = ex.select(F.col(id_col).alias("a"), F.col("sh").alias("sha"))
     eb = ex.select(F.col(id_col).alias("_b"), F.col("sh").alias("shb"))
@@ -499,13 +499,13 @@ def dup_groups(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.groupBy("u")
         .agg(F.min("v").alias("mn"))
         .select(F.col("u").alias("node"), F.least("u", "mn").alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         neigh = (
@@ -521,7 +521,7 @@ def dup_groups(
                     F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -588,7 +588,7 @@ def embedding_near_dup_pairs(
         v.alias("_v"),
         norm_unrolled(v, dim).alias("_n"),
         lsh_bucket_expr(F.col(vec_col), dim, planes).alias("_bucket"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     a = vb.select(
         F.col("_id").alias("a"), F.col("_v").alias("va"), F.col("_n").alias("na"),
         "_bucket",
