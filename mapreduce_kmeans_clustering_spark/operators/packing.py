@@ -107,3 +107,53 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def length_buckets(
+    docs: DataFrame,
+    n_buckets: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed batching planner: ntile buckets over per-doc
+    token counts, with the padding waste a loader pays if it batches
+    each bucket to the bucket max versus batching everything to the
+    global max. Bucketing by length before batching is the standard
+    pad-efficiency move for variable-length training; this query is
+    the evidence for choosing the bucket count.
+
+    Per bucket: n_docs, min/max/sum tokens, ``pad_waste``
+    (1 - sum/(n*max), the padded-token fraction inside the bucket) and
+    ``global_waste`` (same docs padded to the corpus max — the cost of
+    NOT bucketing).
+
+    Scale: ntile needs a total order, but over (n_tokens, id) pairs
+    ONLY — two longs per doc, never the text; at 100 TB swap the exact
+    ntile for approx_percentile cutpoints (scan-local bucket via one
+    broadcast of n_buckets-1 cutoffs) — same downstream aggregate; the
+    exact form is kept because the oracle can replay it."""
+    t = docs.select(
+        F.col(id_col), token_count(F.col(text_col)).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("n_tokens", id_col)
+    b = t.withColumn("bucket", F.ntile(n_buckets).over(w).cast("int"))
+    gmax = b.groupBy().agg(F.max("n_tokens").alias("gmax"))
+    per = b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+    per = per.crossJoin(F.broadcast(gmax))
+    n, mx, s = F.col("n_docs"), F.col("max_tokens"), F.col("sum_tokens")
+    return per.select(
+        "bucket",
+        "n_docs",
+        "min_tokens",
+        "max_tokens",
+        "sum_tokens",
+        (F.lit(1.0) - s.cast("double") / (n * mx).cast("double")).alias("pad_waste"),
+        (F.lit(1.0) - s.cast("double") / (n * F.col("gmax")).cast("double")).alias(
+            "global_waste"
+        ),
+    )

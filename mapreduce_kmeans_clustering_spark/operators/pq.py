@@ -1,0 +1,342 @@
+"""Product quantization (PQ) — vector compression + ADC search.
+
+Public basis: Jegou, Douze & Schmid, "Product Quantization for Nearest
+Neighbor Search" (IEEE TPAMI 2011): split each ``dim``-dimensional
+vector into ``m`` contiguous subspaces, quantize each subspace against
+its own ``ksub``-codeword codebook, and answer nearest-neighbor
+queries with Asymmetric Distance Computation (ADC) — the query stays
+exact while every database vector is represented by ``m`` small codes.
+
+Why it belongs in this engine: the embeddings column is the widest
+thing a 100 TB corpus carries (64 float64s = 512 B/row after cast).
+PQ codes at m=8, ksub=16 are 8 nibbles — 4 B/row, a 128x reduction —
+and ADC scans touch only the code columns, so the similarity family
+(operators/similarity.py) gets a memory-resident scan path at corpus
+scale. This extends the reference's quantization story the same way
+kmeans_nd extends its 3-D Lloyd: the codebook trainer IS per-subspace
+K-Means (reference Task1-Task3 semantics, provenance
+Task1.java:31-60 assign / Task2 mean update), so `train_codebooks`
+simply runs plans/kmeans_nd.fit_nd on each slice.
+
+Physical design:
+- ENCODE is scan-local: the m codebooks are inlined as literal arrays
+  (constants travel in the serialized plan — the same zero-shuffle
+  centroid channel as operators/assign.py:57 and semantic_assign_expr)
+  and each subspace argmin is ``array_min(array(struct(d, code), ...))``
+  with HOF per-codeword distances (O(m*ksub) expression nodes, not
+  O(m*ksub*sub_dim) — see SCALE.md §4.11 for why HOF beats unrolled at
+  this plan size). No join, no Exchange, no Python.
+- ADC pairs each query against every encoded vector through a
+  broadcast of the (bounded) query set; per-pair distance is the sum
+  over subspaces of the squared distance between the query slice and
+  the SELECTED codeword, indexed out of the literal codebook with
+  element_at. Summation is subspace-ascending, element-ascending,
+  left-associated — bit-identical to the DuckDB oracle's
+  list_sum(list_transform(...)) forms.
+- The production twin `pq_adc_topk_lut` builds the classic per-query
+  lookup table (m x ksub sqdists) once in numpy and scans codes via
+  Arrow-batched mapInPandas — O(1) float ops per (query, vector,
+  subspace) instead of O(sub_dim), the shape a vector engine ships.
+  Pinned equal to the expression form in tests/test_pq.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_DIM = 64
+DEFAULT_M = 8
+DEFAULT_KSUB = 16
+
+
+def subspace_offsets(dim: int = DEFAULT_DIM, m: int = DEFAULT_M) -> list[tuple[int, int]]:
+    """(0-based offset, width) of each contiguous subspace; dim must
+    split evenly (the paper's layout; uneven tails would silently
+    change every distance, so fail loudly)."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    return [(s * sub, sub) for s in range(m)]
+
+
+def seeded_codebooks(
+    vectors: DataFrame,
+    m: int = DEFAULT_M,
+    ksub: int = DEFAULT_KSUB,
+    dim: int = DEFAULT_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic codebooks: codeword ``c`` of subspace ``s`` is the
+    s-th slice of the vector with the c-th LOWEST id (orderBy+limit —
+    TakeOrdered, no Exchange; robust to sparse/offset id spaces). This
+    is the oracle-replayable seeding policy shared with
+    seed_centroids_nd and semantic_dedup; `train_codebooks` is the
+    quality path."""
+    rows = (
+        vectors.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(id_col)
+        .limit(ksub)
+        .collect()
+    )
+    if len(rows) < ksub:
+        raise ValueError(f"need >= {ksub} vectors to seed codebooks, got {len(rows)}")
+    offs = subspace_offsets(dim, m)
+    return [
+        [[float(x) for x in r["v"][off : off + sub]] for r in rows]
+        for (off, sub) in offs
+    ]
+
+
+def train_codebooks(
+    vectors: DataFrame,
+    m: int = DEFAULT_M,
+    ksub: int = DEFAULT_KSUB,
+    dim: int = DEFAULT_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    threshold: float = 1e-4,
+) -> list[list[list[float]]]:
+    """Production codebooks: per-subspace Lloyd K-Means via
+    plans/kmeans_nd.fit_nd (BLAS assign, fused Arrow partials). Each
+    subspace trains on its slice independently — m small fits over the
+    same scan, centroid state m*ksub*sub_dim floats on the driver.
+    Empty clusters drop out during Lloyd; the codebook keeps the
+    converged centroids (codes stay dense 0..len-1)."""
+    from mapreduce_kmeans_clustering_spark.plans.kmeans_nd import fit_nd
+
+    offs = subspace_offsets(dim, m)
+    books: list[list[list[float]]] = []
+    for off, sub in offs:
+        sliced = vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col).cast("array<double>"), off + 1, sub).alias(
+                "embedding"
+            ),
+        )
+        res = fit_nd(sliced, k=ksub, max_iter=max_iter, threshold=threshold)
+        books.append([list(c) for c in res.centroids])
+    return books
+
+
+def _sqdist_slice_to_const(v: Column, off: int, cw: list[float]) -> Column:
+    """Squared distance between v[off+1 .. off+len(cw)] and a constant
+    codeword — HOF over a literal array (index-ascending,
+    left-associated; bit-identical to DuckDB
+    list_sum(list_transform(range(1, sub+1), i -> (v[off+i]-c[i])^2)))."""
+    c = F.array(*[F.lit(float(x)) for x in cw])
+    return F.aggregate(
+        F.zip_with(F.slice(v, off + 1, len(cw)), c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to ``codes`` (array<int>, one per subspace)
+    plus ``recon_sqdist`` (summed chosen sub-distances — the squared
+    reconstruction error, free from the argmin). Scan-local: codebooks
+    ride the plan as literals, ties break to the lowest code via
+    struct ordering (array_min over struct(d, code))."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    bests = []
+    for s in range(m):
+        off = s * sub
+        cands = [
+            F.struct(
+                _sqdist_slice_to_const(v, off, cw).alias("d"),
+                F.lit(int(code)).alias("code"),
+            )
+            for code, cw in enumerate(codebooks[s])
+        ]
+        bests.append(F.array_min(F.array(*cands)))
+    recon = bests[0]["d"]
+    for b in bests[1:]:
+        recon = recon + b["d"]
+    return vectors.select(
+        F.col(id_col),
+        F.array(*[b["code"] for b in bests]).alias("codes"),
+        recon.alias("recon_sqdist"),
+    )
+
+
+def pq_decode_expr(codes: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Reconstructed vector: concat of each subspace's selected
+    codeword, indexed out of literal nested arrays (element_at is
+    1-based)."""
+    parts = []
+    for s, book in enumerate(codebooks):
+        lit = F.array(*[F.array(*[F.lit(float(x)) for x in cw]) for cw in book])
+        parts.append(F.element_at(lit, F.element_at(codes, s + 1) + F.lit(1)))
+    return F.concat(*parts)
+
+
+def pq_adc_dist_expr(
+    qv: Column, codes: Column, codebooks: list[list[list[float]]]
+) -> Column:
+    """ADC distance: sum over subspaces of sqdist(query slice,
+    selected codeword). The query side stays exact; the database side
+    is its code. Subspace-ascending left-associated sum; per-subspace
+    distance is HOF element-ascending — the oracle-bit-compatible
+    ordering."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    total = None
+    for s in range(m):
+        off = s * sub
+        lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cw]) for cw in codebooks[s]]
+        )
+        cw = F.element_at(lit, F.element_at(codes, s + 1) + F.lit(1))
+        d = F.aggregate(
+            F.zip_with(
+                F.slice(qv, off + 1, sub), cw, lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        total = d if total is None else total + d
+    return total
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_ids: list[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k neighbors per query by ADC distance — expression form
+    (the oracle-gated twin of `pq_adc_topk_lut`).
+
+    Plan: encode the corpus (scan-local), broadcast the bounded query
+    set (len(query_ids) rows) through a crossJoin — a
+    BroadcastNestedLoopJoin against a K-row side, the engine's blessed
+    bounded-fanout shape (SCALE.md §4.10) — then one rank window
+    partitioned by query. Shuffle carries (query_id, neighbor_id,
+    dist): no vectors move after the scan."""
+    enc = encoded if encoded is not None else pq_encode(vectors, codebooks, id_col, vec_col)
+    queries = (
+        vectors.where(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+    )
+    pairs = enc.withColumnRenamed(id_col, "neighbor_id").crossJoin(
+        F.broadcast(queries)
+    )
+    pairs = pairs.where(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        pq_adc_dist_expr(F.col("qv"), F.col("codes"), codebooks).alias("adist"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adist")
+    )
+
+
+_ADC_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("adist", T.DoubleType()),
+    ]
+)
+
+
+def pq_adc_topk_lut(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_ids: list[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """Production ADC: per-query distance lookup tables (m x ksub
+    sqdists, built once in numpy from the collected K query vectors)
+    broadcast to an Arrow-batched mapInPandas scan over the CODES
+    table — each (query, vector) distance is m table lookups + adds,
+    independent of sub_dim, and the scan never touches the original
+    vectors. Per-partition top-k partials (heap via np.argpartition)
+    then one final rank window over candidates <= parts * k rows.
+    Verdict-pinned equal to pq_adc_topk in tests/test_pq.py."""
+    import numpy as np
+
+    enc = encoded if encoded is not None else pq_encode(vectors, codebooks, id_col, vec_col)
+    qrows = (
+        vectors.where(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(id_col, F.col(vec_col).cast("array<double>").alias("qv"))
+        .collect()
+    )
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    books = np.array(codebooks, dtype=np.float64)  # (m, ksub, sub)
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)  # (Q, dim)
+    # LUT[q, s, c] = sqdist(query q's slice s, codeword c of subspace s)
+    qsl = qmat.reshape(len(qids), m, sub)  # (Q, m, sub)
+    luts = ((qsl[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+
+    kk = int(k)
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # (N, m)
+            nids = pdf["_nid"].to_numpy()
+            out = []
+            for qi, qid in enumerate(qids):
+                # dist[n] = sum_s LUT[qi, s, codes[n, s]]
+                d = luts[qi, np.arange(m)[None, :], codes].sum(axis=1)
+                mask = nids != qid
+                dm, nm = d[mask], nids[mask]
+                if not len(dm):
+                    continue
+                take = min(kk, len(dm))
+                idx = np.argpartition(dm, take - 1)[:take]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": nm[idx],
+                            "adist": dm[idx],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    cand = enc.select(F.col(id_col).alias("_nid"), "codes").mapInPandas(
+        scan, schema=_ADC_SCHEMA
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= kk)
+        .select("query_id", "neighbor_id", "rank", "adist")
+    )

@@ -161,3 +161,37 @@ def write_shuffled(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def temperature_weights(
+    group_mass: DataFrame,
+    mass_col: str = "mass",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-based mixture reweighting — the alpha-sampling
+    recipe multilingual LM training uses to keep low-resource groups
+    from vanishing (public recipe: sample group g with probability
+    proportional to share_g^alpha; alpha=1 reproduces natural
+    frequency, alpha->0 approaches uniform; mT5/XLM-R report
+    alpha 0.3, mBERT 0.7).
+
+    Input is one row per group carrying its mass (docs, tokens, bytes
+    — aggregate BEFORE calling, so the unpartitioned normalization
+    windows below only ever see G rows, never corpus rows; G is the
+    number of languages/sources, tiny by construction). Adds:
+
+    - ``share``         natural fraction of total mass (exact: BIGINT
+                        mass over BIGINT total)
+    - ``sample_weight`` share^alpha / sum(share^alpha)
+    - ``boost``         sample_weight / share — the per-group
+                        oversampling factor to feed `sample_stratified`
+                        (rates proportional to boost) or `weight_priority`.
+    """
+    w = Window.partitionBy()
+    m = F.col(mass_col).cast("double")
+    out = group_mass.withColumn("share", m / F.sum(m).over(w))
+    out = out.withColumn("_pw", F.pow(F.col("share"), F.lit(float(alpha))))
+    out = out.withColumn(
+        "sample_weight", F.col("_pw") / F.sum("_pw").over(w)
+    ).drop("_pw")
+    return out.withColumn("boost", F.col("sample_weight") / F.col("share"))

@@ -47,6 +47,14 @@ LSH_PROBE_HAMMING = 2
 IVF_NLIST = 16
 IVF_NPROBE = 4
 KMEANS_ND_K = 8
+# product quantization: 64 dims -> 8 subspaces x 8 dims, 16 codewords
+# each (4-bit codes; 128x smaller than the cast double vectors)
+PQ_M = 8
+PQ_KSUB = 16
+PQ_SUB = 8
+# temperature mixture (alpha-sampling): mT5/XLM-R report 0.3
+TEMP_ALPHA = 0.3
+LEN_BUCKETS = 8
 WINNOW_WINDOW = 4
 SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
 SESSION_GAP_US = 1800 * 1_000_000
@@ -332,6 +340,48 @@ def q_embed_quantize(spark, sf_dir):
         F.round("scale", 6).alias("scale"),
         "q_sum",
         F.round("mse", 6).alias("mse"),
+    )
+
+
+def _pq_books(spark, sf_dir):
+    """Seeded PQ codebooks for the oracle-gated PQ queries (first
+    PQ_KSUB vectors by id, sliced — the SQL-derivable policy;
+    operators/pq.train_codebooks is the quality path, pinned better in
+    tests/test_pq.py)."""
+    from mapreduce_kmeans_clustering_spark.operators.pq import seeded_codebooks
+
+    return seeded_codebooks(_emb(spark, sf_dir), m=PQ_M, ksub=PQ_KSUB)
+
+
+def q_pq_encode(spark, sf_dir):
+    """Product-quantize every embedding: 8 subspace codes (4-bit
+    domain) + squared-reconstruction MSE — the 128x-compressed
+    representation ADC search scans. Encode is scan-local (codebooks
+    ride the plan as literals; no join, no Exchange)."""
+    from mapreduce_kmeans_clustering_spark.operators.pq import pq_encode
+
+    enc = pq_encode(_emb(spark, sf_dir), _pq_books(spark, sf_dir))
+    return enc.select(
+        "vec_id",
+        *[
+            F.element_at(F.col("codes"), s + 1).cast("int").alias(f"c{s}")
+            for s in range(PQ_M)
+        ],
+        F.round(F.col("recon_sqdist") / 64, 6).alias("mse"),
+    )
+
+
+def q_pq_adc(spark, sf_dir):
+    """ADC top-k: exact query vector against PQ codes — the
+    compressed-domain ANN path (expression form; the numpy-LUT
+    production twin pq_adc_topk_lut is pinned equal in tests)."""
+    from mapreduce_kmeans_clustering_spark.operators.pq import pq_adc_topk
+
+    t = pq_adc_topk(
+        _emb(spark, sf_dir), _pq_books(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K
+    )
+    return t.select(
+        "query_id", "neighbor_id", "rank", F.round("adist", 6).alias("adist")
     )
 
 
@@ -873,6 +923,50 @@ def q_doc_chunks(spark, sf_dir):
         "chunk_start",
         "chunk_tokens",
         F.md5("chunk_text").alias("chunk_md5"),  # hash, not 64-token text blobs
+    )
+
+
+def q_corpus_temperature(spark, sf_dir):
+    """Temperature-resampled language mixture (alpha-sampling, the
+    multilingual-LM recipe: sample language l with probability
+    proportional to share^alpha so low-resource languages don't
+    vanish; alpha=TEMP_ALPHA). Corpus-scale work is ONE hash
+    aggregate; the normalization windows run over the G language rows
+    only (operators/sampling.temperature_weights)."""
+    stats = (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(TX.token_count(F.col("text")).cast("long")).alias("mass"),
+        )
+    )
+    t = S.temperature_weights(stats, mass_col="mass", alpha=TEMP_ALPHA)
+    return t.select(
+        "lang",
+        "n_docs",
+        "mass",
+        F.round("share", 6).alias("share"),
+        F.round("sample_weight", 6).alias("sample_weight"),
+        F.round("boost", 6).alias("boost"),
+    )
+
+
+def q_length_buckets(spark, sf_dir):
+    """Length-bucketed batching planner: ntile-8 buckets over token
+    counts with per-bucket vs global padding waste — the evidence for
+    choosing a bucket count before batch packing
+    (operators/packing.length_buckets; the sort order is (n_tokens,
+    doc_id) pairs only, never the text)."""
+    lb = PK.length_buckets(_docs(spark, sf_dir), n_buckets=LEN_BUCKETS)
+    return lb.select(
+        "bucket",
+        "n_docs",
+        "min_tokens",
+        "max_tokens",
+        "sum_tokens",
+        F.round("pad_waste", 6).alias("pad_waste"),
+        F.round("global_waste", 6).alias("global_waste"),
     )
 
 
@@ -2984,6 +3078,54 @@ r AS (SELECT query_id, neighbor_id, {_COS} AS cos,
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cos
 FROM r WHERE rank <= {ANN_K}"""
 
+def _pq_dsub(s: int, av: str = "a.v", cv: str = "b.c") -> str:
+    """Subspace-s squared distance between two 64-dim arrays indexed
+    at offset s*PQ_SUB — the DuckDB twin of operators/pq's HOF slice
+    distance (same element-ascending left-associated sum)."""
+    off = s * PQ_SUB
+    t = f"({av}[{off}+i]-{cv}[{off}+i])"
+    return f"list_sum(list_transform(range(1, {PQ_SUB + 1}), i -> {t}*{t}))"
+
+
+# Shared PQ-encode CTE chain: codebooks = slices of the PQ_KSUB lowest-
+# id vectors (codes = 0-based id rank — operators/pq.seeded_codebooks'
+# policy), one cross join against the 16-row codebook computing all 8
+# subspace distances, per-subspace argmin via row_number (dist, code).
+_SQL_PQ_ENC = f"""ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v AS c
+       FROM (SELECT vec_id, v FROM ve ORDER BY vec_id LIMIT {PQ_KSUB})),
+p AS (SELECT a.vec_id, b.code,
+{",".join(f"      {_pq_dsub(s)} AS d{s}" for s in range(PQ_M))}
+      FROM ve a CROSS JOIN cb b),
+r AS (SELECT vec_id, code, {", ".join(f"d{s}" for s in range(PQ_M))},
+{",".join(f"      row_number() OVER (PARTITION BY vec_id ORDER BY d{s}, code) AS r{s}" for s in range(PQ_M))}
+      FROM p),
+enc AS (SELECT vec_id,
+{",".join(f"      max(CASE WHEN r{s}=1 THEN code END)::INT AS c{s}" for s in range(PQ_M))},
+      {" + ".join(f"max(CASE WHEN r{s}=1 THEN d{s} END)" for s in range(PQ_M))} AS recon
+      FROM r GROUP BY vec_id)"""
+
+_SQL_PQ_ENCODE = f"""
+WITH {_SQL_PQ_ENC}
+SELECT vec_id, {", ".join(f"c{s}" for s in range(PQ_M))},
+       round(recon / 64, 6) AS mse
+FROM enc"""
+
+_SQL_PQ_ADC = f"""
+WITH {_SQL_PQ_ENC},
+q AS (SELECT vec_id AS query_id, v AS qv FROM ve WHERE vec_id < 10),
+pr AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+       {" + ".join(_pq_dsub(s, "q.qv", f"cb{s}.c") for s in range(PQ_M))} AS adist
+       FROM q CROSS JOIN enc e
+{chr(10).join(f"       JOIN cb cb{s} ON cb{s}.code = e.c{s}" for s in range(PQ_M))}
+       WHERE e.vec_id <> q.query_id),
+rk AS (SELECT query_id, neighbor_id, adist,
+         row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+       FROM pr)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(adist, 6) AS adist
+FROM rk WHERE rank <= {ANN_K}"""
+
+
 # numeric columns get min/max; others NULL (mirrors profile.column_profile)
 _PROFILE_NUMERIC = {"l_orderkey", "l_quantity", "l_extendedprice", "l_discount"}
 _SQL_PROFILE = "\nUNION ALL\n".join(
@@ -3215,6 +3357,8 @@ SELECT cluster, count(*)::BIGINT AS n,
        round({" + ".join(f"avg(v[{i}])" for i in range(1, 65))}, 4) AS mean_sum
 FROM asg GROUP BY cluster""",
     "q_ann_ivf": _SQL_ANN_IVF,
+    "q_pq_encode": _SQL_PQ_ENCODE,
+    "q_pq_adc": _SQL_PQ_ADC,
     "q_events_hourly": """
 WITH e AS (SELECT ts::TIMESTAMP AS ts, event_type, value FROM events)
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
@@ -3424,6 +3568,33 @@ SELECT doc_id, cid::INT AS chunk_id,
        md5(array_to_string(w[cid * {CHUNK_LEN - CHUNK_OVERLAP} + 1
                              : cid * {CHUNK_LEN - CHUNK_OVERLAP} + {CHUNK_LEN}], ' ')) AS chunk_md5
 FROM c""",
+    "q_corpus_temperature": f"""
+WITH t AS (SELECT lang, count(*)::BIGINT AS n_docs,
+                  sum(len({_TOK}))::BIGINT AS mass
+           FROM documents GROUP BY lang),
+s AS (SELECT lang, n_docs, mass,
+             mass::DOUBLE / sum(mass::DOUBLE) OVER () AS share FROM t),
+p AS (SELECT lang, n_docs, mass, share,
+             pow(share, {TEMP_ALPHA}) AS pw FROM s)
+SELECT lang, n_docs, mass, round(share, 6) AS share,
+       round(pw / sum(pw) OVER (), 6) AS sample_weight,
+       round((pw / sum(pw) OVER ()) / share, 6) AS boost
+FROM p""",
+    "q_length_buckets": f"""
+WITH t AS (SELECT doc_id, len({_TOK})::BIGINT AS n_tokens FROM documents),
+b AS (SELECT doc_id, n_tokens,
+             ntile({LEN_BUCKETS}) OVER (ORDER BY n_tokens, doc_id)::INT AS bucket
+      FROM t),
+g AS (SELECT max(n_tokens) AS gmax FROM t)
+SELECT bucket, count(*)::BIGINT AS n_docs,
+       min(n_tokens)::BIGINT AS min_tokens,
+       max(n_tokens)::BIGINT AS max_tokens,
+       sum(n_tokens)::BIGINT AS sum_tokens,
+       round(1.0 - sum(n_tokens)::DOUBLE
+               / (count(*) * max(n_tokens))::DOUBLE, 6) AS pad_waste,
+       round(1.0 - sum(n_tokens)::DOUBLE
+               / (count(*) * any_value(gmax))::DOUBLE, 6) AS global_waste
+FROM b CROSS JOIN g GROUP BY bucket""",
     "q_order_grouping_sets": """
 SELECT coalesce(o_orderpriority, 'ALL') AS priority,
        coalesce(o_orderstatus, 'ALL') AS status,
@@ -4409,6 +4580,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_recall": q_ann_recall,
     "q_kmeans_nd_step": q_kmeans_nd_step,
     "q_embed_quantize": q_embed_quantize,
+    "q_pq_encode": q_pq_encode,
+    "q_pq_adc": q_pq_adc,
     "q_events_hourly": q_events_hourly,
     "q_events_sessions": q_events_sessions,
     "q_events_top_users": q_events_top_users,
@@ -4433,6 +4606,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_order_grouping_sets": q_order_grouping_sets,
     "q_doc_pack": q_doc_pack,
     "q_doc_chunks": q_doc_chunks,
+    "q_corpus_temperature": q_corpus_temperature,
+    "q_length_buckets": q_length_buckets,
     "q_engaged_customers": q_engaged_customers,
     "q_text_tokens": q_text_tokens,
     "q_decontam": q_decontam,

@@ -73,3 +73,26 @@ def test_chunk_documents_no_shuffle_and_guards(spark):
     assert "Exchange" not in plan  # scan-local: tokenize + explode + slice
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_len=8, overlap=8)
+
+
+def test_length_buckets_partition_and_waste(spark):
+    """Buckets are contiguous in length order and cover every doc;
+    per-bucket waste is in [0, 1) and never exceeds the global-padding
+    waste for the same docs."""
+    from mapreduce_kmeans_clustering_spark.operators.packing import length_buckets
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i + 1)) for i in range(20)], "doc_id LONG, text STRING"
+    )
+    out = length_buckets(docs, n_buckets=4).collect()
+    assert len(out) == 4
+    assert sum(r["n_docs"] for r in out) == 20
+    by_bucket = sorted(out, key=lambda r: r["bucket"])
+    # contiguity: each bucket's min exceeds the previous bucket's max
+    for prev, cur in zip(by_bucket, by_bucket[1:]):
+        assert cur["min_tokens"] >= prev["max_tokens"]
+    for r in out:
+        assert 0.0 <= r["pad_waste"] < 1.0
+        assert r["global_waste"] >= r["pad_waste"]
+    # uniform 20 docs over 4 buckets -> 5 each (ntile balance)
+    assert [r["n_docs"] for r in by_bucket] == [5, 5, 5, 5]

@@ -1,0 +1,155 @@
+"""Product quantization (operators/pq.py): encode determinism and
+tie-breaks, decode/reconstruction consistency, trained-codebook
+quality, ADC expression-vs-LUT twin equality, and encode plan shape."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_kmeans_clustering_spark.operators import pq
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB).cache()
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq.seeded_codebooks(emb, m=pq.DEFAULT_M, ksub=pq.DEFAULT_KSUB)
+
+
+def test_subspace_offsets_reject_uneven():
+    with pytest.raises(ValueError):
+        pq.subspace_offsets(dim=64, m=7)
+
+
+def test_seeded_codebook_shape(books):
+    assert len(books) == 8
+    assert all(len(b) == 16 for b in books)
+    assert all(len(cw) == 8 for b in books for cw in b)
+
+
+def test_encode_codes_in_domain_and_seeds_self_code(emb, books):
+    enc = pq.pq_encode(emb, books)
+    rows = {r["vec_id"]: r for r in enc.collect()}
+    assert len(rows) == emb.count()
+    for r in rows.values():
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+    # the ksub seed vectors reconstruct themselves: code == own id rank,
+    # recon exactly 0 (their slices ARE the codewords)
+    for vid in range(16):
+        assert rows[vid]["codes"] == [vid] * 8
+        assert rows[vid]["recon_sqdist"] == 0.0
+
+
+def test_encode_tie_breaks_to_lowest_code(spark):
+    """Two identical codewords -> argmin must pick the lower code."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [5.0, 5.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    # codebooks seeded from ids 0,1: subspace codewords identical
+    books = pq.seeded_codebooks(df, m=1, ksub=2, dim=2)
+    assert books[0][0] == books[0][1]
+    got = {r["vec_id"]: r["codes"] for r in pq.pq_encode(df, books).collect()}
+    assert got[2] == [0]
+
+
+def test_decode_matches_recon_sqdist(emb, books):
+    """sqdist(v, decode(codes)) == recon_sqdist (modulo summation
+    grouping: per-subspace sums vs one 64-term sum)."""
+    from mapreduce_kmeans_clustering_spark.functions.distance import dot_hof
+
+    enc = pq.pq_encode(emb, books)
+    j = enc.join(emb, "vec_id").select(
+        "vec_id",
+        "recon_sqdist",
+        pq.pq_decode_expr(F.col("codes"), books).alias("dec"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    diff = j.select(
+        "vec_id",
+        "recon_sqdist",
+        dot_hof(
+            F.zip_with("v", "dec", lambda a, b: a - b),
+            F.zip_with("v", "dec", lambda a, b: a - b),
+        ).alias("full"),
+    )
+    for r in diff.collect():
+        assert math.isclose(r["recon_sqdist"], r["full"], rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_trained_codebooks_beat_seeded(emb, books):
+    """Per-subspace Lloyd training must reduce mean reconstruction
+    error vs first-k seeding (the whole point of the quality path)."""
+    trained = pq.train_codebooks(emb, max_iter=5)
+    e_seed = (
+        pq.pq_encode(emb, books).agg(F.avg("recon_sqdist")).collect()[0][0]
+    )
+    e_train = (
+        pq.pq_encode(emb, trained).agg(F.avg("recon_sqdist")).collect()[0][0]
+    )
+    assert e_train < e_seed
+
+
+def test_adc_lut_twin_matches_expression_form(emb, books):
+    """The numpy-LUT production scan returns the same neighbors, ranks
+    and (approx) distances as the oracle-gated expression form."""
+    qids = list(range(10))
+    a = pq.pq_adc_topk(emb, books, qids, k=3).collect()
+    b = pq.pq_adc_topk_lut(emb, books, qids, k=3).collect()
+    ka = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["adist"]) for r in a}
+    kb = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["adist"]) for r in b}
+    assert ka.keys() == kb.keys()
+    for key in ka:
+        assert ka[key][0] == kb[key][0], key
+        assert math.isclose(ka[key][1], kb[key][1], rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_adc_recall_beats_chance(emb, books):
+    """ADC recall@10 vs exact sqdist top-10 must be far above chance.
+    The synthetic near-uniform embeddings are PQ's worst case (distance
+    concentration: measured 0.31 seeded / 0.24 trained at m=8 ksub=16,
+    vs chance 10/499 ~ 0.02 — same corpus on which single-bucket LSH
+    measured 0.03, test_similarity.py); the floor pins "approximate,
+    not arbitrary" without overfitting the synthetic geometry."""
+    from mapreduce_kmeans_clustering_spark.functions.distance import sqdist_unrolled
+
+    qids = list(range(10))
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = (
+        v.where(F.col("vec_id").isin(qids))
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    )
+    pairs = v.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("qid"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy("d", "vec_id")
+    exact10 = (
+        pairs.select(
+            "qid", "vec_id", sqdist_unrolled(F.col("v"), F.col("qv"), 64).alias("d")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .groupBy("qid")
+        .agg(F.collect_set("vec_id").alias("top10"))
+    )
+    top10 = {r["qid"]: set(r["top10"]) for r in exact10.collect()}
+    adc = pq.pq_adc_topk(emb, books, qids, k=10).collect()
+    hits = sum(1 for r in adc if r["neighbor_id"] in top10[r["query_id"]])
+    assert hits / (10 * len(qids)) >= 0.15
+
+
+def test_encode_plan_is_scan_local(emb, books):
+    """Encode must not shuffle: codebooks are plan literals, so the
+    physical plan has no Exchange and no join."""
+    plan = pq.pq_encode(emb, books)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan

@@ -225,3 +225,26 @@ def test_write_shuffled_is_deterministic_and_salt_sensitive(spark, tmp_path):
     assert oa != oc  # ...new permutation per epoch salt
     assert len(oa) == n
     assert oa != sorted(oa)  # actually shuffled, not id-ordered
+
+
+def test_temperature_weights_properties(spark):
+    """alpha=1 reproduces natural shares (boost 1); alpha=0 is uniform;
+    at alpha in (0,1) low-resource groups get boost > 1 and the
+    dominant group boost < 1; weights always sum to 1."""
+    from mapreduce_kmeans_clustering_spark.operators.sampling import temperature_weights
+
+    stats = spark.createDataFrame(
+        [("en", 800), ("de", 150), ("sw", 50)], "lang STRING, mass LONG"
+    )
+    w1 = {r["lang"]: r for r in temperature_weights(stats, alpha=1.0).collect()}
+    for r in w1.values():
+        assert abs(r["sample_weight"] - r["share"]) < 1e-12
+        assert abs(r["boost"] - 1.0) < 1e-12
+    w0 = {r["lang"]: r for r in temperature_weights(stats, alpha=0.0).collect()}
+    for r in w0.values():
+        assert abs(r["sample_weight"] - 1 / 3) < 1e-12
+    wt = {r["lang"]: r for r in temperature_weights(stats, alpha=0.3).collect()}
+    assert abs(sum(r["sample_weight"] for r in wt.values()) - 1.0) < 1e-12
+    assert wt["sw"]["boost"] > 1.0 > wt["en"]["boost"]
+    # order preserved: more mass still means more weight (monotone)
+    assert wt["en"]["sample_weight"] > wt["de"]["sample_weight"] > wt["sw"]["sample_weight"]
