@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mapreduce_kmeans_clustering_spark.operators import cdc as CDC
 from mapreduce_kmeans_clustering_spark.operators import curation as CU
 from mapreduce_kmeans_clustering_spark.operators import incremental as INC
 from mapreduce_kmeans_clustering_spark.operators import dedup as D
@@ -1752,6 +1753,45 @@ def q_latest_event_per_user(spark, sf_dir):
         ev.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+def q_cdc_user_state(spark, sf_dir):
+    """Changelog replay (SCD1): events as a keyed change stream —
+    'error' is a delete tombstone, everything else upserts the user's
+    state; each user's last change by (ts, event_id) wins
+    (operators/cdc.changelog_state — same WindowGroupLimit plan as the
+    keep-last-version compaction read)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", F.lit("delete")).otherwise(
+            F.lit("upsert")
+        ),
+    )
+    st = CDC.changelog_state(ev, ["user_id"], ["ts", "event_id"], op_col="op")
+    return st.select("user_id", "event_id", "ts", "event_type", "value")
+
+
+def q_user_state_periods(spark, sf_dir):
+    """SCD2 validity intervals: collapse each user's consecutive runs
+    of equal event_type into (valid_from, valid_to, version,
+    is_current, n_changes) rows — gaps-and-islands, two key-partitioned
+    windows + one aggregate (operators/cdc.state_periods)."""
+    p = CDC.state_periods(
+        _events(spark, sf_dir),
+        ["user_id"],
+        seq_col="ts",
+        state_col="event_type",
+        tie_col="event_id",
+    )
+    return p.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        "version",
+        "is_current",
+        "n_changes",
     )
 
 
@@ -4054,6 +4094,31 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts DESC, event_id DESC) AS rn
       FROM events)
 WHERE rn = 1""",
+    "q_cdc_user_state": """
+SELECT user_id, event_id, ts, event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1 AND event_type <> 'error'""",
+    "q_user_state_periods": """
+WITH e AS (SELECT user_id, event_id, ts, event_type FROM events),
+m AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                     THEN 1 ELSE 0 END AS nr
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+r AS (SELECT *, sum(nr) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS run
+      FROM m),
+g AS (SELECT user_id, run, min(event_type) AS event_type,
+             min(ts) AS valid_from, count(*)::BIGINT AS n_changes
+      FROM r GROUP BY user_id, run)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       run::INT AS version,
+       lead(valid_from) OVER w2 IS NULL AS is_current,
+       n_changes
+FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY run)""",
     "q_sql_interface": """
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
@@ -4646,6 +4711,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_user_heavy_hitters": q_user_heavy_hitters,
     "q_events_dense_hours": q_events_dense_hours,
     "q_latest_event_per_user": q_latest_event_per_user,
+    "q_cdc_user_state": q_cdc_user_state,
+    "q_user_state_periods": q_user_state_periods,
     "q_sql_interface": q_sql_interface,
     "q_forecast_revenue": q_forecast_revenue,
     "q_shipping_modes": q_shipping_modes,
