@@ -122,19 +122,6 @@ def train_codebooks(
     return books
 
 
-def _sqdist_slice_to_const(v: Column, off: int, cw: list[float]) -> Column:
-    """Squared distance between v[off+1 .. off+len(cw)] and a constant
-    codeword — HOF over a literal array (index-ascending,
-    left-associated; bit-identical to DuckDB
-    list_sum(list_transform(range(1, sub+1), i -> (v[off+i]-c[i])^2)))."""
-    c = F.array(*[F.lit(float(x)) for x in cw])
-    return F.aggregate(
-        F.zip_with(F.slice(v, off + 1, len(cw)), c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, d: acc + d,
-    )
-
-
 def pq_encode(
     vectors: DataFrame,
     codebooks: list[list[list[float]]],
@@ -145,21 +132,39 @@ def pq_encode(
     plus ``recon_sqdist`` (summed chosen sub-distances — the squared
     reconstruction error, free from the argmin). Scan-local: codebooks
     ride the plan as literals, ties break to the lowest code via
-    struct ordering (array_min over struct(d, code))."""
+    struct ordering (array_min over struct(d, code)).
+
+    Expression shape (measured A/B at sf0.1, 5k x 64, local[32]): the
+    per-subspace argmin is ONE ``transform`` over the literal codebook
+    with the (codeword, index) lambda computing the slice sqdist —
+    4.2-7.2 s as m*ksub separate HOF aggregates, 8-9 s fully unrolled
+    (the ~3k-node janino compile dominates at this ksub), 1.9 s as
+    transform-with-index. Same doubles, same argmin: the inner
+    zip_with/aggregate math and the struct(d, code) ordering are
+    identical — only the expression-tree packaging changes
+    (SCALE.md §4.11's node-count rule applied once more)."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
     v = F.col(vec_col).cast("array<double>")
     bests = []
     for s in range(m):
         off = s * sub
-        cands = [
-            F.struct(
-                _sqdist_slice_to_const(v, off, cw).alias("d"),
-                F.lit(int(code)).alias("code"),
-            )
-            for code, cw in enumerate(codebooks[s])
-        ]
-        bests.append(F.array_min(F.array(*cands)))
+        lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cw]) for cw in codebooks[s]]
+        )
+        sl = F.slice(v, off + 1, sub)
+        cands = F.transform(
+            lit,
+            lambda cw, i: F.struct(
+                F.aggregate(
+                    F.zip_with(sl, cw, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ).alias("d"),
+                i.cast("int").alias("code"),
+            ),
+        )
+        bests.append(F.array_min(cands))
     recon = bests[0]["d"]
     for b in bests[1:]:
         recon = recon + b["d"]
@@ -168,6 +173,71 @@ def pq_encode(
         F.array(*[b["code"] for b in bests]).alias("codes"),
         recon.alias("recon_sqdist"),
     )
+
+
+_ENC_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+        T.StructField("recon_sqdist", T.DoubleType()),
+    ]
+)
+
+
+def pq_encode_blas(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production encode twin: Arrow-batched mapInPandas computing all
+    m argmins per batch with one numpy distance block per subspace
+    ((N, ksub) sqdists via the expansion |x|^2 - 2xC^T + |c|^2 —
+    O(N*ksub*sub) BLAS flops, no per-row interpretation). np.argmin
+    takes the FIRST minimum, preserving the lowest-code tie-break.
+    Same verdicts as `pq_encode` on real data (pinned in
+    tests/test_pq.py); float-sum ORDER differs (pairwise numpy
+    reduction vs left-associated HOF), so last-ulp recon drift is
+    possible — the oracle-gated registered query stays on the
+    expression form, the established BLAS-twin convention
+    (plans/kmeans_nd.py, dedup.semantic_dedup_blas)."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    books = np.array(codebooks, dtype=np.float64)  # (m, ksub, sub)
+    bnorm = (books**2).sum(axis=2)  # (m, ksub)
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["_id"].to_numpy()
+            x = np.stack(pdf["_v"].to_numpy()).astype(np.float64)  # (N, dim)
+            xs = x.reshape(len(ids), m, sub)  # (N, m, sub)
+            codes = np.empty((len(ids), m), dtype=np.int32)
+            recon = np.zeros(len(ids), dtype=np.float64)
+            for s in range(m):
+                d = (
+                    (xs[:, s, :] ** 2).sum(axis=1)[:, None]
+                    - 2.0 * xs[:, s, :] @ books[s].T
+                    + bnorm[s][None, :]
+                )  # (N, ksub)
+                c = d.argmin(axis=1)
+                codes[:, s] = c
+                # exact chosen sub-distance (the expansion form can go
+                # slightly negative on near-zero distances)
+                recon += ((xs[:, s, :] - books[s][c]) ** 2).sum(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": ids, "codes": list(codes), "recon_sqdist": recon}
+            )
+
+    return vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).mapInPandas(enc, schema=_ENC_SCHEMA)
 
 
 def pq_decode_expr(codes: Column, codebooks: list[list[list[float]]]) -> Column:
@@ -184,29 +254,22 @@ def pq_decode_expr(codes: Column, codebooks: list[list[list[float]]]) -> Column:
 def pq_adc_dist_expr(
     qv: Column, codes: Column, codebooks: list[list[list[float]]]
 ) -> Column:
-    """ADC distance: sum over subspaces of sqdist(query slice,
-    selected codeword). The query side stays exact; the database side
-    is its code. Subspace-ascending left-associated sum; per-subspace
-    distance is HOF element-ascending — the oracle-bit-compatible
-    ordering."""
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
-    total = None
-    for s in range(m):
-        off = s * sub
-        lit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in cw]) for cw in codebooks[s]]
-        )
-        cw = F.element_at(lit, F.element_at(codes, s + 1) + F.lit(1))
-        d = F.aggregate(
-            F.zip_with(
-                F.slice(qv, off + 1, sub), cw, lambda x, y: (x - y) * (x - y)
-            ),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-        total = d if total is None else total + d
-    return total
+    """ADC distance: sqdist between the EXACT query vector and the
+    decoded database vector — mathematically d(q, decode(x)), one HOF
+    aggregate over the 64 concatenated elements (index-ascending,
+    left-associated: the same doubles as DuckDB's
+    list_sum(list_transform(range(1, dim+1), ...)) over the
+    concatenated codeword slices). Prefer computing decode ONCE per
+    database row (scan-local) and passing the decoded column here —
+    see pq_adc_topk; per-pair decode re-selects codewords
+    |queries| times over."""
+    return F.aggregate(
+        F.zip_with(
+            qv, pq_decode_expr(codes, codebooks), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
 
 
 def pq_adc_topk(
@@ -221,13 +284,21 @@ def pq_adc_topk(
     """Top-k neighbors per query by ADC distance — expression form
     (the oracle-gated twin of `pq_adc_topk_lut`).
 
-    Plan: encode the corpus (scan-local), broadcast the bounded query
-    set (len(query_ids) rows) through a crossJoin — a
-    BroadcastNestedLoopJoin against a K-row side, the engine's blessed
-    bounded-fanout shape (SCALE.md §4.10) — then one rank window
-    partitioned by query. Shuffle carries (query_id, neighbor_id,
-    dist): no vectors move after the scan."""
+    Plan: encode the corpus and DECODE it once per row (both
+    scan-local — codes select codewords out of plan literals, so the
+    decoded array costs 8 element_ats per database row, not per pair),
+    broadcast the bounded query set (len(query_ids) rows) through a
+    crossJoin — a BroadcastNestedLoopJoin against a K-row side, the
+    engine's blessed bounded-fanout shape (SCALE.md §4.10) — score
+    each pair with ONE 64-element aggregate, then one rank window
+    partitioned by query. Measured at sf0.1 (5k rows, local[32]): the
+    per-pair 8-aggregate subspace form ran 3.0-3.6 s, decode-once +
+    single aggregate 2.7-2.8 s."""
     enc = encoded if encoded is not None else pq_encode(vectors, codebooks, id_col, vec_col)
+    dec = enc.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_decode_expr(F.col("codes"), codebooks).alias("_dec"),
+    )
     queries = (
         vectors.where(F.col(id_col).isin([int(q) for q in query_ids]))
         .select(
@@ -235,14 +306,16 @@ def pq_adc_topk(
             F.col(vec_col).cast("array<double>").alias("qv"),
         )
     )
-    pairs = enc.withColumnRenamed(id_col, "neighbor_id").crossJoin(
-        F.broadcast(queries)
-    )
+    pairs = dec.crossJoin(F.broadcast(queries))
     pairs = pairs.where(F.col("neighbor_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        pq_adc_dist_expr(F.col("qv"), F.col("codes"), codebooks).alias("adist"),
+        F.aggregate(
+            F.zip_with("qv", "_dec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ).alias("adist"),
     )
     from pyspark.sql import Window
 

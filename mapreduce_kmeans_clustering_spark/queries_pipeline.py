@@ -3154,11 +3154,15 @@ FROM enc"""
 _SQL_PQ_ADC = f"""
 WITH {_SQL_PQ_ENC},
 q AS (SELECT vec_id AS query_id, v AS qv FROM ve WHERE vec_id < 10),
-pr AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-       {" + ".join(_pq_dsub(s, "q.qv", f"cb{s}.c") for s in range(PQ_M))} AS adist
-       FROM q CROSS JOIN enc e
-{chr(10).join(f"       JOIN cb cb{s} ON cb{s}.code = e.c{s}" for s in range(PQ_M))}
-       WHERE e.vec_id <> q.query_id),
+dx AS (SELECT e.vec_id AS neighbor_id,
+       {" || ".join(f"cb{s}.c[{s * PQ_SUB + 1}:{(s + 1) * PQ_SUB}]" for s in range(PQ_M))} AS dec
+       FROM enc e
+{chr(10).join(f"       JOIN cb cb{s} ON cb{s}.code = e.c{s}" for s in range(PQ_M))}),
+pr AS (SELECT q.query_id, dx.neighbor_id,
+       list_sum(list_transform(range(1, 65),
+                i -> (q.qv[i]-dx.dec[i])*(q.qv[i]-dx.dec[i]))) AS adist
+       FROM q CROSS JOIN dx
+       WHERE dx.neighbor_id <> q.query_id),
 rk AS (SELECT query_id, neighbor_id, adist,
          row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
        FROM pr)

@@ -419,3 +419,34 @@ def test_knn_graph_and_vocab_coverage_plans(spark):
     assert "TakeOrderedAndProject" in p2
     assert "CartesianProduct" not in p2
     assert p2.count("BroadcastNestedLoopJoin") <= 2  # cutoffs + total
+
+
+def test_pq_adc_and_round4_query_plans(spark):
+    """q_pq_adc: the only nested loop is the bounded 10-row query
+    broadcast (the blessed K-row fanout shape); encode side stays
+    join-free. q_length_buckets: 1-row global-max broadcast only.
+    q_cdc_user_state: keep-last must plan as WindowGroupLimit so
+    non-latest rows die before the sort. q_user_state_periods: pure
+    key-partitioned windows — no nested loop at all."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_cdc_user_state,
+        q_length_buckets,
+        q_pq_adc,
+        q_user_state_periods,
+    )
+
+    p = _plan(q_pq_adc(spark, SF))
+    assert p.count("BroadcastNestedLoopJoin") == 1  # 10-row query side
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+    p2 = _plan(q_length_buckets(spark, SF))
+    assert p2.count("BroadcastNestedLoopJoin") == 1  # 1-row gmax
+    assert "CartesianProduct" not in p2
+
+    p3 = _plan(q_cdc_user_state(spark, SF))
+    assert "WindowGroupLimit" in p3
+
+    p4 = _plan(q_user_state_periods(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p4
+    assert "CartesianProduct" not in p4

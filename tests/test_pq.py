@@ -153,3 +153,16 @@ def test_encode_plan_is_scan_local(emb, books):
     plan = pq.pq_encode(emb, books)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_encode_blas_twin_matches_expression_form(emb, books):
+    """Production BLAS encode: identical codes everywhere, recon equal
+    to 1e-9 (summation-order drift only)."""
+    a = {r["vec_id"]: r for r in pq.pq_encode(emb, books).collect()}
+    b = {r["vec_id"]: r for r in pq.pq_encode_blas(emb, books).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert list(a[k]["codes"]) == list(b[k]["codes"]), k
+        assert math.isclose(
+            a[k]["recon_sqdist"], b[k]["recon_sqdist"], rel_tol=1e-9, abs_tol=1e-12
+        )
