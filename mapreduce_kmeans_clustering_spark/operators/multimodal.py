@@ -739,3 +739,97 @@ def extract_features(
     return media.select("media_id", "kind", "payload").mapInPandas(
         batches, schema=FEATURES_SCHEMA
     )
+
+
+DSP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("brightness", T.DoubleType()),
+        T.StructField("contrast", T.DoubleType()),
+        T.StructField("edge_energy", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zcr", T.DoubleType()),
+        T.StructField("dominant_hz", T.DoubleType()),
+    ]
+)
+
+
+def dsp_features(media: DataFrame, fft_window: int = 4096) -> DataFrame:
+    """REAL signal features over decoded payloads (numpy, executor-side
+    over Arrow batches — payloads never reach the driver):
+
+    - image (netpbm/PNG/BMP via decode_media): ``brightness`` (mean
+      gray byte), ``contrast`` (population std), ``edge_energy``
+      (mean |horizontal gradient| of the gray plane — the blur/
+      flat-image detector a vision-data curation pass filters on).
+    - audio (WAV PCM16): ``rms`` amplitude, ``zcr`` (zero-crossing
+      rate per sample — separates tonal from noisy clips),
+      ``dominant_hz`` (argmax |rFFT| over the first ``fft_window``
+      samples, excluding DC — numpy FFT, deterministic).
+
+    This is the step beyond decoded_stats' byte means: actual DSP a
+    training-data pipeline runs to score/filter media before paying
+    for model embeddings. Video stays a labeled decode gap
+    (decode_media raises NotImplementedError)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                d = decode_media(r.payload, r.kind)
+                if r.kind == "image":
+                    px = np.frombuffer(d["pixels"], dtype=np.uint8).astype(np.float64)
+                    ch = d["channels"]
+                    gray = (
+                        px.reshape(d["height"], d["width"], ch).mean(axis=2)
+                        if ch > 1
+                        else px.reshape(d["height"], d["width"])
+                    )
+                    edge = (
+                        float(np.abs(np.diff(gray, axis=1)).mean())
+                        if d["width"] > 1
+                        else 0.0
+                    )
+                    rows.append(
+                        (
+                            r.media_id,
+                            r.kind,
+                            float(gray.mean()),
+                            float(gray.std()),
+                            edge,
+                            None,
+                            None,
+                            None,
+                        )
+                    )
+                else:
+                    x = np.frombuffer(d["pcm"], dtype="<i2").astype(np.float64)
+                    if d["channels"] > 1:
+                        x = x.reshape(-1, d["channels"]).mean(axis=1)
+                    n = len(x)
+                    rms = float(np.sqrt((x**2).mean())) if n else 0.0
+                    zcr = (
+                        float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean())
+                        if n > 1
+                        else 0.0
+                    )
+                    win = x[:fft_window]
+                    if len(win) > 1:
+                        mag = np.abs(np.fft.rfft(win))
+                        mag[0] = 0.0  # exclude DC
+                        k = int(mag.argmax())
+                        dom = k * d["sample_rate"] / len(win)
+                    else:
+                        dom = 0.0
+                    rows.append(
+                        (r.media_id, r.kind, None, None, None, rms, zcr, float(dom))
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in DSP_SCHEMA.fields])
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        batches, schema=DSP_SCHEMA
+    )

@@ -288,3 +288,71 @@ def test_bmp_roundtrip_and_cross_format_consistency():
     img = decode_media(encode_bmp(4, 2, seed=9), "image")
     chain = hashlib.md5(b"bmp:9").digest()
     assert img["pixels"][:16] == chain
+
+
+def test_dsp_features_image_flat_and_gradient(spark):
+    """Real image DSP: a flat gray P6 has contrast 0 / edge 0; a
+    horizontal-gradient P5 has edge_energy equal to its step size."""
+    from mapreduce_kmeans_clustering_spark.operators.multimodal import dsp_features
+
+    flat = b"P6 4 3 255\n" + bytes([128] * (4 * 3 * 3))
+    # P5 gray, one row repeated: 0, 10, 20, 30 -> |diff| mean = 10
+    grad = b"P5 4 3 255\n" + bytes([0, 10, 20, 30] * 3)
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(flat)), (1, "image", bytearray(grad))],
+        "media_id LONG, kind STRING, payload BINARY",
+    )
+    got = {r["media_id"]: r for r in dsp_features(media).collect()}
+    assert got[0]["brightness"] == 128.0
+    assert got[0]["contrast"] == 0.0
+    assert got[0]["edge_energy"] == 0.0
+    assert got[1]["brightness"] == 15.0
+    assert abs(got[1]["edge_energy"] - 10.0) < 1e-12
+    assert got[0]["rms"] is None  # audio columns null for images
+
+
+def test_dsp_features_audio_triangle_wave(spark):
+    """Real audio DSP on the synthesized triangle wave: the dominant
+    FFT bin sits at the fundamental (sample_rate / period), the
+    zero-crossing rate is ~2 crossings per period, and RMS is near the
+    triangle's amp/sqrt(3)."""
+    import math
+
+    from mapreduce_kmeans_clustering_spark.operators.multimodal import (
+        dsp_features,
+        encode_wav,
+    )
+
+    sr, n, seed = 16000, 800, 20  # period = 20 + 20 % 50 = 40
+    period = 20 + seed % 50
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(encode_wav(sr, n, seed)))],
+        "media_id LONG, kind STRING, payload BINARY",
+    )
+    r = dsp_features(media).collect()[0]
+    assert r["brightness"] is None
+    f0 = sr / period
+    bin_w = sr / n
+    assert abs(r["dominant_hz"] - f0) <= 1.5 * bin_w, (r["dominant_hz"], f0)
+    assert abs(r["zcr"] - 2.0 / period) < 0.02
+    assert abs(r["rms"] - 15000 / math.sqrt(3)) / (15000 / math.sqrt(3)) < 0.1
+
+
+def test_dsp_features_over_synthesized_mix(spark):
+    """End-to-end over the synthesized decodable table: every row
+    decodes, images carry image stats, audio carries audio stats."""
+    from mapreduce_kmeans_clustering_spark.operators.multimodal import (
+        dsp_features,
+        synthesize_decodable_media,
+    )
+
+    ids = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    out = dsp_features(synthesize_decodable_media(ids)).collect()
+    assert len(out) == 24
+    for r in out:
+        if r["kind"] == "image":
+            assert r["brightness"] is not None and r["rms"] is None
+            assert 0.0 <= r["brightness"] <= 255.0
+        else:
+            assert r["rms"] is not None and r["brightness"] is None
+            assert r["rms"] > 0.0 and 0.0 < r["zcr"] < 1.0
