@@ -413,3 +413,134 @@ def pq_adc_topk_lut(
         .where(F.col("rank") <= kk)
         .select("query_id", "neighbor_id", "rank", "adist")
     )
+
+
+def residual_codebooks(
+    residuals: DataFrame,
+    skip_ids: int,
+    m: int = DEFAULT_M,
+    ksub: int = DEFAULT_KSUB,
+    dim: int = DEFAULT_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "r",
+) -> list[list[list[float]]]:
+    """Seeded codebooks over RESIDUAL vectors, skipping the first
+    ``skip_ids`` ids: the coarse-quantizer seeds' own residuals are
+    exactly zero (each seed is its list's centroid), so seeding from
+    them would degenerate every codeword to the origin. Takes the
+    ksub lowest ids >= skip_ids instead — deterministic and
+    SQL-derivable like seeded_codebooks."""
+    rows = (
+        residuals.where(F.col(id_col) >= skip_ids)
+        .select(F.col(id_col), F.col(vec_col).alias("v"))
+        .orderBy(id_col)
+        .limit(ksub)
+        .collect()
+    )
+    if len(rows) < ksub:
+        raise ValueError(f"need >= {ksub} residuals with id >= {skip_ids}")
+    offs = subspace_offsets(dim, m)
+    return [
+        [[float(x) for x in r["v"][off : off + sub]] for r in rows]
+        for (off, sub) in offs
+    ]
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = DEFAULT_M,
+    ksub: int = DEFAULT_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVFADC (Jegou et al. 2011 §IV): coarse inverted-list quantizer
+    + product-quantized RESIDUALS + asymmetric distance — the
+    two-level index a production vector store runs at billion scale.
+
+    - coarse: operators/similarity.ivf_assign (cosine argmin against
+      the nlist seed table, broadcast fanout, one hash agg);
+    - residual r = v - centroid(list), PQ-encoded with codebooks
+      seeded from the ksub lowest non-seed ids (residual_codebooks);
+    - search: probe the nprobe best lists per query (by cosine, the
+      same probe rule as ivf_topk), form the query's PER-LIST residual
+      qr = q - centroid(list), and rank candidates by the ADC
+      estimate ||qr - decode(code)||^2 — one 64-element aggregate per
+      pair, decode computed scan-local per database row.
+
+    Candidate work per query is |corpus| * nprobe / nlist pairs over
+    4-byte codes; the exact vectors are touched only at scan time.
+    Expression form throughout (bit-matched by the q_ann_ivfpq
+    oracle); the BLAS/LUT twins for each stage exist on the flat-PQ
+    path (pq_encode_blas / pq_adc_topk_lut) and compose the same way."""
+    from mapreduce_kmeans_clustering_spark.operators.similarity import ivf_assign
+
+    if assigned is None:
+        assigned = ivf_assign(vectors, nlist, id_col, vec_col)  # (id, v, list_id)
+    vecs = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    seeds = F.broadcast(
+        vecs.where(F.col(id_col) < nlist).select(
+            F.col(id_col).alias("list_id"), F.col("v").alias("sv")
+        )
+    )
+    res = assigned.join(seeds, "list_id").select(
+        F.col(id_col),
+        "list_id",
+        F.zip_with("v", "sv", lambda a, b: a - b).alias("r"),
+    )
+    books = residual_codebooks(res, skip_ids=nlist, m=m, ksub=ksub)
+    enc = pq_encode(res, books, id_col=id_col, vec_col="r")
+    dec = enc.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_decode_expr(F.col("codes"), books).alias("_dec"),
+    ).join(
+        res.select(F.col(id_col).alias("neighbor_id"), "list_id"), "neighbor_id"
+    )
+
+    from pyspark.sql import Window
+
+    q = vecs.where(F.col(id_col).isin([int(x) for x in query_ids])).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    from mapreduce_kmeans_clustering_spark.functions.distance import (
+        cosine_similarity,
+    )
+
+    pw = Window.partitionBy("query_id").orderBy(F.col("qc").desc(), F.col("list_id"))
+    probes = (
+        q.crossJoin(seeds)
+        .select(
+            "query_id",
+            "qv",
+            "list_id",
+            cosine_similarity(F.col("qv"), F.col("sv")).alias("qc"),
+            F.zip_with("qv", "sv", lambda a, b: a - b).alias("qr"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "list_id", "qr")
+    )
+    cand = probes.join(dec, "list_id").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with("qr", "_dec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ).alias("adist"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= int(k))
+        .select("query_id", "neighbor_id", "rank", "adist")
+    )

@@ -194,6 +194,7 @@ def ivf_representatives(
     nlist: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Diversity/coverage sampling for training-data selection: one
     representative per inverted list — the member closest (by cosine,
@@ -209,7 +210,8 @@ def ivf_representatives(
     window, no second shuffle beyond the K-row aggregate. Output
     (list_id, rep_id, rep_cos, n_members).
     """
-    assigned = ivf_assign(embeddings, nlist, id_col, vec_col)
+    if assigned is None:
+        assigned = ivf_assign(embeddings, nlist, id_col, vec_col)
     vecs = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     seeds = F.broadcast(
         vecs.where(F.col(id_col) < nlist).select(
@@ -245,6 +247,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: each query scores only the corpus
     vectors in its ``nprobe`` nearest inverted lists (equi-join on
@@ -252,8 +255,14 @@ def ivf_topk(
     |corpus| * nprobe / nlist per query instead of |corpus| — the
     IVF pruning a vector store uses, expressed as join + window.
     Recall < 1 by design; the SQL oracle mirrors the algorithm exactly
-    so the comparison is still exact."""
-    assigned = ivf_assign(embeddings, nlist, id_col, vec_col)
+    so the comparison is still exact.
+
+    ``assigned=`` accepts a precomputed (memoized) ivf_assign relation
+    — several registered queries share the coarse assignment, and the
+    buffer-pool memo in queries_pipeline derives it once per session
+    (the _events pin pattern)."""
+    if assigned is None:
+        assigned = ivf_assign(embeddings, nlist, id_col, vec_col)
     vecs = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     seeds = F.broadcast(
         vecs.where(F.col(id_col) < nlist).select(

@@ -166,3 +166,97 @@ def test_encode_blas_twin_matches_expression_form(emb, books):
         assert math.isclose(
             a[k]["recon_sqdist"], b[k]["recon_sqdist"], rel_tol=1e-9, abs_tol=1e-12
         )
+
+
+def test_ivfpq_candidates_come_from_probed_lists(emb):
+    """IVFADC invariants: exactly k rows per query; every neighbor
+    belongs to one of the query's nprobe probed lists (re-derived
+    independently); distances non-negative and rank-ordered."""
+    from mapreduce_kmeans_clustering_spark.operators.similarity import ivf_assign
+    from mapreduce_kmeans_clustering_spark.functions.distance import cosine_similarity
+
+    qids = list(range(10))
+    out = pq.ivfpq_topk(emb, qids, k=3, nlist=16, nprobe=4).collect()
+    assert len(out) == 30
+    by_q = {}
+    for r in out:
+        assert r["adist"] >= 0.0
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows = sorted(rows, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3]
+        assert rows[0]["adist"] <= rows[1]["adist"] <= rows[2]["adist"]
+    # re-derive list membership + probes
+    assigned = {r["vec_id"]: r["list_id"] for r in ivf_assign(emb, 16).collect()}
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    seeds = vecs.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("list_id"), F.col("v").alias("sv")
+    )
+    q = vecs.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    from pyspark.sql import Window
+
+    pw = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("list_id"))
+    probes = (
+        q.crossJoin(F.broadcast(seeds))
+        .select("qid", "list_id", cosine_similarity(F.col("qv"), F.col("sv")).alias("c"))
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") <= 4)
+        .collect()
+    )
+    probed = {}
+    for r in probes:
+        probed.setdefault(r["qid"], set()).add(r["list_id"])
+    for r in out:
+        assert assigned[r["neighbor_id"]] in probed[r["query_id"]], r
+
+
+def test_ivfpq_recall_beats_chance(emb):
+    """IVFADC recall@10 vs exact L2 top-10 must beat chance well clear
+    of noise (compressed residuals + nprobe/nlist pruning both cost
+    recall; chance is ~0.02 on 500 rows)."""
+    from mapreduce_kmeans_clustering_spark.functions.distance import sqdist_unrolled
+
+    qids = list(range(10))
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = v.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    pairs = v.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("qid"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy("d", "vec_id")
+    exact10 = (
+        pairs.select(
+            "qid", "vec_id", sqdist_unrolled(F.col("v"), F.col("qv"), 64).alias("d")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .groupBy("qid")
+        .agg(F.collect_set("vec_id").alias("t"))
+    )
+    top10 = {r["qid"]: set(r["t"]) for r in exact10.collect()}
+    got = pq.ivfpq_topk(emb, qids, k=10, nlist=16, nprobe=4).collect()
+    hits = sum(1 for r in got if r["neighbor_id"] in top10[r["query_id"]])
+    assert hits / (10 * len(qids)) >= 0.08
+
+
+def test_residual_codebooks_skip_zero_residual_seeds(emb):
+    """Seeding from the coarse seeds themselves would produce all-zero
+    codewords; the skip guard takes the next ksub ids instead."""
+    from mapreduce_kmeans_clustering_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(emb, 16)
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    seeds = vecs.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("list_id"), F.col("v").alias("sv")
+    )
+    res = assigned.join(F.broadcast(seeds), "list_id").select(
+        "vec_id", F.zip_with("v", "sv", lambda a, b: a - b).alias("r")
+    )
+    books = pq.residual_codebooks(res, skip_ids=16)
+    flat = [x for b in books for cw in b for x in cw]
+    assert any(x != 0.0 for x in flat)
+    # and every codeword row came from ids 16..31 (non-trivial residuals)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
