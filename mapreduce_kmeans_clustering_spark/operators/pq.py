@@ -127,6 +127,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector to ``codes`` (array<int>, one per subspace)
     plus ``recon_sqdist`` (summed chosen sub-distances — the squared
@@ -170,6 +171,7 @@ def pq_encode(
         recon = recon + b["d"]
     return vectors.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.array(*[b["code"] for b in bests]).alias("codes"),
         recon.alias("recon_sqdist"),
     )
@@ -495,12 +497,13 @@ def ivfpq_topk(
         F.zip_with("v", "sv", lambda a, b: a - b).alias("r"),
     )
     books = residual_codebooks(res, skip_ids=nlist, m=m, ksub=ksub)
-    enc = pq_encode(res, books, id_col=id_col, vec_col="r")
+    # list_id rides through the encode projection, so the decoded
+    # relation needs no join back to res (scan-local end to end)
+    enc = pq_encode(res, books, id_col=id_col, vec_col="r", keep_cols=("list_id",))
     dec = enc.select(
         F.col(id_col).alias("neighbor_id"),
+        "list_id",
         pq_decode_expr(F.col("codes"), books).alias("_dec"),
-    ).join(
-        res.select(F.col(id_col).alias("neighbor_id"), "list_id"), "neighbor_id"
     )
 
     from pyspark.sql import Window
