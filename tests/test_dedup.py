@@ -521,3 +521,70 @@ def test_repeated_passages_xxhash_production_twin(spark):
 
     with _pytest.raises(ValueError, match="hash_fn"):
         repeated_passages(df, hash_fn="sha1")
+
+
+def test_jaccard_prefix_filter_is_exact(spark):
+    """Prefix filtering (Bayardo et al.) must return EXACTLY the pairs
+    of the plain inverted-index join at every threshold — completeness
+    is the whole point (unlike max_df, which trades recall)."""
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for t in (0.2, 0.5):
+        base = {
+            (r["a"], r["b"]): round(r["jaccard"], 9)
+            for r in jaccard_pairs(docs, threshold=t).collect()
+        }
+        pref = {
+            (r["a"], r["b"]): round(r["jaccard"], 9)
+            for r in jaccard_pairs_prefix(docs, threshold=t).collect()
+        }
+        assert base == pref, (t, len(base), len(pref))
+
+
+def test_jaccard_prefix_filter_shrinks_candidates(spark):
+    """The prefix join must generate strictly fewer candidate pairs
+    than the full inverted-index join's intersecting pairs (the
+    measurable point of the optimization) while staying exact."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.operators.dedup import exploded_shingles
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ex = exploded_shingles(docs)
+    full = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    # re-derive the prefix candidate count at t=0.5
+    from pyspark.sql.window import Window
+
+    t = 0.5
+    sizes = ex.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_sh"))
+    dfreq = ex.groupBy("sh").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy("doc_id").orderBy("_df", "sh")
+    ranked = ex.join(dfreq, "sh").withColumn("_pos", F.row_number().over(w)).join(sizes, "doc_id")
+    lmax = F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
+    prefix = ranked.where(F.col("_pos") <= lmax).select("doc_id", "sh")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert cand < full, (cand, full)
