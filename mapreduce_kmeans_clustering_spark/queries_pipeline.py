@@ -2711,6 +2711,40 @@ def q_events_rollup_incremental(spark, sf_dir):
     )
 
 
+def q_incremental_join_view(spark, sf_dir):
+    """Incremental maintenance of a JOIN view: per-customer lineitem
+    revenue (orders ⋈ lineitem, grouped by o_custkey) maintained as
+    base (orders before 1997) + delta (1997 onward) summaries merged
+    with operators/incremental.merge_aggregates — the materialized-
+    view pattern where appending a day of orders costs O(delta join) +
+    O(aggregate), never a rescan of the joined history. Each order's
+    lines ride with their order through the split (the join key is
+    o_orderkey), so the two part-joins partition the fact exactly.
+    The oracle recomputes the view from the FULL join; equality is the
+    merge-law proof. DECIMAL revenue so the split can't drift a bit."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    spec = {"n_lines": ("count", ""), "revenue_sum": ("sum", "rev")}
+
+    def part(orders_part):
+        j = li.join(
+            orders_part, F.col("l_orderkey") == F.col("o_orderkey")
+        ).select("o_custkey", rev.alias("rev"))
+        return INC.aggregate_batch(j, ["o_custkey"], spec)
+
+    base = part(orders.where(F.year("o_orderdate") < 1997))
+    delta = part(orders.where(F.year("o_orderdate") >= 1997))
+    merged = INC.merge_aggregates([base, delta], ["o_custkey"], spec)
+    return merged.select(
+        "o_custkey",
+        "n_lines",
+        F.round("revenue_sum", 2).cast("double").alias("revenue"),
+    )
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup verdicts over the embeddings corpus: assign to the
     first-KMEANS_ND_K seed centroids, prune in-cluster cosine near-dups
@@ -4604,6 +4638,12 @@ SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day, event_type,
        round(min(CAST(value AS DECIMAL(18,4))), 4)::DOUBLE AS min_value,
        round(max(CAST(value AS DECIMAL(18,4))), 4)::DOUBLE AS max_value
 FROM events GROUP BY 1, 2""",
+    "q_incremental_join_view": """
+SELECT o_custkey, count(*)::BIGINT AS n_lines,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))),
+             2)::DOUBLE AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_custkey""",
 }
 
 PIPELINE_ORACLES.update(
@@ -4863,6 +4903,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_min_cost_supplier": q_min_cost_supplier,
     "q_idle_rich_customers": q_idle_rich_customers,
     "q_events_rollup_incremental": q_events_rollup_incremental,
+    "q_incremental_join_view": q_incremental_join_view,
     "q_dedup_semantic": q_dedup_semantic,
     "q_shipping_priority": q_shipping_priority,
     "q_local_supplier_volume": q_local_supplier_volume,
