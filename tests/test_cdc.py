@@ -81,3 +81,18 @@ def test_state_periods_tie_breaks_on_id(spark):
         key=lambda r: r["version"],
     )
     assert [r["s"] for r in rows] == ["A", "B", "A"]
+
+
+def test_merge_snapshot_is_idempotent(spark):
+    """Applying the same batch twice equals applying it once — the
+    replay-safety a changelog consumer needs after a retry."""
+    base = spark.createDataFrame(
+        [(1, "old1"), (2, "old2"), (4, "old4")], "k LONG, v STRING"
+    )
+    ch = spark.createDataFrame(
+        [(1, 1, "upsert", "new1"), (2, 1, "delete", None), (3, 1, "upsert", "new3")],
+        "k LONG, seq LONG, op STRING, v STRING",
+    )
+    once = cdc.merge_snapshot(base, ch, ["k"], ["seq"], op_col="op")
+    twice = cdc.merge_snapshot(once, ch, ["k"], ["seq"], op_col="op")
+    assert {tuple(r) for r in once.collect()} == {tuple(r) for r in twice.collect()}

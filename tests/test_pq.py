@@ -260,3 +260,20 @@ def test_residual_codebooks_skip_zero_residual_seeds(emb):
     assert any(x != 0.0 for x in flat)
     # and every codeword row came from ids 16..31 (non-trivial residuals)
     assert len(books) == 8 and all(len(b) == 16 for b in books)
+
+
+def test_encode_decode_encode_is_a_fixpoint(emb, books):
+    """Re-encoding a decoded (reconstructed) vector is a fixpoint:
+    each decoded vector is exactly a codeword tuple, so its nearest
+    codeword per subspace is itself — same codes, recon_sqdist
+    exactly 0. Pins decode/encode consistency."""
+    enc1 = pq.pq_encode(emb, books)
+    dec = enc1.join(emb, "vec_id").select(
+        "vec_id", pq.pq_decode_expr(F.col("codes"), books).alias("embedding")
+    )
+    enc2 = pq.pq_encode(dec, books)
+    a = {r["vec_id"]: list(r["codes"]) for r in enc1.collect()}
+    b = {r["vec_id"]: (list(r["codes"]), r["recon_sqdist"]) for r in enc2.collect()}
+    for k in a:
+        assert b[k][0] == a[k], k
+        assert b[k][1] == 0.0, k
