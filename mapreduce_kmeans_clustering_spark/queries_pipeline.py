@@ -431,6 +431,47 @@ def q_ann_ivfpq(spark, sf_dir):
     )
 
 
+def q_embed_outliers(spark, sf_dir):
+    """Embedding outlier detection for curation: the 3 vectors per
+    label FARTHEST (lowest cosine) from their label's centroid — the
+    mislabeled/noise candidates a cleaning pass reviews first. One
+    hash aggregate builds the per-label centroid (64 avg columns,
+    each rounded to 6dp so cross-engine float-sum low bits cannot
+    flip the hash — the q_embed_dimstats convention), broadcast back
+    (|labels| rows), cosine scan-local, bottom-k per label via rank
+    window."""
+    from mapreduce_kmeans_clustering_spark.functions.distance import (
+        cosine_similarity,
+    )
+
+    ve = _emb(spark, sf_dir).select(
+        "label",
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    cent = ve.groupBy("label").agg(
+        *[
+            F.round(F.avg(F.col("v")[i]), 6).alias(f"_c{i}")
+            for i in range(64)
+        ]
+    )
+    cent = cent.select(
+        "label", F.array(*[F.col(f"_c{i}") for i in range(64)]).alias("c")
+    )
+    j = ve.join(F.broadcast(cent), "label")
+    scored = j.select(
+        "label",
+        "vec_id",
+        cosine_similarity(F.col("v"), F.col("c")).alias("cos"),
+    )
+    w = Window.partitionBy("label").orderBy("cos", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("label", "vec_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
 def q_kmeans_nd_step(spark, sf_dir):
     """One n-dimensional Lloyd step over the embeddings table: assign
     every vector to the nearest of the first NLIST seed vectors by
@@ -3554,6 +3595,21 @@ FROM asg GROUP BY cluster""",
     "q_pq_encode": _SQL_PQ_ENCODE,
     "q_pq_adc": _SQL_PQ_ADC,
     "q_ann_ivfpq": _SQL_PQ_IVFADC,
+    "q_embed_outliers": """
+WITH ve AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT label, t.i AS i, avg(v[t.i]) AS a
+      FROM ve, range(1, 65) t(i) GROUP BY label, t.i),
+cent AS (SELECT label, list(round(a, 6) ORDER BY i) AS c FROM e GROUP BY label),
+s AS (SELECT ve.label, ve.vec_id,
+        list_inner_product(ve.v, cent.c)
+          / (sqrt(list_inner_product(ve.v, ve.v))
+             * sqrt(list_inner_product(cent.c, cent.c))) AS cos
+      FROM ve JOIN cent USING (label)),
+r AS (SELECT label, vec_id, cos,
+        row_number() OVER (PARTITION BY label ORDER BY cos, vec_id) AS rank
+      FROM s)
+SELECT label, vec_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cos
+FROM r WHERE rank <= 3""",
     "q_events_hourly": """
 WITH e AS (SELECT ts::TIMESTAMP AS ts, event_type, value FROM events)
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
@@ -4809,6 +4865,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pq_encode": q_pq_encode,
     "q_pq_adc": q_pq_adc,
     "q_ann_ivfpq": q_ann_ivfpq,
+    "q_embed_outliers": q_embed_outliers,
     "q_events_hourly": q_events_hourly,
     "q_events_sessions": q_events_sessions,
     "q_events_top_users": q_events_top_users,
