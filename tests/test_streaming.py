@@ -511,3 +511,91 @@ def test_stream_corpus_ingest_dedups_and_shards(spark, tmp_path):
                 (json.loads(line)["doc_id"], parts["split"], int(parts["shard"]))
             )
     assert actual == expected
+
+
+def test_stream_rollup_matches_batch_aggregate(spark, tmp_path):
+    """Continuous rollup maintenance: drain a file stream in 1-file
+    micro-batches, merging each into the versioned state; the final
+    state must equal the batch aggregate over everything — the merge
+    law crossing epoch boundaries. A second drain over newly arrived
+    files folds in only the delta (checkpoint skips the old files)
+    and again matches the full recompute."""
+    import json as _json
+
+    from mapreduce_kmeans_clustering_spark.operators.incremental import (
+        aggregate_batch,
+    )
+    from mapreduce_kmeans_clustering_spark.streaming.rollup import (
+        read_rollup_state,
+        stream_rollup,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, rows):
+        with open(src / name, "w") as f:
+            for u, v in rows:
+                f.write(_json.dumps({"user_id": u, "value": v}) + "\n")
+
+    write_file("a.json", [(1, "3.50"), (2, "1.25")])
+    write_file("b.json", [(1, "0.50"), (3, "9.00")])
+
+    stream = (
+        spark.readStream.schema("user_id LONG, value STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    spec = {"n": ("count", ""), "total": ("sum", "v")}
+
+    def prep(df):
+        from pyspark.sql import functions as F
+
+        return df.select(
+            "user_id", F.col("value").cast("decimal(18,4)").alias("v")
+        )
+
+    q = stream_rollup(
+        prep(stream), state, ckpt, keys=["user_id"], spec=spec
+    )
+    q.awaitTermination(120)
+
+    def state_dict():
+        st = read_rollup_state(spark, state)
+        return {r["user_id"]: (r["n"], str(r["total"])) for r in st.collect()}
+
+    batch1 = spark.createDataFrame(
+        [(1, "3.50"), (2, "1.25"), (1, "0.50"), (3, "9.00")],
+        "user_id LONG, value STRING",
+    )
+    expect1 = {
+        r["user_id"]: (r["n"], str(r["total"]))
+        for r in aggregate_batch(prep(batch1), ["user_id"], spec).collect()
+    }
+    assert state_dict() == expect1
+
+    # late-arriving delta: only the new file is processed next drain
+    write_file("c.json", [(2, "2.75"), (4, "1.00")])
+    q2 = stream_rollup(
+        prep(
+            spark.readStream.schema("user_id LONG, value STRING")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        ),
+        state,
+        ckpt,
+        keys=["user_id"],
+        spec=spec,
+    )
+    q2.awaitTermination(120)
+    batch2 = spark.createDataFrame(
+        [(1, "3.50"), (2, "1.25"), (1, "0.50"), (3, "9.00"), (2, "2.75"), (4, "1.00")],
+        "user_id LONG, value STRING",
+    )
+    expect2 = {
+        r["user_id"]: (r["n"], str(r["total"]))
+        for r in aggregate_batch(prep(batch2), ["user_id"], spec).collect()
+    }
+    assert state_dict() == expect2
