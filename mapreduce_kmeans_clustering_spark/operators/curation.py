@@ -391,3 +391,76 @@ def linear_score(
             (logit > 0).alias("keep"),
         )
     )
+
+
+def semantic_decontam(
+    train_emb: DataFrame,
+    bench_emb: DataFrame,
+    threshold: float = 0.5,
+    dim: int = 64,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination — the paraphrase-contamination
+    twin of `decontaminate` (which catches only verbatim n-gram
+    overlap): flag every TRAINING vector whose cosine to ANY benchmark
+    vector reaches ``threshold``, with the best match attached
+    (highest cosine, ties to the lowest benchmark id). Candidates come
+    from a hyperplane-LSH bucket equi-join between the two relations —
+    the dedup.embedding_near_dup_pairs blocking applied across
+    corpora, so the work is O(bucket collisions), never
+    |train| × |benchmark|, and nothing corpus-sized is broadcast
+    (the benchmark side MAY be broadcast by AQE when it is small — the
+    usual case — but correctness never requires it).
+
+    Recall < 1 by design (same bucket trade as the dedup family;
+    raise recall with fewer planes or multi-probe). Scoring is the
+    unrolled-codegen cosine with per-side precomputed norms — the
+    oracle-bit-compatible form."""
+    from mapreduce_kmeans_clustering_spark.functions.distance import (
+        dot_unrolled,
+        norm_unrolled,
+        safe_cosine,
+    )
+    from mapreduce_kmeans_clustering_spark.operators.similarity import (
+        lsh_bucket_expr,
+    )
+
+    def prep(df, id_alias, v_alias, n_alias):
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            v.alias(v_alias),
+            norm_unrolled(v, dim).alias(n_alias),
+            lsh_bucket_expr(F.col(vec_col), dim, planes).alias("_bucket"),
+        )
+
+    t = prep(train_emb, "train_id", "vt", "nt")
+    bm = prep(bench_emb, "bench_id", "vb", "nb")
+    cos = safe_cosine(
+        dot_unrolled(F.col("vt"), F.col("vb"), dim), F.col("nt"), F.col("nb")
+    )
+    hits = (
+        t.join(bm, "_bucket")
+        .select("train_id", "bench_id", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+    best = (
+        hits.groupBy("train_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cos")).alias("nc"), F.col("bench_id").alias("bid")
+                )
+            ).alias("b"),
+            F.count("*").cast("long").alias("n_matches"),
+        )
+        .select(
+            "train_id",
+            F.col("b.bid").alias("bench_id"),
+            (-F.col("b.nc")).alias("cos"),
+            "n_matches",
+        )
+    )
+    return best

@@ -55,6 +55,11 @@ PQ_KSUB = 16
 PQ_SUB = 8
 # temperature mixture (alpha-sampling): mT5/XLM-R report 0.3
 TEMP_ALPHA = 0.3
+# semantic decontam: 4-plane buckets + cosine 0.3 keep the flagged
+# set non-empty on the near-uniform synthetic embeddings at every SF
+# (8 planes / 0.5 measured ZERO hits at sf0.01 — an always-empty
+# query would be no evidence at all)
+SEM_DECON_THRESHOLD = 0.3
 LEN_BUCKETS = 8
 WINNOW_WINDOW = 4
 SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
@@ -428,6 +433,25 @@ def q_ann_ivfpq(spark, sf_dir):
     )
     return t.select(
         "query_id", "neighbor_id", "rank", F.round("adist", 6).alias("adist")
+    )
+
+
+def q_semantic_decontam(spark, sf_dir):
+    """Embedding-space decontamination: training vectors whose cosine
+    to any benchmark vector (held-out split: vec_id % 10 == 0)
+    reaches SEM_DECON_THRESHOLD, with the best match — catches the
+    paraphrase contamination the n-gram q_decontam misses. Hyperplane-
+    bucket equi-join between the corpora (operators/curation.
+    semantic_decontam), never train × benchmark."""
+    emb = _emb(spark, sf_dir)
+    out = CU.semantic_decontam(
+        emb.where(F.col("vec_id") % 10 != 0),
+        emb.where(F.col("vec_id") % 10 == 0),
+        threshold=SEM_DECON_THRESHOLD,
+        planes=LSH_PLANES,
+    )
+    return out.select(
+        "train_id", "bench_id", F.round("cos", 6).alias("cos"), "n_matches"
     )
 
 
@@ -3595,6 +3619,23 @@ FROM asg GROUP BY cluster""",
     "q_pq_encode": _SQL_PQ_ENCODE,
     "q_pq_adc": _SQL_PQ_ADC,
     "q_ann_ivfpq": _SQL_PQ_IVFADC,
+    "q_semantic_decontam": f"""
+WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+vbk AS (SELECT vec_id, v, {_PLANE_BUCKET4} AS bucket FROM ve),
+t AS (SELECT * FROM vbk WHERE vec_id % 10 <> 0),
+bm AS (SELECT * FROM vbk WHERE vec_id % 10 = 0),
+p AS (SELECT t.vec_id AS train_id, bm.vec_id AS bench_id,
+             t.v AS va, bm.v AS vb
+      FROM t JOIN bm ON t.bucket = bm.bucket),
+h AS (SELECT train_id, bench_id, {_COS} AS cos FROM p
+      WHERE {_COS} >= {SEM_DECON_THRESHOLD}),
+r AS (SELECT train_id, bench_id, cos,
+        row_number() OVER (PARTITION BY train_id
+                           ORDER BY cos DESC, bench_id) AS rn,
+        count(*) OVER (PARTITION BY train_id) AS nm
+      FROM h)
+SELECT train_id, bench_id, round(cos, 6) AS cos, nm::BIGINT AS n_matches
+FROM r WHERE rn = 1""",
     "q_embed_outliers": """
 WITH ve AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 e AS (SELECT label, t.i AS i, avg(v[t.i]) AS a
@@ -4865,6 +4906,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pq_encode": q_pq_encode,
     "q_pq_adc": q_pq_adc,
     "q_ann_ivfpq": q_ann_ivfpq,
+    "q_semantic_decontam": q_semantic_decontam,
     "q_embed_outliers": q_embed_outliers,
     "q_events_hourly": q_events_hourly,
     "q_events_sessions": q_events_sessions,
