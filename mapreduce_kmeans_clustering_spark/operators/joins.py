@@ -160,3 +160,53 @@ def interval_join(
         .where(F.col(ts).between(F.col(start), F.col(end)))
         .drop("__bucket")
     )
+
+
+def fuzzy_self_join_ed1(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+) -> DataFrame:
+    """EXACT fuzzy self-join at Levenshtein distance <= 1 via
+    deletion-neighborhood blocking (the SymSpell/Norvig dictionary
+    trick applied as a join): each string's candidate key set is
+    itself plus every single-character deletion; two strings within
+    edit distance 1 ALWAYS share a key (substitution -> delete the
+    differing position from both; insert/delete -> the shorter string
+    is itself a deletion of the longer; equality -> self key), so the
+    equi-join on keys is a complete candidate generator and the
+    ``levenshtein() <= 1`` verify filter removes the false positives
+    (strings sharing a deletion at distance 2). Never a pairwise
+    nested loop: candidate work is O(sum of name lengths) join keys,
+    each key shared by few strings — the record-linkage shape that
+    survives a billion-row entity table.
+
+    Returns (a, b, name_a, name_b, dist) with a < b by id."""
+    c = F.col(name_col)
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.concat(
+            c.substr(F.lit(1), i - F.lit(1)), c.substr(i + F.lit(1), F.length(c))
+        ),
+    )
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        c.alias("_name"),
+        F.explode(F.array_union(F.array(c), deletions)).alias("_k"),
+    ).distinct()
+    a = keyed.select(
+        F.col("_id").alias("a"), F.col("_name").alias("name_a"), "_k"
+    )
+    b = keyed.select(
+        F.col("_id").alias("b"), F.col("_name").alias("name_b"), "_k"
+    )
+    cand = (
+        a.join(b, "_k")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "name_a", "name_b")
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return cand.select(
+        "a", "b", "name_a", "name_b", dist.cast("int").alias("dist")
+    ).where(F.col("dist") <= 1)

@@ -436,6 +436,21 @@ def q_ann_ivfpq(spark, sf_dir):
     )
 
 
+def q_fuzzy_suppliers(spark, sf_dir):
+    """Fuzzy record linkage: supplier-name pairs within Levenshtein
+    distance 1 via deletion-neighborhood blocking (operators/joins.
+    fuzzy_self_join_ed1 — exact: blocking is provably complete for
+    ed<=1, verify filter drops shared-deletion distance-2 pairs). The
+    oracle is the BRUTE pairwise join, so the driver equality check is
+    the completeness proof on real data."""
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return J.fuzzy_self_join_ed1(
+        supp.select(F.col("s_suppkey"), F.col("s_name")),
+        name_col="s_name",
+        id_col="s_suppkey",
+    )
+
+
 def q_semantic_decontam(spark, sf_dir):
     """Embedding-space decontamination: training vectors whose cosine
     to any benchmark vector (held-out split: vec_id % 10 == 0)
@@ -3619,6 +3634,12 @@ FROM asg GROUP BY cluster""",
     "q_pq_encode": _SQL_PQ_ENCODE,
     "q_pq_adc": _SQL_PQ_ADC,
     "q_ann_ivfpq": _SQL_PQ_IVFADC,
+    "q_fuzzy_suppliers": """
+SELECT a.s_suppkey AS a, b.s_suppkey AS b,
+       a.s_name AS name_a, b.s_name AS name_b,
+       levenshtein(a.s_name, b.s_name)::INT AS dist
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1""",
     "q_semantic_decontam": f"""
 WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 vbk AS (SELECT vec_id, v, {_PLANE_BUCKET4} AS bucket FROM ve),
@@ -4906,6 +4927,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pq_encode": q_pq_encode,
     "q_pq_adc": q_pq_adc,
     "q_ann_ivfpq": q_ann_ivfpq,
+    "q_fuzzy_suppliers": q_fuzzy_suppliers,
     "q_semantic_decontam": q_semantic_decontam,
     "q_embed_outliers": q_embed_outliers,
     "q_events_hourly": q_events_hourly,

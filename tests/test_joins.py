@@ -136,3 +136,41 @@ def test_interval_join_inclusive_and_bucket_invariant(
     )
     got = sorted((r["pid"], r["iv"]) for r in out.collect())
     assert got == [(2, 1), (3, 1), (3, 2), (5, 3)]
+
+
+def test_fuzzy_self_join_ed1_cases(spark):
+    """Deletion-neighborhood fuzzy join: catches substitution, insert,
+    delete, and identical names; rejects shared-deletion distance-2
+    pairs ('ab' vs 'ba' share deletions but ed=2)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.operators.joins import fuzzy_self_join_ed1
+
+    df = spark.createDataFrame(
+        [
+            (1, "acme corp"),
+            (2, "acme Corp"),   # substitution -> dist 1
+            (3, "acme corps"),  # insertion  -> dist 1
+            (4, "acme cor"),    # deletion vs 1 -> dist 1 (and vs 3: 2)
+            (5, "acme corp"),   # identical  -> dist 0
+            (6, "ab"),
+            (7, "ba"),          # shares deletions with 6 but ed=2 -> excluded
+            (8, "zzzzz"),       # isolated
+        ],
+        "id LONG, name STRING",
+    )
+    got = {
+        (r["a"], r["b"]): r["dist"]
+        for r in fuzzy_self_join_ed1(df, "name", "id").collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 1
+    assert got[(1, 4)] == 1
+    assert got[(1, 5)] == 0
+    assert got[(2, 5)] == 1
+    assert (6, 7) not in got
+    assert all(k[0] != 8 and k[1] != 8 for k in got)
+    # plan: candidate generation is a hash equi-join on the deletion key
+    p = fuzzy_self_join_ed1(df, "name", "id")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
