@@ -450,3 +450,27 @@ def test_pq_adc_and_round4_query_plans(spark):
     p4 = _plan(q_user_state_periods(spark, SF))
     assert "BroadcastNestedLoopJoin" not in p4
     assert "CartesianProduct" not in p4
+
+
+def test_round4_curation_query_plans(spark):
+    """q_semantic_decontam: bucket equi-join between corpora (no
+    nested loop). q_embed_outliers: centroid broadcast hash join.
+    q_incremental_join_view: partial->final aggregate (map-side
+    combine) on both part-summaries."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_embed_outliers,
+        q_incremental_join_view,
+        q_semantic_decontam,
+    )
+
+    p = _plan(q_semantic_decontam(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+    p2 = _plan(q_embed_outliers(spark, SF))
+    assert "BroadcastHashJoin" in p2
+    assert "CartesianProduct" not in p2
+
+    p3 = _plan(q_incremental_join_view(spark, SF))
+    assert "partial_sum" in p3 or "partial_count" in p3
+    assert "CartesianProduct" not in p3
