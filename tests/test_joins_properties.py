@@ -107,3 +107,41 @@ def test_interval_matches_bruteforce(spark, lrows, ivs, width):
         if ivs_s <= s <= min(ivs_s + d, 120)
     )
     assert got == want
+
+
+@given(
+    names=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=5), min_size=2, max_size=12
+    )
+)
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+def test_fuzzy_ed1_equals_brute_levenshtein(spark, names):
+    """Deletion-neighborhood blocking is COMPLETE and exact: over a
+    tiny random alphabet (dense in near-collisions) the blocked join's
+    pair set equals brute-force levenshtein <= 1 on every draw."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.operators.joins import fuzzy_self_join_ed1
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(names)], "id LONG, name STRING"
+    )
+    got = {
+        (r["a"], r["b"]): r["dist"]
+        for r in fuzzy_self_join_ed1(df, "name", "id").collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    brute = {
+        (r["a"], r["b"]): r["d"]
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).cast("int").alias("d"),
+        )
+        .where(F.col("d") <= 1)
+        .collect()
+    }
+    assert got == brute
