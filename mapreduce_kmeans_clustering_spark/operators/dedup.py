@@ -1085,3 +1085,67 @@ def semantic_dedup_blas(
     return asg.groupBy("cluster").applyInPandas(
         verdicts, f"{id_col} long, cluster int, status string"
     )
+
+
+def minhash_accuracy(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    band_width: int = 2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Numerical accuracy gate for the MinHash stack (the dedup
+    counterpart of q_ann_recall): for every LSH candidate pair, the
+    signature-agreement estimate of Jaccard (matching positions /
+    num_hashes — the unbiased MinHash estimator) next to the TRUE
+    n-gram Jaccard and the signed error. This is the evidence for
+    choosing num_hashes/band_width: estimator spread shrinks as
+    1/sqrt(num_hashes), and the per-pair rows expose exactly where 8
+    hashes is too coarse.
+
+    Shapes already in the engine: candidates from the band equi-join,
+    true intersections from the inverted shingle index restricted to
+    candidate pairs (left join — a band collision without any shared
+    shingle scores Jaccard 0), one aggregate each."""
+    sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    cand = lsh_candidate_pairs(docs, num_hashes, band_width, n, text_col, id_col)
+    sa = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("_sa"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("_sb"))
+    matches = F.aggregate(
+        F.zip_with("_sa", "_sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, m: acc + m,
+    )
+    est = matches.cast("double") / F.lit(float(num_hashes))
+    ex = exploded_shingles(docs, n, text_col, id_col).localCheckpoint(eager=False)
+    ia = ex.select(F.col(id_col).alias("a"), F.col("sh").alias("_sh"))
+    ib = ex.select(F.col(id_col).alias("b"), F.col("sh").alias("_sh"))
+    inter = (
+        ia.join(ib, "_sh")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("_c"))
+    )
+    sizes = ex.groupBy(id_col).agg(F.count("*").cast("int").alias("_n"))
+    na = sizes.select(F.col(id_col).alias("a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col(id_col).alias("b"), F.col("_n").alias("_nb"))
+    jac = F.coalesce(
+        F.col("_c") / (F.col("_na") + F.col("_nb") - F.col("_c")), F.lit(0.0)
+    )
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .join(inter, ["a", "b"], "left")
+        .join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            est.alias("est_jaccard"),
+            jac.alias("true_jaccard"),
+            (est - jac).alias("err"),
+        )
+    )

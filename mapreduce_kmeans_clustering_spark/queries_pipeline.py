@@ -217,6 +217,22 @@ def q_dedup_minhash(spark, sf_dir):
     return D.lsh_candidate_pairs(_docs(spark, sf_dir))
 
 
+def q_minhash_accuracy(spark, sf_dir):
+    """MinHash estimator accuracy per LSH candidate pair: signature
+    agreement (the unbiased Jaccard estimator) vs the true n-gram
+    Jaccard and the signed error — the numerical gate behind
+    num_hashes/band_width (operators/dedup.minhash_accuracy; the
+    q_ann_recall of the dedup family)."""
+    m = D.minhash_accuracy(_docs(spark, sf_dir))
+    return m.select(
+        "a",
+        "b",
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+        F.round("true_jaccard", 6).alias("true_jaccard"),
+        F.round("err", 6).alias("err"),
+    )
+
+
 def q_dedup_jaccard(spark, sf_dir):
     p = D.jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
     return p.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
@@ -3489,6 +3505,29 @@ WITH {_SQL_SHINGLES},
 SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id""",
+    "q_minhash_accuracy": f"""
+WITH {_SQL_SHINGLES},
+{_SQL_SIG},
+{_SQL_BANDS},
+cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_sig = b.band_sig
+          AND a.doc_id < b.doc_id),
+ex AS (SELECT doc_id, unnest(s) AS shg FROM shf),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+          FROM ex x JOIN ex y ON x.shg = y.shg AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(s) AS n FROM shf),
+est AS (SELECT cand.a, cand.b,
+          list_sum(list_transform(range(1, 9),
+                   i -> CASE WHEN ga.g[i] = gb.g[i] THEN 1 ELSE 0 END)) / 8.0 AS e
+        FROM cand JOIN sig ga ON ga.doc_id = cand.a
+                  JOIN sig gb ON gb.doc_id = cand.b)
+SELECT est.a, est.b, round(e, 6) AS est_jaccard,
+       round(coalesce(i.c / (sa.n + sb.n - i.c), 0.0), 6) AS true_jaccard,
+       round(e - coalesce(i.c / (sa.n + sb.n - i.c), 0.0), 6) AS err
+FROM est LEFT JOIN inter i ON i.a = est.a AND i.b = est.b
+JOIN sz sa ON sa.doc_id = est.a JOIN sz sb ON sb.doc_id = est.b""",
     "q_dedup_jaccard": _SQL_JACCARD,
     "q_dedup_groups": f"""
 WITH RECURSIVE
@@ -4910,6 +4949,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sample_mix": q_sample_mix,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,
+    "q_minhash_accuracy": q_minhash_accuracy,
     "q_dedup_jaccard": q_dedup_jaccard,
     "q_dedup_groups": q_dedup_groups,
     "q_dedup_incremental": q_dedup_incremental,
