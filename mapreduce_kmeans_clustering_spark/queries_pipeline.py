@@ -1904,6 +1904,52 @@ def q_latest_event_per_user(spark, sf_dir):
     )
 
 
+def q_events_ffill(spark, sf_dir):
+    """Panel forward-fill: each user's last observed event value
+    carried across the daily grid (NULL before the user's first
+    observation) — the state-interpolation step a feature pipeline
+    runs before training on per-user-day panels. Grid from a 1-row
+    bounds broadcast (the dense-hours pattern), per-day last
+    observation via the keep-last window, then one
+    last(ignorenulls) window over the key-partitioned day order —
+    everything keyed on user_id, no corpus-wide sort."""
+    ev = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts"))
+    w1 = Window.partitionBy("user_id", "_day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        ev.select("user_id", day.alias("_day"), "ts", "event_id", "value")
+        .withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "_day", F.col("value").alias("_obs"))
+    )
+    bounds = ev.agg(F.min(day).alias("lo"), F.max(day).alias("hi"))
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias(
+                "_day"
+            ),
+        )
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = grid.join(daily, ["user_id", "_day"], "left")
+    return j.select(
+        "user_id",
+        F.col("_day").alias("day"),
+        F.last("_obs", ignorenulls=True).over(w2).alias("value_filled"),
+        F.col("_obs").isNotNull().alias("is_observed"),
+    )
+
+
 def q_cdc_user_state(spark, sf_dir):
     """Changelog replay (SCD1): events as a keyed change stream —
     'error' is a delete tombstone, everything else upserts the user's
@@ -4406,6 +4452,24 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts DESC, event_id DESC) AS rn
       FROM events)
 WHERE rn = 1""",
+    "q_events_ffill": """
+WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
+                  date_trunc('day', ts::TIMESTAMP) AS d FROM events),
+daily AS (SELECT user_id, d, value AS obs FROM (
+    SELECT user_id, d, value,
+           row_number() OVER (PARTITION BY user_id, d
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM e) WHERE rn = 1),
+b AS (SELECT min(d) AS lo, max(d) AS hi FROM e),
+grid AS (SELECT u.user_id,
+                unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY))::TIMESTAMP AS d
+         FROM (SELECT DISTINCT user_id FROM e) u CROSS JOIN b)
+SELECT g.user_id, g.d AS day,
+       last_value(daily.obs IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+       daily.obs IS NOT NULL AS is_observed
+FROM grid g LEFT JOIN daily ON daily.user_id = g.user_id AND daily.d = g.d""",
     "q_cdc_user_state": """
 SELECT user_id, event_id, ts, event_type, value
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id
@@ -5034,6 +5098,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_user_heavy_hitters": q_user_heavy_hitters,
     "q_events_dense_hours": q_events_dense_hours,
     "q_latest_event_per_user": q_latest_event_per_user,
+    "q_events_ffill": q_events_ffill,
     "q_cdc_user_state": q_cdc_user_state,
     "q_user_state_periods": q_user_state_periods,
     "q_sql_interface": q_sql_interface,
