@@ -166,6 +166,27 @@ def q_text_lang(spark, sf_dir):
     )
 
 
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: the n-gram detector's prediction
+    against the metadata label, with per-cell counts and the label's
+    recall — the evaluation every heuristic classifier in the
+    curation stack owes before its verdicts gate data. One scan + one
+    hash aggregate; the tiny label-total join broadcasts."""
+    d = _docs(spark, sf_dir).select(
+        F.col("lang").alias("label_lang"), TX.lang_id("text").alias("pred_lang")
+    )
+    cells = d.groupBy("label_lang", "pred_lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    totals = d.groupBy("label_lang").agg(F.count("*").alias("_t"))
+    return cells.join(F.broadcast(totals), "label_lang").select(
+        "label_lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n") / F.col("_t"), 6).alias("share_of_label"),
+    )
+
+
 def q_text_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", TX.fingerprint("text").alias("fp")
@@ -3498,6 +3519,18 @@ WITH s AS (
   SELECT doc_id, {", ".join(f"{_lang_score(lang)} AS s_{lang}" for lang in _LANGS)}
   FROM documents)
 SELECT doc_id, {_LANG_CASE} AS pred_lang FROM s""",
+    "q_lang_confusion": f"""
+WITH s AS (
+  SELECT lang AS label_lang,
+         {", ".join(f"{_lang_score(lang)} AS s_{lang}" for lang in _LANGS)}
+  FROM documents),
+p AS (SELECT label_lang, {_LANG_CASE} AS pred_lang FROM s),
+cells AS (SELECT label_lang, pred_lang, count(*)::BIGINT AS n
+          FROM p GROUP BY 1, 2),
+t AS (SELECT label_lang, count(*) AS tt FROM p GROUP BY 1)
+SELECT cells.label_lang, pred_lang, n,
+       round(n / tt, 6) AS share_of_label
+FROM cells JOIN t ON cells.label_lang = t.label_lang""",
     "q_text_fingerprint": """
 SELECT doc_id,
        substr(md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')), 1, 16) AS fp
@@ -5006,6 +5039,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_stats": q_text_stats,
     "q_text_quality": q_text_quality,
     "q_text_lang": q_text_lang,
+    "q_lang_confusion": q_lang_confusion,
     "q_text_fingerprint": q_text_fingerprint,
     "q_text_winnow": q_text_winnow,
     "q_text_redact": q_text_redact,
