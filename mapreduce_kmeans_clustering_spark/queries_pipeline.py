@@ -1138,6 +1138,31 @@ def q_length_buckets(spark, sf_dir):
     )
 
 
+def q_basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: the 10 part pairs most often
+    ordered together. Pair generation is a self-join WITHIN each
+    order (equi on l_orderkey, a < b over distinct parts) — fanout
+    bounded by the per-order line count squared, never parts², the
+    same inverted-index discipline as q_token_pmi on the relational
+    side; top-k via TakeOrderedAndProject."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+    return pairs.orderBy(
+        F.col("n_orders").desc(), F.col("pa"), F.col("pb")
+    ).limit(10)
+
+
 def q_brand_top_parts(spark, sf_dir):
     """Per-group top-k (rank within partition — q_top_orders is the
     global variant): 3 priciest parts per brand."""
@@ -3999,6 +4024,13 @@ SELECT doc_id, cid::INT AS chunk_id,
        md5(array_to_string(w[cid * {CHUNK_LEN - CHUNK_OVERLAP} + 1
                              : cid * {CHUNK_LEN - CHUNK_OVERLAP} + {CHUNK_LEN}], ' ')) AS chunk_md5
 FROM c""",
+    "q_basket_pairs": """
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pr AS (SELECT a.p AS pa, b.p AS pb, count(*)::BIGINT AS n_orders
+       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+       GROUP BY 1, 2)
+SELECT pa, pb, n_orders FROM pr
+ORDER BY n_orders DESC, pa, pb LIMIT 10""",
     "q_corpus_temperature": f"""
 WITH t AS (SELECT lang, count(*)::BIGINT AS n_docs,
                   sum(len({_TOK}))::BIGINT AS mass
@@ -5092,6 +5124,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_order_grouping_sets": q_order_grouping_sets,
     "q_doc_pack": q_doc_pack,
     "q_doc_chunks": q_doc_chunks,
+    "q_basket_pairs": q_basket_pairs,
     "q_corpus_temperature": q_corpus_temperature,
     "q_length_buckets": q_length_buckets,
     "q_engaged_customers": q_engaged_customers,
