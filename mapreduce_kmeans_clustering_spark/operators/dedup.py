@@ -1108,10 +1108,34 @@ def minhash_accuracy(
     true intersections from the inverted shingle index restricted to
     candidate pairs (left join — a band collision without any shared
     shingle scores Jaccard 0), one aggregate each."""
-    sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col).localCheckpoint(
-        eager=False
+    # ONE shingle index feeds signatures, banding and intersections
+    # (minhash_signatures/lsh_candidate_pairs would each rebuild it)
+    ex = exploded_shingles(docs, n, text_col, id_col).localCheckpoint(eager=False)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"_m{s}")
+        for s in range(num_hashes)
+    ]
+    sigs = (
+        ex.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"_m{s}") for s in range(num_hashes)]).alias("sig"),
+        )
+        .localCheckpoint(eager=False)
     )
-    cand = lsh_candidate_pairs(docs, num_hashes, band_width, n, text_col, id_col)
+    bands = lsh_bands(sigs, band_width, id_col)
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.band_sig") == F.col("bb.band_sig"))
+            & (F.col(f"ba.{id_col}") < F.col(f"bb.{id_col}")),
+        )
+        .select(F.col(f"ba.{id_col}").alias("a"), F.col(f"bb.{id_col}").alias("b"))
+        .distinct()
+    )
     sa = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("_sa"))
     sb = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("_sb"))
     matches = F.aggregate(
@@ -1120,7 +1144,6 @@ def minhash_accuracy(
         lambda acc, m: acc + m,
     )
     est = matches.cast("double") / F.lit(float(num_hashes))
-    ex = exploded_shingles(docs, n, text_col, id_col).localCheckpoint(eager=False)
     ia = ex.select(F.col(id_col).alias("a"), F.col("sh").alias("_sh"))
     ib = ex.select(F.col(id_col).alias("b"), F.col("sh").alias("_sh"))
     inter = (

@@ -474,3 +474,32 @@ def test_round4_curation_query_plans(spark):
     p3 = _plan(q_incremental_join_view(spark, SF))
     assert "partial_sum" in p3 or "partial_count" in p3
     assert "CartesianProduct" not in p3
+
+
+def test_round4_late_query_plans(spark):
+    """q_fuzzy_suppliers/q_minhash_accuracy/q_basket_pairs: candidate
+    generation stays hash-equi-join (no nested loop, no Cartesian);
+    q_basket_pairs top-k is TakeOrderedAndProject; q_events_ffill is
+    windows over a grid whose only BNLJ is the 1-row bounds
+    broadcast."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_basket_pairs,
+        q_events_ffill,
+        q_fuzzy_suppliers,
+        q_lang_confusion,
+        q_minhash_accuracy,
+    )
+
+    for q in (q_fuzzy_suppliers, q_minhash_accuracy, q_lang_confusion):
+        p = _plan(q(spark, SF))
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p
+
+    p = _plan(q_basket_pairs(spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+    p = _plan(q_events_ffill(spark, SF))
+    assert p.count("BroadcastNestedLoopJoin") == 1  # 1-row bounds
+    assert "CartesianProduct" not in p
