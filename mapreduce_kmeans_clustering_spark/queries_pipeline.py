@@ -1950,6 +1950,43 @@ def q_latest_event_per_user(spark, sf_dir):
     )
 
 
+def q_events_anomaly(spark, sf_dir):
+    """Rolling z-score anomaly detection per event type: each day's
+    total value against the trailing 7-day window (current day
+    excluded), flagged at |z| > 2 — the alerting query every metrics
+    pipeline runs. Daily totals are DECIMAL (exact, so both engines
+    window over identical doubles); the first 3 warm-up days and
+    zero-variance windows are excluded. Key-partitioned windows only —
+    no global sort."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("_t"))
+        .select("event_type", "day", F.col("_t").cast("double").alias("total"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    scored = daily.select(
+        "event_type",
+        "day",
+        "total",
+        F.avg("total").over(w).alias("_mu"),
+        F.stddev_samp("total").over(w).alias("_sd"),
+        F.count("total").over(w).alias("_n"),
+    )
+    z = (F.col("total") - F.col("_mu")) / F.col("_sd")
+    return scored.where((F.col("_n") >= 3) & (F.col("_sd") > 0)).select(
+        "event_type",
+        "day",
+        F.round("total", 4).alias("total"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 2).alias("is_anomaly"),
+    )
+
+
 def q_events_ffill(spark, sf_dir):
     """Panel forward-fill: each user's last observed event value
     carried across the daily grid (NULL before the user's first
@@ -4517,6 +4554,24 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts DESC, event_id DESC) AS rn
       FROM events)
 WHERE rn = 1""",
+    "q_events_anomaly": """
+WITH e AS (SELECT event_type,
+                  date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day,
+                  value FROM events),
+daily AS (SELECT event_type, day,
+                 sum(CAST(value AS DECIMAL(18,4)))::DOUBLE AS total
+          FROM e GROUP BY 1, 2),
+s AS (SELECT event_type, day, total,
+        avg(total) OVER w AS mu,
+        stddev_samp(total) OVER w AS sd,
+        count(total) OVER w AS n
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT event_type, day, round(total, 4) AS total,
+       round((total - mu) / sd, 4) AS z,
+       abs((total - mu) / sd) > 2 AS is_anomaly
+FROM s WHERE n >= 3 AND sd > 0""",
     "q_events_ffill": """
 WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
                   date_trunc('day', ts::TIMESTAMP) AS d FROM events),
@@ -5165,6 +5220,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_user_heavy_hitters": q_user_heavy_hitters,
     "q_events_dense_hours": q_events_dense_hours,
     "q_latest_event_per_user": q_latest_event_per_user,
+    "q_events_anomaly": q_events_anomaly,
     "q_events_ffill": q_events_ffill,
     "q_cdc_user_state": q_cdc_user_state,
     "q_user_state_periods": q_user_state_periods,
