@@ -22,17 +22,17 @@ Physical design:
 - ENCODE is scan-local: the m codebooks are inlined as literal arrays
   (constants travel in the serialized plan — the same zero-shuffle
   centroid channel as operators/assign.py:57 and semantic_assign_expr)
-  and each subspace argmin is ``array_min(array(struct(d, code), ...))``
-  with HOF per-codeword distances (O(m*ksub) expression nodes, not
-  O(m*ksub*sub_dim) — see SCALE.md §4.11 for why HOF beats unrolled at
-  this plan size). No join, no Exchange, no Python.
+  and each subspace argmin is ``array_min(transform(codebook_literal,
+  (cw, i) -> struct(sqdist, i)))`` — ONE transform per subspace, the
+  measured-fastest expression packaging (SCALE.md §4.17). No join, no
+  Exchange, no Python.
 - ADC pairs each query against every encoded vector through a
-  broadcast of the (bounded) query set; per-pair distance is the sum
-  over subspaces of the squared distance between the query slice and
-  the SELECTED codeword, indexed out of the literal codebook with
-  element_at. Summation is subspace-ascending, element-ascending,
-  left-associated — bit-identical to the DuckDB oracle's
-  list_sum(list_transform(...)) forms.
+  broadcast of the (bounded) query set; each database row is DECODED
+  once scan-local (element_at over the literal codebooks) and the
+  per-pair distance is one 64-element sqdist aggregate —
+  element-ascending, left-associated, bit-identical to the DuckDB
+  oracle's list_sum(list_transform(...)) over concatenated codeword
+  slices.
 - The production twin `pq_adc_topk_lut` builds the classic per-query
   lookup table (m x ksub sqdists) once in numpy and scans codes via
   Arrow-batched mapInPandas — O(1) float ops per (query, vector,
