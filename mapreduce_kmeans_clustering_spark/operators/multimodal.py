@@ -833,3 +833,108 @@ def dsp_features(media: DataFrame, fft_window: int = 4096) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(
         batches, schema=DSP_SCHEMA
     )
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """64-bit dHash perceptual fingerprint per IMAGE row (public
+    difference-hash recipe): decode, gray-average the channels, sample
+    the plane down to an 8x9 grid (deterministic nearest-index
+    sampling — robust to arbitrary input sizes, including images
+    smaller than the grid), then one bit per horizontally-adjacent
+    cell pair (left > right). Near-duplicate images (recompressed,
+    lightly edited, slightly resized) land within a few bits; the
+    Hamming-banded `image_near_dup_pairs` turns that into a join.
+    Non-image rows are skipped (audio fingerprinting would be a
+    spectral variant of the same shape)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in it:
+            for r in pdf.itertuples(index=False):
+                if r.kind != "image":
+                    continue
+                d = decode_media(r.payload, r.kind)
+                px = np.frombuffer(d["pixels"], dtype=np.uint8).astype(np.float64)
+                ch = d["channels"]
+                gray = (
+                    px.reshape(d["height"], d["width"], ch).mean(axis=2)
+                    if ch > 1
+                    else px.reshape(d["height"], d["width"])
+                )
+                h, w = gray.shape
+                ri = (np.arange(8) * h) // 8
+                ci = (np.arange(9) * w) // 9
+                g = gray[ri][:, ci]  # (8, 9)
+                bits = (g[:, :-1] > g[:, 1:]).flatten()  # 64 bits row-major
+                v = 0
+                for bit in bits:
+                    v = (v << 1) | int(bit)
+                # wrap to signed 64-bit (Spark LongType)
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                rows.append((r.media_id, v))
+            if rows:
+                yield pd.DataFrame(rows, columns=["media_id", "phash"])
+                rows = []
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        batches, schema=PHASH_SCHEMA
+    )
+
+
+def image_near_dup_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """(a, b, hamming) pairs of near-duplicate images: dHash
+    fingerprints paired by the same EXACT pigeonhole banding as text
+    SimHash (operators/dedup.simhash_segments at bits=64 — any pair
+    within the radius shares one of max_hamming+1 exact segments),
+    verified by xor+bit_count. Value-space banding keeps candidate
+    work bounded by DISTINCT fingerprints; the expansion join back to
+    media ids is the result itself. The multimodal member of the
+    dedup family — same scale shape, different modality."""
+    from mapreduce_kmeans_clustering_spark.operators.dedup import simhash_segments
+
+    ph = perceptual_hash(media).localCheckpoint(eager=False)
+    vals = ph.select(F.col("phash").alias("simhash")).distinct()
+    segs = simhash_segments(
+        vals.withColumn("_v", F.col("simhash")), max_hamming, bits=64, id_col="_v"
+    )
+    a = segs.select(F.col("simhash").alias("va"), "seg", "val")
+    b = segs.select(F.col("simhash").alias("vb"), "seg", "val")
+    ham = F.bit_count(F.col("va").bitwiseXOR(F.col("vb")))
+    vpairs = (
+        a.join(b, ["seg", "val"])
+        .where(F.col("va") < F.col("vb"))
+        .select("va", "vb", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    ia = ph.select(F.col("media_id").alias("a"), F.col("phash").alias("va"))
+    ib = ph.select(F.col("media_id").alias("b"), F.col("phash").alias("vb"))
+    cross = (
+        vpairs.join(ia, "va").join(ib, "vb").select("a", "b", "hamming")
+    )
+    # identical fingerprints (hamming 0) expand id-ordered within group
+    same = (
+        ia.join(
+            ib.withColumnRenamed("vb", "va"),
+            "va",
+        )
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.lit(0).alias("hamming"))
+    )
+    return cross.where(F.col("a") != F.col("b")).select(
+        F.least("a", "b").alias("a"),
+        F.greatest("a", "b").alias("b"),
+        "hamming",
+    ).unionByName(same).distinct()

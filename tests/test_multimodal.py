@@ -356,3 +356,75 @@ def test_dsp_features_over_synthesized_mix(spark):
         else:
             assert r["rms"] is not None and r["brightness"] is None
             assert r["rms"] > 0.0 and 0.0 < r["zcr"] < 1.0
+
+
+def test_perceptual_hash_deterministic_and_gradient_sensitive(spark):
+    """dHash: identical images hash identically; a horizontal gradient
+    and its mirror produce complementary bit patterns (maximally far);
+    a lightly perturbed copy stays within a few bits."""
+    from mapreduce_kmeans_clustering_spark.operators.multimodal import (
+        perceptual_hash,
+    )
+
+    w, h = 18, 16
+    grad = bytes(min(255, 10 + 13 * (i % w)) for i in range(w * h))
+    mirror = bytes(min(255, 10 + 13 * (w - 1 - (i % w))) for i in range(w * h))
+    # perturb a single row segment slightly: most grid cells unchanged
+    pert = bytearray(grad)
+    for i in range(w):
+        pert[i] = min(255, pert[i] + 4)
+    header = f"P5 {w} {h} 255\n".encode()
+    media = spark.createDataFrame(
+        [
+            (0, "image", bytearray(header + grad)),
+            (1, "image", bytearray(header + grad)),
+            (2, "image", bytearray(header + bytes(pert))),
+            (3, "image", bytearray(header + mirror)),
+            (4, "audio", None),  # skipped
+        ],
+        "media_id LONG, kind STRING, payload BINARY",
+    )
+    from pyspark.sql import functions as F
+
+    media = media.where(F.col("payload").isNotNull())
+    got = {r["media_id"]: r["phash"] for r in perceptual_hash(media).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0] == got[1]
+    ham = bin((got[0] ^ got[2]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 6, ham
+    ham_far = bin((got[0] ^ got[3]) & ((1 << 64) - 1)).count("1")
+    assert ham_far >= 48, ham_far
+
+
+def test_image_near_dup_pairs_banded(spark):
+    """Near-dup pairing over the perceptual hashes: exact copies pair
+    at hamming 0, the light perturbation pairs within the radius, the
+    mirrored gradient never pairs."""
+    from mapreduce_kmeans_clustering_spark.operators.multimodal import (
+        image_near_dup_pairs,
+    )
+
+    w, h = 18, 16
+    grad = bytes(min(255, 10 + 13 * (i % w)) for i in range(w * h))
+    mirror = bytes(min(255, 10 + 13 * (w - 1 - (i % w))) for i in range(w * h))
+    pert = bytearray(grad)
+    for i in range(w):
+        pert[i] = min(255, pert[i] + 4)
+    header = f"P5 {w} {h} 255\n".encode()
+    media = spark.createDataFrame(
+        [
+            (0, "image", bytearray(header + grad)),
+            (1, "image", bytearray(header + grad)),
+            (2, "image", bytearray(header + bytes(pert))),
+            (3, "image", bytearray(header + mirror)),
+        ],
+        "media_id LONG, kind STRING, payload BINARY",
+    )
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in image_near_dup_pairs(media, max_hamming=6).collect()
+    }
+    assert got[(0, 1)] == 0
+    assert (0, 2) in got and got[(0, 2)] <= 6
+    assert (1, 2) in got
+    assert all(3 not in k for k in got)
