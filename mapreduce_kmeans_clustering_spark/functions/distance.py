@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from mapreduce_kmeans_clustering_spark.functions.literals import const_vec
+
 
 def euclidean_sq(ax: Column, ay: Column, az: Column, bx, by, bz) -> Column:
     """Squared 3-D Euclidean distance (monotonic proxy for argmin)."""
@@ -118,7 +120,7 @@ def sqdist_to_const(v: Column, cvec: list[float]) -> Column:
     ``sqdist_unrolled``. O(1) expression size in dim, so a k-centroid
     argmin stays compile-cheap (the unrolled form costs ~2 s of janino
     per k=8 x dim=64 plan)."""
-    c = F.array(*[F.lit(float(x)) for x in cvec])
+    c = const_vec(cvec)
     return F.aggregate(
         F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),

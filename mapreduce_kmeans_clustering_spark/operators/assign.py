@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mapreduce_kmeans_clustering_spark.functions.distance import euclidean, euclidean_sq
+from mapreduce_kmeans_clustering_spark.functions.literals import norm_lit
 from mapreduce_kmeans_clustering_spark.sources.seeds import Centroid
 
 
@@ -57,7 +58,9 @@ def assignment_expr(
     candidates = F.array(
         *[
             F.struct(
-                dist(cx, cy, cz, F.lit(c.x), F.lit(c.y), F.lit(c.z)).alias("dist"),
+                dist(cx, cy, cz, norm_lit(c.x), norm_lit(c.y), norm_lit(c.z)).alias(
+                    "dist"
+                ),
                 F.lit(int(c.id)).alias("id"),
             )
             for c in centroids

@@ -46,6 +46,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mapreduce_kmeans_clustering_spark.functions.literals import const_vec
+
 DEFAULT_DIM = 64
 DEFAULT_M = 8
 DEFAULT_KSUB = 16
@@ -150,9 +152,7 @@ def pq_encode(
     bests = []
     for s in range(m):
         off = s * sub
-        lit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in cw]) for cw in codebooks[s]]
-        )
+        lit = F.array(*[const_vec(cw) for cw in codebooks[s]])
         sl = F.slice(v, off + 1, sub)
         cands = F.transform(
             lit,
@@ -248,7 +248,7 @@ def pq_decode_expr(codes: Column, codebooks: list[list[list[float]]]) -> Column:
     1-based)."""
     parts = []
     for s, book in enumerate(codebooks):
-        lit = F.array(*[F.array(*[F.lit(float(x)) for x in cw]) for cw in book])
+        lit = F.array(*[const_vec(cw) for cw in book])
         parts.append(F.element_at(lit, F.element_at(codes, s + 1) + F.lit(1)))
     return F.concat(*parts)
 

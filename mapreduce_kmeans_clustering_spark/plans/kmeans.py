@@ -139,6 +139,8 @@ def init_farthest(
     """
     from pyspark.sql import functions as F
 
+    from mapreduce_kmeans_clustering_spark.functions.literals import norm_lit
+
     if k < 1:
         raise ValueError("k must be >= 1")
     first = (
@@ -157,9 +159,9 @@ def init_farthest(
         d2 = None
         for c in chosen:
             expr = (
-                (F.col("x") - F.lit(c.x)) ** 2
-                + (F.col("y") - F.lit(c.y)) ** 2
-                + (F.col("z") - F.lit(c.z)) ** 2
+                (F.col("x") - norm_lit(c.x)) ** 2
+                + (F.col("y") - norm_lit(c.y)) ** 2
+                + (F.col("z") - norm_lit(c.z)) ** 2
             )
             d2 = expr if d2 is None else F.least(d2, expr)
         far = (

