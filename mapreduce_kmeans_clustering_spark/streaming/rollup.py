@@ -13,12 +13,19 @@ that grows with GROUPS, not history, and each trigger costs
 O(batch) + O(aggregate) — exactly the batch operator's contract,
 proven by the same merge-law tests.
 
-Exactly-once: state is read, merged, and atomically replaced per
-epoch (write to ``<state>/_next`` then swap). A replayed epoch
-re-merges the same batch into the same PRE-batch state snapshot it
-read before — idempotent because the previous state version is only
-retired after the new one commits (the read path always resolves the
-newest committed version directory).
+Exactly-once: versions commit by MARKER, not by rename — each epoch
+writes ``<state>/v=<epoch>`` and a version is visible to readers only
+once its ``_SUCCESS`` file exists (the Hadoop committer writes it
+last; ``fold`` double-checks and creates it if the committer was
+configured not to). ``_versions``/``read_rollup_state`` ignore
+marker-less directories, so a crash mid-write (or a concurrent
+reader racing a replay) resolves to the newest COMMITTED version,
+never a half-written one. A replayed epoch re-merges the same batch
+into the same pre-batch snapshot (only versions strictly below the
+epoch count as prior state) and overwrites its own directory —
+idempotent. State dirs are driver-local paths (``os.listdir`` on the
+driver): for an object-store deployment swap ``_versions`` for a
+listing via the Hadoop FS API; the marker protocol is unchanged.
 """
 
 from __future__ import annotations
@@ -35,11 +42,19 @@ from mapreduce_kmeans_clustering_spark.operators.incremental import (
 
 
 def _versions(state_dir: str) -> list[int]:
+    """Committed version ids, ascending. Only directories holding a
+    ``_SUCCESS`` marker count — a crashed or in-flight write is
+    invisible until the committer drops the marker (its last act).
+    Driver-local listing; see the module docstring for object stores."""
     if not os.path.isdir(state_dir):
         return []
     out = []
     for name in os.listdir(state_dir):
-        if name.startswith("v=") and name[2:].isdigit():
+        if (
+            name.startswith("v=")
+            and name[2:].isdigit()
+            and os.path.exists(os.path.join(state_dir, name, "_SUCCESS"))
+        ):
             out.append(int(name[2:]))
     return sorted(out)
 
@@ -84,7 +99,15 @@ def stream_rollup(
             if prior is not None
             else merge_aggregates([summary], keys, spec)
         )
-        merged.write.mode("overwrite").parquet(f"{state_dir}/v={epoch}")
+        vdir = f"{state_dir}/v={epoch}"
+        merged.write.mode("overwrite").parquet(vdir)
+        # the Hadoop committer writes _SUCCESS last; if the session
+        # disabled marksuccessfuljobs, commit explicitly so the
+        # version becomes visible to _versions at all
+        marker = os.path.join(vdir, "_SUCCESS")
+        if not os.path.exists(marker):
+            with open(marker, "w"):
+                pass
 
     return (
         stream.writeStream.foreachBatch(fold)

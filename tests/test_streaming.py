@@ -599,3 +599,49 @@ def test_stream_rollup_matches_batch_aggregate(spark, tmp_path):
         for r in aggregate_batch(prep(batch2), ["user_id"], spec).collect()
     }
     assert state_dict() == expect2
+
+
+def test_rollup_ignores_uncommitted_versions(spark, tmp_path):
+    """Marker-commit protocol: a ``v=`` directory without ``_SUCCESS``
+    (crashed or in-flight write) must be invisible to the read path
+    and to fold()'s prior-state resolution — readers always land on
+    the newest COMMITTED version."""
+    import json as _json
+    import os
+
+    from mapreduce_kmeans_clustering_spark.streaming.rollup import (
+        _versions,
+        read_rollup_state,
+        stream_rollup,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    with open(src / "a.json", "w") as f:
+        f.write(_json.dumps({"user_id": 1, "value": "2.00"}) + "\n")
+
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema("user_id LONG, value STRING").json(str(src))
+    q = stream_rollup(
+        stream.select("user_id", F.col("value").cast("decimal(18,4)").alias("v")),
+        state,
+        str(tmp_path / "ckpt"),
+        keys=["user_id"],
+        spec={"n": ("count", ""), "total": ("sum", "v")},
+    )
+    q.awaitTermination(120)
+    committed = _versions(state)
+    assert committed, "expected at least one committed version"
+
+    # simulate a crash mid-write of a NEWER version: directory exists,
+    # data file present, no _SUCCESS marker
+    fake = os.path.join(state, f"v={committed[-1] + 1000}")
+    os.makedirs(fake)
+    with open(os.path.join(fake, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00not-a-parquet-footer")
+
+    assert _versions(state) == committed  # marker-less dir invisible
+    st = read_rollup_state(spark, state)
+    assert {r["user_id"]: r["n"] for r in st.collect()} == {1: 1}
