@@ -391,7 +391,13 @@ def pq_adc_topk_lut(
                 if not len(dm):
                     continue
                 take = min(kk, len(dm))
-                idx = np.argpartition(dm, take - 1)[:take]
+                # partial top-k must respect the SAME (adist, neighbor_id)
+                # total order as the final rank window and the expression
+                # twin pq_adc_topk: with tied distances (duplicate
+                # embeddings are common in dedup corpora) a distance-only
+                # argpartition could drop the tied neighbor with the
+                # lowest id from a batch. lexsort: last key is primary.
+                idx = np.lexsort((nm, dm))[:take]
                 out.append(
                     pd.DataFrame(
                         {

@@ -277,3 +277,28 @@ def test_encode_decode_encode_is_a_fixpoint(emb, books):
     for k in a:
         assert b[k][0] == a[k], k
         assert b[k][1] == 0.0, k
+
+
+def test_adc_lut_partial_topk_respects_id_tiebreak(spark):
+    """With DUPLICATE embeddings every ADC distance ties; the LUT
+    scan's per-batch partial top-k must apply the same
+    (adist, neighbor_id) order as the final window and the expression
+    twin — a distance-only argpartition can drop the lowest-id tied
+    neighbor inside a batch (round-4 advisory). Single partition so
+    the partial IS the final candidate set."""
+    base = [float(i % 7) for i in range(pq.DEFAULT_DIM)]
+    rows = [(i, base) for i in range(pq.DEFAULT_KSUB + 4)]
+    dup = (
+        spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+        .repartition(1)
+        .cache()
+    )
+    # seeded codebooks degenerate to identical codewords: that's fine,
+    # encode tie-breaks to code 0 and every ADC distance is exactly 0
+    books = pq.seeded_codebooks(dup, m=pq.DEFAULT_M, ksub=pq.DEFAULT_KSUB)
+    got = pq.pq_adc_topk_lut(dup, books, query_ids=[0], k=3).collect()
+    assert [(r["rank"], r["neighbor_id"]) for r in sorted(got, key=lambda r: r["rank"])] == [
+        (1, 1),
+        (2, 2),
+        (3, 3),
+    ]
