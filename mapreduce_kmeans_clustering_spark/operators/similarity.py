@@ -239,6 +239,48 @@ def ivf_representatives(
     )
 
 
+def sqdist_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors by SQUARED L2 distance — the uncompressed
+    ground truth for the PQ/IVFADC compressed paths, whose ADC
+    ``adist`` is an L2 estimate: recall against this (not the cosine
+    exact form) isolates quantization + probe loss from metric
+    mismatch. Broadcast Q query rows against one corpus scan (no
+    shuffle before the K-row-per-query rank window); deterministic
+    ties (d asc, neighbor_id asc). Output
+    (query_id, neighbor_id, rank, d). The HOF zip_with/aggregate sum
+    matches DuckDB's list_sum(list_transform(...)) doubles
+    bit-for-bit."""
+    vecs = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    q = F.broadcast(
+        vecs.where(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    c = vecs.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"))
+    d = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", d.alias("d"))
+    )
+    w = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "d")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -473,6 +473,29 @@ def q_ann_ivfpq(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq_recall(spark, sf_dir):
+    """Recall@k of IVFADC against the exact UNCOMPRESSED L2 top-k —
+    the quantization-loss gate (VERDICT r4 item 3): q_ann_ivfpq has a
+    bit-exact algorithm oracle, but the production question is how
+    much answer quality the 128x compression + nprobe/nlist pruning
+    actually costs. Same one-row (method, hits, possible, recall)
+    shape as q_ann_recall; the floor is asserted in
+    tests/test_similarity.py::test_ivfpq_recall_floor."""
+    from mapreduce_kmeans_clustering_spark.operators.pq import ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    exact = SIM.sqdist_topk(emb, ANN_QUERY_IDS, k=ANN_K)
+    approx = ivfpq_topk(
+        emb,
+        ANN_QUERY_IDS,
+        k=ANN_K,
+        nlist=IVF_NLIST,
+        nprobe=IVF_NPROBE,
+        assigned=_ivf_assigned(spark, sf_dir, IVF_NLIST),
+    )
+    return SIM.recall_vs_exact(exact, approx, "ivfpq")
+
+
 def q_fuzzy_suppliers(spark, sf_dir):
     """Fuzzy record linkage: supplier-name pairs within Levenshtein
     distance 1 via deletion-neighborhood blocking (operators/joins.
@@ -1138,6 +1161,28 @@ def q_length_buckets(spark, sf_dir):
     )
 
 
+def q_length_buckets_approx(spark, sf_dir):
+    """The 100 TB twin of q_length_buckets (VERDICT r4 item 4):
+    percentile_approx cutpoints ride a 1-row broadcast into a
+    scan-local bucket projection — no global pair sort. LABELED
+    NON-PARITY with the exact ntile form (ties stay together here;
+    ntile splits them to equalize counts); the oracle replays THIS
+    algorithm via quantile_disc, which matches percentile_approx
+    value-for-value in the exact-sketch regime (corpus << accuracy —
+    verified at sf0.001/0.01/0.1). Boundary agreement with the exact
+    form is pinned in tests/test_packing.py."""
+    lb = PK.length_buckets_approx(_docs(spark, sf_dir), n_buckets=LEN_BUCKETS)
+    return lb.select(
+        "bucket",
+        "n_docs",
+        "min_tokens",
+        "max_tokens",
+        "sum_tokens",
+        F.round("pad_waste", 6).alias("pad_waste"),
+        F.round("global_waste", 6).alias("global_waste"),
+    )
+
+
 def q_basket_pairs(spark, sf_dir):
     """Market-basket co-occurrence: the 10 part pairs most often
     ordered together. Pair generation is a self-join WITHIN each
@@ -1240,16 +1285,19 @@ def q_customers_no_orders(spark, sf_dir):
     cents so both engines agree) + LEFT ANTI against the time-windowed
     fact, rolled up by segment. (The window matters: this synthetic
     corpus gives every customer at least one lifetime order, so the
-    unwindowed Q22 anti-join is empty at every SF.)"""
+    unwindowed Q22 anti-join is empty at every SF.) The threshold
+    rides a 1-row broadcast anchor (crossJoin(broadcast)) instead of a
+    driver collect — one job, lazily composable, same plan shape as
+    the rest of the registry."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     ab = (
         cust.where(F.col("c_acctbal") > 0)
-        .agg(F.round(F.avg("c_acctbal"), 2).alias("ab"))
-        .collect()[0][0]
+        .agg(F.round(F.avg("c_acctbal"), 2).alias("_ab"))
     )
     return (
-        cust.where(F.col("c_acctbal") > F.lit(ab))
+        cust.crossJoin(F.broadcast(ab))
+        .where(F.col("c_acctbal") > F.col("_ab"))
         .join(
             orders.where(F.year("o_orderdate") == 1995).select("o_custkey"),
             F.col("c_custkey") == F.col("o_custkey"),
@@ -3383,6 +3431,21 @@ r AS (SELECT query_id, neighbor_id, {_COS} AS cos,
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cos
 FROM r WHERE rank <= {ANN_K}"""
 
+# exact L2 top-k (the uncompressed ground truth for IVFADC recall):
+# list_sum(list_transform(...)) reproduces the Spark HOF sum order
+_SQL_ANN_L2_TOPK = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS va FROM v WHERE vec_id < 10),
+s AS (SELECT query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65),
+                      i -> (va[i] - c.v[i]) * (va[i] - c.v[i]))) AS d
+      FROM q CROSS JOIN v c WHERE c.vec_id <> query_id),
+r AS (SELECT query_id, neighbor_id, d,
+             row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(d, 6) AS d
+FROM r WHERE rank <= {ANN_K}"""
+
 _SQL_ANN_LSH = f"""
 WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 vb AS (SELECT vec_id, v, {_PLANE_BUCKET4} AS bucket FROM ve),
@@ -3811,6 +3874,15 @@ SELECT cluster, count(*)::BIGINT AS n,
        round({" + ".join(f"avg(v[{i}])" for i in range(1, 65))}, 4) AS mean_sum
 FROM asg GROUP BY cluster""",
     "q_ann_ivf": _SQL_ANN_IVF,
+    "q_ann_ivfpq_recall": f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({_SQL_ANN_L2_TOPK})),
+a AS (SELECT query_id, neighbor_id FROM ({_SQL_PQ_IVFADC})),
+m AS (SELECT 'ivfpq' AS method, count(a.query_id)::BIGINT AS hits,
+             count(*)::BIGINT AS possible
+      FROM exact e LEFT JOIN a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
+SELECT method, hits, possible, round(hits * 1.0 / possible, 6) AS recall
+FROM m""",
     "q_pq_encode": _SQL_PQ_ENCODE,
     "q_pq_adc": _SQL_PQ_ADC,
     "q_ann_ivfpq": _SQL_PQ_IVFADC,
@@ -4085,6 +4157,23 @@ WITH t AS (SELECT doc_id, len({_TOK})::BIGINT AS n_tokens FROM documents),
 b AS (SELECT doc_id, n_tokens,
              ntile({LEN_BUCKETS}) OVER (ORDER BY n_tokens, doc_id)::INT AS bucket
       FROM t),
+g AS (SELECT max(n_tokens) AS gmax FROM t)
+SELECT bucket, count(*)::BIGINT AS n_docs,
+       min(n_tokens)::BIGINT AS min_tokens,
+       max(n_tokens)::BIGINT AS max_tokens,
+       sum(n_tokens)::BIGINT AS sum_tokens,
+       round(1.0 - sum(n_tokens)::DOUBLE
+               / (count(*) * max(n_tokens))::DOUBLE, 6) AS pad_waste,
+       round(1.0 - sum(n_tokens)::DOUBLE
+               / (count(*) * any_value(gmax))::DOUBLE, 6) AS global_waste
+FROM b CROSS JOIN g GROUP BY bucket""",
+    "q_length_buckets_approx": f"""
+WITH t AS (SELECT doc_id, len({_TOK})::BIGINT AS n_tokens FROM documents),
+c AS (SELECT [{", ".join(f"quantile_disc(n_tokens, {i}/{LEN_BUCKETS}.0)" for i in range(1, LEN_BUCKETS))}] AS cuts
+      FROM t),
+b AS (SELECT doc_id, n_tokens,
+             (1 + len(list_filter(cuts, x -> n_tokens > x)))::INT AS bucket
+      FROM t CROSS JOIN c),
 g AS (SELECT max(n_tokens) AS gmax FROM t)
 SELECT bucket, count(*)::BIGINT AS n_docs,
        min(n_tokens)::BIGINT AS min_tokens,
@@ -5152,6 +5241,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pq_encode": q_pq_encode,
     "q_pq_adc": q_pq_adc,
     "q_ann_ivfpq": q_ann_ivfpq,
+    "q_ann_ivfpq_recall": q_ann_ivfpq_recall,
     "q_fuzzy_suppliers": q_fuzzy_suppliers,
     "q_semantic_decontam": q_semantic_decontam,
     "q_embed_outliers": q_embed_outliers,
@@ -5182,6 +5272,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_basket_pairs": q_basket_pairs,
     "q_corpus_temperature": q_corpus_temperature,
     "q_length_buckets": q_length_buckets,
+    "q_length_buckets_approx": q_length_buckets_approx,
     "q_engaged_customers": q_engaged_customers,
     "q_text_tokens": q_text_tokens,
     "q_decontam": q_decontam,

@@ -199,3 +199,29 @@ def test_knn_graph_properties(spark):
     assert got[(0, 1)][0] == 1 and got[(0, 1)][1] > 0.999
     assert got[(1, 1)][0] == 0
     assert not any(s == 3 or d == 3 for (s, _), (d, _c) in got.items())
+
+
+def test_ivfpq_recall_floor(spark):
+    """Quantization-loss gate for the two-level compressed index
+    (VERDICT r4 item 3): recall@3 of IVFADC against the exact
+    UNCOMPRESSED L2 top-k. On the near-uniform synthetic embeddings
+    the distance gaps are tiny, so 4-bit x 8-subspace residual codes
+    measure 0.13 at sf0.001 (0.30 at sf0.01) — far above the ~0.005
+    chance floor (k/(n-1)) but honestly far below the LSH/IVF-flat
+    uncompressed paths. The assertion pins both facts: the index must
+    beat chance by >=10x, and the registered config must not regress
+    below the measured floor."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        ANN_K,
+        ANN_QUERY_IDS,
+        q_ann_ivfpq_recall,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    [r] = q_ann_ivfpq_recall(spark, "/root/testdata/sf0.001").collect()
+    assert r["method"] == "ivfpq"
+    assert r["possible"] == len(ANN_QUERY_IDS) * ANN_K
+    chance = ANN_K / (n - 1)
+    assert r["recall"] >= 10 * chance, (r["recall"], chance)
+    assert r["recall"] >= 0.1, r["recall"]
