@@ -137,6 +137,13 @@ def length_buckets(
     )
     w = Window.orderBy("n_tokens", id_col)
     b = t.withColumn("bucket", F.ntile(n_buckets).over(w).cast("int"))
+    return _bucket_waste(b)
+
+
+def _bucket_waste(b: DataFrame) -> DataFrame:
+    """Shared downstream aggregate of the bucketing planners: from
+    (.., n_tokens, bucket) rows to per-bucket
+    (n_docs, min/max/sum tokens, pad_waste, global_waste)."""
     gmax = b.groupBy().agg(F.max("n_tokens").alias("gmax"))
     per = b.groupBy("bucket").agg(
         F.count("*").cast("long").alias("n_docs"),
@@ -157,6 +164,53 @@ def length_buckets(
             "global_waste"
         ),
     )
+
+
+def length_buckets_approx(
+    docs: DataFrame,
+    n_buckets: int = 8,
+    accuracy: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The 100 TB hatch documented on ``length_buckets``: replace
+    ntile's global (n_tokens, id) pair sort with
+    ``percentile_approx`` cutpoints — ONE aggregate produces the
+    n_buckets-1 boundary values, which ride a 1-row broadcast into a
+    scan-local bucket projection (``bucket = 1 + #cutpoints strictly
+    below n_tokens``). No global sort, no pair shuffle: the only
+    exchange left is the per-bucket summary aggregate.
+
+    LABELED NON-PARITY with the exact form: ntile splits TIED lengths
+    across adjacent buckets to equalize counts; a value-cutpoint
+    bucketing necessarily keeps equal lengths together, so per-bucket
+    counts differ wherever ties straddle a boundary (and GK-sketch
+    cutpoints are approximate at scale, exact here because corpus <<
+    accuracy). tests/test_packing.py pins what IS shared: identical
+    bucket ids and global totals, value-contiguous buckets, and each
+    non-final bucket's max equal to its percentile cutpoint."""
+    t = docs.select(
+        F.col(id_col), token_count(F.col(text_col)).cast("long").alias("n_tokens")
+    )
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = t.groupBy().agg(
+        F.percentile_approx("n_tokens", probs, accuracy).alias("cuts")
+    )
+    b = t.crossJoin(F.broadcast(cuts)).select(
+        id_col,
+        "n_tokens",
+        (
+            F.lit(1)
+            + F.aggregate(
+                F.col("cuts"),
+                F.lit(0),
+                lambda acc, c: acc + F.when(F.col("n_tokens") > c, 1).otherwise(0),
+            )
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    return _bucket_waste(b)
 
 
 def pack_bins_ffd(

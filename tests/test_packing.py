@@ -156,3 +156,45 @@ def test_pack_bins_ffd_groups_pack_independently(spark):
     b = {r["doc_id"]: r["bin_id"] for r in out if r["source"] == "b"}
     assert a[0] == a[1] == 0  # both fit one bin
     assert b[2] == 0  # group b starts its own bin numbering
+
+
+def test_length_buckets_approx_pins(spark):
+    """The scale hatch (percentile_approx cutpoints -> scan-local
+    bucket) shares with the exact ntile form: the bucket id set, the
+    corpus totals, value-contiguous buckets, and each non-final
+    bucket's max == its cutpoint. Counts per bucket legitimately
+    differ (ntile splits TIED lengths across a boundary to equalize
+    counts; value cutpoints keep them together) — that is the labeled
+    non-parity, asserted here so it can't silently become parity."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.operators.packing import (
+        length_buckets,
+        length_buckets_approx,
+        token_count,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ex = {r["bucket"]: r for r in length_buckets(docs).collect()}
+    ap = {r["bucket"]: r for r in length_buckets_approx(docs).collect()}
+    assert sorted(ap) == sorted(ex) == list(range(1, 9))
+    assert sum(r["n_docs"] for r in ap.values()) == sum(
+        r["n_docs"] for r in ex.values()
+    )
+    assert sum(r["sum_tokens"] for r in ap.values()) == sum(
+        r["sum_tokens"] for r in ex.values()
+    )
+    # value-contiguity: bucket i+1 starts strictly above bucket i's max
+    for b in range(1, 8):
+        assert ap[b + 1]["min_tokens"] > ap[b]["max_tokens"]
+    # non-final bucket maxima ARE the percentile cutpoints
+    cuts = (
+        docs.select(token_count(F.col("text")).cast("long").alias("n"))
+        .groupBy()
+        .agg(F.percentile_approx("n", [i / 8 for i in range(1, 8)], 10_000))
+        .collect()[0][0]
+    )
+    assert [ap[b]["max_tokens"] for b in range(1, 8)] == list(cuts)
+    # and the documented non-parity is real on this corpus: at least
+    # one bucket count differs from the exact equalized split
+    assert any(ap[b]["n_docs"] != ex[b]["n_docs"] for b in ap)
