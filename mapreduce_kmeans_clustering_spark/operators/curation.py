@@ -141,8 +141,13 @@ def bigram_lm_scores(
     Shuffle inventory: token/bigram count aggregates (partial→final,
     map-side combine collapses the Zipf head), then two equi-joins of
     the per-doc bigram stream against the two counts tables, then one
-    per-doc aggregate. V is a single scalar collected to the driver
-    (the only driver materialization, K=1).
+    per-doc aggregate. V rides a 1-row broadcast anchor
+    (crossJoin(broadcast) — planned as a BNLJ whose build side is a
+    keyless global aggregate, the bounded scalar-anchor shape
+    test_plans explicitly recognizes) instead of a driver collect, so
+    the whole score is one lazy plan with no eager round-trip. (A
+    literal-key equi-join does NOT keep it a hash join: Catalyst
+    constant-folds lit=lit to true and replans the BNLJ anyway.)
     """
     bg = doc_bigrams(docs, text_col=text_col, id_col=id_col)
     toks = docs.select(
@@ -150,11 +155,12 @@ def bigram_lm_scores(
     )
     c1 = toks.groupBy(F.col("t").alias("w1")).agg(F.count("*").alias("c1"))
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    vocab = toks.select(F.countDistinct("t").alias("v")).collect()[0][0]
-    nll = -F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.lit(float(vocab))))
+    vocab = toks.agg(F.countDistinct("t").cast("double").alias("_v"))
+    nll = -F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("_v")))
     return (
         bg.join(c2, ["w1", "w2"])
         .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_bigrams"),

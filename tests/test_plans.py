@@ -169,9 +169,30 @@ def test_interval_join_is_bucket_equi_join(spark):
     assert "BroadcastHashJoin" in p
 
 
+def _scalar_anchor_bnlj_only(p: str) -> bool:
+    """True iff every BroadcastNestedLoopJoin in the plan is the
+    bounded 1-row scalar-anchor shape (crossJoin(broadcast(agg)) —
+    build side is an IdentityBroadcastMode exchange over a KEYLESS
+    global HashAggregate, so the inner side is exactly one row). Any
+    BNLJ whose build side is a real relation fails the check."""
+    import re
+
+    n = p.count("BroadcastNestedLoopJoin")
+    anchors = len(
+        re.findall(
+            r"BroadcastExchange IdentityBroadcastMode"
+            r"[\s\S]{0,400}?HashAggregate\(keys=\[\]",
+            p,
+        )
+    )
+    return anchors >= n
+
+
 def test_curation_queries_no_pairwise_no_python(spark):
     """The curation surface must stay equi-join/window shaped: no
-    Cartesian, no unbounded nested loop, no Python row UDFs."""
+    Cartesian, no unbounded nested loop (the 1-row scalar anchor of
+    bigram_lm_scores is the ONLY BNLJ shape allowed), no Python row
+    UDFs."""
     from mapreduce_kmeans_clustering_spark.queries_pipeline import (
         q_curation_pipeline,
         q_decontam,
@@ -181,7 +202,7 @@ def test_curation_queries_no_pairwise_no_python(spark):
     for q in (q_decontam, q_text_perplexity, q_curation_pipeline):
         p = _plan(q(spark, SF))
         assert "CartesianProduct" not in p
-        assert "BroadcastNestedLoopJoin" not in p
+        assert _scalar_anchor_bnlj_only(p), p
         assert "BatchEvalPython" not in p
 
 
