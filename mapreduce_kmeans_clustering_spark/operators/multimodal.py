@@ -336,11 +336,16 @@ def decode_media(payload: bytes, kind: str) -> dict:
             return decode_png(payload)
         if payload[:2] == b"BM":
             return decode_bmp(payload)
+        if payload[:2] == b"\xff\xd8":
+            from mapreduce_kmeans_clustering_spark.operators.jpeg import decode_jpeg
+
+            return decode_jpeg(payload)
         if payload[:2] not in (b"P6", b"P5"):
             raise NotImplementedError(
-                "image decode supports binary netpbm (P6/P5), PNG and "
-                "24-bit BMP; other compressed formats need a codec "
-                "library (PIL) not present in this environment"
+                "image decode supports binary netpbm (P6/P5), PNG, "
+                "24-bit BMP and baseline JPEG; other compressed formats "
+                "need a codec library (PIL) not present in this "
+                "environment"
             )
         # header: magic, width, height, maxval — whitespace/comment
         # separated, then a single whitespace byte before raster data
@@ -454,14 +459,17 @@ def synthesize_decodable_media(
 ) -> DataFrame:
     """A media table whose payloads are REAL decodable bytes,
     alternating by id: id % 2 == 1 is PCM WAV audio; even ids split
-    between P6 PPM (id % 4 == 0) and PNG (id % 4 == 2, cycling the
-    supported color types) — generated executor-side via mapInPandas,
-    so payload synthesis scales with partitions and nothing row-scale
+    between P6 PPM (id % 4 == 0), PNG (id % 8 == 2, cycling the
+    supported color types) and baseline JPEG (id % 8 == 6, alternating
+    4:4:4 / 4:2:0) — generated executor-side via mapInPandas, so
+    payload synthesis scales with partitions and nothing row-scale
     touches the driver. Video stays out (no stdlib codec), mirroring
     decode_media's honest surface."""
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
+
+        from mapreduce_kmeans_clustering_spark.operators.jpeg import encode_jpeg
 
         for pdf in it:
             ids = pdf[id_col].tolist()
@@ -470,9 +478,16 @@ def synthesize_decodable_media(
                 if i % 2 == 0:
                     if i % 4 == 0:
                         payload = encode_ppm(8 + i % 8, 6 + i % 5, i)
-                    else:
+                    elif i % 8 == 2:
                         ct = (0, 2, 4, 6)[(i // 4) % 4]
                         payload = encode_png(8 + i % 8, 6 + i % 5, i, color_type=ct)
+                    else:
+                        payload = encode_jpeg(
+                            8 + i % 8,
+                            6 + i % 5,
+                            i,
+                            subsampling=("444", "420")[(i // 8) % 2],
+                        )
                     rows.append((i, "image", payload))
                 else:
                     rows.append(

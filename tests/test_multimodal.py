@@ -155,10 +155,17 @@ def test_real_decode_roundtrip_ppm_and_wav():
 
 
 def test_real_decode_rejects_compressed_and_video():
+    import struct
+
     from mapreduce_kmeans_clustering_spark.operators.multimodal import decode_media
 
+    # JPEG is decoded for real since round 5; a still-unsupported
+    # compressed format (GIF) carries the honest codec message, and a
+    # garbage JPEG body is a parse error, not silence
     with pytest.raises(NotImplementedError, match="netpbm"):
-        decode_media(b"\xff\xd8\xff\xe0jpegdata", "image")  # JPEG SOI
+        decode_media(b"GIF89agifdata", "image")
+    with pytest.raises((ValueError, IndexError, struct.error)):
+        decode_media(b"\xff\xd8\xff\xe0jpegdata", "image")
     with pytest.raises(NotImplementedError, match="codec"):
         decode_media(b"ID3\x04mp3data", "audio")
     with pytest.raises(NotImplementedError, match="video"):
@@ -245,9 +252,17 @@ def test_decoded_stats_over_synthesized_decodable_media(spark):
         if i % 2 == 0:
             if i % 4 == 0:
                 payload = encode_ppm(8 + i % 8, 6 + i % 5, i)
-            else:
+            elif i % 8 == 2:
                 ct = (0, 2, 4, 6)[(i // 4) % 4]
                 payload = encode_png(8 + i % 8, 6 + i % 5, i, color_type=ct)
+            else:
+                from mapreduce_kmeans_clustering_spark.operators.jpeg import (
+                    encode_jpeg,
+                )
+
+                payload = encode_jpeg(
+                    8 + i % 8, 6 + i % 5, i, subsampling=("444", "420")[(i // 8) % 2]
+                )
             d = decode_media(payload, "image")
             assert (r["width"], r["height"]) == (d["width"], d["height"])
             assert r["mean_value"] == sum(d["pixels"]) / len(d["pixels"])
