@@ -523,26 +523,33 @@ from mapreduce_kmeans_clustering_spark.queries_pipeline import (  # noqa: E402
 # tests/test_oracle_parity.py (the local mirror of the driver's DuckDB
 # gate).
 #
-# Round-4 rotation: the final 37 never-driver-verified keys (after the
-# r1-r3 windows, cumulative 94/131) plus q_doc_pack, whose round-3 row
-# was red on an oracle HUGEINT typing bug (fixed — ::BIGINT casts) and
-# must re-verify. 12 pins + 38 here = exactly the driver's 50-row
-# window, completing the 131/131 sweep this round.
+# Round-5 rotation (executed exactly as CORRECTNESS_r04/VERDICT r4
+# planned): the 20 round-4 additions (the only keys never seen by the
+# external driver — cumulative through r04 is 131/131 of the queries
+# registered through round 3), plus the 2 round-5 additions
+# (q_ann_ivfpq_recall, q_length_buckets_approx), plus 16 refreshers.
+# Refreshers re-verify the channels this round's -0.0 literal
+# normalization touched (kmeans_nd literal argmin, the ANN family, the
+# dedup family whose semantic/embedding paths ride sqdist_to_const)
+# and the 5 keys whose only driver verification dates to round 1.
+# 12 K-Means pins + 38 here = exactly the driver's 50-row window.
 DRIVER_ROTATION: list[str] = [
-    "q_doc_pack",
-    "q_user_heavy_hitters", "q_events_dense_hours", "q_latest_event_per_user",
-    "q_sql_interface", "q_forecast_revenue", "q_shipping_modes",
-    "q_important_parts", "q_value_outliers", "q_dedup_passages",
-    "q_events_multitouch", "q_revenue_mom", "q_lineitem_expectations",
-    "q_corpus_shard_manifest", "q_value_winsorized", "q_orders_fx",
-    "q_user_lifetime", "q_source_overlap", "q_token_zipf",
-    "q_events_dow_hour", "q_brand_type_share", "q_customer_rfm",
-    "q_session_conversion", "q_order_backlog", "q_custdist",
-    "q_sole_return_supplier", "q_min_cost_supplier", "q_idle_rich_customers",
-    "q_events_rollup_incremental", "q_dedup_semantic", "q_shipping_priority",
-    "q_local_supplier_volume", "q_market_share", "q_product_profit",
-    "q_ship_lag_priority", "q_part_supplier_variety", "q_small_qty_revenue",
-    "q_promotable_suppliers",
+    # -- round-4 additions, first driver pass --
+    "q_pq_encode", "q_pq_adc", "q_ann_ivfpq", "q_cdc_user_state",
+    "q_user_state_periods", "q_semantic_decontam", "q_fuzzy_suppliers",
+    "q_minhash_accuracy", "q_token_pmi", "q_bpe_merge_pairs",
+    "q_knn_graph", "q_vocab_coverage", "q_corpus_temperature",
+    "q_length_buckets", "q_incremental_join_view", "q_embed_outliers",
+    "q_events_ffill", "q_events_anomaly", "q_lang_confusion",
+    "q_basket_pairs",
+    # -- round-5 additions, first driver pass --
+    "q_ann_ivfpq_recall", "q_length_buckets_approx",
+    # -- refreshers: -0.0-touched channels + r1-stale keys --
+    "q_kmeans_nd_step", "q_ann_topk", "q_ann_lsh", "q_ann_ivf",
+    "q_ann_recall", "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+    "q_dedup_jaccard", "q_dedup_embed", "q_dedup_groups",
+    "q_approx_distinct", "q_brand_top_parts", "q_events_pivot",
+    "q_priority_distinct", "q_user_segments",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
