@@ -453,21 +453,35 @@ def q_pq_adc(spark, sf_dir):
     )
 
 
+# Buffer-pool memo for the IVFADC top-k relation (the _ivf_assigned
+# pin pattern): q_ann_ivfpq and q_ann_ivfpq_recall consume the same
+# two-level index search; localCheckpoint(eager=False) materializes it
+# once per session instead of re-running the coarse-probe + ADC scan.
+_IVFPQ_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _ivfpq_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_kmeans_clustering_spark.operators.pq import ivfpq_topk
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVFPQ_CACHE:
+        _IVFPQ_CACHE[key] = ivfpq_topk(
+            _emb(spark, sf_dir),
+            ANN_QUERY_IDS,
+            k=ANN_K,
+            nlist=IVF_NLIST,
+            nprobe=IVF_NPROBE,
+            assigned=_ivf_assigned(spark, sf_dir, IVF_NLIST),
+        ).localCheckpoint(eager=False)
+    return _IVFPQ_CACHE[key]
+
+
 def q_ann_ivfpq(spark, sf_dir):
     """IVFADC: coarse inverted lists + product-quantized residuals +
     asymmetric distance (the two-level billion-scale index
     architecture; operators/pq.ivfpq_topk). Candidate work per query
     is |corpus| * nprobe / nlist pairs over 4-byte codes."""
-    from mapreduce_kmeans_clustering_spark.operators.pq import ivfpq_topk
-
-    t = ivfpq_topk(
-        _emb(spark, sf_dir),
-        ANN_QUERY_IDS,
-        k=ANN_K,
-        nlist=IVF_NLIST,
-        nprobe=IVF_NPROBE,
-        assigned=_ivf_assigned(spark, sf_dir, IVF_NLIST),
-    )
+    t = _ivfpq_top(spark, sf_dir)
     return t.select(
         "query_id", "neighbor_id", "rank", F.round("adist", 6).alias("adist")
     )
@@ -481,19 +495,9 @@ def q_ann_ivfpq_recall(spark, sf_dir):
     actually costs. Same one-row (method, hits, possible, recall)
     shape as q_ann_recall; the floor is asserted in
     tests/test_similarity.py::test_ivfpq_recall_floor."""
-    from mapreduce_kmeans_clustering_spark.operators.pq import ivfpq_topk
-
     emb = _emb(spark, sf_dir)
     exact = SIM.sqdist_topk(emb, ANN_QUERY_IDS, k=ANN_K)
-    approx = ivfpq_topk(
-        emb,
-        ANN_QUERY_IDS,
-        k=ANN_K,
-        nlist=IVF_NLIST,
-        nprobe=IVF_NPROBE,
-        assigned=_ivf_assigned(spark, sf_dir, IVF_NLIST),
-    )
-    return SIM.recall_vs_exact(exact, approx, "ivfpq")
+    return SIM.recall_vs_exact(exact, _ivfpq_top(spark, sf_dir), "ivfpq")
 
 
 def q_fuzzy_suppliers(spark, sf_dir):
@@ -1159,6 +1163,33 @@ def q_length_buckets(spark, sf_dir):
         F.round("pad_waste", 6).alias("pad_waste"),
         F.round("global_waste", 6).alias("global_waste"),
     )
+
+
+def q_source_kl(spark, sf_dir):
+    """Per-source unigram KL divergence vs the whole-corpus token
+    distribution (operators/profile.source_unigram_kl) — the
+    vocabulary-drift gate of a training-mix report: 0 = looks like the
+    corpus, large = skewed/off-domain source. Vocabulary-keyed joins +
+    broadcast totals; work scales with |vocab|, never corpus-pairwise."""
+    from mapreduce_kmeans_clustering_spark.operators.profile import (
+        source_unigram_kl,
+    )
+
+    return source_unigram_kl(_docs(spark, sf_dir)).orderBy("source")
+
+
+def q_length_ks(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic on token-length
+    distributions for every source pair
+    (operators/profile.length_ks_pairs) — nonparametric length-profile
+    drift. Signed-mass running-sum formulation: one histogram
+    aggregate, a P-row broadcast pair join, one ordered window per
+    pair — O(pairs x distinct lengths) past the histogram."""
+    from mapreduce_kmeans_clustering_spark.operators.profile import (
+        length_ks_pairs,
+    )
+
+    return length_ks_pairs(_docs(spark, sf_dir)).orderBy("source_a", "source_b")
 
 
 def q_length_buckets_approx(spark, sf_dir):
@@ -4167,6 +4198,37 @@ SELECT bucket, count(*)::BIGINT AS n_docs,
        round(1.0 - sum(n_tokens)::DOUBLE
                / (count(*) * any_value(gmax))::DOUBLE, 6) AS global_waste
 FROM b CROSS JOIN g GROUP BY bucket""",
+    "q_source_kl": f"""
+WITH t AS (SELECT source, unnest({_TOK}) AS tok FROM documents),
+c AS (SELECT source, tok, count(*)::DOUBLE AS n_st FROM t GROUP BY 1, 2),
+s AS (SELECT source, sum(n_st) AS n_s FROM c GROUP BY 1),
+g AS (SELECT tok, sum(n_st) AS n_t FROM c GROUP BY 1),
+tot AS (SELECT sum(n_st) AS n FROM c)
+SELECT source, max(n_s)::BIGINT AS n_tokens,
+       round(sum((n_st / n_s) * ln((n_st / n_s) / (n_t / n))), 6) AS kl
+FROM c JOIN g USING (tok) JOIN s USING (source) CROSS JOIN tot
+GROUP BY source ORDER BY source""",
+    "q_length_ks": f"""
+WITH t AS (SELECT source, len({_TOK})::BIGINT AS l FROM documents),
+c AS (SELECT source, l, count(*)::DOUBLE AS n FROM t GROUP BY 1, 2),
+tot AS (SELECT source, sum(n) AS ns FROM c GROUP BY 1),
+p AS (SELECT a.source AS source_a, b.source AS source_b,
+             a.ns AS na, b.ns AS nb
+      FROM tot a JOIN tot b ON a.source < b.source),
+u AS (
+  SELECT source_a, source_b, na, nb, l, sum(d) AS d FROM (
+    SELECT p.source_a, p.source_b, p.na, p.nb, c.l, c.n / p.na AS d
+    FROM c JOIN p ON c.source = p.source_a
+    UNION ALL
+    SELECT p.source_a, p.source_b, p.na, p.nb, c.l, -c.n / p.nb AS d
+    FROM c JOIN p ON c.source = p.source_b)
+  GROUP BY 1, 2, 3, 4, 5),
+e AS (SELECT source_a, source_b, na, nb,
+             sum(d) OVER (PARTITION BY source_a, source_b ORDER BY l) AS gap
+      FROM u)
+SELECT source_a, source_b, max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+       round(max(abs(gap)), 6) AS ks
+FROM e GROUP BY source_a, source_b ORDER BY source_a, source_b""",
     "q_length_buckets_approx": f"""
 WITH t AS (SELECT doc_id, len({_TOK})::BIGINT AS n_tokens FROM documents),
 c AS (SELECT [{", ".join(f"quantile_disc(n_tokens, {i}/{LEN_BUCKETS}.0)" for i in range(1, LEN_BUCKETS))}] AS cuts
@@ -5273,6 +5335,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_corpus_temperature": q_corpus_temperature,
     "q_length_buckets": q_length_buckets,
     "q_length_buckets_approx": q_length_buckets_approx,
+    "q_source_kl": q_source_kl,
+    "q_length_ks": q_length_ks,
     "q_engaged_customers": q_engaged_customers,
     "q_text_tokens": q_text_tokens,
     "q_decontam": q_decontam,

@@ -1,0 +1,81 @@
+"""Distribution-drift profiling operators (operators/profile.py):
+per-source unigram KL divergence and the pairwise two-sample KS
+statistic, pinned on crafted corpora with hand-computed values."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_kmeans_clustering_spark.operators.profile import (
+    length_ks_pairs,
+    source_unigram_kl,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+
+
+def test_kl_zero_for_identical_distributions(spark):
+    """Two sources with the same token distribution both sit at the
+    corpus distribution, so KL is exactly 0 (every p_s/p_c ratio is
+    exactly 1.0 and ln(1.0) == 0.0 in IEEE — no tolerance needed)."""
+    rows = [
+        (0, "a", "x x y"),
+        (1, "a", "y z z"),
+        (2, "b", "x x y"),
+        (3, "b", "y z z"),
+    ]
+    got = {r["source"]: r for r in source_unigram_kl(_docs(spark, rows)).collect()}
+    assert got["a"]["kl"] == 0.0 and got["b"]["kl"] == 0.0
+    assert got["a"]["n_tokens"] == got["b"]["n_tokens"] == 6
+
+
+def test_kl_positive_for_skewed_source_and_finite(spark):
+    """A source whose vocabulary diverges from the corpus mix gets a
+    strictly positive, finite KL (its tokens are part of the corpus
+    distribution by construction, so no smoothing is needed even for
+    source-exclusive tokens)."""
+    rows = [
+        (0, "a", "x x x x"),
+        (1, "b", "q q q q"),  # q appears ONLY in b
+    ]
+    got = {r["source"]: r for r in source_unigram_kl(_docs(spark, rows)).collect()}
+    import math
+
+    # p_b(q)=1, p_c(q)=0.5 -> KL(b) = ln(2); symmetric for a
+    assert got["a"]["kl"] == got["b"]["kl"] == round(math.log(2), 6)
+
+
+def test_ks_zero_identical_one_disjoint(spark):
+    """Identical length distributions give KS 0; fully separated ones
+    give KS 1 (the ECDF gap reaches 1 between the supports)."""
+    rows = (
+        [(i, "a", "w " * 5) for i in range(4)]
+        + [(10 + i, "b", "w " * 5) for i in range(4)]
+        + [(20 + i, "c", "w " * 50) for i in range(4)]
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["ks"]
+        for r in length_ks_pairs(_docs(spark, rows)).collect()
+    }
+    assert got[("a", "b")] == 0.0
+    assert got[("a", "c")] == got[("b", "c")] == 1.0
+
+
+def test_ks_hand_computed_overlap(spark):
+    """A=[1,2,3], B=[2,3,4] tokens: ECDFs differ by exactly 1/3 at
+    every observed point, so KS = 1/3 — and the output carries the
+    sample sizes."""
+    rows = [
+        (0, "a", "w"),
+        (1, "a", "w w"),
+        (2, "a", "w w w"),
+        (3, "b", "w w"),
+        (4, "b", "w w w"),
+        (5, "b", "w w w w"),
+    ]
+    [r] = length_ks_pairs(_docs(spark, rows)).collect()
+    assert (r["source_a"], r["source_b"]) == ("a", "b")
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["ks"] == pytest.approx(1 / 3, abs=1e-6)
