@@ -544,12 +544,15 @@ DRIVER_ROTATION: list[str] = [
     "q_basket_pairs",
     # -- round-5 additions, first driver pass --
     "q_ann_ivfpq_recall", "q_length_buckets_approx",
-    # -- refreshers: -0.0-touched channels + r1-stale keys --
+    "q_source_kl", "q_length_ks",
+    # -- refreshers: -0.0-touched channels + r1-stale keys (the two
+    # r1 keys displaced by the late round-5 additions, q_brand_top_parts
+    # and q_events_pivot, stay r1-verified — never-verified keys take
+    # window priority over refreshes) --
     "q_kmeans_nd_step", "q_ann_topk", "q_ann_lsh", "q_ann_ivf",
     "q_ann_recall", "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_jaccard", "q_dedup_embed", "q_dedup_groups",
-    "q_approx_distinct", "q_brand_top_parts", "q_events_pivot",
-    "q_priority_distinct", "q_user_segments",
+    "q_approx_distinct", "q_priority_distinct", "q_user_segments",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
