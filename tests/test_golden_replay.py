@@ -90,3 +90,69 @@ def test_silhouette_matches_golden(ref_points, ref_seeds):
         assert stats[c][0] == pytest.approx(intra, rel=1e-9)
         assert stats[c][1] == pytest.approx(inter, rel=1e-9)
         assert stats[c][2] == pytest.approx(sil, rel=1e-9)
+
+
+def test_task1_byte_exact_java_format(ref_points, ref_seeds):
+    """EXACT-string parity (SURVEY §7 hard part (a), closed round 5):
+    one Lloyd step rendered with fmt='java' reproduces the committed
+    task1 part file byte-for-byte — the doubles themselves are
+    bit-identical to the Hadoop reducer's, and java_double_str lays
+    them out exactly like Double.toString."""
+    from mapreduce_kmeans_clustering_spark.sinks.text_kv import format_centroids_kv
+
+    out = lloyd_iteration(ref_points, ref_seeds)
+    golden_lines = [
+        ln.rstrip("\n")
+        for ln in open(f"{REF}/output/task1/part-r-00000")
+        if ln.strip()
+    ]
+    assert format_centroids_kv(out, fmt="java").split("\n") == golden_lines
+
+
+def test_task5a_chain_byte_exact_java_format(ref_points, ref_seeds):
+    """The ENTIRE 28-iteration converged chain is byte-identical to the
+    committed artifacts under fmt='java' — 140 centroid lines, zero
+    tolerance."""
+    from mapreduce_kmeans_clustering_spark.sinks.text_kv import format_centroids_kv
+
+    res = fit(ref_points, ref_seeds, max_iter=30, threshold=5.0, keep_history=True)
+    assert res.iterations == 28
+    for i, cents in enumerate(res.history):
+        golden_lines = [
+            ln.rstrip("\n")
+            for ln in open(f"{REF}/output/task5a/iteration_{i}/part-r-00000")
+            if ln.strip()
+        ]
+        assert format_centroids_kv(cents, fmt="java").split("\n") == golden_lines, i
+
+
+def test_java_double_str_layout_and_golden_roundtrip():
+    """Layout rules against hand cases, then EVERY double string in
+    EVERY committed reference artifact must format back
+    byte-identically (2280 values: plain, large-magnitude, and the
+    full precision spread)."""
+    import glob
+    import re
+
+    from mapreduce_kmeans_clustering_spark.sinks.text_kv import java_double_str as j
+
+    cases = [
+        (5.0, "5.0"), (0.001, "0.001"), (0.0009999, "9.999E-4"),
+        (1e7, "1.0E7"), (9999999.5, "9999999.5"), (123.25, "123.25"),
+        (-0.0, "-0.0"), (0.0, "0.0"), (float("nan"), "NaN"),
+        (float("inf"), "Infinity"), (float("-inf"), "-Infinity"),
+        (1.5e-5, "1.5E-5"), (2.0e23, "2.0E23"), (100.0, "100.0"),
+        (1234567.0, "1234567.0"), (12345678.0, "1.2345678E7"),
+        (-42.75, "-42.75"),
+        (1.7976931348623157e308, "1.7976931348623157E308"),
+    ]
+    for v, want in cases:
+        assert j(v) == want, (v, want, j(v))
+    pat = re.compile(r"-?\d+\.\d+(?:[eE]-?\d+)?")
+    n = 0
+    for f in glob.glob(f"{REF}/output/**/part-*", recursive=True):
+        for line in open(f):
+            for s in pat.findall(line):
+                n += 1
+                assert j(float(s)) == s, (f, s, j(float(s)))
+    assert n > 2000  # the sweep actually saw the artifacts
