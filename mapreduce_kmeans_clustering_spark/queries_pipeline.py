@@ -254,6 +254,36 @@ def q_minhash_accuracy(spark, sf_dir):
     )
 
 
+def q_minhash_pr(spark, sf_dir):
+    """Candidate-set precision/recall of MinHash-LSH blocking against
+    the TRUE Jaccard >= t pair set — the b/w band-tuning gate at the
+    SET level (q_minhash_accuracy grades the estimator per pair; this
+    grades the blocking: how much over-generation the bands cost and
+    whether any true pair escapes the buckets). One full-outer join of
+    two pair sets, three counts, two divisions — no driver collect."""
+    docs = _docs(spark, sf_dir)
+    cand = D.lsh_candidate_pairs(docs).select("a", "b").withColumn("_c", F.lit(1))
+    truth = (
+        D.jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+        .select("a", "b")
+        .withColumn("_t", F.lit(1))
+    )
+    m = cand.join(truth, ["a", "b"], "full_outer").agg(
+        F.sum("_c").cast("long").alias("n_candidates"),
+        F.sum("_t").cast("long").alias("n_true"),
+        F.sum(F.col("_c") * F.col("_t")).cast("long").alias("n_hits"),
+    )
+    return m.select(
+        "n_candidates",
+        "n_true",
+        "n_hits",
+        F.round(F.col("n_hits") * F.lit(1.0) / F.col("n_candidates"), 6).alias(
+            "prec"
+        ),
+        F.round(F.col("n_hits") * F.lit(1.0) / F.col("n_true"), 6).alias("recall"),
+    )
+
+
 def q_dedup_jaccard(spark, sf_dir):
     p = D.jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
     return p.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
@@ -1163,6 +1193,70 @@ def q_length_buckets(spark, sf_dir):
         F.round("pad_waste", 6).alias("pad_waste"),
         F.round("global_waste", 6).alias("global_waste"),
     )
+
+
+PAGERANK_ITERS = 3
+PAGERANK_DAMPING = 0.85
+
+
+def _nation_trade_edges(spark, sf_dir):
+    """Directed nation-level trade graph: supplier nation -> customer
+    nation for every lineitem shipment (self-loops dropped) — a small
+    dense graph whose authority ranking is deterministic and
+    SQL-replayable. Shape: fact-table equi-joins + two broadcast
+    nation joins; the distinct() inside pagerank collapses it to at
+    most 25x24 edges regardless of corpus size."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+
+
+def q_pagerank_nations(spark, sf_dir):
+    """Damped PageRank over the nation-level trade graph
+    (operators/graph.pagerank, 3 iterations, d=0.85) — the
+    domain-authority signal a web-curation pipeline computes over the
+    host link graph, exercised end-to-end on a deterministic
+    relational graph so the iterative join-aggregate loop is
+    oracle-checkable (the DuckDB oracle unrolls the same three
+    iterations, dangling-mass correction included). Rank state is
+    (node, rank); edges collapse to <= 25x24 rows."""
+    from mapreduce_kmeans_clustering_spark.operators.graph import pagerank
+
+    r = pagerank(
+        _nation_trade_edges(spark, sf_dir),
+        iters=PAGERANK_ITERS,
+        damping=PAGERANK_DAMPING,
+    )
+    return r.select(
+        F.col("node").alias("nation"), F.round("rank", 6).alias("rank")
+    ).orderBy("nation")
 
 
 def q_source_kl(spark, sf_dir):
@@ -3451,6 +3545,48 @@ SELECT a, b, round(c / (sa.n_sh + sb.n_sh - c), 6) AS jaccard
 FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
 WHERE c / (sa.n_sh + sb.n_sh - c) >= {JACCARD_THRESHOLD}"""
 
+def _pagerank_sql(iters: int, d: float) -> str:
+    """Unrolled PageRank oracle: the same damped power iteration
+    operators/graph.pagerank runs (uniform init, dangling mass shared
+    uniformly, rank = (1-d)/n + d*dang/n + d*inflow), one CTE block
+    per iteration — iterative algorithms stay oracle-checkable when
+    the iteration count is a fixed plan constant."""
+    head = f"""
+WITH e AS (SELECT DISTINCT sn.n_name AS src, cn.n_name AS dst
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+           JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+           WHERE sn.n_name <> cn.n_name),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+deg AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn)"""
+    blocks = []
+    for i in range(iters):
+        blocks.append(
+            f"""
+d{i} AS (SELECT coalesce(sum(rank), 0.0) AS dang
+         FROM r{i} LEFT JOIN deg ON node = src WHERE deg IS NULL),
+c{i} AS (SELECT e.dst, sum(r.rank / deg.deg) AS inflow
+         FROM r{i} r JOIN deg ON r.node = deg.src JOIN e ON e.src = r.node
+         GROUP BY e.dst),
+r{i + 1} AS (SELECT node,
+             (1 - {d}) / n + {d} * dang / n + {d} * coalesce(inflow, 0.0) AS rank
+             FROM nodes CROSS JOIN nn CROSS JOIN d{i}
+             LEFT JOIN c{i} ON node = c{i}.dst)"""
+        )
+    return (
+        head
+        + ","
+        + ",".join(blocks)
+        + f"""
+SELECT node AS nation, round(rank, 6) AS rank FROM r{iters} ORDER BY nation"""
+    )
+
+
 _SQL_ANN_TOPK = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS va FROM v WHERE vec_id < 10),
@@ -3764,6 +3900,24 @@ SELECT est.a, est.b, round(e, 6) AS est_jaccard,
 FROM est LEFT JOIN inter i ON i.a = est.a AND i.b = est.b
 JOIN sz sa ON sa.doc_id = est.a JOIN sz sb ON sb.doc_id = est.b""",
     "q_dedup_jaccard": _SQL_JACCARD,
+    "q_pagerank_nations": _pagerank_sql(PAGERANK_ITERS, PAGERANK_DAMPING),
+    "q_minhash_pr": f"""
+WITH {_SQL_SHINGLES},
+{_SQL_SIG},
+{_SQL_BANDS},
+cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_sig = b.band_sig
+          AND a.doc_id < b.doc_id),
+truth AS (SELECT a, b FROM ({_SQL_JACCARD})),
+m AS (SELECT
+        (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+        (SELECT count(*) FROM truth)::BIGINT AS n_true,
+        (SELECT count(*) FROM cand JOIN truth USING (a, b))::BIGINT AS n_hits)
+SELECT n_candidates, n_true, n_hits,
+       round(n_hits * 1.0 / n_candidates, 6) AS prec,
+       round(n_hits * 1.0 / n_true, 6) AS recall
+FROM m""",
     "q_dedup_groups": f"""
 WITH RECURSIVE
 pairs AS (SELECT a, b FROM ({_SQL_JACCARD})),
@@ -5337,6 +5491,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_length_buckets_approx": q_length_buckets_approx,
     "q_source_kl": q_source_kl,
     "q_length_ks": q_length_ks,
+    "q_minhash_pr": q_minhash_pr,
+    "q_pagerank_nations": q_pagerank_nations,
     "q_engaged_customers": q_engaged_customers,
     "q_text_tokens": q_text_tokens,
     "q_decontam": q_decontam,
