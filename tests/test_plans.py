@@ -524,3 +524,42 @@ def test_round4_late_query_plans(spark):
     p = _plan(q_events_ffill(spark, SF))
     assert p.count("BroadcastNestedLoopJoin") == 1  # 1-row bounds
     assert "CartesianProduct" not in p
+
+
+def test_round5_additions_plan_shapes(spark):
+    """Round-5 registry additions stay in the house plan shapes: equi
+    joins hash/sort-merge, scalar anchors as the only nested loops, no
+    Python in any hot path."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_length_buckets_approx,
+        q_length_ks,
+        q_minhash_pr,
+        q_source_kl,
+    )
+
+    # vocabulary-keyed joins hash-join; the single BNLJ is the 1-row
+    # corpus-total anchor
+    p = _plan(q_source_kl(spark, SF))
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+    assert p.count("BroadcastNestedLoopJoin") == 1 and _scalar_anchor_bnlj_only(p)
+
+    # histogram -> pair attach is a broadcast HASH join (equi on the
+    # pair's source); the only nested loops build the S-row source
+    # pair grid (inherently S x S — KS over all pairs)
+    p = _plan(q_length_ks(spark, SF))
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+    assert p.count("BroadcastNestedLoopJoin") <= 2
+
+    # candidate/truth pair sets meet in equi joins only — a pair-set
+    # comparison must never degenerate to a nested loop
+    p = _plan(q_minhash_pr(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    # cutpoint bucketing: ONE exchange (the per-bucket aggregate);
+    # cut/gmax anchors are the only nested loops
+    p = _plan(q_length_buckets_approx(spark, SF))
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") <= 1
+    assert _scalar_anchor_bnlj_only(p)

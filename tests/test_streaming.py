@@ -645,3 +645,70 @@ def test_rollup_ignores_uncommitted_versions(spark, tmp_path):
     assert _versions(state) == committed  # marker-less dir invisible
     st = read_rollup_state(spark, state)
     assert {r["user_id"]: r["n"] for r in st.collect()} == {1: 1}
+
+
+def test_stream_length_drift_flags_shifted_batch(spark, tmp_path):
+    """Drift monitor end-to-end: freeze a reference length histogram,
+    drain a 2-file stream where file 1 matches the reference and
+    file 2 is shifted to long docs — the matched batch passes, the
+    shifted batch flags, and each stream KS equals the batch
+    operator's KS on a tagged union of the same data (the
+    batch-twin identity)."""
+    import json as _json
+
+    from mapreduce_kmeans_clustering_spark.operators.profile import length_ks_pairs
+    from mapreduce_kmeans_clustering_spark.streaming.drift import (
+        length_histogram,
+        stream_length_drift,
+    )
+
+    ref_rows = [(i, "w " * (5 + i % 3)) for i in range(30)]
+    ref = spark.createDataFrame(ref_rows, "doc_id LONG, text STRING")
+    ref_hist = length_histogram(ref).cache()
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batch_texts = {
+        "a.json": ["w " * (5 + i % 3) for i in range(20)],   # same profile
+        "b.json": ["w " * (60 + i % 4) for i in range(20)],  # shifted
+    }
+    for name, texts in batch_texts.items():
+        with open(src / name, "w") as f:
+            for i, t in enumerate(texts):
+                f.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    out = str(tmp_path / "out")
+    q = stream_length_drift(
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src)),
+        ref_hist,
+        out,
+        str(tmp_path / "ckpt"),
+        threshold=0.3,
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["n_batch"], r["ks"], r["drifted"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert len(got) == 2
+    matched, shifted = got[0], got[1]
+    if matched[1] > shifted[1]:
+        matched, shifted = shifted, matched
+    assert matched[2] is False and matched[1] < 0.3
+    assert shifted[2] is True and shifted[1] == 1.0  # disjoint supports
+
+    # batch-twin identity: the stream KS multiset equals
+    # length_ks_pairs run on a tagged union of the same two samples
+    twin_ks = []
+    for name, texts in batch_texts.items():
+        tagged = spark.createDataFrame(
+            [(i, "batch", t) for i, t in enumerate(texts)]
+            + [(100 + i, "ref", t) for i, (_, t) in enumerate(ref_rows)],
+            "doc_id LONG, source STRING, text STRING",
+        )
+        [r] = length_ks_pairs(tagged).collect()
+        twin_ks.append(r["ks"])
+    assert sorted(twin_ks) == sorted(g[1] for g in got)
