@@ -404,15 +404,16 @@ def encode_jpeg(
 ) -> bytes:
     """Spec-valid baseline JFIF bytes for the deterministic test
     raster (or explicit RGB ``pixels``). ``subsampling``: '444' (one
-    8x8 block per component per MCU) or '420' (2x2 luma blocks + one
-    chroma pair per MCU, chroma box-averaged). ``grayscale`` emits a
+    8x8 block per component per MCU), '422' (2x1 luma blocks, chroma
+    halved horizontally) or '420' (2x2 luma blocks + one chroma pair
+    per MCU, chroma box-averaged). ``grayscale`` emits a
     single-component file (the Y plane of the raster);
     ``restart_interval`` emits DRI + RSTn markers every N MCUs so the
     decoder's restart/resync path is fixture-coverable."""
     import numpy as np
 
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError("subsampling must be '444', '422' or '420'")
     raw = pixels if pixels is not None else jpeg_test_pixels(width, height, seed)
     rgb = np.frombuffer(raw, dtype=np.uint8).reshape(height, width, 3).astype(np.float64)
     r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
@@ -438,6 +439,8 @@ def encode_jpeg(
         sf = [(1, 1)]
     elif subsampling == "444":
         sf = [(1, 1), (1, 1), (1, 1)]
+    elif subsampling == "422":
+        sf = [(2, 1), (1, 1), (1, 1)]
     else:
         sf = [(2, 2), (1, 1), (1, 1)]
     hmax = max(s[0] for s in sf)

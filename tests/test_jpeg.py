@@ -123,3 +123,17 @@ def test_annex_k_tables_at_q50_verbatim():
     assert seglen == 67  # 2 len + 1 id + 64 entries
     zz = list(payload[i + 5 : i + 5 + 64])
     assert zz == [QT_LUMA[z] for z in ZIGZAG]
+
+
+@pytest.mark.parametrize("dims", [(24, 17, 3), (33, 9, 7)])
+def test_roundtrip_422_bounded(dims):
+    """4:2:2 sits between 4:4:4 and 4:2:0: chroma halved horizontally
+    only — the decoder's asymmetric (2,1) upsampling path."""
+    e = _err(*dims, quality=90, subsampling="422")
+    assert e.mean() < 8.0 and e.max() <= 30
+
+
+def test_restart_markers_422():
+    plain = decode_jpeg(encode_jpeg(40, 33, 5, subsampling="422"))
+    rst = decode_jpeg(encode_jpeg(40, 33, 5, subsampling="422", restart_interval=2))
+    assert plain["pixels"] == rst["pixels"]
