@@ -1195,6 +1195,34 @@ def q_length_buckets(spark, sf_dir):
     )
 
 
+def q_event_transitions(spark, sf_dir):
+    """Per-user event-type transition matrix — the behavior bigram
+    model (counts + row-normalized probability) a session-modeling or
+    next-event-prediction pipeline trains on. One lead window per
+    user's time-ordered stream (the event-stream twin of
+    doc_bigrams), then a T x T aggregate over the tiny type
+    vocabulary; probabilities are one division per cell against the
+    broadcast per-prev totals."""
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("prev_type"),
+            "next_type",
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = s.groupBy("prev_type").agg(F.sum("n").alias("tn"))
+    return s.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") * F.lit(1.0) / F.col("tn"), 6).alias("p"),
+    )
+
+
 PAGERANK_ITERS = 3
 PAGERANK_DAMPING = 0.85
 
@@ -4859,6 +4887,16 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts DESC, event_id DESC) AS rn
       FROM events)
 WHERE rn = 1""",
+    "q_event_transitions": """
+WITH s AS (SELECT event_type AS prev_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS next_type
+           FROM events),
+t AS (SELECT prev_type, next_type, count(*)::BIGINT AS n
+      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT prev_type, sum(n) AS tn FROM t GROUP BY 1)
+SELECT prev_type, next_type, n, round(n * 1.0 / tn, 6) AS p
+FROM t JOIN tot USING (prev_type)""",
     "q_events_anomaly": """
 WITH e AS (SELECT event_type,
                   date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day,
@@ -5493,6 +5531,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_length_ks": q_length_ks,
     "q_minhash_pr": q_minhash_pr,
     "q_pagerank_nations": q_pagerank_nations,
+    "q_event_transitions": q_event_transitions,
     "q_engaged_customers": q_engaged_customers,
     "q_text_tokens": q_text_tokens,
     "q_decontam": q_decontam,
