@@ -191,7 +191,12 @@ def decode_jpeg(payload: bytes) -> dict:
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone
+        if pos + 2 > n:
+            raise ValueError("truncated marker segment header")
         seglen = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if seglen < 2:
+            # a corrupt 0/1 length would stall the marker walk
+            raise ValueError(f"invalid segment length {seglen} at offset {pos}")
         seg = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
             i = 0

@@ -137,3 +137,28 @@ def test_restart_markers_422():
     plain = decode_jpeg(encode_jpeg(40, 33, 5, subsampling="422"))
     rst = decode_jpeg(encode_jpeg(40, 33, 5, subsampling="422", restart_interval=2))
     assert plain["pixels"] == rst["pixels"]
+
+
+def test_corrupted_bytes_raise_cleanly_never_hang():
+    """Byte-level fuzz over a valid fixture: flipping any single byte
+    (and truncating at any point) must either still decode or raise a
+    normal exception — never hang or die on a non-Exception. Guards
+    the marker-walk against zero segment lengths and the bit reader
+    against running off the buffer."""
+    base = encode_jpeg(16, 12, 4)
+    import random
+
+    rng = random.Random(7)
+    for _ in range(120):
+        b = bytearray(base)
+        i = rng.randrange(len(b))
+        b[i] ^= 1 << rng.randrange(8)
+        try:
+            decode_jpeg(bytes(b))
+        except (ValueError, NotImplementedError, IndexError, struct.error, KeyError):
+            pass
+    for cut in range(0, len(base), 37):
+        try:
+            decode_jpeg(base[:cut])
+        except (ValueError, NotImplementedError, IndexError, struct.error):
+            pass
