@@ -1195,6 +1195,43 @@ def q_length_buckets(spark, sf_dir):
     )
 
 
+def q_revenue_pareto(spark, sf_dir):
+    """Revenue concentration curve (Pareto check): customers ranked by
+    lifetime spend into deciles, with each decile's revenue and the
+    cumulative share — "do 20% of customers drive 80% of revenue".
+    The rank window sorts (revenue, custkey) PAIRS only (two values
+    per customer, the length_buckets discipline); money stays DECIMAL
+    until the final rounded projections so partition order can't
+    perturb cents."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), "o_custkey")
+    d = per.withColumn("decile", F.ntile(10).over(w).cast("int"))
+    pd_ = d.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("rev").alias("drev"),
+    )
+    tot = pd_.agg(F.sum("drev").alias("tot"))
+    cw = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        pd_.withColumn("cum", F.sum("drev").over(cw))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            F.round(F.col("drev"), 2).cast("double").alias("decile_revenue"),
+            F.round(
+                F.col("cum").cast("double") / F.col("tot").cast("double"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
 def q_event_transitions(spark, sf_dir):
     """Per-user event-type transition matrix — the behavior bigram
     model (counts + row-normalized probability) a session-modeling or
@@ -4887,6 +4924,21 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts DESC, event_id DESC) AS rn
       FROM events)
 WHERE rn = 1""",
+    "q_revenue_pareto": """
+WITH per AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+             FROM orders GROUP BY 1),
+d AS (SELECT o_custkey, rev,
+             ntile(10) OVER (ORDER BY rev DESC, o_custkey)::INT AS decile
+      FROM per),
+pd AS (SELECT decile, count(*)::BIGINT AS n_customers, sum(rev) AS drev
+       FROM d GROUP BY 1),
+t AS (SELECT sum(drev) AS tot FROM pd),
+c AS (SELECT decile, n_customers, drev,
+             sum(drev) OVER (ORDER BY decile) AS cum
+      FROM pd)
+SELECT decile, n_customers, round(drev, 2)::DOUBLE AS decile_revenue,
+       round(cum::DOUBLE / tot::DOUBLE, 6) AS cum_share
+FROM c CROSS JOIN t ORDER BY decile""",
     "q_event_transitions": """
 WITH s AS (SELECT event_type AS prev_type,
                   lead(event_type) OVER (PARTITION BY user_id
@@ -5532,6 +5584,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_minhash_pr": q_minhash_pr,
     "q_pagerank_nations": q_pagerank_nations,
     "q_event_transitions": q_event_transitions,
+    "q_revenue_pareto": q_revenue_pareto,
     "q_engaged_customers": q_engaged_customers,
     "q_text_tokens": q_text_tokens,
     "q_decontam": q_decontam,
