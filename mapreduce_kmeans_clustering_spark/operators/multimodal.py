@@ -487,6 +487,7 @@ def synthesize_decodable_media(
                             6 + i % 5,
                             i,
                             subsampling=("444", "420")[(i // 8) % 2],
+                            progressive=(i // 16) % 2 == 1,
                         )
                     rows.append((i, "image", payload))
                 else:

@@ -1,9 +1,11 @@
-"""Baseline JPEG codec (operators/jpeg.py): roundtrip accuracy against
-the known source raster (the PNG/BMP self-encoded-fixture pattern),
-every decoder feature path (4:4:4, 4:2:0 upsampling, grayscale,
-restart markers), dispatch through decode_media, and honest
-NotImplementedError on progressive files. Pure-function tests — no
-Spark session needed except the one executor-path check."""
+"""JPEG codec (operators/jpeg.py): roundtrip accuracy against the
+known source raster (the PNG/BMP self-encoded-fixture pattern), every
+decoder feature path (4:4:4 / 4:2:2 / 4:2:0 upsampling, grayscale,
+restart markers, progressive spectral selection + successive
+approximation pinned byte-identical to the sequential decode),
+dispatch through decode_media, fuzz for clean failure, and honest
+NotImplementedError on lossless/hierarchical files. Pure-function
+tests — no Spark session needed except the one executor-path check."""
 
 from __future__ import annotations
 
@@ -82,15 +84,51 @@ def test_decode_media_dispatches_jpeg():
     assert len(d["pixels"]) == 12 * 10 * 3
 
 
-def test_progressive_raises_named_not_implemented():
-    """Flip the fixture's SOF0 marker to SOF2 (progressive): the
-    decoder must name the unsupported feature, not mis-decode."""
+def test_lossless_sof_raises_named_not_implemented():
+    """Flip the fixture's SOF0 marker to SOF3 (lossless): the decoder
+    must name the unsupported coding process, not mis-decode.
+    (Progressive SOF2 is genuinely decoded since round 5 — see the
+    identity tests below.)"""
     payload = bytearray(encode_jpeg(8, 8, 0))
     i = payload.find(b"\xff\xc0")
     assert i > 0
-    payload[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    payload[i + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="lossless"):
         decode_jpeg(bytes(payload))
+
+
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+def test_progressive_decodes_identical_to_sequential(sub):
+    """The progressive writer emits the SAME quantized coefficients as
+    the sequential writer through the two-level scan script (DC Al=1 +
+    refinement, AC Al=1 + refinement), so the decoded pixels must be
+    BYTE-identical — this exercises spectral selection, successive
+    approximation (first + refinement passes for both DC and AC),
+    EOBRUN coding, and the non-interleaved AC block geometry, with
+    zero tolerance."""
+    for dims in ((24, 17, 3), (8, 8, 0), (33, 9, 7)):
+        w, h, seed = dims
+        base = decode_jpeg(encode_jpeg(w, h, seed, subsampling=sub))
+        prog = decode_jpeg(
+            encode_jpeg(w, h, seed, subsampling=sub, progressive=True)
+        )
+        assert prog["pixels"] == base["pixels"], dims
+
+
+def test_progressive_grayscale_and_restart_identities():
+    """Non-interleaved DC scans (grayscale) and restart markers in
+    every progressive scan kind (DC-MCU and AC-block intervals) must
+    not change a single pixel."""
+    g_prog = decode_jpeg(encode_jpeg(24, 17, 3, grayscale=True, progressive=True))
+    g_base = decode_jpeg(encode_jpeg(24, 17, 3, grayscale=True))
+    assert g_prog["pixels"] == g_base["pixels"] and g_prog["channels"] == 1
+    a = decode_jpeg(encode_jpeg(40, 33, 5, subsampling="420", progressive=True))
+    b = decode_jpeg(
+        encode_jpeg(
+            40, 33, 5, subsampling="420", progressive=True, restart_interval=3
+        )
+    )
+    assert a["pixels"] == b["pixels"]
 
 
 def test_not_a_jpeg_raises():
@@ -158,6 +196,29 @@ def test_corrupted_bytes_raise_cleanly_never_hang():
         except (ValueError, NotImplementedError, IndexError, struct.error, KeyError):
             pass
     for cut in range(0, len(base), 37):
+        try:
+            decode_jpeg(base[:cut])
+        except (ValueError, NotImplementedError, IndexError, struct.error):
+            pass
+
+
+def test_corrupted_progressive_bytes_raise_cleanly():
+    """Same fuzz posture for the progressive path: bit flips and
+    truncations either decode or raise normally — the multi-scan
+    marker walk and EOBRUN state must never hang."""
+    import random
+
+    base = encode_jpeg(16, 12, 4, progressive=True)
+    rng = random.Random(11)
+    for _ in range(120):
+        b = bytearray(base)
+        i = rng.randrange(len(b))
+        b[i] ^= 1 << rng.randrange(8)
+        try:
+            decode_jpeg(bytes(b))
+        except (ValueError, NotImplementedError, IndexError, struct.error, KeyError):
+            pass
+    for cut in range(0, len(base), 41):
         try:
             decode_jpeg(base[:cut])
         except (ValueError, NotImplementedError, IndexError, struct.error):

@@ -261,7 +261,11 @@ def test_decoded_stats_over_synthesized_decodable_media(spark):
                 )
 
                 payload = encode_jpeg(
-                    8 + i % 8, 6 + i % 5, i, subsampling=("444", "420")[(i // 8) % 2]
+                    8 + i % 8,
+                    6 + i % 5,
+                    i,
+                    subsampling=("444", "420")[(i // 8) % 2],
+                    progressive=(i // 16) % 2 == 1,
                 )
             d = decode_media(payload, "image")
             assert (r["width"], r["height"]) == (d["width"], d["height"])
