@@ -314,18 +314,19 @@ def encode_bmp(width: int, height: int, seed: int) -> bytes:
 
 
 def decode_media(payload: bytes, kind: str) -> dict:
-    """Real decode for the formats the standard library can handle —
-    no codec package required:
+    """Real decode for the formats stdlib + numpy can handle — no
+    codec package required:
 
-    - ``image``: binary netpbm (P6 RGB / P5 gray) or PNG (stdlib
-      zlib + filter reconstruction, see decode_png) → dict(width,
-      height, channels, pixels bytes).
+    - ``image``: binary netpbm (P6 RGB / P5 gray), PNG (stdlib zlib +
+      filter reconstruction, see decode_png), 24-bit BMP, or JPEG
+      (sequential AND progressive Huffman — operators/jpeg.py) →
+      dict(width, height, channels, pixels bytes).
     - ``audio``: RIFF/WAVE PCM (via stdlib ``wave``) → dict(
       sample_rate, n_frames, channels, sample_width, pcm bytes).
     - ``video``: no stdlib codec exists → NotImplementedError
       (clearly-marked gap; PyAV/PIL-sequence would slot in here).
 
-    Remaining compressed formats (JPEG/MP3/...) raise
+    Remaining compressed formats (GIF/MP3/...) raise
     NotImplementedError with the codec message — honest about what
     this container can decode rather than pretending.
     """
