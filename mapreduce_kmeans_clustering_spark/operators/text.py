@@ -12,7 +12,7 @@ partition-parallel, and Catalyst prunes to the `text` column only.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TOKEN_RE = "[a-z0-9]+"
@@ -328,4 +328,67 @@ def hashed_tf(
             F.col(id_col),
             F.array(*[F.col(f"f{i}") for i in range(n_features)]).alias("features"),
         )
+    )
+
+
+def gopher_quality(
+    docs: DataFrame,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stopwords: int = 2,
+    min_alpha_word_frac: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1):
+    per-document word-count bounds, mean-word-length bounds, a minimum
+    stopword count (the "is this natural language at all" check) and a
+    minimum alphabetic-word fraction — each as its own flag plus the
+    conjunction ``keep``, so a curation report can see WHICH rule
+    rejects a document, not just that one did.
+
+    Entirely scan-local: one token-array projection feeds four
+    higher-order aggregates (no shuffle, no UDF); the means are
+    integer-sum / count divisions, so both engines produce identical
+    doubles. Defaults are tuned so both verdicts are live on the
+    synthetic corpus (word-count and stopword rules each reject real
+    documents at every SF); the symbol/ellipsis/bullet line rules of
+    the paper are omitted because this corpus has no punctuation or
+    line structure — an always-true flag would be no evidence."""
+    w = tokens(F.col(text_col))
+    stops = [s.strip() for s in EN_STOPWORDS]
+    nw = F.size(w)
+    safe_nw = F.greatest(nw, F.lit(1))
+    mwl = (
+        F.aggregate(
+            F.transform(w, F.length), F.lit(0), lambda acc, x: acc + x
+        ).cast("double")
+        / safe_nw
+    )
+    nstop = F.size(F.filter(w, lambda x: x.isin(stops)))
+    alpha = (
+        F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("double") / safe_nw
+    )
+    d = docs.select(
+        F.col(id_col),
+        nw.cast("long").alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        nstop.cast("long").alias("n_stopwords"),
+        F.round(alpha, 6).alias("alpha_word_frac"),
+    )
+    ok_words = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    ok_len = (F.col("mean_word_len") >= min_mean_word_len) & (
+        F.col("mean_word_len") <= max_mean_word_len
+    )
+    ok_stop = F.col("n_stopwords") >= min_stopwords
+    ok_alpha = F.col("alpha_word_frac") >= min_alpha_word_frac
+    return d.select(
+        "*",
+        ok_words.alias("ok_words"),
+        ok_len.alias("ok_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_alpha.alias("ok_alpha"),
+        (ok_words & ok_len & ok_stop & ok_alpha).alias("keep"),
     )

@@ -1195,6 +1195,19 @@ def q_length_buckets(spark, sf_dir):
     )
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-style rule-based quality gate (operators/text.
+    gopher_quality): per-doc word-count / mean-word-length /
+    stopword-count / alpha-word-fraction flags + the keep conjunction
+    — the canonical pre-training quality filter, with per-rule
+    attribution so the curation report shows WHICH rule rejects.
+    Scan-local HOF aggregates, no shuffle; both verdicts live at every
+    SF (word-count and stopword rules each reject real docs)."""
+    from mapreduce_kmeans_clustering_spark.operators.text import gopher_quality
+
+    return gopher_quality(_docs(spark, sf_dir))
+
+
 def q_revenue_pareto(spark, sf_dir):
     """Revenue concentration curve (Pareto check): customers ranked by
     lifetime spend into deciles, with each decile's revenue and the
@@ -4924,6 +4937,25 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts DESC, event_id DESC) AS rn
       FROM events)
 WHERE rn = 1""",
+    "q_gopher_quality": f"""
+WITH t AS (SELECT doc_id, {_TOK} AS w FROM documents),
+s AS (SELECT doc_id, len(w)::BIGINT AS n_words,
+        round(list_sum(list_transform(w, x -> length(x))) * 1.0
+              / greatest(len(w), 1), 6) AS mean_word_len,
+        len(list_filter(w, x -> x IN ('the','and','of','a','to','in')))::BIGINT
+          AS n_stopwords,
+        round(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1.0
+              / greatest(len(w), 1), 6) AS alpha_word_frac
+      FROM t)
+SELECT doc_id, n_words, mean_word_len, n_stopwords, alpha_word_frac,
+       (n_words >= 20 AND n_words <= 100000) AS ok_words,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_word_len,
+       (n_stopwords >= 2) AS ok_stopwords,
+       (alpha_word_frac >= 0.8) AS ok_alpha,
+       ((n_words >= 20 AND n_words <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND n_stopwords >= 2 AND alpha_word_frac >= 0.8) AS keep
+FROM s""",
     "q_revenue_pareto": """
 WITH per AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
              FROM orders GROUP BY 1),
@@ -5585,6 +5617,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pagerank_nations": q_pagerank_nations,
     "q_event_transitions": q_event_transitions,
     "q_revenue_pareto": q_revenue_pareto,
+    "q_gopher_quality": q_gopher_quality,
     "q_engaged_customers": q_engaged_customers,
     "q_text_tokens": q_text_tokens,
     "q_decontam": q_decontam,

@@ -206,3 +206,34 @@ def test_hashed_tf_feeds_fit_nd(spark):
     )
     res = fit_nd(feats, k=2, max_iter=3)
     assert len(res.centroids) <= 2 and res.iterations >= 1
+
+
+def test_gopher_quality_rule_attribution(spark):
+    """Each Gopher rule fires independently and the keep verdict is
+    their conjunction — crafted docs hit exactly one rule each."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.operators.text import gopher_quality
+
+    good = "the quick brown fox jumps over a lazy dog and then runs " * 3
+    rows = [
+        (0, good),                                  # passes everything
+        (1, "the quick brown storage of tables and rows"),  # too few words
+        (2, ("a an " * 30) + "the of"),             # mean word len < 3
+        (3, "alpha beta gamma delta " * 10),        # no stopwords
+        (4, ("12345 67890 " * 15) + "the of data"),  # alpha fraction low
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert got[0]["keep"] is True
+    assert got[1]["ok_words"] is False and got[1]["keep"] is False
+    assert got[2]["ok_word_len"] is False and got[2]["keep"] is False
+    assert got[3]["ok_stopwords"] is False and got[3]["keep"] is False
+    assert got[4]["ok_alpha"] is False and got[4]["keep"] is False
+    # and every failing doc fails ONLY its intended rule (attribution)
+    for i, rule in ((1, "ok_words"), (3, "ok_stopwords"), (4, "ok_alpha")):
+        others = [
+            c for c in ("ok_words", "ok_word_len", "ok_stopwords", "ok_alpha")
+            if c != rule
+        ]
+        assert all(got[i][c] for c in others), (i, rule)
