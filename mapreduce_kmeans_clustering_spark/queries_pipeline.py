@@ -1195,6 +1195,28 @@ def q_length_buckets(spark, sf_dir):
     )
 
 
+TRUNC_DIM = 16
+
+
+def q_ann_dim_recall(spark, sf_dir):
+    """Prefix-dimension truncation recall (the Matryoshka-style
+    cost/quality dial, Kusupati et al. 2022): exact cosine top-k over
+    only the first TRUNC_DIM dimensions vs the full-dim exact top-k.
+    At 100 TB, scanning a quarter of the vector bytes is the cheapest
+    ANN speedup there is IF the embedding front-loads information —
+    this gate measures whether it does (on the near-uniform synthetic
+    embeddings it largely does not, which is exactly the warning the
+    gate exists to give). Same (method, hits, possible, recall) row as
+    the other recall gates."""
+    emb = _emb(spark, sf_dir)
+    exact = SIM.cosine_topk(emb, ANN_QUERY_IDS, k=ANN_K)
+    trunc = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, TRUNC_DIM).alias("embedding")
+    )
+    approx = SIM.cosine_topk(trunc, ANN_QUERY_IDS, k=ANN_K)
+    return SIM.recall_vs_exact(exact, approx, f"dim{TRUNC_DIM}")
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher-style rule-based quality gate (operators/text.
     gopher_quality): per-doc word-count / mean-word-length /
@@ -4937,6 +4959,31 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts DESC, event_id DESC) AS rn
       FROM events)
 WHERE rn = 1""",
+    "q_ann_dim_recall": f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS va FROM v WHERE vec_id < 10),
+s AS (SELECT query_id, c.vec_id AS neighbor_id, va, c.v AS vb
+      FROM q CROSS JOIN v c WHERE c.vec_id <> query_id),
+exact AS (SELECT query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_COS} DESC, neighbor_id) AS rank
+  FROM s) WHERE rank <= {ANN_K}),
+vt AS (SELECT vec_id, v[1:{TRUNC_DIM}] AS v FROM v),
+qt2 AS (SELECT vec_id AS query_id, v AS va FROM vt WHERE vec_id < 10),
+st AS (SELECT query_id, c.vec_id AS neighbor_id, va, c.v AS vb
+       FROM qt2 q2 CROSS JOIN vt c WHERE c.vec_id <> q2.query_id),
+a AS (SELECT query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_COS} DESC, neighbor_id) AS rank
+  FROM st) WHERE rank <= {ANN_K}),
+m AS (SELECT 'dim{TRUNC_DIM}' AS method, count(a.query_id)::BIGINT AS hits,
+             count(*)::BIGINT AS possible
+      FROM exact e LEFT JOIN a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
+SELECT method, hits, possible, round(hits * 1.0 / possible, 6) AS recall
+FROM m""",
     "q_gopher_quality": f"""
 WITH t AS (SELECT doc_id, {_TOK} AS w FROM documents),
 s AS (SELECT doc_id, len(w)::BIGINT AS n_words,
@@ -5618,6 +5665,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_event_transitions": q_event_transitions,
     "q_revenue_pareto": q_revenue_pareto,
     "q_gopher_quality": q_gopher_quality,
+    "q_ann_dim_recall": q_ann_dim_recall,
     "q_engaged_customers": q_engaged_customers,
     "q_text_tokens": q_text_tokens,
     "q_decontam": q_decontam,
