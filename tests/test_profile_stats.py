@@ -79,3 +79,59 @@ def test_ks_hand_computed_overlap(spark):
     assert (r["source_a"], r["source_b"]) == ("a", "b")
     assert (r["n_a"], r["n_b"]) == (3, 3)
     assert r["ks"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Algebraic properties over hypothesis-generated corpora (the
+# test_properties.py posture applied to the drift statistics):
+# Gibbs' inequality for KL, the [0,1] range and identity law for KS.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_VOCAB = ["alpha", "beta", "gamma", "delta", "the", "of"]
+word = st.sampled_from(_VOCAB)
+doc = st.lists(word, min_size=1, max_size=12).map(" ".join)
+corpus = st.lists(
+    st.tuples(st.sampled_from(["s0", "s1", "s2"]), doc), min_size=4, max_size=16
+)
+
+_SETTINGS = settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+
+def _cdf(spark, rows):
+    return spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate(rows)],
+        "doc_id LONG, source STRING, text STRING",
+    )
+
+
+@given(rows=corpus)
+@_SETTINGS
+def test_kl_nonnegative_gibbs(spark, rows):
+    """KL(p_s || p_corpus) >= 0 for every source (Gibbs' inequality);
+    0 only when the source matches the corpus distribution. The
+    rounded value may touch -0.0 numerically — assert >= -1e-6."""
+    for r in source_unigram_kl(_cdf(spark, rows)).collect():
+        assert r["kl"] >= -1e-6, r
+
+
+@given(rows=corpus)
+@_SETTINGS
+def test_ks_range_and_identity(spark, rows):
+    """Every pairwise KS lies in [0,1]; duplicating a source under a
+    new name yields KS exactly 0 against its twin."""
+    out = length_ks_pairs(_cdf(spark, rows)).collect()
+    for r in out:
+        assert 0.0 <= r["ks"] <= 1.0, r
+    # twin identity: clone the first source as 'zz_twin'
+    first = rows[0][0]
+    cloned = rows + [("zz_twin", t) for s, t in rows if s == first]
+    got = {
+        (r["source_a"], r["source_b"]): r["ks"]
+        for r in length_ks_pairs(_cdf(spark, cloned)).collect()
+    }
+    assert got[(first, "zz_twin")] == 0.0
