@@ -49,7 +49,11 @@ from mapreduce_kmeans_clustering_spark.operators.sampling import (
     cap_per_key,
     hash_bucket,
 )
-from mapreduce_kmeans_clustering_spark.operators.text import quality_score, tokens
+from mapreduce_kmeans_clustering_spark.operators.text import (
+    quality_score,
+    token_count,
+    tokens,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -216,6 +220,110 @@ def tfidf_top_terms(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (Okapi, Lucene idf form)
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents per query under Okapi BM25 with the Lucene
+    idf form (always positive, so adding a matched term never lowers a
+    score):
+
+        score(q, d) = sum over terms t in q ∩ d of
+            ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+            * tf_td * (k1 + 1) / (tf_td + k1 * (1 - b + b * dl_d / avgdl))
+
+    ``queries`` is a (query_id, term) relation — a Q-row dimension, one
+    row per query term. Exact double arithmetic with a 6-decimal
+    rounding contract on the summed score; ties break on doc id so the
+    top-k set is deterministic across engines and retries.
+
+    Plan shape — the inverted-index join, the only retrieval shape that
+    survives 100 TB: one (doc, term) tf aggregate (partial→final,
+    map-side combine collapses the Zipf head), doc length as
+    ``sum(tf) over (partition by doc)`` on the tf table itself (same
+    rationale as ``tfidf_top_terms``'s df window — a join form would
+    rescan the tokenize subtree), then an **inner equi-join against the
+    broadcast query-term dimension** — after which only docs containing
+    at least one query term exist in the plan; the corpus never meets
+    the query set pairwise. Per-term document frequency is a window
+    over the matched rows (query-vocabulary-sized). Corpus N and avgdl
+    ride a 1-row broadcast anchor (the bounded scalar-anchor BNLJ shape
+    test_plans recognizes; a driver collect would work but would eager
+    an extra job). One final (query, doc) aggregate and a per-query
+    rank window, both bounded by matched rows. At rest, a term-bucketed
+    tf table turns the per-query cost into O(postings of the query
+    terms) — the classic inverted index.
+    """
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # Doc length from the tf table (window; the partition key is a
+    # prefix of the aggregate's grouping key). Computed BEFORE the
+    # query-term filter: dl counts every term in the doc.
+    dl = tf.withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))
+    # Corpus-level constants as a 1-row broadcast anchor: N docs and
+    # the mean doc length over ALL docs (including zero-match docs).
+    stats = docs.select(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(token_count(F.col(text_col))).alias("avgdl"),
+    )
+    qterms = queries.select("query_id", "term").distinct()
+    matched = (
+        dl.join(F.broadcast(qterms), "term")
+        .withColumn(
+            "df", F.count("*").over(Window.partitionBy("query_id", "term"))
+        )
+        .crossJoin(F.broadcast(stats))
+    )
+    contrib = matched.select(
+        "query_id",
+        F.col(id_col),
+        (
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            )
+        ).alias("part"),
+    )
+    scored = (
+        contrib.groupBy("query_id", id_col)
+        .agg(
+            F.round(F.sum("part"), 6).alias("score"),
+            F.count("*").cast("int").alias("n_terms_matched"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "n_terms_matched", "rank")
     )
 
 

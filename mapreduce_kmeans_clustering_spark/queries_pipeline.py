@@ -1543,6 +1543,35 @@ def q_tfidf_terms(spark, sf_dir):
     return CU.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+# Fixed (query_id, term) retrieval workload over the synthetic corpus
+# vocabulary — a Q-row dimension, exactly how a batch-retrieval job
+# ships its query set.
+BM25_QUERY_TERMS = [
+    ("q1", "spark"),
+    ("q1", "table"),
+    ("q2", "hash"),
+    ("q2", "join"),
+    ("q2", "merge"),
+    ("q3", "vector"),
+    ("q3", "batch"),
+]
+BM25_K = 5
+
+
+def q_bm25_search(spark, sf_dir):
+    """Batch BM25 retrieval (operators/curation.bm25_search): top-5
+    documents per query under Okapi BM25 with the Lucene idf. The plan
+    is the inverted-index join — the corpus meets the query set ONLY
+    through a broadcast term equi-join, so matched postings (not
+    corpus x queries) bound every stage past the tf aggregate."""
+    queries = spark.createDataFrame(
+        BM25_QUERY_TERMS, "query_id STRING, term STRING"
+    )
+    return CU.bm25_search(_docs(spark, sf_dir), queries, k=BM25_K).orderBy(
+        "query_id", "rank"
+    )
+
+
 DOMAIN_CAP = 15
 
 
@@ -5595,6 +5624,36 @@ ORDER BY s_name""",
     }
 )
 
+# BM25 oracle: replays curation.bm25_search bit-for-bit — same Lucene
+# idf, same (k1, b) literals built by the same double ops (1.2 + 1.0,
+# 1.0 - 0.75), round(sum, 6) and the (score DESC, doc_id) tie-break.
+PIPELINE_ORACLES["q_bm25_search"] = f"""
+WITH q(query_id, term) AS (VALUES {", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERY_TERMS)}),
+t AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM t GROUP BY 1, 2),
+dl AS (SELECT doc_id, term, tf,
+              sum(tf) OVER (PARTITION BY doc_id) AS dl
+       FROM tf),
+stats AS (SELECT count(*)::DOUBLE AS n_docs,
+                 avg(len({_TOK}))::DOUBLE AS avgdl
+          FROM documents),
+m AS (SELECT q.query_id, d.doc_id, d.tf, d.dl, d.term,
+             count(*) OVER (PARTITION BY q.query_id, d.term)::DOUBLE AS df
+      FROM dl d JOIN q USING (term)),
+s AS (SELECT query_id, doc_id,
+             round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * (1.2 + 1.0))
+                       / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))), 6)
+               AS score,
+             count(*)::INT AS n_terms_matched
+      FROM m CROSS JOIN stats GROUP BY 1, 2),
+r AS (SELECT query_id, doc_id, score, n_terms_matched,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id)::INT AS rank
+      FROM s)
+SELECT query_id, doc_id, score, n_terms_matched, rank
+FROM r WHERE rank <= {BM25_K} ORDER BY query_id, rank"""
+
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_stats": q_text_stats,
@@ -5746,4 +5805,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_part_supplier_variety": q_part_supplier_variety,
     "q_small_qty_revenue": q_small_qty_revenue,
     "q_promotable_suppliers": q_promotable_suppliers,
+    "q_bm25_search": q_bm25_search,
 }

@@ -176,3 +176,84 @@ def test_linear_score_hand_check(spark):
     assert got[4]["logit"] == 0.5  # empty text: bias only
     assert got[1]["keep"] == (want1 > 0)
     assert all(got[d]["keep"] for d in (3, 4))
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+def _bm25_expected(tf, df, n_docs, dl, avgdl, k1=1.2, b=0.75):
+    """Row-at-a-time reimplementation of one term's contribution."""
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    return idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+
+
+def test_bm25_hand_check(spark):
+    from mapreduce_kmeans_clustering_spark.operators.curation import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark spark table"),
+            (1, "spark join"),
+            (2, "table table table table"),
+            (3, "other words here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    queries = spark.createDataFrame(
+        [("q1", "spark"), ("q1", "table")], "query_id STRING, term STRING"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bm25_search(docs, queries, k=10).collect()
+    }
+    # N=4, avgdl=3.0, df(spark)=df(table)=2
+    exp0 = _bm25_expected(2, 2, 4, 3, 3.0) + _bm25_expected(1, 2, 4, 3, 3.0)
+    exp1 = _bm25_expected(1, 2, 4, 2, 3.0)
+    exp2 = _bm25_expected(4, 2, 4, 4, 3.0)
+    assert set(out) == {0, 1, 2}  # doc 3 matches nothing, absent
+    assert out[0]["score"] == pytest.approx(exp0, abs=1e-6)
+    assert out[1]["score"] == pytest.approx(exp1, abs=1e-6)
+    assert out[2]["score"] == pytest.approx(exp2, abs=1e-6)
+    assert out[0]["n_terms_matched"] == 2
+    assert (out[1]["n_terms_matched"], out[2]["n_terms_matched"]) == (1, 1)
+    # Ranks follow (score desc, doc_id): d0 > d2 > d1 here.
+    assert exp0 > exp2 > exp1
+    assert (out[0]["rank"], out[2]["rank"], out[1]["rank"]) == (1, 2, 3)
+
+
+def test_bm25_topk_cut_and_tiebreak(spark):
+    from mapreduce_kmeans_clustering_spark.operators.curation import bm25_search
+
+    # Four identical docs -> identical scores; k=2 keeps lowest doc ids.
+    docs = spark.createDataFrame(
+        [(i, "alpha beta") for i in range(4)], "doc_id LONG, text STRING"
+    )
+    queries = spark.createDataFrame(
+        [("q", "alpha")], "query_id STRING, term STRING"
+    )
+    got = bm25_search(docs, queries, k=2).orderBy("rank").collect()
+    assert [r["doc_id"] for r in got] == [0, 1]
+    assert got[0]["score"] == got[1]["score"]
+
+
+def test_bm25_plan_is_inverted_index(spark):
+    """The corpus must meet the query set through a broadcast term
+    equi-join; the only BNLJ allowed is the bounded 1-row stats anchor."""
+    from mapreduce_kmeans_clustering_spark.operators.curation import bm25_search
+
+    docs = spark.createDataFrame(
+        [(0, "spark table"), (1, "join merge")], "doc_id LONG, text STRING"
+    )
+    queries = spark.createDataFrame(
+        [("q", "spark")], "query_id STRING, term STRING"
+    )
+    p = (
+        bm25_search(docs, queries, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in p
+    assert p.count("BroadcastNestedLoopJoin") == 1  # the stats anchor
+    assert "CartesianProduct" not in p
