@@ -84,3 +84,101 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation and local clustering coefficient
+    over the UNDIRECTED simple graph induced by the edge list
+    (self-loops dropped, parallel edges collapsed):
+
+        (node, degree, n_triangles, clustering)
+        clustering = 2 * n_triangles / (degree * (degree - 1)),
+        0.0 when degree < 2; rounded to 6 decimals.
+
+    Algorithm: the degree-oriented wedge join (the MapReduce-era
+    Cohen / Suri-Vassilvitskii shape, and what GraphFrames' triangle
+    count compiles to). Every undirected edge is oriented from the
+    endpoint with the LOWER (degree, node) rank to the higher — a
+    total order, so each triangle survives in exactly one orientation.
+    Wedges join oriented edges on their common source; a wedge
+    (u→v, u→w) with rank(v) < rank(w) closes iff the oriented edge
+    (v→w) exists — one more equi-join, never an all-pairs scan.
+
+    Scale shape: degree is a |V|-row aggregate (broadcast back onto
+    the edge list); the wedge self-join shuffles oriented edges on
+    their source. Orientation is the skew defense — a hub of degree d
+    would contribute O(d²) wedges as a source, but orientation gives
+    every hub mostly IN-edges, capping per-source out-degrees near
+    sqrt(|E|) on power-law graphs (the standard result). AQE handles
+    the residue.
+    """
+    e0 = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("a").alias("node"))
+        .unionAll(e0.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e0.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+    )
+    o1 = oriented.select(
+        F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("dv1")
+    )
+    o2 = oriented.select(
+        F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("dv2")
+    )
+    wedges = o1.join(o2, "u").where(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    tn = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v1").alias("node")))
+        .unionAll(tri.select(F.col("v2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        deg.join(tn, "node", "left")
+        .select(
+            "node",
+            F.col("deg").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    F.coalesce(F.col("n_triangles"), F.lit(0))
+                    * 2.0
+                    / (F.col("deg") * (F.col("deg") - F.lit(1))),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )

@@ -1359,6 +1359,47 @@ def q_pagerank_nations(spark, sf_dir):
     ).orderBy("nation")
 
 
+TRIANGLE_ORDER_MOD = 7
+
+
+def q_copurchase_triangles(spark, sf_dir):
+    """Per-part triangle participation and clustering coefficient over
+    the co-purchase graph — parts are adjacent when one order buys
+    both (operators/graph.triangle_counts). Triangle density is the
+    community-structure probe of a basket/recommendation graph.
+    Degree-oriented wedge join: each triangle is found in exactly one
+    orientation, hub skew is capped by the orientation itself, and
+    nothing all-pairs exists in the plan. Runs on the deterministic
+    ``l_orderkey % 7 == 0`` order slice — co-purchase density per part
+    is SF-stable (~120 neighbors on the full slice mix), and the slice
+    keeps the wedge space inside the 1 GiB test JVM the same way
+    q_inter bounds the reference's O(n²) silhouette join; the operator
+    itself is the cluster-scale shape."""
+    from mapreduce_kmeans_clustering_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where((F.col("l_orderkey") % TRIANGLE_ORDER_MOD) == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = li.select(F.col("o"), F.col("p").alias("src"))
+    b = li.select(F.col("o"), F.col("p").alias("dst"))
+    edges = a.join(b, "o").where(F.col("src") < F.col("dst"))
+    return (
+        triangle_counts(edges)
+        .select(
+            F.col("node").alias("p_partkey"),
+            F.col("degree").cast("long").alias("degree"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            "clustering",
+        )
+        .orderBy("p_partkey")
+    )
+
+
 def q_source_kl(spark, sf_dir):
     """Per-source unigram KL divergence vs the whole-corpus token
     distribution (operators/profile.source_unigram_kl) — the
@@ -5654,6 +5695,44 @@ r AS (SELECT query_id, doc_id, score, n_terms_matched,
 SELECT query_id, doc_id, score, n_terms_matched, rank
 FROM r WHERE rank <= {BM25_K} ORDER BY query_id, rank"""
 
+# Triangle oracle: same degree-oriented wedge join, declaratively.
+PIPELINE_ORACLES["q_copurchase_triangles"] = f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem
+            WHERE l_orderkey % {TRIANGLE_ORDER_MOD} = 0),
+e0 AS (SELECT DISTINCT a.s AS a, b.s AS b
+       FROM li a JOIN li b ON a.o = b.o AND a.s < b.s),
+deg AS (SELECT node, count(*)::BIGINT AS deg
+        FROM (SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0)
+        GROUP BY 1),
+o AS (SELECT CASE WHEN (da.deg < db.deg)
+                    OR (da.deg = db.deg AND e0.a < e0.b)
+                  THEN e0.a ELSE e0.b END AS u,
+             CASE WHEN (da.deg < db.deg)
+                    OR (da.deg = db.deg AND e0.a < e0.b)
+                  THEN e0.b ELSE e0.a END AS v,
+             CASE WHEN (da.deg < db.deg)
+                    OR (da.deg = db.deg AND e0.a < e0.b)
+                  THEN db.deg ELSE da.deg END AS dv
+      FROM e0 JOIN deg da ON e0.a = da.node JOIN deg db ON e0.b = db.node),
+w AS (SELECT o1.u AS u, o1.v AS v1, o2.v AS v2
+      FROM o o1 JOIN o o2 ON o1.u = o2.u
+      WHERE (o1.dv < o2.dv) OR (o1.dv = o2.dv AND o1.v < o2.v)),
+tri AS (SELECT w.u, w.v1, w.v2
+        FROM w JOIN o ON w.v1 = o.u AND w.v2 = o.v),
+tn AS (SELECT node, count(*)::BIGINT AS n_triangles
+       FROM (SELECT u AS node FROM tri
+             UNION ALL SELECT v1 AS node FROM tri
+             UNION ALL SELECT v2 AS node FROM tri)
+       GROUP BY 1)
+SELECT deg.node AS p_partkey, deg.deg AS degree,
+       coalesce(tn.n_triangles, 0)::BIGINT AS n_triangles,
+       CASE WHEN deg.deg >= 2
+            THEN round(coalesce(tn.n_triangles, 0) * 2.0
+                       / (deg.deg * (deg.deg - 1)), 6)
+            ELSE 0.0 END AS clustering
+FROM deg LEFT JOIN tn ON deg.node = tn.node
+ORDER BY p_partkey"""
+
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_stats": q_text_stats,
@@ -5806,4 +5885,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_small_qty_revenue": q_small_qty_revenue,
     "q_promotable_suppliers": q_promotable_suppliers,
     "q_bm25_search": q_bm25_search,
+    "q_copurchase_triangles": q_copurchase_triangles,
 }

@@ -57,3 +57,46 @@ def test_duplicate_edges_do_not_double_count(spark):
     want = _python_pagerank(EDGES, iters=5)
     for k in want:
         assert got[k] == pytest.approx(want[k], rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / clustering coefficient
+# ---------------------------------------------------------------------------
+
+def _tri(spark, edges):
+    from mapreduce_kmeans_clustering_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    return {r["node"]: r for r in triangle_counts(df).collect()}
+
+
+def test_triangle_hand_graph(spark):
+    # K3 on {0,1,2} plus a pendant 3-0 and an isolated edge 4-5.
+    out = _tri(spark, [(0, 1), (1, 2), (2, 0), (3, 0), (4, 5)])
+    assert {n: r["n_triangles"] for n, r in out.items()} == {
+        0: 1, 1: 1, 2: 1, 3: 0, 4: 0, 5: 0,
+    }
+    assert out[0]["degree"] == 3 and out[3]["degree"] == 1
+    # clustering: node 0 has 3 neighbor pairs, 1 closed -> 1/3
+    assert out[0]["clustering"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[1]["clustering"] == 1.0
+    assert out[3]["clustering"] == 0.0  # degree < 2 guard
+
+
+def test_triangle_k4_and_duplicates(spark):
+    # K4: each node sits in C(3,2)=3 triangles, clustering 1.0.
+    # Duplicate/reversed/self-loop edges must not change anything.
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(1, 0), (2, 2), (0, 1), (3, 1)]
+    out = _tri(spark, noisy)
+    for n in range(4):
+        assert out[n]["n_triangles"] == 3
+        assert out[n]["degree"] == 3
+        assert out[n]["clustering"] == 1.0
+
+
+def test_triangle_square_has_none(spark):
+    # C4 (4-cycle): no triangles, clustering 0 everywhere.
+    out = _tri(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    assert all(r["n_triangles"] == 0 for r in out.values())
+    assert all(r["clustering"] == 0.0 for r in out.values())
