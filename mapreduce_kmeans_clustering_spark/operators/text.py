@@ -392,3 +392,100 @@ def gopher_quality(
         ok_alpha.alias("ok_alpha"),
         (ok_words & ok_len & ok_stop & ok_alpha).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE training (Sennrich et al. 2016): iterative merge learning
+# ---------------------------------------------------------------------------
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the corpus and
+    return the merge table — the tokenizer-trainer artifact:
+
+        (step INT, left_sym, right_sym, pair_count LONG)
+
+    Each step counts adjacent symbol-pair frequencies over the
+    vocabulary (weighted by word count), picks the argmax with the
+    deterministic (count DESC, left, right) tie-break, and applies the
+    merge greedily left-to-right in every word — exactly subword-nmt's
+    global ``re.sub`` semantics, expressed engine-portably: a word's
+    symbol sequence lives as a ``|``-delimited string (``abc`` →
+    ``|a||b||c|``) and merge application is ONE plain
+    ``replace(r, '|L||R|', '|LR|')`` — plain-string replace is
+    non-overlapping leftmost in both Spark and DuckDB, and the
+    double-bar delimiter makes a match possible only at true symbol
+    boundaries. The whole K-step train is a lazy plan: each argmax is
+    a 1-row TakeOrdered riding a broadcast anchor into the next
+    rewrite — no driver collect anywhere.
+
+    Scale shape: the ONLY corpus-scale work is the initial word-count
+    aggregate (map-side combine collapses the Zipf head). Every
+    iteration is vocabulary-sized: pair explode over DISTINCT words
+    weighted by count (the classic trainer trick), a pair aggregate,
+    a 1-row top-1, and a scan-local rewrite. State is
+    (word-repr, count) with deferred ``localCheckpoint`` truncating
+    the per-iteration lineage (the dedup/pagerank posture).
+    """
+    wf = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    state = wf.select(
+        F.regexp_replace("w", "(.)", r"|$1|").alias("r"), "wc"
+    ).localCheckpoint(eager=False)
+    merge_steps = []
+    for step in range(1, n_merges + 1):
+        syms = state.select(
+            F.split(F.expr("substring(r, 2, length(r)-2)"), r"\|\|").alias("s"),
+            "wc",
+        )
+        pairs = syms.select(
+            F.explode(
+                F.when(
+                    F.size("s") > 1,
+                    F.expr(
+                        "transform(sequence(1, size(s)-1),"
+                        " i -> struct(s[i-1] as a, s[i] as b))"
+                    ),
+                ).otherwise(F.expr("array()"))
+            ).alias("p"),
+            "wc",
+        )
+        best = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wc").alias("c"))
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        merge_steps.append(
+            best.select(
+                F.lit(step).cast("int").alias("step"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.col("c").cast("long").alias("pair_count"),
+            )
+        )
+        state = (
+            state.crossJoin(F.broadcast(best))
+            .select(
+                F.replace(
+                    F.col("r"),
+                    F.concat(
+                        F.lit("|"), F.col("a"), F.lit("||"), F.col("b"), F.lit("|")
+                    ),
+                    F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|")),
+                ).alias("r"),
+                "wc",
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = merge_steps[0]
+    for m in merge_steps[1:]:
+        out = out.unionAll(m)
+    return out

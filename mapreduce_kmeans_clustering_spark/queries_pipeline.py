@@ -2924,6 +2924,22 @@ def q_bpe_merge_pairs(spark, sf_dir):
     )
 
 
+BPE_TRAIN_MERGES = 3
+
+
+def q_bpe_train(spark, sf_dir):
+    """Iterative BPE training (operators/text.bpe_train): the first
+    BPE_TRAIN_MERGES merges actually LEARNED — each step's pair count
+    runs over the vocabulary REWRITTEN by all previous merges, which
+    is the part q_bpe_merge_pairs (single-step pair table) cannot
+    show. One lazy plan: K chained vocab-sized iterations, each a
+    pair aggregate + 1-row TakeOrdered broadcast anchor + scan-local
+    replace; the oracle unrolls the identical three steps."""
+    return TX.bpe_train(_docs(spark, sf_dir), n_merges=BPE_TRAIN_MERGES).orderBy(
+        "step"
+    )
+
+
 VOCAB_CUTOFFS = (100, 1000, 10000)
 
 
@@ -5734,6 +5750,54 @@ FROM deg LEFT JOIN tn ON deg.node = tn.node
 ORDER BY p_partkey"""
 
 
+def _bpe_train_oracle(k: int) -> str:
+    """Unrolled K-step BPE train (text.bpe_train replayed exactly):
+    MATERIALIZED per-step state so DuckDB doesn't re-inline the
+    iterative chain (SCALE.md finding 6), same bar-delimited replace
+    semantics, same (count DESC, left, right) argmax tie-break."""
+    ctes = [
+        f"""wf AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS wc
+  FROM (SELECT unnest({_TOK}) AS w FROM documents) GROUP BY 1)""",
+        r"""s0 AS MATERIALIZED (
+  SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS r, wc FROM wf)""",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"""p{i} AS (
+  SELECT p.a AS a, p.b AS b, sum(wc)::BIGINT AS c
+  FROM (SELECT unnest([{{'a': s[j], 'b': s[j+1]}}
+                       for j in generate_series(1, len(s)-1)]) AS p, wc
+        FROM (SELECT string_split(substring(r, 2, length(r)-2), '||') AS s,
+                     wc
+              FROM s{i - 1}))
+  GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"b{i} AS MATERIALIZED (SELECT a, b, c FROM p{i} "
+            f"ORDER BY c DESC, a, b LIMIT 1)"
+        )
+        if i < k:
+            ctes.append(
+                f"""s{i} AS MATERIALIZED (
+  SELECT replace(r, '|' || a || '||' || b || '|',
+                    '|' || a || b || '|') AS r, wc
+  FROM s{i - 1} CROSS JOIN b{i})"""
+            )
+    union = "\nUNION ALL ".join(
+        f"SELECT {i}::INT AS step, a AS left_sym, b AS right_sym, "
+        f"c AS pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT * FROM (\n{union}\n) ORDER BY step"
+    )
+
+
+PIPELINE_ORACLES["q_bpe_train"] = _bpe_train_oracle(BPE_TRAIN_MERGES)
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_stats": q_text_stats,
     "q_text_quality": q_text_quality,
@@ -5886,4 +5950,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_promotable_suppliers": q_promotable_suppliers,
     "q_bm25_search": q_bm25_search,
     "q_copurchase_triangles": q_copurchase_triangles,
+    "q_bpe_train": q_bpe_train,
 }

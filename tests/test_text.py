@@ -237,3 +237,41 @@ def test_gopher_quality_rule_attribution(spark):
             if c != rule
         ]
         assert all(got[i][c] for c in others), (i, rule)
+
+
+# ---------------------------------------------------------------------------
+# BPE training
+# ---------------------------------------------------------------------------
+
+def _bpe(spark, texts, k=3):
+    from mapreduce_kmeans_clustering_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    return [tuple(r) for r in bpe_train(docs, n_merges=k).orderBy("step").collect()]
+
+
+def test_bpe_train_learns_chained_merges(spark):
+    """Step 2's winning pair (t, he) only EXISTS because step 1 merged
+    (h, e) — the single-step pair table can never show this."""
+    got = _bpe(spark, ["the the the cat"], k=3)
+    assert got == [
+        (1, "h", "e", 3),   # (h,e) ties (t,h) at 3; lex tie-break
+        (2, "t", "he", 3),  # chained: only exists after merge 1
+        (3, "a", "t", 1),   # (a,t) ties (c,a) at 1; lex tie-break
+    ]
+
+
+def test_bpe_train_greedy_leftmost_overlap(spark):
+    """'aaaa' under merge (a,a) must become [aa][aa] (greedy leftmost,
+    non-overlapping) so step 2 learns (aa, aa)."""
+    got = _bpe(spark, ["aaaa aaaa"], k=2)
+    assert got == [(1, "a", "a", 6), (2, "aa", "aa", 2)]
+
+
+def test_bpe_train_pair_exhaustion_is_graceful(spark):
+    """When every word is fully merged before n_merges steps, the
+    remaining steps yield no rows instead of failing."""
+    got = _bpe(spark, ["aa aa aa ab"], k=3)
+    assert got == [(1, "a", "a", 3), (2, "a", "b", 1)]
