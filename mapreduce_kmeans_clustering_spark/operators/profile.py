@@ -174,3 +174,106 @@ def length_ks_pairs(
             F.round(F.max(F.abs(F.col("ecdf_gap"))), 6).alias("ks"),
         )
     )
+
+
+def cusum_daily(
+    events: DataFrame,
+    rel_slack: str = "0.02",
+    rel_threshold: str = "0.10",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Two-sided CUSUM changepoint statistics over per-key daily value
+    totals (Page 1954) — the mean-shift monitor a metrics pipeline
+    runs where the rolling z-score (q_events_anomaly) watches single
+    days: CUSUM accumulates small sustained drifts that never trip a
+    per-day threshold.
+
+        S+_t = max(0, S+_{t-1} + (x_t − μ − k)),  alarm at S+ > h
+        S-_t symmetric; k = rel_slack·μ, h = rel_threshold·n·μ —
+        RELATIVE thresholds, so the statistic is scale-free (daily
+        totals grow ~100× from sf0.001 to sf0.1). h is
+        volume-relative ("cumulative excursion exceeds 10% of the
+        key's total volume"), the batch drift-gate reading; the
+        output cusum columns are S/μ — excursion in units of the
+        per-key daily mean.
+
+    The max-reset recursion is solved in closed form so the whole
+    thing is two windows, no iteration:
+
+        C_t = Σ_{j≤t} y_j;  S+_t = C_t − min(0, min_{j≤t} C_j)
+
+    Engine-exact by construction: every intermediate is DECIMAL. The
+    recursion is multiplied through by n (the per-key day count), so
+    μ never appears as a division — y'_t = n·x_t − (1+α)·Σx is exact
+    decimal arithmetic, associative in ANY window evaluation order
+    (Spark's running fold vs DuckDB's segment tree), and the alarm
+    compare S'+ > β·Σx is exact. Division happens once, in the
+    rounded double output (cusum columns are in units of the per-key
+    mean). Key-partitioned windows only — no global sort; the daily
+    aggregate is the single corpus-scale shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    daily = (
+        events.groupBy(
+            key_col, F.date_trunc("day", F.col(ts_col)).alias("day")
+        )
+        .agg(F.sum(F.col(value_col).cast("decimal(18,4)")).alias("x"))
+    )
+    part = Window.partitionBy(key_col)
+    seq = part.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    alpha = F.lit(rel_slack).cast("decimal(6,4)")
+    n = F.count("*").over(part).cast("decimal(10,0)")
+    s = F.sum("x").over(part)
+    # alarm threshold in the n-scaled domain: S > β·n·μ ⟺ S' > β·n·s.
+    # Computed in double (left-assoc, identical literals) so no
+    # decimal precision clamp can perturb it; every operand is an
+    # exact double cast of an exact decimal.
+    h = (
+        F.lit(float(rel_threshold))
+        * n.cast("double")
+        * s.cast("double")
+    )
+    base = daily.select(
+        key_col,
+        "day",
+        "x",
+        (n * F.col("x") - (F.lit(1).cast("decimal(2,0)") + alpha) * s).alias("yp"),
+        ((F.lit(1).cast("decimal(2,0)") - alpha) * s - n * F.col("x")).alias("yn"),
+        h.alias("h"),
+        s.alias("s"),
+    )
+    cp = F.sum("yp").over(seq)
+    cn = F.sum("yn").over(seq)
+    scored = base.select(
+        key_col,
+        "day",
+        "x",
+        "h",
+        "s",
+        cp.alias("cp"),
+        cn.alias("cn"),
+    ).select(
+        key_col,
+        "day",
+        "x",
+        "h",
+        "s",
+        (F.col("cp") - F.least(F.lit(0), F.min("cp").over(seq))).alias("sp"),
+        (F.col("cn") - F.least(F.lit(0), F.min("cn").over(seq))).alias("sn"),
+    )
+    return scored.select(
+        key_col,
+        "day",
+        F.round(F.col("x").cast("double"), 4).alias("total"),
+        F.round(F.col("sp").cast("double") / F.col("s").cast("double"), 6).alias(
+            "cusum_pos"
+        ),
+        F.round(F.col("sn").cast("double") / F.col("s").cast("double"), 6).alias(
+            "cusum_neg"
+        ),
+        (F.col("sp").cast("double") > F.col("h")).alias("alarm_pos"),
+        (F.col("sn").cast("double") > F.col("h")).alias("alarm_neg"),
+    )

@@ -1400,6 +1400,20 @@ def q_copurchase_triangles(spark, sf_dir):
     )
 
 
+def q_events_cusum(spark, sf_dir):
+    """Two-sided CUSUM changepoint monitor on per-type daily totals
+    (operators/profile.cusum_daily) — accumulates small sustained
+    mean drifts the per-day z-score (q_events_anomaly) never trips.
+    The max-reset recursion is solved closed-form as prefix-sum minus
+    prefix-min (two key-partitioned windows, no iteration), and every
+    intermediate is DECIMAL with the recursion multiplied through by
+    the day count, so both engines compute bit-identical statistics
+    in any window evaluation order."""
+    from mapreduce_kmeans_clustering_spark.operators.profile import cusum_daily
+
+    return cusum_daily(_events(spark, sf_dir)).orderBy("event_type", "day")
+
+
 def q_source_kl(spark, sf_dir):
     """Per-source unigram KL divergence vs the whole-corpus token
     distribution (operators/profile.source_unigram_kl) — the
@@ -5798,6 +5812,43 @@ def _bpe_train_oracle(k: int) -> str:
 
 PIPELINE_ORACLES["q_bpe_train"] = _bpe_train_oracle(BPE_TRAIN_MERGES)
 
+# CUSUM oracle: the same closed form (prefix sum minus clamped prefix
+# min) in pure DECIMAL — 1.02/0.98/0.10 are exactly (1±α) and β.
+PIPELINE_ORACLES["q_events_cusum"] = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day,
+         sum(CAST(value AS DECIMAL(18,4))) AS x
+  FROM events GROUP BY 1, 2),
+b AS (
+  SELECT event_type, day, x,
+         count(*) OVER (PARTITION BY event_type)::DECIMAL(10,0) AS n,
+         sum(x) OVER (PARTITION BY event_type) AS s
+  FROM daily),
+y AS (
+  SELECT event_type, day, x, s,
+         n * x - 1.02 * s AS yp,
+         0.98 * s - n * x AS yn,
+         0.10 * n::DOUBLE * s::DOUBLE AS h
+  FROM b),
+c AS (
+  SELECT event_type, day, x, s, h,
+         sum(yp) OVER w AS cp, sum(yn) OVER w AS cn
+  FROM y
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+f AS (
+  SELECT event_type, day, x, s, h,
+         cp - least(0, min(cp) OVER w) AS sp,
+         cn - least(0, min(cn) OVER w) AS sn
+  FROM c
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_type, day, round(x::DOUBLE, 4) AS total,
+       round(sp::DOUBLE / s::DOUBLE, 6) AS cusum_pos,
+       round(sn::DOUBLE / s::DOUBLE, 6) AS cusum_neg,
+       sp::DOUBLE > h AS alarm_pos, sn::DOUBLE > h AS alarm_neg
+FROM f ORDER BY event_type, day"""
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_stats": q_text_stats,
     "q_text_quality": q_text_quality,
@@ -5951,4 +6002,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bm25_search": q_bm25_search,
     "q_copurchase_triangles": q_copurchase_triangles,
     "q_bpe_train": q_bpe_train,
+    "q_events_cusum": q_events_cusum,
 }

@@ -135,3 +135,69 @@ def test_ks_range_and_identity(spark, rows):
         for r in length_ks_pairs(_cdf(spark, cloned)).collect()
     }
     assert got[(first, "zz_twin")] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint monitor
+# ---------------------------------------------------------------------------
+
+def test_cusum_detects_sustained_shift(spark):
+    """5 days at 100 then 5 days at 200: the per-day totals never look
+    anomalous in isolation, but the positive CUSUM accumulates the
+    sustained +50 drift and alarms near the end; verified against a
+    direct Python replay of the recursion."""
+    from datetime import datetime
+
+    from mapreduce_kmeans_clustering_spark.operators.profile import cusum_daily
+
+    rows = []
+    eid = 0
+    for d in range(10):
+        total = 100.0 if d < 5 else 200.0
+        for _ in range(2):  # two events per day -> exercises the daily agg
+            rows.append((eid, datetime(2024, 1, 1 + d, 12), "m", total / 2))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    )
+    got = cusum_daily(ev).orderBy("day").collect()
+    assert len(got) == 10
+
+    # direct replay: x_t, mu=150, k=0.02*150=3, h=0.10*n*mu=150;
+    # output cusum columns are S/mu (excursion in units of the mean)
+    xs = [100.0] * 5 + [200.0] * 5
+    mu, k, n = 150.0, 3.0, 10
+    sp = sn = 0.0
+    exp = []
+    for x in xs:
+        sp = max(0.0, sp + (x - mu - k))
+        sn = max(0.0, sn + (mu - k - x))
+        exp.append((sp, sn))
+    for r, (esp, esn) in zip(got, exp):
+        assert r["cusum_pos"] == pytest.approx(esp / mu, abs=1e-6)
+        assert r["cusum_neg"] == pytest.approx(esn / mu, abs=1e-6)
+        assert r["alarm_pos"] == (esp > 150.0)
+        assert r["alarm_neg"] == (esn > 150.0)
+    # the shift is caught: positive alarms on the tail; the negative
+    # side alarms mid-series too — a step change means the head sits
+    # below the FULL-series mean, a real sustained downward excursion
+    assert [r["alarm_pos"] for r in got] == [False] * 8 + [True] * 2
+    assert [r["alarm_neg"] for r in got] == (
+        [False] * 3 + [True] * 3 + [False] * 4
+    )
+
+
+def test_cusum_stationary_series_never_alarms(spark):
+    """A flat series sits exactly at mu: both sides stay at 0 (the
+    slack term k keeps them pinned) and no alarm fires."""
+    from datetime import datetime
+
+    from mapreduce_kmeans_clustering_spark.operators.profile import cusum_daily
+
+    ev = spark.createDataFrame(
+        [(i, datetime(2024, 2, 1 + i), "flat", 42.0) for i in range(8)],
+        "event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE",
+    )
+    got = cusum_daily(ev).collect()
+    assert all(r["cusum_pos"] == 0.0 and r["cusum_neg"] == 0.0 for r in got)
+    assert not any(r["alarm_pos"] or r["alarm_neg"] for r in got)
