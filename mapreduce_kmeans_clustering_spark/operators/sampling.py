@@ -195,3 +195,99 @@ def temperature_weights(
         "sample_weight", F.col("_pw") / F.sum("_pw").over(w)
     ).drop("_pw")
     return out.withColumn("boost", F.col("sample_weight") / F.col("share"))
+
+
+def sample_neyman(
+    df: DataFrame,
+    n_total: int,
+    strata_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Neyman-optimal stratified sample: allocate ``n_total`` across
+    strata proportionally to N_h·σ_h (the allocation that minimizes
+    the variance of the stratified mean estimator — Neyman 1934),
+    then take each stratum's quota deterministically by md5-hash
+    priority.
+
+    Engine-exact allocation: per-stratum moments are computed on
+    CENTS-SCALED INTEGERS carried as DECIMAL(38,0)/HUGEINT — and
+
+        N_h²σ_h² = N_h·Σx² − (Σx)²
+
+    is exact integer arithmetic, so both engines take sqrt of the
+    IDENTICAL value; the weights are rounded to 2 decimals, making
+    their magnitudes exactly representable and their SUM
+    order-independent in doubles (each w < 2^53/100); quotas are then
+    the same floor() of the same doubles everywhere. Zero-variance
+    strata get weight 0 and drop out.
+
+    Scale shape: one moments aggregate (map-side partials), an
+    S-row broadcast of the allocation back onto the scan, and one
+    rank-per-stratum window that WindowGroupLimit prunes to each
+    partition's local quota head. Nothing global-sorts."""
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    stats = (
+        df.select(
+            F.col(strata_col).alias("__stratum"),
+            cents.cast("decimal(38,0)").alias("c1"),
+            (cents * cents).cast("decimal(38,0)").alias("c2"),
+        )
+        .groupBy("__stratum")
+        .agg(
+            F.count("*").alias("nh"),
+            F.sum("c1").alias("s1"),
+            F.sum("c2").alias("s2"),
+        )
+        .select(
+            "__stratum",
+            "nh",
+            F.round(
+                F.sqrt(
+                    (
+                        F.col("nh").cast("decimal(38,0)") * F.col("s2")
+                        - F.col("s1") * F.col("s1")
+                    ).cast("double")
+                ),
+                2,
+            ).alias("w"),
+        )
+    )
+    tot = stats.agg(F.sum("w").alias("sw"))
+    alloc = (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "__stratum",
+            F.col("nh").cast("long").alias("n_stratum"),
+            F.floor(F.lit(float(n_total)) * F.col("w") / F.col("sw"))
+            .cast("long")
+            .alias("n_alloc"),
+        )
+        .where(F.col("n_alloc") > 0)
+    )
+    pri = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ns:"), F.col(id_col).cast("string"))),
+            1,
+            PRIORITY_HEX,
+        ),
+        16,
+        10,
+    ).cast("long")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(strata_col).orderBy(pri.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .join(
+            F.broadcast(alloc), F.col(strata_col) == F.col("__stratum")
+        )
+        .where(F.col("rank") <= F.col("n_alloc"))
+        .select(
+            F.col(id_col),
+            F.col(strata_col),
+            "rank",
+            "n_alloc",
+            "n_stratum",
+        )
+    )

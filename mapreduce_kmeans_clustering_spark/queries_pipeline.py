@@ -1400,6 +1400,32 @@ def q_copurchase_triangles(spark, sf_dir):
     )
 
 
+NEYMAN_N = 200
+
+
+def q_sample_neyman(spark, sf_dir):
+    """Neyman-optimal stratified sampling of orders by priority class
+    (operators/sampling.sample_neyman): quotas proportional to
+    N_h·σ_h of o_totalprice — the allocation that minimizes the
+    stratified-mean variance — then deterministic md5-priority
+    selection within each stratum. Allocation arithmetic is
+    cents-scaled integer (N_h·Σx² − (Σx)² exact), so both engines
+    floor identical doubles into identical quotas; the sample itself
+    is a rank-per-stratum window WindowGroupLimit prunes to local
+    heads."""
+    from mapreduce_kmeans_clustering_spark.operators.sampling import (
+        sample_neyman,
+    )
+
+    return sample_neyman(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        n_total=NEYMAN_N,
+        strata_col="o_orderpriority",
+        value_col="o_totalprice",
+        id_col="o_orderkey",
+    ).orderBy("o_orderpriority", "rank")
+
+
 def q_events_cusum(spark, sf_dir):
     """Two-sided CUSUM changepoint monitor on per-type daily totals
     (operators/profile.cusum_daily) — accumulates small sustained
@@ -5812,6 +5838,35 @@ def _bpe_train_oracle(k: int) -> str:
 
 PIPELINE_ORACLES["q_bpe_train"] = _bpe_train_oracle(BPE_TRAIN_MERGES)
 
+# Neyman oracle: identical cents-integer moments (HUGEINT is exact,
+# like Spark's DECIMAL(38,0)), identical sqrt/round/floor doubles,
+# identical md5 rank order.
+PIPELINE_ORACLES["q_sample_neyman"] = f"""
+WITH c AS (SELECT o_orderkey, o_orderpriority,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+m AS (SELECT o_orderpriority AS stratum, count(*)::BIGINT AS nh,
+             sum(cents) AS s1, sum(cents * cents) AS s2
+      FROM c GROUP BY 1),
+wt AS (SELECT stratum, nh,
+              round(sqrt((nh * s2 - s1 * s1)::DOUBLE), 2) AS w
+       FROM m),
+tot AS (SELECT sum(w) AS sw FROM wt),
+alloc AS (SELECT stratum, nh AS n_stratum,
+                 CAST(floor({NEYMAN_N}.0 * w / sw) AS BIGINT) AS n_alloc
+          FROM wt CROSS JOIN tot
+          WHERE floor({NEYMAN_N}.0 * w / sw) > 0),
+r AS (SELECT o_orderkey, o_orderpriority,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY ('0x' || substr(md5('ns:' || o_orderkey), 1, 13))::BIGINT,
+                        o_orderkey)::BIGINT AS rank
+      FROM c)
+SELECT o_orderkey, o_orderpriority, rank, n_alloc, n_stratum
+FROM r JOIN alloc ON o_orderpriority = stratum
+WHERE rank <= n_alloc
+ORDER BY o_orderpriority, rank"""
+
 # CUSUM oracle: the same closed form (prefix sum minus clamped prefix
 # min) in pure DECIMAL — 1.02/0.98/0.10 are exactly (1±α) and β.
 PIPELINE_ORACLES["q_events_cusum"] = """
@@ -6003,4 +6058,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_copurchase_triangles": q_copurchase_triangles,
     "q_bpe_train": q_bpe_train,
     "q_events_cusum": q_events_cusum,
+    "q_sample_neyman": q_sample_neyman,
 }

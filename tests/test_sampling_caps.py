@@ -248,3 +248,88 @@ def test_temperature_weights_properties(spark):
     assert wt["sw"]["boost"] > 1.0 > wt["en"]["boost"]
     # order preserved: more mass still means more weight (monotone)
     assert wt["en"]["sample_weight"] > wt["de"]["sample_weight"] > wt["sw"]["sample_weight"]
+
+
+# ---------------------------------------------------------------------------
+# Neyman-optimal stratified allocation
+# ---------------------------------------------------------------------------
+
+def test_neyman_allocation_follows_nh_sigma(spark):
+    """Two equal-size strata, one with 10x the spread: quotas must
+    track N_h * sigma_h (verified against a numpy replay of the exact
+    integer-moment formula)."""
+    import hashlib
+    import math
+
+    from mapreduce_kmeans_clustering_spark.operators.sampling import sample_neyman
+
+    rows = []
+    # stratum 'tight': values 100 +- 1; 'wide': 100 +- 10 (alternating)
+    for i in range(40):
+        rows.append((i, "tight", 100.0 + (1.0 if i % 2 else -1.0)))
+    for i in range(40, 80):
+        rows.append((i, "wide", 100.0 + (10.0 if i % 2 else -10.0)))
+    df = spark.createDataFrame(rows, "id LONG, stratum STRING, val DOUBLE")
+    got = sample_neyman(
+        df, n_total=22, strata_col="stratum", value_col="val", id_col="id"
+    ).collect()
+
+    # replay: w_h = round(sqrt(nh*sum(c^2) - sum(c)^2), 2), cents ints
+    def w(vals):
+        cents = [round(v * 100) for v in vals]
+        nh = len(cents)
+        return round(math.sqrt(nh * sum(c * c for c in cents) - sum(cents) ** 2), 2)
+
+    wt = w([r[2] for r in rows[:40]])
+    ww = w([r[2] for r in rows[40:]])
+    sw = wt + ww
+    exp_tight = math.floor(22.0 * wt / sw)
+    exp_wide = math.floor(22.0 * ww / sw)
+    assert exp_wide == 10 * exp_tight  # sigma ratio is exactly 10
+    by = {}
+    for r in got:
+        by.setdefault(r["stratum"], []).append(r)
+    assert len(by["tight"]) == exp_tight == by["tight"][0]["n_alloc"]
+    assert len(by["wide"]) == exp_wide == by["wide"][0]["n_alloc"]
+    assert all(r["n_stratum"] == 40 for r in got)
+
+    # membership replay: lowest md5-priority ids win per stratum
+    def pri(i):
+        return int(hashlib.md5(f"ns:{i}".encode()).hexdigest()[:13], 16)
+
+    exp_ids = sorted(range(40), key=lambda i: (pri(i), i))[:exp_tight]
+    assert sorted(r["id"] for r in by["tight"]) == sorted(exp_ids)
+
+
+def test_neyman_zero_variance_stratum_drops(spark):
+    from mapreduce_kmeans_clustering_spark.operators.sampling import sample_neyman
+
+    rows = [(i, "const", 50.0) for i in range(20)] + [
+        (100 + i, "varied", float(10 * (i % 5))) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "id LONG, stratum STRING, val DOUBLE")
+    got = sample_neyman(
+        df, n_total=10, strata_col="stratum", value_col="val", id_col="id"
+    ).collect()
+    assert {r["stratum"] for r in got} == {"varied"}
+    assert len(got) == 10  # the whole budget flows to the varied stratum
+
+
+def test_neyman_deterministic_under_repartition(spark):
+    from mapreduce_kmeans_clustering_spark.operators.sampling import sample_neyman
+
+    rows = [(i, f"s{i % 3}", float(i % 17)) for i in range(90)]
+    df = spark.createDataFrame(rows, "id LONG, stratum STRING, val DOUBLE")
+    a = sorted(
+        tuple(r)
+        for r in sample_neyman(
+            df, 30, strata_col="stratum", value_col="val", id_col="id"
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in sample_neyman(
+            df.repartition(7), 30, strata_col="stratum", value_col="val", id_col="id"
+        ).collect()
+    )
+    assert a == b and len(a) > 0
