@@ -255,30 +255,40 @@ def bm25_search(
 
     Plan shape — the inverted-index join, the only retrieval shape that
     survives 100 TB: one (doc, term) tf aggregate (partial→final,
-    map-side combine collapses the Zipf head), doc length as
-    ``sum(tf) over (partition by doc)`` on the tf table itself (same
-    rationale as ``tfidf_top_terms``'s df window — a join form would
-    rescan the tokenize subtree), then an **inner equi-join against the
-    broadcast query-term dimension** — after which only docs containing
-    at least one query term exist in the plan; the corpus never meets
-    the query set pairwise. Per-term document frequency is a window
-    over the matched rows (query-vocabulary-sized). Corpus N and avgdl
-    ride a 1-row broadcast anchor (the bounded scalar-anchor BNLJ shape
+    map-side combine collapses the Zipf head) carrying the doc length
+    THROUGH the aggregate — dl is computed scan-side in the same
+    projection as the explode and rides ``max()`` (constant per doc),
+    which costs one extra scan-local tokenize instead of a second
+    corpus-wide exchange on doc id (a ``sum(tf) over (partition by
+    doc)`` window was measured as the single most expensive stage of
+    the query). Then an **inner equi-join against the broadcast
+    query-term dimension** — after which only docs containing at least
+    one query term exist in the plan; the corpus never meets the query
+    set pairwise. Per-term document frequency is a window over the
+    matched rows (query-vocabulary-sized). Corpus N and avgdl ride a
+    1-row broadcast anchor (the bounded scalar-anchor BNLJ shape
     test_plans recognizes; a driver collect would work but would eager
     an extra job). One final (query, doc) aggregate and a per-query
     rank window, both bounded by matched rows. At rest, a term-bucketed
     tf table turns the per-query cost into O(postings of the query
     terms) — the classic inverted index.
     """
-    tf = (
-        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    # Tokenize ONCE into an array column, then take size + explode off
+    # the column. The array alias is referenced twice, so
+    # CollapseProject will NOT inline the regexp into both consumers —
+    # putting token_count() in the same projection as the explode gets
+    # it re-evaluated per GENERATED row (finding 1's HOF pathology;
+    # measured 2× the whole stage cost at sf0.1).
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    dl = (
+        toks.select(
+            F.col(id_col),
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
         .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
     )
-    # Doc length from the tf table (window; the partition key is a
-    # prefix of the aggregate's grouping key). Computed BEFORE the
-    # query-term filter: dl counts every term in the doc.
-    dl = tf.withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))
     # Corpus-level constants as a 1-row broadcast anchor: N docs and
     # the mean doc length over ALL docs (including zero-match docs).
     stats = docs.select(
