@@ -1400,6 +1400,53 @@ def q_copurchase_triangles(spark, sf_dir):
     )
 
 
+ZORDER_MASK = (1 << 10) - 1
+ZORDER_BUCKET_SHIFT = 14  # 2^20 key space -> 64 buckets
+
+
+def q_zorder_locality(spark, sf_dir):
+    """Z-order layout locality, MEASURED not asserted
+    (functions/zorder.zorder_key): bucket the (l_partkey, l_suppkey)
+    key space 64 ways under (a) the Morton-interleaved key and (b) the
+    linear lexicographic key, and report each bucket's x/y bounding
+    box. Z buckets cover compact rectangles (both spans bounded ~2^7),
+    linear buckets cover 16 x-values × ALL y — which is exactly why
+    per-file min/max stats prune two-column predicates only under the
+    Z layout. Pure bit arithmetic end-to-end; one distinct + two
+    grouped aggregates."""
+    from mapreduce_kmeans_clustering_spark.functions.zorder import zorder_key
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            (F.col("l_partkey") % (ZORDER_MASK + 1)).alias("x"),
+            (F.col("l_suppkey") % (ZORDER_MASK + 1)).alias("y"),
+        )
+        .distinct()
+    )
+
+    def spans(df, key, scheme):
+        return df.groupBy(
+            F.shiftright(key, ZORDER_BUCKET_SHIFT).cast("long").alias("bucket")
+        ).agg(
+            F.count("*").alias("n"),
+            F.min("x").cast("long").alias("min_x"),
+            F.max("x").cast("long").alias("max_x"),
+            F.min("y").cast("long").alias("min_y"),
+            F.max("y").cast("long").alias("max_y"),
+        ).select(
+            F.lit(scheme).alias("scheme"),
+            "bucket",
+            "n",
+            (F.col("max_x") - F.col("min_x")).alias("x_span"),
+            (F.col("max_y") - F.col("min_y")).alias("y_span"),
+        )
+
+    z = spans(li, zorder_key("x", "y", 10), "zorder")
+    lin = spans(li, F.col("x") * (ZORDER_MASK + 1) + F.col("y"), "linear")
+    return z.unionAll(lin).orderBy("scheme", "bucket")
+
+
 NEYMAN_N = 200
 
 
@@ -5838,6 +5885,34 @@ def _bpe_train_oracle(k: int) -> str:
 
 PIPELINE_ORACLES["q_bpe_train"] = _bpe_train_oracle(BPE_TRAIN_MERGES)
 
+# Z-order oracle: the identical shift/mask interleave as SQL text.
+def _zorder_locality_oracle() -> str:
+    from mapreduce_kmeans_clustering_spark.functions.zorder import (
+        zorder_key_sql,
+    )
+
+    zexpr = zorder_key_sql("x", "y", 10)
+    n = ZORDER_MASK + 1
+
+    def spans(key: str, scheme: str) -> str:
+        return f"""
+SELECT '{scheme}' AS scheme, ({key}) >> {ZORDER_BUCKET_SHIFT} AS bucket,
+       count(*)::BIGINT AS n,
+       (max(x) - min(x))::BIGINT AS x_span,
+       (max(y) - min(y))::BIGINT AS y_span
+FROM pts GROUP BY 2"""
+
+    return f"""
+WITH pts AS (SELECT DISTINCT (l_partkey % {n})::BIGINT AS x,
+                             (l_suppkey % {n})::BIGINT AS y
+             FROM lineitem)
+SELECT * FROM ({spans(zexpr, "zorder")}
+UNION ALL {spans(f"x * {n} + y", "linear")})
+ORDER BY scheme, bucket"""
+
+
+PIPELINE_ORACLES["q_zorder_locality"] = _zorder_locality_oracle()
+
 # Neyman oracle: identical cents-integer moments (HUGEINT is exact,
 # like Spark's DECIMAL(38,0)), identical sqrt/round/floor doubles,
 # identical md5 rank order.
@@ -6059,4 +6134,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bpe_train": q_bpe_train,
     "q_events_cusum": q_events_cusum,
     "q_sample_neyman": q_sample_neyman,
+    "q_zorder_locality": q_zorder_locality,
 }
