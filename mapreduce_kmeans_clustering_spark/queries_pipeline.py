@@ -1400,6 +1400,73 @@ def q_copurchase_triangles(spark, sf_dir):
     )
 
 
+TREND_HALF_LIFE_DAYS = 7
+TREND_MAX_WEEKS = 8
+TREND_TOP = 10
+
+
+def q_events_trending(spark, sf_dir):
+    """Decayed heavy hitters: top-10 users per event type by
+    half-life-decayed activity — the 'trending now' ranking, where
+    yesterday counts double last week. Decay is a STEP half-life
+    (weight 2^-weeks, clamped at 8 weeks), so every weighted term is
+    an exact SCALED INTEGER (cents << (8 - weeks)) and the aggregate
+    is order-independent long arithmetic in both engines — no pow(),
+    whose last-ulp behavior is not portable. The reference day is the
+    corpus max, riding a 1-row broadcast anchor; one daily aggregate,
+    one user aggregate, one WindowGroupLimit-pruned rank window."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+        F.count("*").alias("n"),
+    )
+    ref = daily.agg(F.max("day").alias("ref_day"))
+    w = F.least(
+        F.floor(F.datediff(F.col("ref_day"), F.col("day")) / F.lit(7.0)),
+        F.lit(TREND_MAX_WEEKS),
+    ).cast("int")
+    scored = (
+        daily.crossJoin(F.broadcast(ref))
+        .select("event_type", "user_id", "cents", "n", w.alias("w"))
+        .select(
+            "event_type",
+            "user_id",
+            (
+                F.col("cents")
+                * F.expr(f"shiftleft(1L, {TREND_MAX_WEEKS} - w)")
+            ).alias("sv"),
+            (F.col("n") * F.expr(f"shiftleft(1L, {TREND_MAX_WEEKS} - w)")).alias(
+                "sc"
+            ),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("sv").alias("sv"), F.sum("sc").alias("sc"))
+        # 4-decimal HALF-UP rounding done in exact integer arithmetic
+        # (sv/25600 → ·10⁴ = sv·625/1600): engines disagree on
+        # double round() exactly at .5 ties, integer div never does
+        .select(
+            "event_type",
+            "user_id",
+            (F.expr("(sv * 625 + 800) div 1600") / F.lit(10000.0)).alias(
+                "decayed_value"
+            ),
+            (F.expr("(sc * 625 + 8) div 16") / F.lit(10000.0)).alias(
+                "decayed_events"
+            ),
+        )
+    )
+    rw = Window.partitionBy("event_type").orderBy(
+        F.col("decayed_value").desc(), F.col("user_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rw).cast("int"))
+        .where(F.col("rank") <= TREND_TOP)
+        .orderBy("event_type", "rank")
+    )
+
+
 ZORDER_MASK = (1 << 10) - 1
 ZORDER_BUCKET_SHIFT = 14  # 2^20 key space -> 64 buckets
 
@@ -5885,6 +5952,35 @@ def _bpe_train_oracle(k: int) -> str:
 
 PIPELINE_ORACLES["q_bpe_train"] = _bpe_train_oracle(BPE_TRAIN_MERGES)
 
+# Trending oracle: identical scaled-integer step decay.
+PIPELINE_ORACLES["q_events_trending"] = f"""
+WITH daily AS (
+  SELECT event_type, user_id, date_trunc('day', ts::TIMESTAMP) AS day,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2, 3),
+ref AS (SELECT max(day) AS ref_day FROM daily),
+sc AS (
+  SELECT event_type, user_id,
+         sum(cents * (1::BIGINT << ({TREND_MAX_WEEKS} - least(
+             CAST(floor(date_diff('day', day, ref_day) / 7.0) AS INT),
+             {TREND_MAX_WEEKS})))) AS sv,
+         sum(n * (1::BIGINT << ({TREND_MAX_WEEKS} - least(
+             CAST(floor(date_diff('day', day, ref_day) / 7.0) AS INT),
+             {TREND_MAX_WEEKS})))) AS sc
+  FROM daily CROSS JOIN ref GROUP BY 1, 2),
+o AS (
+  SELECT event_type, user_id,
+         ((sv * 625 + 800) // 1600)::DOUBLE / 10000.0 AS decayed_value,
+         ((sc * 625 + 8) // 16)::DOUBLE / 10000.0 AS decayed_events
+  FROM sc),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY decayed_value DESC, user_id)::INT AS rank
+  FROM o)
+SELECT event_type, user_id, decayed_value, decayed_events, rank
+FROM r WHERE rank <= {TREND_TOP} ORDER BY event_type, rank"""
+
 # Z-order oracle: the identical shift/mask interleave as SQL text.
 def _zorder_locality_oracle() -> str:
     from mapreduce_kmeans_clustering_spark.functions.zorder import (
@@ -6135,4 +6231,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_events_cusum": q_events_cusum,
     "q_sample_neyman": q_sample_neyman,
     "q_zorder_locality": q_zorder_locality,
+    "q_events_trending": q_events_trending,
 }

@@ -201,3 +201,43 @@ def test_cusum_stationary_series_never_alarms(spark):
     got = cusum_daily(ev).collect()
     assert all(r["cusum_pos"] == 0.0 and r["cusum_neg"] == 0.0 for r in got)
     assert not any(r["alarm_pos"] or r["alarm_neg"] for r in got)
+
+
+# ---------------------------------------------------------------------------
+# Decayed trending (q_events_trending semantics)
+# ---------------------------------------------------------------------------
+
+def test_trending_recency_beats_volume(spark, tmp_path):
+    """A user with modest RECENT activity must outrank a user with 3x
+    the raw volume parked 8+ weeks ago (weight 2^-8); decayed_events
+    counts events at their decayed weight exactly."""
+    from datetime import datetime
+
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_events_trending,
+    )
+
+    rows = []
+    # 'old' user: 30 events of value 10, 70 days before the reference
+    rows.extend(
+        (i, datetime(2024, 1, 1, 6), 1, "click", 10.0, None) for i in range(30)
+    )
+    # 'fresh' user: 10 events of value 10 on the reference day
+    rows.extend(
+        (100 + i, datetime(2024, 3, 11, 6), 2, "click", 10.0, None)
+        for i in range(10)
+    )
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = q_events_trending(spark, str(tmp_path)).collect()
+    byu = {r["user_id"]: r for r in got}
+    # weights: fresh day -> 2^0; 70 days = 10 weeks -> clamped 2^-8
+    assert byu[2]["decayed_value"] == pytest.approx(100.0, abs=1e-9)
+    assert byu[1]["decayed_value"] == pytest.approx(300.0 / 256, abs=1e-4)
+    assert byu[2]["decayed_events"] == pytest.approx(10.0, abs=1e-9)
+    assert byu[1]["decayed_events"] == pytest.approx(30.0 / 256, abs=1e-4)
+    assert byu[2]["rank"] == 1 and byu[1]["rank"] == 2
