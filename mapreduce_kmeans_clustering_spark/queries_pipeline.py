@@ -1400,6 +1400,93 @@ def q_copurchase_triangles(spark, sf_dir):
     )
 
 
+PSI_BINS = 10
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index per event type — the standard
+    model-monitoring drift metric, here between the first and second
+    half of the corpus's time range:
+
+        PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)
+
+    (<0.1 stable, 0.1–0.25 drifting, >0.25 shifted — the usual
+    reading). Per-bin contributions are returned alongside the total
+    so the drifted bins are attributable. Engine-exact structure:
+    values are cents integers, bin assignment is pure integer
+    arithmetic (no float edge can flip a boundary), the A/B split is
+    an integer day-index comparison, and shares use add-one smoothing
+    (c+1)/(n+BINS) — identical double divisions everywhere. One
+    events aggregate + T-row broadcast extents; work past the scan is
+    bins × types."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    )
+    ext = base.groupBy("event_type").agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+    )
+    j = base.join(F.broadcast(ext), "event_type")
+    binned = j.select(
+        "event_type",
+        F.least(
+            F.lit(PSI_BINS - 1),
+            F.expr(f"((cents - lo) * {PSI_BINS}) div (hi - lo + 1)"),
+        )
+        .cast("int")
+        .alias("bin"),
+        (
+            F.datediff(F.col("day"), F.col("d0")) * 2
+            < F.datediff(F.col("d1"), F.col("d0"))
+        ).alias("is_a"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("n_b"),
+    )
+    tots = counts.groupBy("event_type").agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    scored = counts.join(F.broadcast(tots), "event_type").select(
+        "event_type",
+        "bin",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (
+            (
+                (F.col("n_a") + 1) / (F.col("ta") + PSI_BINS)
+                - (F.col("n_b") + 1) / (F.col("tb") + PSI_BINS)
+            )
+            * F.log(
+                ((F.col("n_a") + 1) / (F.col("ta") + PSI_BINS))
+                / ((F.col("n_b") + 1) / (F.col("tb") + PSI_BINS))
+            )
+        ).alias("_c"),
+    )
+    # psi sums the ROUNDED contribs: 6-dp values are exact at 1e-6
+    # granularity, so the window sum is order-independent doubles —
+    # summing the raw terms would be engine-order-dependent (and the
+    # printed total then provably equals the printed parts)
+    w = Window.partitionBy("event_type")
+    return (
+        scored.withColumn("contrib", F.round("_c", 6))
+        .select(
+            "event_type",
+            "bin",
+            "n_a",
+            "n_b",
+            "contrib",
+            F.round(F.sum("contrib").over(w), 6).alias("psi"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
 TREND_HALF_LIFE_DAYS = 7
 TREND_MAX_WEEKS = 8
 TREND_TOP = 10
@@ -5952,6 +6039,42 @@ def _bpe_train_oracle(k: int) -> str:
 
 PIPELINE_ORACLES["q_bpe_train"] = _bpe_train_oracle(BPE_TRAIN_MERGES)
 
+# PSI oracle: identical integer binning + smoothed-share arithmetic.
+PIPELINE_ORACLES["q_psi_drift"] = f"""
+WITH base AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         date_trunc('day', ts::TIMESTAMP) AS day
+  FROM events),
+ext AS (
+  SELECT event_type, min(cents) AS lo, max(cents) AS hi,
+         min(day) AS d0, max(day) AS d1
+  FROM base GROUP BY 1),
+binned AS (
+  SELECT b.event_type,
+         least({PSI_BINS - 1},
+               ((cents - lo) * {PSI_BINS}) // (hi - lo + 1))::INT AS bin,
+         date_diff('day', d0, day) * 2 < date_diff('day', d0, d1) AS is_a
+  FROM base b JOIN ext USING (event_type)),
+counts AS (
+  SELECT event_type, bin,
+         sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN is_a THEN 0 ELSE 1 END)::BIGINT AS n_b
+  FROM binned GROUP BY 1, 2),
+tots AS (SELECT event_type, sum(n_a) AS ta, sum(n_b) AS tb
+         FROM counts GROUP BY 1),
+scored AS (
+  SELECT event_type, bin, n_a, n_b,
+         round((
+             (n_a + 1)::DOUBLE / (ta + {PSI_BINS})::DOUBLE
+           - (n_b + 1)::DOUBLE / (tb + {PSI_BINS})::DOUBLE
+         ) * ln(((n_a + 1)::DOUBLE / (ta + {PSI_BINS})::DOUBLE)
+              / ((n_b + 1)::DOUBLE / (tb + {PSI_BINS})::DOUBLE)), 6)
+           AS contrib
+  FROM counts JOIN tots USING (event_type))
+SELECT event_type, bin, n_a, n_b, contrib,
+       round(sum(contrib) OVER (PARTITION BY event_type), 6) AS psi
+FROM scored ORDER BY event_type, bin"""
+
 # Trending oracle: identical scaled-integer step decay.
 PIPELINE_ORACLES["q_events_trending"] = f"""
 WITH daily AS (
@@ -6232,4 +6355,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sample_neyman": q_sample_neyman,
     "q_zorder_locality": q_zorder_locality,
     "q_events_trending": q_events_trending,
+    "q_psi_drift": q_psi_drift,
 }

@@ -241,3 +241,50 @@ def test_trending_recency_beats_volume(spark, tmp_path):
     assert byu[2]["decayed_events"] == pytest.approx(10.0, abs=1e-9)
     assert byu[1]["decayed_events"] == pytest.approx(30.0 / 256, abs=1e-4)
     assert byu[2]["rank"] == 1 and byu[1]["rank"] == 2
+
+
+# ---------------------------------------------------------------------------
+# PSI drift (q_psi_drift semantics)
+# ---------------------------------------------------------------------------
+
+def test_psi_zero_when_halves_match_and_positive_under_shift(spark, tmp_path):
+    """Identical value distributions in both halves -> every bin's
+    smoothed shares are equal -> PSI exactly 0. A shifted second half
+    -> PSI > 0.25 (the 'population shifted' reading), with the drifted
+    bins carrying the contributions."""
+    from datetime import datetime
+
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import q_psi_drift
+
+    rows = []
+    eid = 0
+    # 'stable': same values day 0..3 and day 6..9
+    for d in (0, 1, 2, 3, 6, 7, 8, 9):
+        for v in (10.0, 20.0, 30.0, 40.0):
+            rows.append((eid, datetime(2024, 1, 1 + d), 1, "stable", v, None))
+            eid += 1
+    # 'shifted': low values in the first half, high in the second
+    for d in (0, 1, 2, 3):
+        for v in (10.0, 11.0, 12.0, 13.0):
+            rows.append((eid, datetime(2024, 1, 1 + d), 1, "shifted", v, None))
+            eid += 1
+    for d in (6, 7, 8, 9):
+        for v in (90.0, 91.0, 92.0, 93.0):
+            rows.append((eid, datetime(2024, 1, 1 + d), 1, "shifted", v, None))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = q_psi_drift(spark, str(tmp_path)).collect()
+    stable = [r for r in got if r["event_type"] == "stable"]
+    shifted = [r for r in got if r["event_type"] == "shifted"]
+    assert all(r["psi"] == 0.0 and r["contrib"] == 0.0 for r in stable)
+    assert shifted[0]["psi"] > 0.25
+    # counts land where they should: shifted lows in bin 0 (A side),
+    # highs in the top bin (B side)
+    b = {r["bin"]: r for r in shifted}
+    assert b[0]["n_a"] == 16 and b[0]["n_b"] == 0
+    assert b[9]["n_a"] == 0 and b[9]["n_b"] == 16
