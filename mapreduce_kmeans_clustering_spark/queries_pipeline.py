@@ -1400,6 +1400,83 @@ def q_copurchase_triangles(spark, sf_dir):
     )
 
 
+FS_M = 0.9  # assumed per-field agreement probability among true matches
+FS_TOP = 100
+
+
+def q_linkage_scores(spark, sf_dir):
+    """Fellegi-Sunter probabilistic record linkage over the ed<=1
+    candidate pairs (operators/joins.fuzzy_self_join_ed1 blocking):
+    each pair scores sum_f log2(m/u_f) when field f agrees and
+    log2((1-m)/(1-u_f)) when it disagrees — the classic match weight.
+    The u-probabilities (chance agreement among NON-matches) are
+    estimated from the data exactly: u_f = sum_v c_v(c_v-1) / n(n-1),
+    integer arithmetic until one identical double division, so both
+    engines compute identical weights. m is the conventional 0.9
+    assumption. Top-100 by (score desc, a, b) via TakeOrdered.
+    Scale: blocking is O(sum name lengths) keys; u estimation is one
+    tiny aggregate per field; attribute attachment is two keyed
+    joins."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    pairs = J.fuzzy_self_join_ed1(
+        cust.select("c_custkey", "c_name"), name_col="c_name", id_col="c_custkey"
+    )
+    n_row = cust.agg(F.count("*").alias("n"))
+
+    def agree_sum(col, alias):
+        return (
+            cust.groupBy(col)
+            .agg(F.count("*").alias("c"))
+            .agg(F.sum(F.col("c") * (F.col("c") - 1)).alias(alias))
+        )
+
+    consts = (
+        n_row.crossJoin(agree_sum("c_nationkey", "an"))
+        .crossJoin(agree_sum("c_mktsegment", "asg"))
+        .select(
+            (F.col("an") / (F.col("n") * (F.col("n") - 1))).alias("u_nat"),
+            (F.col("asg") / (F.col("n") * (F.col("n") - 1))).alias("u_seg"),
+        )
+    )
+    attrs_a = cust.select(
+        F.col("c_custkey").alias("a"),
+        F.col("c_nationkey").alias("nat_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+    )
+    attrs_b = cust.select(
+        F.col("c_custkey").alias("b"),
+        F.col("c_nationkey").alias("nat_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+    )
+    j = (
+        pairs.join(attrs_a, "a")
+        .join(attrs_b, "b")
+        .crossJoin(F.broadcast(consts))
+    )
+    nat_agree = F.col("nat_a") == F.col("nat_b")
+    seg_agree = F.col("seg_a") == F.col("seg_b")
+    m = F.lit(FS_M)
+    score = F.when(nat_agree, F.log2(m / F.col("u_nat"))).otherwise(
+        F.log2((F.lit(1.0) - m) / (F.lit(1.0) - F.col("u_nat")))
+    ) + F.when(seg_agree, F.log2(m / F.col("u_seg"))).otherwise(
+        F.log2((F.lit(1.0) - m) / (F.lit(1.0) - F.col("u_seg")))
+    )
+    return (
+        j.select(
+            "a",
+            "b",
+            F.col("dist"),
+            nat_agree.alias("nation_agree"),
+            seg_agree.alias("segment_agree"),
+            F.round(score, 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "a", "b")
+        .limit(FS_TOP)
+    )
+
+
 PSI_BINS = 10
 
 
@@ -6039,6 +6116,35 @@ def _bpe_train_oracle(k: int) -> str:
 
 PIPELINE_ORACLES["q_bpe_train"] = _bpe_train_oracle(BPE_TRAIN_MERGES)
 
+# Fellegi-Sunter oracle: BRUTE pairwise candidates (the blocking
+# completeness proof, like q_fuzzy_suppliers) + identical integer u
+# estimation. (1.0 - 0.9), never 0.1: the literal must be the same
+# DOUBLE Spark computes.
+PIPELINE_ORACLES["q_linkage_scores"] = f"""
+WITH cust AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+              FROM customer),
+nn AS (SELECT count(*)::BIGINT AS n FROM cust),
+un AS (SELECT sum(c * (c - 1))::BIGINT AS an
+       FROM (SELECT count(*)::BIGINT AS c FROM cust GROUP BY c_nationkey)),
+us AS (SELECT sum(c * (c - 1))::BIGINT AS asg
+       FROM (SELECT count(*)::BIGINT AS c FROM cust GROUP BY c_mktsegment)),
+consts AS (SELECT an::DOUBLE / (n * (n - 1))::DOUBLE AS u_nat,
+                  asg::DOUBLE / (n * (n - 1))::DOUBLE AS u_seg
+           FROM nn, un, us),
+pairs AS (SELECT x.c_custkey AS a, y.c_custkey AS b,
+                 levenshtein(x.c_name, y.c_name)::INT AS dist,
+                 x.c_nationkey = y.c_nationkey AS nation_agree,
+                 x.c_mktsegment = y.c_mktsegment AS segment_agree
+          FROM cust x JOIN cust y ON x.c_custkey < y.c_custkey
+          WHERE levenshtein(x.c_name, y.c_name) <= 1)
+SELECT a, b, dist, nation_agree, segment_agree,
+       round(CASE WHEN nation_agree THEN log2({FS_M} / u_nat)
+                  ELSE log2((1.0 - {FS_M}) / (1.0 - u_nat)) END
+           + CASE WHEN segment_agree THEN log2({FS_M} / u_seg)
+                  ELSE log2((1.0 - {FS_M}) / (1.0 - u_seg)) END, 6) AS score
+FROM pairs CROSS JOIN consts
+ORDER BY score DESC, a, b LIMIT {FS_TOP}"""
+
 # PSI oracle: identical integer binning + smoothed-share arithmetic.
 PIPELINE_ORACLES["q_psi_drift"] = f"""
 WITH base AS (
@@ -6356,4 +6462,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_zorder_locality": q_zorder_locality,
     "q_events_trending": q_events_trending,
     "q_psi_drift": q_psi_drift,
+    "q_linkage_scores": q_linkage_scores,
 }

@@ -174,3 +174,39 @@ def test_fuzzy_self_join_ed1_cases(spark):
     p = fuzzy_self_join_ed1(df, "name", "id")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter linkage scoring (q_linkage_scores semantics)
+# ---------------------------------------------------------------------------
+
+def test_linkage_scores_hand_check(spark, tmp_path):
+    """4 customers, two ed1-name pairs: one agrees on both fields, one
+    disagrees on both. Weights replayed by hand from the exact
+    u-estimates: u_nat = u_seg = 4/12 (two values, twice each)."""
+    import math
+
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import q_linkage_scores
+
+    rows = [
+        (1, "acme corp", 10, "AUTO"),
+        (2, "acme corq", 10, "AUTO"),   # ed1 to #1, agrees on both
+        (3, "zeta inc", 20, "STEEL"),
+        (4, "zeta ink", 10, "AUTO"),    # ed1 to #3, disagrees on both
+    ]
+    df = spark.createDataFrame(
+        rows, "c_custkey LONG, c_name STRING, c_nationkey LONG, c_mktsegment STRING"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    got = {(r["a"], r["b"]): r for r in q_linkage_scores(spark, str(tmp_path)).collect()}
+    assert set(got) == {(1, 2), (3, 4)}
+    # u: values {10:3, 20:1} -> sum c(c-1) = 6; n(n-1) = 12 -> u_nat = 0.5
+    #    {AUTO:3, STEEL:1} -> u_seg = 0.5
+    agree = math.log2(0.9 / 0.5)
+    disagree = math.log2((1.0 - 0.9) / (1.0 - 0.5))
+    assert got[(1, 2)]["score"] == pytest.approx(2 * agree, abs=1e-6)
+    assert got[(3, 4)]["score"] == pytest.approx(2 * disagree, abs=1e-6)
+    assert got[(1, 2)]["nation_agree"] and got[(1, 2)]["segment_agree"]
+    assert not got[(3, 4)]["nation_agree"] and not got[(3, 4)]["segment_agree"]
+    # the agreeing pair must outrank the disagreeing one
+    assert got[(1, 2)]["score"] > 0 > got[(3, 4)]["score"]
