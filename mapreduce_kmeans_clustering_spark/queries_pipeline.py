@@ -1400,6 +1400,63 @@ def q_copurchase_triangles(spark, sf_dir):
     )
 
 
+def q_events_seasonal(spark, sf_dir):
+    """Classical seasonal decomposition of per-type daily totals:
+    total = trend + seasonal + residual, with trend a centered 7-day
+    moving average and seasonal the per-day-of-week mean deviation
+    from trend (the moving-average method behind STL's initial pass).
+    Edge days without a full 7-day window drop out, matching the
+    textbook construction.
+
+    Engine-exact by the ×7 trick: daily totals are DECIMAL, the trend
+    window is an exact decimal SUM (t7), deviations stay exact as
+    7·x − t7, and the seasonal aggregate sums those exact decimals —
+    division happens only in the output projection, as identical
+    double ops on identical exact operands. Key-partitioned window +
+    one DOW aggregate; nothing global."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("x"))
+    wt = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    full = (
+        daily.select(
+            "event_type",
+            "day",
+            "x",
+            F.sum("x").over(wt).alias("t7"),
+            F.count("*").over(wt).alias("nw"),
+        )
+        .where(F.col("nw") == 7)
+    )
+    base = full.select(
+        "event_type",
+        "day",
+        "x",
+        "t7",
+        F.dayofweek("day").alias("dow"),
+        (F.lit(7).cast("decimal(2,0)") * F.col("x") - F.col("t7")).alias("dev7"),
+    )
+    seas = base.groupBy("event_type", "dow").agg(
+        F.sum("dev7").alias("sdev7"), F.count("*").alias("nd")
+    )
+    j = base.join(F.broadcast(seas), ["event_type", "dow"])
+    trend = F.col("t7").cast("double") / F.lit(7.0)
+    seasonal = F.col("sdev7").cast("double") / (F.lit(7.0) * F.col("nd"))
+    return j.select(
+        "event_type",
+        "day",
+        F.round(F.col("x").cast("double"), 4).alias("total"),
+        F.round(trend, 4).alias("trend"),
+        F.round(seasonal, 4).alias("seasonal"),
+        F.round(F.col("x").cast("double") - trend - seasonal, 4).alias(
+            "residual"
+        ),
+    ).orderBy("event_type", "day")
+
+
 FS_M = 0.9  # assumed per-field agreement probability among true matches
 FS_TOP = 100
 
@@ -1790,6 +1847,40 @@ def q_basket_pairs(spark, sf_dir):
     return pairs.orderBy(
         F.col("n_orders").desc(), F.col("pa"), F.col("pb")
     ).limit(10)
+
+
+BASKET_TRIPLE_TOP = 50
+
+
+def q_basket_triples(spark, sf_dir):
+    """Frequent 3-itemsets: the 50 part triples most often ordered
+    together — one more Apriori level above q_basket_pairs. Triple
+    generation is a 3-way self-join WITHIN each order (a < b < c over
+    distinct parts), fanout bounded by the per-order line count CUBED
+    — tiny, since baskets are small; never parts³. At heavier basket
+    sizes the documented Apriori hatch applies: generate candidates
+    only from frequent-pair joins and broadcast them as a filter
+    before counting (downward closure). Top-k via
+    TakeOrderedAndProject; full tie-break (count desc, pa, pb, pc)."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    c = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pc"))
+    triples = (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .join(c, "o")
+        .where(F.col("pb") < F.col("pc"))
+        .groupBy("pa", "pb", "pc")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+    return triples.orderBy(
+        F.col("n_orders").desc(), F.col("pa"), F.col("pb"), F.col("pc")
+    ).limit(BASKET_TRIPLE_TOP)
 
 
 def q_brand_top_parts(spark, sf_dir):
@@ -6116,6 +6207,44 @@ def _bpe_train_oracle(k: int) -> str:
 
 PIPELINE_ORACLES["q_bpe_train"] = _bpe_train_oracle(BPE_TRAIN_MERGES)
 
+# Basket-triples oracle: the same 3-way within-order join.
+PIPELINE_ORACLES["q_basket_triples"] = f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+SELECT a.p AS pa, b.p AS pb, c.p AS pc, count(*)::BIGINT AS n_orders
+FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+          JOIN li c ON b.o = c.o AND b.p < c.p
+GROUP BY 1, 2, 3
+ORDER BY n_orders DESC, pa, pb, pc LIMIT {BASKET_TRIPLE_TOP}"""
+
+# Seasonal oracle: identical x7 decimal trick; Spark dayofweek is
+# 1=Sunday..7 while DuckDB's is 0=Sunday..6, hence the +1.
+PIPELINE_ORACLES["q_events_seasonal"] = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day,
+         sum(CAST(value AS DECIMAL(18,4))) AS x
+  FROM events GROUP BY 1, 2),
+full_w AS (
+  SELECT event_type, day, x,
+         sum(x) OVER w AS t7, count(*) OVER w AS nw
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+base AS (
+  SELECT event_type, day, x, t7,
+         (dayofweek(day) + 1)::INT AS dow,
+         7 * x - t7 AS dev7
+  FROM full_w WHERE nw = 7),
+seas AS (
+  SELECT event_type, dow, sum(dev7) AS sdev7, count(*)::BIGINT AS nd
+  FROM base GROUP BY 1, 2)
+SELECT event_type, day, round(x::DOUBLE, 4) AS total,
+       round(t7::DOUBLE / 7.0, 4) AS trend,
+       round(sdev7::DOUBLE / (7.0 * nd), 4) AS seasonal,
+       round(x::DOUBLE - t7::DOUBLE / 7.0
+             - sdev7::DOUBLE / (7.0 * nd), 4) AS residual
+FROM base JOIN seas USING (event_type, dow)
+ORDER BY event_type, day"""
+
 # Fellegi-Sunter oracle: BRUTE pairwise candidates (the blocking
 # completeness proof, like q_fuzzy_suppliers) + identical integer u
 # estimation. (1.0 - 0.9), never 0.1: the literal must be the same
@@ -6463,4 +6592,6 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_events_trending": q_events_trending,
     "q_psi_drift": q_psi_drift,
     "q_linkage_scores": q_linkage_scores,
+    "q_basket_triples": q_basket_triples,
+    "q_events_seasonal": q_events_seasonal,
 }

@@ -288,3 +288,39 @@ def test_psi_zero_when_halves_match_and_positive_under_shift(spark, tmp_path):
     b = {r["bin"]: r for r in shifted}
     assert b[0]["n_a"] == 16 and b[0]["n_b"] == 0
     assert b[9]["n_a"] == 0 and b[9]["n_b"] == 16
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition (q_events_seasonal semantics)
+# ---------------------------------------------------------------------------
+
+def test_seasonal_recovers_pure_weekly_pattern(spark, tmp_path):
+    """A series that IS base + weekly pattern must decompose exactly:
+    trend = base + pattern mean (the 7-day MA of one full cycle),
+    seasonal = the pattern's deviation from its mean, residual = 0."""
+    from datetime import datetime
+
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_events_seasonal,
+    )
+
+    pattern = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0]  # by weekday idx
+    rows = []
+    for d in range(21):
+        ts = datetime(2024, 1, 1 + d, 9)
+        rows.append((d, ts, 1, "m", pattern[d % 7], None))
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = q_events_seasonal(spark, str(tmp_path)).collect()
+    assert len(got) == 15  # 21 days minus 3 edge days each side
+    mean = sum(pattern) / 7  # 40.0
+    for r in got:
+        d = (r["day"].day - 1) % 7
+        assert r["total"] == pattern[d]
+        assert r["trend"] == pytest.approx(mean, abs=1e-9)
+        assert r["seasonal"] == pytest.approx(pattern[d] - mean, abs=1e-9)
+        assert r["residual"] == pytest.approx(0.0, abs=1e-9)
