@@ -237,3 +237,77 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog (Flajolet et al. 2007)
+# ---------------------------------------------------------------------------
+
+HLL_P = 6                      # 2^6 = 64 registers; std error 1.04/8 = 13%
+HLL_M = 1 << HLL_P
+HLL_W = 52 - HLL_P             # 46 rank bits under the 52-bit md5 hash
+
+
+def hll_registers(
+    df: DataFrame, groups: list[str], value: str
+) -> DataFrame:
+    """Per-group HLL register table: groups + (bucket INT, rho INT),
+    one row per NON-ZERO register (rho = max leading-zero rank seen).
+
+    This IS the mergeable summary: registers from any partitioning /
+    any shard union by groupBy(bucket).max(rho) — the property that
+    makes HLL the 100 TB distinct-count workhorse. Deterministic by
+    construction: the 52-bit md5 prefix splits into a 6-bit bucket and
+    46 rank bits; rho = 47 - bit_length(rank bits), with bit_length
+    taken as length(bin(x)) — a STRING length, so no float log can
+    disagree between engines."""
+    c = F.col(value).cast("string")
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("hll:"), c)), 1, 13), 16, 10).cast(
+        "long"
+    )
+    bucket = F.expr(f"_h div {1 << HLL_W}")
+    rem = F.expr(f"_h % {1 << HLL_W}")
+    rho = F.when(rem == 0, F.lit(HLL_W + 1)).otherwise(
+        F.lit(HLL_W + 1) - F.length(F.bin(rem))
+    )
+    return (
+        df.select(*groups, h.alias("_h"))
+        .select(*groups, bucket.cast("int").alias("bucket"), rho.alias("_rho"))
+        .groupBy(*groups, "bucket")
+        .agg(F.max("_rho").cast("int").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, groups: list[str]) -> DataFrame:
+    """Distinct-count estimate from a register table: groups +
+    (n_zero_registers INT, est_distinct DOUBLE). Standard HLL with the
+    small-range linear-counting correction (E <= 2.5m and zero
+    registers exist -> m·ln(m/V)).
+
+    Engine-exact: the harmonic sum Σ 2^-M_j is computed as the LONG
+    Σ 2^(46-M_j) (every term a power of two, total <= 64·2^46 = 2^52
+    < 2^53 — an exact integer that also casts to double exactly, in
+    any summation order), divided once at the end. alpha is spelled
+    as its defining expression so both engines bind the same double.
+    """
+    terms = registers.groupBy(*groups).agg(
+        F.sum(F.expr(f"shiftleft(1L, {HLL_W} - rho)")).alias("_s"),
+        F.count("*").alias("_nb"),
+    )
+    # zero registers contribute 2^46 each (rho = 0)
+    s_full = F.col("_s") + (F.lit(HLL_M) - F.col("_nb")) * F.lit(1 << HLL_W)
+    v = (F.lit(HLL_M) - F.col("_nb")).cast("int")
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M)))
+    raw = (
+        alpha
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(1 << HLL_W))
+        / s_full.cast("double")
+    )
+    lc = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (v > 0), lc).otherwise(raw)
+    return terms.select(
+        *groups,
+        v.alias("n_zero_registers"),
+        F.round(est, 4).alias("est_distinct"),
+    )

@@ -1400,6 +1400,39 @@ def q_copurchase_triangles(spark, sf_dir):
     )
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-user estimate per event type
+    (functions/sketch.hll_registers/hll_estimate), reported against
+    the exact count with its relative error — the engine-portable twin
+    of approx_count_distinct, bit-exact under the DuckDB oracle where
+    the built-in HLL++ is engine-specific. The register table is the
+    MERGEABLE summary (shards union by max(rho) per bucket — the
+    100 TB property); the harmonic sum is exact long arithmetic
+    (powers of two, total < 2^53) so no summation order can perturb
+    the estimate."""
+    ev = _events(spark, sf_dir)
+    regs = SK.hll_registers(ev, ["event_type"], "user_id")
+    est = SK.hll_estimate(regs, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_zero_registers",
+            "est_distinct",
+            "exact_distinct",
+            F.round(
+                (F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct").cast("double"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_events_seasonal(spark, sf_dir):
     """Classical seasonal decomposition of per-type daily totals:
     total = trend + seasonal + residual, with trend a centered 7-day
@@ -6207,6 +6240,42 @@ def _bpe_train_oracle(k: int) -> str:
 
 PIPELINE_ORACLES["q_bpe_train"] = _bpe_train_oracle(BPE_TRAIN_MERGES)
 
+# HLL oracle: identical 52-bit md5 split, string-length bit_length,
+# exact power-of-two harmonic sum, same alpha expression text.
+PIPELINE_ORACLES["q_hll_distinct"] = """
+WITH h AS (SELECT event_type,
+                  ('0x' || substr(md5('hll:' || user_id), 1, 13))::BIGINT AS h
+           FROM events),
+b AS (SELECT event_type, h // 70368744177664 AS bucket,
+             h % 70368744177664 AS rem
+      FROM h),
+r AS (SELECT event_type, bucket::INT AS bucket,
+             (CASE WHEN rem = 0 THEN 47
+                   ELSE 47 - length(bin(rem)) END)::INT AS rho
+      FROM b),
+regs AS (SELECT event_type, bucket, max(rho) AS rho FROM r GROUP BY 1, 2),
+t AS (SELECT event_type,
+             sum(1::BIGINT << (46 - rho))::BIGINT AS s,
+             count(*)::BIGINT AS nb
+      FROM regs GROUP BY 1),
+e AS (SELECT event_type, (64 - nb)::INT AS v,
+             (s + (64 - nb) * 70368744177664)::DOUBLE AS sfull
+      FROM t),
+est AS (SELECT event_type, v,
+               CASE WHEN (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0
+                         * 70368744177664.0 / sfull <= 160.0 AND v > 0
+                    THEN 64.0 * ln(64.0 / v)
+                    ELSE (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0
+                         * 70368744177664.0 / sfull END AS raw
+        FROM e),
+x AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+      FROM events GROUP BY 1)
+SELECT event_type, v AS n_zero_registers,
+       round(raw, 4) AS est_distinct, exact_distinct,
+       round((round(raw, 4) - exact_distinct) / exact_distinct::DOUBLE, 4)
+         AS rel_err
+FROM est JOIN x USING (event_type) ORDER BY event_type"""
+
 # Basket-triples oracle: the same 3-way within-order join.
 PIPELINE_ORACLES["q_basket_triples"] = f"""
 WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
@@ -6594,4 +6663,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_linkage_scores": q_linkage_scores,
     "q_basket_triples": q_basket_triples,
     "q_events_seasonal": q_events_seasonal,
+    "q_hll_distinct": q_hll_distinct,
 }

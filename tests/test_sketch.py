@@ -173,3 +173,74 @@ def test_histogram_quantiles_rejects_q_zero_and_drops_nulls(spark):
     assert len(rows) == 2  # q=1.0 still yields a row (max bucket)
     assert abs(est[0.5] - 50.0) <= 1.0  # one bucket width
     assert est[1.0] <= 100.0
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog
+# ---------------------------------------------------------------------------
+
+def test_hll_estimate_accuracy_and_determinism(spark):
+    from mapreduce_kmeans_clustering_spark.functions.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 1000).alias("v"),  # 1000 distinct per group
+    )
+    est = {
+        r["g"]: r["est_distinct"]
+        for r in hll_estimate(hll_registers(df, ["g"], "v"), ["g"]).collect()
+    }
+    for g in ("0", "1", "2"):
+        # m=64 -> sigma ~13%; 3-sigma bound
+        assert abs(est[g] - 1000) / 1000 < 0.4, (g, est[g])
+    again = {
+        r["g"]: r["est_distinct"]
+        for r in hll_estimate(
+            hll_registers(df.repartition(7), ["g"], "v"), ["g"]
+        ).collect()
+    }
+    assert est == again  # partitioning cannot move a deterministic sketch
+
+
+def test_hll_registers_merge_like_shards(spark):
+    """The 100 TB property: registers built on two disjoint shards,
+    unioned and re-maxed per bucket, give EXACTLY the whole-corpus
+    estimate."""
+    from mapreduce_kmeans_clustering_spark.functions.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.range(0, 2000).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    whole = hll_estimate(hll_registers(df, ["g"], "v"), ["g"]).collect()[0]
+    a = hll_registers(df.where(F.col("v") < 700), ["g"], "v")
+    b = hll_registers(df.where(F.col("v") >= 700), ["g"], "v")
+    merged = (
+        a.unionAll(b)
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").cast("int").alias("rho"))
+    )
+    got = hll_estimate(merged, ["g"]).collect()[0]
+    assert got["est_distinct"] == whole["est_distinct"]
+    assert got["n_zero_registers"] == whole["n_zero_registers"]
+
+
+def test_hll_small_range_linear_counting(spark):
+    """A 5-distinct group takes the linear-counting branch and lands
+    near-exact (m ln(m/V) with V close to m)."""
+    from mapreduce_kmeans_clustering_spark.functions.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.range(0, 100).select(
+        F.lit("s").alias("g"), (F.col("id") % 5).alias("v")
+    )
+    r = hll_estimate(hll_registers(df, ["g"], "v"), ["g"]).collect()[0]
+    assert r["n_zero_registers"] >= 59  # at most 5 registers touched
+    assert abs(r["est_distinct"] - 5) <= 1.0
