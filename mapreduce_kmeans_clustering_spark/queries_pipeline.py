@@ -1400,6 +1400,48 @@ def q_copurchase_triangles(spark, sf_dir):
     )
 
 
+PATH_STEPS = 5
+PATH_TOP = 20
+
+
+def q_session_paths(spark, sf_dir):
+    """Frequent session paths: the 20 most common event-type sequences
+    (first PATH_STEPS steps) across gap-sessionized user streams —
+    the behavior-flow mining behind funnel design. Sessions use the
+    same 30-min gap rule as q_events_sessions; within a session the
+    path is totally ordered by (ts, event_id), built as one
+    array_sort + transform over the collected structs (per-session
+    lists are bounded by session length — the 100 TB memory argument
+    is per-key, same as sessionization itself). Top-k via
+    TakeOrderedAndProject with the (count desc, path) tie-break."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    sid = F.sum(new_s).over(
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    paths = (
+        e.select("user_id", "ts", "event_id", "event_type", sid.alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.expr(
+                "array_join(slice(transform(array_sort("
+                "collect_list(struct(ts, event_id, event_type))),"
+                f" s -> s.event_type), 1, {PATH_STEPS}), '>')"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(PATH_TOP)
+    )
+
+
 def q_hll_distinct(spark, sf_dir):
     """Deterministic HyperLogLog distinct-user estimate per event type
     (functions/sketch.hll_registers/hll_estimate), reported against
@@ -6240,6 +6282,32 @@ def _bpe_train_oracle(k: int) -> str:
 
 PIPELINE_ORACLES["q_bpe_train"] = _bpe_train_oracle(BPE_TRAIN_MERGES)
 
+# Session-paths oracle: same gap rule, same (ts, event_id) total
+# order, list sliced to the same step budget.
+PIPELINE_ORACLES["q_session_paths"] = f"""
+WITH e AS (SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts
+           FROM events),
+l AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_id, event_type, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM l),
+p AS (
+  SELECT user_id, sid,
+         array_to_string(
+           (list(event_type ORDER BY ts, event_id))[1:{PATH_STEPS}], '>')
+           AS path
+  FROM s GROUP BY 1, 2)
+SELECT path, count(*)::BIGINT AS n_sessions
+FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT {PATH_TOP}"""
+
 # HLL oracle: identical 52-bit md5 split, string-length bit_length,
 # exact power-of-two harmonic sum, same alpha expression text.
 PIPELINE_ORACLES["q_hll_distinct"] = """
@@ -6664,4 +6732,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_basket_triples": q_basket_triples,
     "q_events_seasonal": q_events_seasonal,
     "q_hll_distinct": q_hll_distinct,
+    "q_session_paths": q_session_paths,
 }

@@ -324,3 +324,42 @@ def test_seasonal_recovers_pure_weekly_pattern(spark, tmp_path):
         assert r["trend"] == pytest.approx(mean, abs=1e-9)
         assert r["seasonal"] == pytest.approx(pattern[d] - mean, abs=1e-9)
         assert r["residual"] == pytest.approx(0.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Session paths (q_session_paths semantics)
+# ---------------------------------------------------------------------------
+
+def test_session_paths_order_truncation_and_gap(spark, tmp_path):
+    """Paths respect (ts, event_id) order inside a session, truncate
+    at 5 steps, and a >30min gap starts a NEW session (splitting the
+    path)."""
+    from datetime import datetime, timedelta
+
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import q_session_paths
+
+    t0 = datetime(2024, 5, 1, 10, 0, 0)
+    rows = []
+    # user 1: one session of 7 events -> path truncated to first 5
+    for i, et in enumerate(["view", "view", "click", "view", "click", "purchase", "view"]):
+        rows.append((i, t0 + timedelta(minutes=i), 1, et, 1.0, None))
+    # user 2: view>click, then a 2h gap, then purchase alone
+    rows.append((100, t0, 2, "view", 1.0, None))
+    rows.append((101, t0 + timedelta(minutes=1), 2, "click", 1.0, None))
+    rows.append((102, t0 + timedelta(hours=2), 2, "purchase", 1.0, None))
+    # user 3: two events at the SAME ts -> event_id breaks the tie
+    rows.append((201, t0, 3, "b_second", 1.0, None))
+    rows.append((200, t0, 3, "a_first", 1.0, None))
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {r["path"]: r["n_sessions"] for r in q_session_paths(spark, str(tmp_path)).collect()}
+    assert got == {
+        "view>view>click>view>click": 1,  # truncated at 5 of 7
+        "view>click": 1,
+        "purchase": 1,
+        "a_first>b_second": 1,  # event_id tie-break, not input order
+    }
