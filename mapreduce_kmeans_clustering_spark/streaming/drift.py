@@ -113,3 +113,104 @@ def stream_length_drift(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_cusum(
+    stream: DataFrame,
+    ref_means: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    rel_slack: float = 0.02,
+    threshold_means: float = 2.0,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> StreamingQuery:
+    """Stateful streaming CUSUM — the live twin of
+    ``operators/profile.cusum_daily``, with micro-batches as the
+    accumulation steps: per key,
+
+        dev   = Σ_batch(value) − n_batch · μ_ref · (1 + slack)
+        S+'   = max(0, S+ + dev);  S-' symmetric;
+        alarm = S± > threshold_means · μ_ref
+
+    ``ref_means`` is the frozen per-key reference (key, mu) — the
+    corpus-release baseline, like the drift monitor's histogram.
+    Unlike the KS monitor the statistic CARRIES STATE across batches
+    (that is CUSUM's whole point), stored as a (key, sp, sn) parquet
+    under the rollup module's marker-committed version protocol:
+    replayed epochs fold onto versions strictly below themselves and
+    overwrite their own directory — idempotent, and readers never see
+    a half-written version. State grows with KEYS, never history.
+    Appends one row per (batch, key) to ``out_dir``:
+    (batch_id, key, batch_value, sp, sn, alarm_pos, alarm_neg)."""
+    import os
+
+    from mapreduce_kmeans_clustering_spark.streaming.rollup import _versions
+
+    def fold(batch_df: DataFrame, epoch: int) -> None:
+        spark = batch_df.sparkSession
+        totals = batch_df.groupBy(F.col(key_col).alias("key")).agg(
+            F.sum(F.col(value_col).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("x"),
+            F.count("*").cast("long").alias("n"),
+        )
+        vs = [v for v in _versions(state_dir) if v < epoch]
+        prior = (
+            spark.read.parquet(f"{state_dir}/v={vs[-1]}")
+            if vs
+            else spark.createDataFrame([], "key STRING, sp DOUBLE, sn DOUBLE")
+        )
+        ref = ref_means.select(F.col(key_col).alias("key"), "mu")
+        j = (
+            totals.join(F.broadcast(ref), "key", "left")
+            .join(prior, "key", "left")
+            .select(
+                "key",
+                "x",
+                (
+                    F.col("x")
+                    - F.col("n") * F.col("mu") * F.lit(1.0 + rel_slack)
+                ).alias("dev_p"),
+                (
+                    F.col("n") * F.col("mu") * F.lit(1.0 - rel_slack)
+                    - F.col("x")
+                ).alias("dev_n"),
+                F.coalesce(F.col("sp"), F.lit(0.0)).alias("sp0"),
+                F.coalesce(F.col("sn"), F.lit(0.0)).alias("sn0"),
+                F.col("mu"),
+            )
+            .select(
+                "key",
+                "x",
+                F.greatest(F.lit(0.0), F.col("sp0") + F.col("dev_p")).alias("sp"),
+                F.greatest(F.lit(0.0), F.col("sn0") + F.col("dev_n")).alias("sn"),
+                F.col("mu"),
+            )
+        )
+        new_state = j.select("key", "sp", "sn")
+        vdir = f"{state_dir}/v={epoch}"
+        new_state.write.mode("overwrite").parquet(vdir)
+        marker = os.path.join(vdir, "_SUCCESS")
+        if not os.path.exists(marker):
+            with open(marker, "w"):
+                pass
+        h = F.lit(threshold_means) * F.col("mu")
+        out = j.select(
+            F.lit(int(epoch)).alias("batch_id"),
+            "key",
+            F.round("x", 4).alias("batch_value"),
+            F.round("sp", 4).alias("sp"),
+            F.round("sn", 4).alias("sn"),
+            (F.col("sp") > h).alias("alarm_pos"),
+            (F.col("sn") > h).alias("alarm_neg"),
+        )
+        out.write.mode("append").parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -712,3 +712,93 @@ def test_stream_length_drift_flags_shifted_batch(spark, tmp_path):
         [r] = length_ks_pairs(tagged).collect()
         twin_ks.append(r["ks"])
     assert sorted(twin_ks) == sorted(g[1] for g in got)
+
+
+def test_stream_cusum_accumulates_and_survives_restart(spark, tmp_path):
+    """Stateful streaming CUSUM: three micro-batches each +30% above
+    the reference mean — no single batch alarms at threshold 2 means,
+    but the CARRIED state crosses it by batch 3 (the whole point of
+    CUSUM over per-batch z-scores). The fold is replayed in pure
+    Python for exact expected values, and a SECOND stream run resumes
+    from the committed state rather than restarting from zero."""
+    import json as _json
+
+    from mapreduce_kmeans_clustering_spark.streaming.drift import stream_cusum
+
+    ref = spark.createDataFrame([("m", 10.0)], "event_type STRING, mu DOUBLE")
+    src = tmp_path / "src"
+    src.mkdir()
+    # each file: 10 events of value 13 -> batch total 130, n=10
+    for f in ("a", "b", "c"):
+        with open(src / f"{f}.json", "w") as fh:
+            for i in range(10):
+                fh.write(_json.dumps({"event_type": "m", "value": 13.0}) + "\n")
+
+    def run():
+        return stream_cusum(
+            spark.readStream.schema("event_type STRING, value DOUBLE")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src)),
+            ref,
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            str(tmp_path / "state"),
+            rel_slack=0.02,
+            threshold_means=2.0,
+        )
+
+    run().awaitTermination(120)
+    rows = sorted(
+        (r["batch_id"], r["sp"], r["alarm_pos"], r["alarm_neg"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert len(rows) == 3
+    # replay: dev_p per batch = 130 - 10*10*1.02 = 28; h = 2*10 = 20
+    sp, exp = 0.0, []
+    for _ in range(3):
+        sp = max(0.0, sp + (130.0 - 10 * 10.0 * 1.02))
+        exp.append(sp)
+    assert [r[1] for r in rows] == [pytest.approx(e, abs=1e-9) for e in exp]
+    assert [r[2] for r in rows] == [(e > 20.0) for e in exp]
+    assert not any(r[3] for r in rows)
+
+    # restart with one MORE file: state resumes at 84, not 0
+    with open(src / "d.json", "w") as fh:
+        for i in range(10):
+            fh.write(_json.dumps({"event_type": "m", "value": 13.0}) + "\n")
+    run().awaitTermination(120)
+    rows2 = sorted(
+        (r["batch_id"], r["sp"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert len(rows2) == 4
+    assert rows2[-1][1] == pytest.approx(exp[-1] + 28.0, abs=1e-9)
+
+
+def test_stream_cusum_stationary_stays_at_zero(spark, tmp_path):
+    import json as _json
+
+    from mapreduce_kmeans_clustering_spark.streaming.drift import stream_cusum
+
+    ref = spark.createDataFrame([("m", 10.0)], "event_type STRING, mu DOUBLE")
+    src = tmp_path / "src"
+    src.mkdir()
+    for f in ("a", "b"):
+        with open(src / f"{f}.json", "w") as fh:
+            for i in range(10):
+                fh.write(_json.dumps({"event_type": "m", "value": 10.0}) + "\n")
+    q = stream_cusum(
+        spark.readStream.schema("event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src)),
+        ref,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "state"),
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert len(rows) == 2
+    # the slack term absorbs an on-mean stream on both sides
+    assert all(r["sp"] == 0.0 and not r["alarm_pos"] for r in rows)
+    assert all(not r["alarm_neg"] for r in rows)
