@@ -1400,6 +1400,139 @@ def q_copurchase_triangles(spark, sf_dir):
     )
 
 
+FD_CANDIDATES = (
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderpriority", "o_orderstatus"),
+    ("customer", "c_custkey", "c_nationkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+)
+
+
+def q_fd_profile(spark, sf_dir):
+    """Functional-dependency profiling — the data-quality discovery
+    pass: for each candidate A→B, how many A-groups exist, how many
+    carry >1 distinct B (violating groups), and the minimum rows to
+    delete for the FD to hold (Σ per group of rows − the largest
+    single-B block; the g3 error of Kivinen-Mannila). Pure integer
+    arithmetic; per candidate one (A, B) aggregate + one A aggregate,
+    each with map-side partials."""
+    outs = []
+    for table, lhs, rhs in FD_CANDIDATES:
+        t = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        g = t.groupBy(F.col(lhs), F.col(rhs)).agg(F.count("*").alias("c"))
+        per_lhs = g.groupBy(lhs).agg(
+            F.sum("c").alias("rows"),
+            F.max("c").alias("mx"),
+            F.count("*").alias("n_rhs"),
+        )
+        outs.append(
+            per_lhs.agg(
+                F.lit(f"{lhs}->{rhs}").alias("fd"),
+                F.count("*").cast("long").alias("n_groups"),
+                F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("violating_groups"),
+                F.sum(F.col("rows") - F.col("mx"))
+                .cast("long")
+                .alias("violation_rows"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("fd")
+
+
+def q_benford(spark, sf_dir):
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-numbers screen: observed first-significant-digit
+    counts vs log10(1 + 1/d), with per-digit chi-square terms and the
+    statistic as their sum. First digit is taken from the CENTS
+    integer's decimal string (no float log can misclassify a
+    boundary); the chi-square total sums the 6-dp-rounded terms, so
+    it is order-independent and equals the printed parts (the PSI
+    posture)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    digits = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    j = counts.crossJoin(F.broadcast(tot))
+    exp = F.col("total") * (
+        F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    )
+    scored = j.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("total").cast("double"), 6).alias("share"),
+        F.round(
+            (F.col("n") - exp) * (F.col("n") - exp) / exp, 6
+        ).alias("chi2_term"),
+    )
+    w = Window.partitionBy()
+    return scored.select(
+        "digit",
+        "n",
+        "share",
+        "chi2_term",
+        F.round(F.sum("chi2_term").over(w), 6).alias("chi2"),
+    ).orderBy("digit")
+
+
+def q_balance_gini(spark, sf_dir):
+    """Per-nation Gini coefficient of positive customer balances —
+    the inequality profile of a value distribution:
+
+        G = Σ_i (2i − n − 1)·x_(i) / (n · Σx),  x sorted ascending.
+
+    Exact until the final division: balances are cents integers, the
+    rank coefficients are integers, and ties contribute the same
+    total under any within-tie order (the coefficient block sums are
+    order-free), so both engines divide identical exact numerators.
+    One rank window per nation; the aggregate is integer DECIMAL."""
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(F.col("c_acctbal") > 0)
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+    ranked = c.select(
+        "c_nationkey",
+        F.col("cents").cast("decimal(38,0)").alias("x"),
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    agg = ranked.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(
+            (F.lit(2) * F.col("i") - F.lit(1)).cast("decimal(38,0)") * F.col("x")
+        ).alias("swx"),
+    )
+    # G = (Σ(2i−1)x − (n+1)Σx + ... ) — use Σ(2i−n−1)x = Σ(2i−1)x − n·Σx
+    gini = (
+        (F.col("swx") - F.col("n").cast("decimal(38,0)") * F.col("sx")).cast(
+            "double"
+        )
+        / (F.col("n") * F.col("sx")).cast("double")
+    )
+    return agg.select(
+        "c_nationkey",
+        "n",
+        F.round(gini, 6).alias("gini"),
+    ).orderBy("c_nationkey")
+
+
 PATH_STEPS = 5
 PATH_TOP = 20
 
@@ -6282,6 +6415,64 @@ def _bpe_train_oracle(k: int) -> str:
 
 PIPELINE_ORACLES["q_bpe_train"] = _bpe_train_oracle(BPE_TRAIN_MERGES)
 
+# FD-profile oracle: one integer aggregate pair per candidate.
+def _fd_oracle() -> str:
+    parts = []
+    for table, lhs, rhs in FD_CANDIDATES:
+        parts.append(
+            f"""SELECT '{lhs}->{rhs}' AS fd, count(*)::BIGINT AS n_groups,
+       sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)::BIGINT
+         AS violating_groups,
+       sum(nrows - mx)::BIGINT AS violation_rows
+FROM (SELECT {lhs}, sum(c) AS nrows, max(c) AS mx, count(*) AS n_rhs
+      FROM (SELECT {lhs}, {rhs}, count(*)::BIGINT AS c
+            FROM {table} GROUP BY 1, 2)
+      GROUP BY 1)"""
+        )
+    return (
+        "SELECT * FROM (\n" + "\nUNION ALL ".join(parts) + "\n) ORDER BY fd"
+    )
+
+
+PIPELINE_ORACLES["q_fd_profile"] = _fd_oracle()
+
+# Benford oracle: first digit from the cents string, same ln ratio,
+# chi2 total over the rounded terms.
+PIPELINE_ORACLES["q_benford"] = """
+WITH d AS (
+  SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                1, 1)::INT AS digit
+  FROM orders),
+c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1),
+t AS (SELECT sum(n)::BIGINT AS total FROM c),
+s AS (
+  SELECT digit, n,
+         round(n / total::DOUBLE, 6) AS share,
+         round((n - total * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+               * (n - total * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+               / (total * (ln(1.0 + 1.0 / digit) / ln(10.0))), 6)
+           AS chi2_term
+  FROM c CROSS JOIN t)
+SELECT digit, n, share, chi2_term,
+       round(sum(chi2_term) OVER (), 6) AS chi2
+FROM s ORDER BY digit"""
+
+# Gini oracle: identical integer numerators (HUGEINT = DECIMAL(38,0)).
+PIPELINE_ORACLES["q_balance_gini"] = """
+WITH c AS (SELECT c_nationkey, c_custkey,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer WHERE c_acctbal > 0),
+r AS (SELECT c_nationkey, cents::HUGEINT AS x,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY cents, c_custkey)::BIGINT AS i
+      FROM c),
+a AS (SELECT c_nationkey, count(*)::BIGINT AS n,
+             sum(x) AS sx, sum((2 * i - 1) * x) AS swx
+      FROM r GROUP BY 1)
+SELECT c_nationkey, n,
+       round((swx - n * sx)::DOUBLE / (n * sx)::DOUBLE, 6) AS gini
+FROM a ORDER BY c_nationkey"""
+
 # Session-paths oracle: same gap rule, same (ts, event_id) total
 # order, list sliced to the same step budget.
 PIPELINE_ORACLES["q_session_paths"] = f"""
@@ -6733,4 +6924,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_events_seasonal": q_events_seasonal,
     "q_hll_distinct": q_hll_distinct,
     "q_session_paths": q_session_paths,
+    "q_fd_profile": q_fd_profile,
+    "q_benford": q_benford,
+    "q_balance_gini": q_balance_gini,
 }

@@ -363,3 +363,78 @@ def test_session_paths_order_truncation_and_gap(spark, tmp_path):
         "purchase": 1,
         "a_first>b_second": 1,  # event_id tie-break, not input order
     }
+
+
+# ---------------------------------------------------------------------------
+# FD profile / Benford / Gini (data-quality analytics semantics)
+# ---------------------------------------------------------------------------
+
+def test_fd_profile_counts_violations_exactly(spark, tmp_path):
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import q_fd_profile
+
+    orders = spark.createDataFrame(
+        [
+            # custkey 1: two priorities (3 rows, largest block 2) -> viol
+            (1, 1, "HIGH", "O"),
+            (2, 1, "HIGH", "O"),
+            (3, 1, "LOW", "F"),
+            # custkey 2: single priority -> clean
+            (4, 2, "LOW", "O"),
+            # priority HIGH -> status always O; LOW -> O and F (1 viol row)
+        ],
+        "o_orderkey LONG, o_custkey LONG, o_orderpriority STRING, o_orderstatus STRING",
+    )
+    cust = spark.createDataFrame(
+        [(1, 10, "AUTO"), (2, 10, "STEEL"), (3, 20, "AUTO")],
+        "c_custkey LONG, c_nationkey LONG, c_mktsegment STRING",
+    )
+    orders.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    cust.write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    got = {r["fd"]: r for r in q_fd_profile(spark, str(tmp_path)).collect()}
+    r = got["o_custkey->o_orderpriority"]
+    assert (r["n_groups"], r["violating_groups"], r["violation_rows"]) == (2, 1, 1)
+    r = got["o_orderpriority->o_orderstatus"]
+    assert (r["n_groups"], r["violating_groups"], r["violation_rows"]) == (2, 1, 1)
+    r = got["c_custkey->c_nationkey"]  # a key: always holds
+    assert (r["violating_groups"], r["violation_rows"]) == (0, 0)
+    r = got["c_nationkey->c_mktsegment"]
+    assert (r["n_groups"], r["violating_groups"], r["violation_rows"]) == (2, 1, 1)
+
+
+def test_gini_bounds(spark, tmp_path):
+    """All-equal balances -> G = 0; a single holder among n -> the
+    textbook maximum (n-1)/n."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import q_balance_gini
+
+    rows = [(i, 0, 50.0) for i in range(10)]  # nation 0: all equal
+    rows += [(100, 1, 1000.0)] + [
+        (101 + i, 1, 0.01) for i in range(9)
+    ]  # nation 1: near-total concentration
+    df = spark.createDataFrame(
+        rows, "c_custkey LONG, c_nationkey LONG, c_acctbal DOUBLE"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    got = {r["c_nationkey"]: r for r in q_balance_gini(spark, str(tmp_path)).collect()}
+    assert got[0]["gini"] == 0.0
+    # near (n-1)/n = 0.9 (tiny holders pull it down a hair)
+    assert 0.88 < got[1]["gini"] < 0.9
+    assert got[0]["n"] == got[1]["n"] == 10
+
+
+def test_benford_uniform_digits_fail_the_law(spark, tmp_path):
+    """Totals crafted so every first digit 1..9 appears equally: the
+    observed share is flat 1/9 and the chi-square total equals the
+    sum of its printed per-digit terms."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import q_benford
+
+    rows = [(d * 100 + k, float(d)) for d in range(1, 10) for k in range(20)]
+    df = spark.createDataFrame(rows, "o_orderkey LONG, o_totalprice DOUBLE")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    got = q_benford(spark, str(tmp_path)).collect()
+    assert [r["digit"] for r in got] == list(range(1, 10))
+    assert all(r["n"] == 20 for r in got)
+    assert all(abs(r["share"] - 1 / 9) < 1e-4 for r in got)
+    assert got[0]["chi2"] == pytest.approx(
+        sum(r["chi2_term"] for r in got), abs=1e-5
+    )
+    assert got[0]["chi2"] > 15.5  # chi2_{8, 0.05} — flat digits reject Benford
