@@ -1400,6 +1400,70 @@ def q_copurchase_triangles(spark, sf_dir):
     )
 
 
+RULE_MIN_PAIR = 3
+RULE_TOP = 20
+
+
+def q_basket_rules(spark, sf_dir):
+    """Association rules from the co-purchase pairs: both directions
+    of every pair with support >= RULE_MIN_PAIR orders, scored by
+    confidence n(A,B)/n(A) and lift n(A,B)·N / (n(A)·n(B)), top-20 by
+    (lift desc, antecedent, consequent). All counts are integers and
+    both ratios divide exact integer products (< 2^53), so engines
+    agree bit-for-bit. One pair aggregate + an item-count broadcast +
+    the 1-row N anchor; TakeOrdered head."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_tot")
+    )
+    item = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count("*").alias("n_item")
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= RULE_MIN_PAIR)
+    )
+    both = pairs.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "n_ab"
+    ).unionAll(
+        pairs.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "n_ab"
+        )
+    )
+    ia = item.select(F.col("p").alias("antecedent"), F.col("n_item").alias("n_a"))
+    ic = item.select(F.col("p").alias("consequent"), F.col("n_item").alias("n_c"))
+    j = (
+        both.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    out = j.select(
+        "antecedent",
+        "consequent",
+        F.col("n_ab").cast("long").alias("n_both"),
+        F.round(F.col("n_ab") / F.col("n_a").cast("double"), 6).alias(
+            "confidence"
+        ),
+        F.round(
+            (F.col("n_ab") * F.col("n_tot")).cast("double")
+            / (F.col("n_a") * F.col("n_c")).cast("double"),
+            6,
+        ).alias("lift"),
+    )
+    return out.orderBy(
+        F.col("lift").desc(), "antecedent", "consequent"
+    ).limit(RULE_TOP)
+
+
 FD_CANDIDATES = (
     ("orders", "o_custkey", "o_orderpriority"),
     ("orders", "o_orderpriority", "o_orderstatus"),
@@ -6415,6 +6479,27 @@ def _bpe_train_oracle(k: int) -> str:
 
 PIPELINE_ORACLES["q_bpe_train"] = _bpe_train_oracle(BPE_TRAIN_MERGES)
 
+# Association-rules oracle: same counts, same exact-integer ratios.
+PIPELINE_ORACLES["q_basket_rules"] = f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+nt AS (SELECT count(DISTINCT o)::BIGINT AS n_tot FROM li),
+item AS (SELECT p, count(*)::BIGINT AS n_item FROM li GROUP BY 1),
+pairs AS (SELECT a.p AS pa, b.p AS pb, count(*)::BIGINT AS n_ab
+          FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+          GROUP BY 1, 2 HAVING count(*) >= {RULE_MIN_PAIR}),
+dirs AS (SELECT pa AS antecedent, pb AS consequent, n_ab FROM pairs
+         UNION ALL
+         SELECT pb AS antecedent, pa AS consequent, n_ab FROM pairs),
+j AS (SELECT antecedent, consequent, n_ab, ia.n_item AS n_a,
+             ic.n_item AS n_c, n_tot
+      FROM dirs JOIN item ia ON dirs.antecedent = ia.p
+                JOIN item ic ON dirs.consequent = ic.p
+                CROSS JOIN nt)
+SELECT antecedent, consequent, n_ab AS n_both,
+       round(n_ab / n_a::DOUBLE, 6) AS confidence,
+       round((n_ab * n_tot)::DOUBLE / (n_a * n_c)::DOUBLE, 6) AS lift
+FROM j ORDER BY lift DESC, antecedent, consequent LIMIT {RULE_TOP}"""
+
 # FD-profile oracle: one integer aggregate pair per candidate.
 def _fd_oracle() -> str:
     parts = []
@@ -6927,4 +7012,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_fd_profile": q_fd_profile,
     "q_benford": q_benford,
     "q_balance_gini": q_balance_gini,
+    "q_basket_rules": q_basket_rules,
 }

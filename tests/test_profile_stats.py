@@ -438,3 +438,38 @@ def test_benford_uniform_digits_fail_the_law(spark, tmp_path):
         sum(r["chi2_term"] for r in got), abs=1e-5
     )
     assert got[0]["chi2"] > 15.5  # chi2_{8, 0.05} — flat digits reject Benford
+
+
+def test_basket_rules_confidence_and_lift_hand_check(spark, tmp_path):
+    """Orders built so A,B always co-occur while A,C co-occur half the
+    time: conf(A->B)=1, lift > 1; asymmetric conf when item counts
+    differ."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import q_basket_rules
+
+    rows = []
+    # 6 orders with A+B, 3 with A+C, 3 with C alone  (N = 12 orders)
+    oid = 0
+    for _ in range(6):
+        rows += [(oid, 1), (oid, 2)]
+        oid += 1
+    for _ in range(3):
+        rows += [(oid, 1), (oid, 3)]
+        oid += 1
+    for _ in range(3):
+        rows += [(oid, 3)]
+        oid += 1
+    df = spark.createDataFrame(rows, "l_orderkey LONG, l_partkey LONG")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    got = {
+        (r["antecedent"], r["consequent"]): r
+        for r in q_basket_rules(spark, str(tmp_path)).collect()
+    }
+    # n(1)=9, n(2)=6, n(3)=6, n(1,2)=6, n(1,3)=3, N=12
+    assert got[(1, 2)]["confidence"] == pytest.approx(6 / 9, abs=1e-6)
+    assert got[(2, 1)]["confidence"] == pytest.approx(1.0, abs=1e-6)
+    assert got[(1, 2)]["lift"] == got[(2, 1)]["lift"] == pytest.approx(
+        6 * 12 / (9 * 6), abs=1e-6
+    )
+    assert got[(1, 3)]["confidence"] == pytest.approx(3 / 9, abs=1e-6)
+    assert got[(1, 3)]["lift"] == pytest.approx(3 * 12 / (9 * 6), abs=1e-6)
+    assert got[(1, 2)]["n_both"] == 6 and got[(1, 3)]["n_both"] == 3
