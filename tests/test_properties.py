@@ -257,3 +257,136 @@ def test_hof_distance_forms_bit_equal_unrolled(spark, vecs):
     ).collect()
     for r in got:
         assert r["dot_eq"] and r["norm_eq"] and r["sq_eq"]
+
+
+# ---------------------------------------------------------------------------
+# Round-5 extension operators: triangle counting vs brute force, BPE
+# mass conservation, BM25 monotonicity, Gini range (the posture that
+# caught the -0.0 codegen bug, applied to the new surface).
+# ---------------------------------------------------------------------------
+
+edge = st.tuples(st.integers(0, 9), st.integers(0, 9))
+edgelist = st.lists(edge, min_size=1, max_size=25)
+
+
+@given(edges=edgelist)
+@SETTINGS
+def test_triangle_counts_match_brute_force(spark, edges):
+    """Degree-oriented wedge counting equals the O(n^3) itertools
+    enumeration on arbitrary small graphs (self-loops and parallel
+    edges included in the input)."""
+    import itertools
+
+    from mapreduce_kmeans_clustering_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    adj = set()
+    nodes = set()
+    for a, b in edges:
+        if a != b:
+            adj.add((min(a, b), max(a, b)))
+            nodes.update((a, b))
+    exp = {n: 0 for n in nodes}
+    for x, y, z in itertools.combinations(sorted(nodes), 3):
+        if (x, y) in adj and (y, z) in adj and (x, z) in adj:
+            exp[x] += 1
+            exp[y] += 1
+            exp[z] += 1
+    assert got == exp
+
+
+word_txt = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=4), min_size=1, max_size=10
+).map(" ".join)
+
+
+@given(texts=st.lists(word_txt, min_size=1, max_size=6))
+@SETTINGS
+def test_bpe_merge_conserves_mass(spark, texts):
+    """The learned merge at every step is the replayed argmax of the
+    OVERLAPPING adjacent-pair counts (Sennrich's get_stats semantics),
+    and applying it greedily left-to-right shrinks the corpus symbol
+    count by the number of non-overlapping applications — at least
+    one, never more than the overlapping count (found falsifier:
+    'aaa' counts (a,a) twice but merges once; that is textbook BPE,
+    the original property statement was wrong)."""
+    from mapreduce_kmeans_clustering_spark.operators.text import bpe_train, tokens
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    merges = bpe_train(docs, n_merges=2).orderBy("step").collect()
+
+    # python replay over the tokenized corpus
+    import re
+
+    words = []
+    for t in texts:
+        words += re.findall("[a-z0-9]+", t.lower())
+    seqs = [list(w) for w in words]
+
+    def pair_counts(seqs):
+        from collections import Counter
+
+        c = Counter()
+        for s in seqs:
+            for i in range(len(s) - 1):
+                c[(s[i], s[i + 1])] += 1
+        return c
+
+    for step, r in enumerate(merges, start=1):
+        pc = pair_counts(seqs)
+        assert pc, "no pairs left but a merge row exists"
+        # deterministic tie-break replay: count desc, then (a, b) asc
+        best = min(
+            [kv for kv in pc.items() if kv[1] == max(pc.values())],
+            key=lambda kv: kv[0],
+        )
+        assert (r["left_sym"], r["right_sym"]) == best[0]
+        assert r["pair_count"] == best[1]
+        # apply greedy leftmost; count actual applications
+        a, b = best[0]
+        out = []
+        applied = 0
+        for s in seqs:
+            i, ns = 0, []
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    ns.append(a + b)
+                    applied += 1
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            out.append(ns)
+        before = sum(len(s) for s in seqs)
+        after = sum(len(s) for s in out)
+        assert before - after == applied
+        assert 1 <= applied <= best[1]
+        seqs = out
+
+
+@given(
+    docs=st.lists(word_txt, min_size=2, max_size=8),
+    qterm=st.text(alphabet="abc", min_size=1, max_size=2),
+)
+@SETTINGS
+def test_bm25_scores_positive_and_bounded_matches(spark, docs, qterm):
+    """Lucene-idf BM25: every score is strictly positive (the idf form
+    cannot go negative) and exactly the docs CONTAINING a query term
+    appear."""
+    import re
+
+    from mapreduce_kmeans_clustering_spark.operators.curation import bm25_search
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id LONG, text STRING"
+    )
+    q = spark.createDataFrame([("q", qterm)], "query_id STRING, term STRING")
+    got = bm25_search(df, q, k=100).collect()
+    expected_ids = {
+        i for i, t in enumerate(docs) if qterm in re.findall("[a-z0-9]+", t.lower())
+    }
+    assert {r["doc_id"] for r in got} == expected_ids
+    assert all(r["score"] > 0 for r in got)
