@@ -563,3 +563,62 @@ def test_round5_additions_plan_shapes(spark):
     assert "CartesianProduct" not in p and "BatchEvalPython" not in p
     assert p.count("Exchange hashpartitioning") <= 1
     assert _scalar_anchor_bnlj_only(p)
+
+
+def test_round5_extension_query_plans(spark):
+    """The round-5 extension surface stays in the house plan shapes:
+    equi joins hash/sort-merge, scalar anchors the only nested loops,
+    nothing cartesian, no Python in any registered query."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_balance_gini,
+        q_basket_rules,
+        q_basket_triples,
+        q_benford,
+        q_bm25_search,
+        q_bpe_train,
+        q_copurchase_triangles,
+        q_events_cusum,
+        q_events_seasonal,
+        q_events_trending,
+        q_fd_profile,
+        q_hll_distinct,
+        q_linkage_scores,
+        q_psi_drift,
+        q_sample_neyman,
+        q_session_paths,
+        q_zorder_locality,
+    )
+
+    no_anchor = [
+        q_copurchase_triangles,  # degree broadcasts are HASH joins
+        q_events_cusum,          # windows only
+        q_events_seasonal,       # windows + DOW equi join
+        q_fd_profile,            # pure aggregates
+        q_balance_gini,          # window + aggregate
+        q_session_paths,         # windows + aggregates
+        q_hll_distinct,          # aggregates + equi join
+        q_zorder_locality,       # two grouped aggregates
+    ]
+    for q in no_anchor:
+        p = _plan(q(spark, SF))
+        assert "CartesianProduct" not in p, q.__name__
+        assert "BroadcastNestedLoopJoin" not in p, q.__name__
+        assert "BatchEvalPython" not in p and "MapInPandas" not in p, q.__name__
+
+    # these ride exactly the bounded 1-row scalar-anchor BNLJ shape
+    # neyman: the 1-row Σw anchor; linkage: the 1-row (u_nat, u_seg)
+    # constants anchor — both the keyless-global-agg build shape
+    anchored = [q_bm25_search, q_benford, q_basket_rules, q_psi_drift,
+                q_events_trending, q_sample_neyman, q_linkage_scores]
+    for q in anchored:
+        p = _plan(q(spark, SF))
+        assert "CartesianProduct" not in p, q.__name__
+        assert "BatchEvalPython" not in p and "MapInPandas" not in p, q.__name__
+        assert _scalar_anchor_bnlj_only(p), q.__name__
+
+    # the BPE chain: per-step anchors are 1-row TakeOrdered argmaxes —
+    # nothing cartesian, nothing Python, every join a broadcast of a
+    # bounded relation
+    p = _plan(q_bpe_train(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
