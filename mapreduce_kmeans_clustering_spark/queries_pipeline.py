@@ -1400,6 +1400,99 @@ def q_copurchase_triangles(spark, sf_dir):
     )
 
 
+KM_CHURN_DAYS = 90
+KM_MONTH_DAYS = 30
+
+
+def q_survival_km(spark, sf_dir):
+    """Kaplan-Meier survival curves of customer activity per market
+    segment — the churn-analysis staple: a customer's observed
+    lifetime is the months between first and last order, an EVENT
+    (churn) if the last order predates the corpus max date by more
+    than KM_CHURN_DAYS, otherwise right-censored:
+
+        S(t) = Π_{s<=t} (1 − d_s / n_s)
+
+    with d_s churn events at month s and n_s the at-risk count
+    (lifetime >= s). The product rides exp(Σ ln(1 − d/n)) over an
+    ORDERED cumulative window — the same fixed-summation-order
+    argument as the KS running sum — with the d == n extinction case
+    handled by an explicit cumulative flag (Spark's ln(0) is NULL,
+    DuckDB's is -inf; neither may reach the sum). Integer day/month
+    arithmetic everywhere else. One orders aggregate, one tiny
+    (segment, month) aggregate, two ordered windows."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    span = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_o"), F.max("o_orderdate").alias("last_o")
+    )
+    ref = o.agg(F.max("o_orderdate").alias("max_d"))
+    life = (
+        span.crossJoin(F.broadcast(ref))
+        .join(cust, span["o_custkey"] == cust["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.expr(f"datediff(last_o, first_o) div {KM_MONTH_DAYS}")
+            .cast("int")
+            .alias("t"),
+            (
+                F.datediff(F.col("max_d"), F.col("last_o")) > KM_CHURN_DAYS
+            )
+            .cast("int")
+            .alias("churned"),
+        )
+    )
+    per_t = life.groupBy("segment", "t").agg(
+        F.sum("churned").alias("d"), F.count("*").alias("ended")
+    )
+    worder = Window.partitionBy("segment").orderBy("t")
+    cum_prev = (
+        Window.partitionBy("segment")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot = Window.partitionBy("segment")
+    at_risk = F.sum("ended").over(tot) - F.coalesce(
+        F.sum("ended").over(cum_prev), F.lit(0)
+    )
+    staged = per_t.select(
+        "segment",
+        "t",
+        F.col("d").cast("long").alias("n_events"),
+        at_risk.cast("long").alias("n_risk"),
+    )
+    term = F.when(
+        F.col("n_events") < F.col("n_risk"),
+        F.log(
+            F.lit(1.0)
+            - F.col("n_events") / F.col("n_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    extinct = F.when(F.col("n_events") == F.col("n_risk"), 1).otherwise(0)
+    cume = Window.partitionBy("segment").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    scored = staged.select(
+        "segment",
+        "t",
+        "n_risk",
+        "n_events",
+        F.sum(term).over(cume).alias("_ln"),
+        F.max(extinct).over(cume).alias("_x"),
+    )
+    return scored.select(
+        "segment",
+        "t",
+        "n_risk",
+        "n_events",
+        F.when(F.col("_x") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("_ln"), 6))
+        .alias("survival"),
+    ).orderBy("segment", "t")
+
+
 RULE_MIN_PAIR = 3
 RULE_TOP = 20
 
@@ -6479,6 +6572,42 @@ def _bpe_train_oracle(k: int) -> str:
 
 PIPELINE_ORACLES["q_bpe_train"] = _bpe_train_oracle(BPE_TRAIN_MERGES)
 
+# Kaplan-Meier oracle: identical integer day/month arithmetic, same
+# ordered ln-cumsum with the extinction flag.
+PIPELINE_ORACLES["q_survival_km"] = f"""
+WITH span AS (SELECT o_custkey, min(o_orderdate) AS first_o,
+                     max(o_orderdate) AS last_o
+              FROM orders GROUP BY 1),
+ref AS (SELECT max(o_orderdate) AS max_d FROM orders),
+life AS (SELECT c.c_mktsegment AS segment,
+                (date_diff('day', first_o, last_o) // {KM_MONTH_DAYS})::INT
+                  AS t,
+                CASE WHEN date_diff('day', last_o, max_d) > {KM_CHURN_DAYS}
+                     THEN 1 ELSE 0 END AS churned
+         FROM span CROSS JOIN ref
+              JOIN customer c ON span.o_custkey = c.c_custkey),
+per_t AS (SELECT segment, t, sum(churned)::BIGINT AS d,
+                 count(*)::BIGINT AS ended
+          FROM life GROUP BY 1, 2),
+staged AS (SELECT segment, t, d AS n_events,
+                  (sum(ended) OVER (PARTITION BY segment)
+                   - coalesce(sum(ended) OVER (
+                        PARTITION BY segment ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0))::BIGINT AS n_risk
+           FROM per_t),
+sc AS (SELECT segment, t, n_risk, n_events,
+              sum(CASE WHEN n_events < n_risk
+                       THEN ln(1.0 - n_events / n_risk::DOUBLE)
+                       ELSE 0.0 END) OVER w AS lns,
+              max(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END) OVER w AS x
+       FROM staged
+       WINDOW w AS (PARTITION BY segment ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT segment, t, n_risk, n_events,
+       CASE WHEN x = 1 THEN 0.0 ELSE round(exp(lns), 6) END AS survival
+FROM sc ORDER BY segment, t"""
+
 # Association-rules oracle: same counts, same exact-integer ratios.
 PIPELINE_ORACLES["q_basket_rules"] = f"""
 WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -7013,4 +7142,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_benford": q_benford,
     "q_balance_gini": q_balance_gini,
     "q_basket_rules": q_basket_rules,
+    "q_survival_km": q_survival_km,
 }

@@ -473,3 +473,51 @@ def test_basket_rules_confidence_and_lift_hand_check(spark, tmp_path):
     assert got[(1, 3)]["confidence"] == pytest.approx(3 / 9, abs=1e-6)
     assert got[(1, 3)]["lift"] == pytest.approx(3 * 12 / (9 * 6), abs=1e-6)
     assert got[(1, 2)]["n_both"] == 6 and got[(1, 3)]["n_both"] == 3
+
+
+def test_survival_km_hand_curve(spark, tmp_path):
+    """10 customers, one segment: 3 churn at month 0, 2 churn + 1
+    censored at month 1, 4 censored at month 2. Textbook K-M:
+    S(0)=0.7, S(1)=0.7*(5/7)=0.5, S(2)=0.5 (censoring moves no
+    mass)."""
+    from datetime import date, timedelta
+
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import q_survival_km
+
+    D = date(2024, 12, 31)
+    churn_last = date(2024, 6, 1)      # 213 days before D -> churned
+    cens_last = date(2024, 12, 1)      # 30 days before D -> censored
+    rows = []
+    oid = 0
+
+    def add(cust, last, months):
+        nonlocal oid
+        first = last - timedelta(days=30 * months)
+        rows.append((oid, cust, first)); oid += 1
+        rows.append((oid, cust, last)); oid += 1
+
+    cid = 0
+    for _ in range(3):  # t=0 churned
+        add(cid, churn_last, 0); cid += 1
+    for _ in range(2):  # t=1 churned
+        add(cid, churn_last, 1); cid += 1
+    add(cid, cens_last, 1); cid += 1  # t=1 censored
+    for _ in range(3):  # t=2 censored
+        add(cid, cens_last, 2); cid += 1
+    add(cid, D, 2); cid += 1  # t=2 censored; defines the corpus max date
+
+    orders = spark.createDataFrame(
+        rows, "o_orderkey LONG, o_custkey LONG, o_orderdate DATE"
+    )
+    cust = spark.createDataFrame(
+        [(i, "SEG") for i in range(cid)], "c_custkey LONG, c_mktsegment STRING"
+    )
+    orders.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    cust.write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    got = {r["t"]: r for r in q_survival_km(spark, str(tmp_path)).collect()}
+    assert (got[0]["n_risk"], got[0]["n_events"]) == (10, 3)
+    assert (got[1]["n_risk"], got[1]["n_events"]) == (7, 2)
+    assert (got[2]["n_risk"], got[2]["n_events"]) == (4, 0)
+    assert got[0]["survival"] == pytest.approx(0.7, abs=1e-6)
+    assert got[1]["survival"] == pytest.approx(0.5, abs=1e-6)
+    assert got[2]["survival"] == pytest.approx(0.5, abs=1e-6)
