@@ -7144,3 +7144,576 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_basket_rules": q_basket_rules,
     "q_survival_km": q_survival_km,
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-5 late batch 2: frontier / allocation / reconciliation / experiment
+# analytics. Registered at the tail — the round-6 DRIVER_ROTATION picks
+# them up (QUERIES.md "driver coverage cap + rotation").
+# ---------------------------------------------------------------------------
+
+from mapreduce_kmeans_clustering_spark.operators import allocation as AL
+from mapreduce_kmeans_clustering_spark.operators import diff as DF
+from mapreduce_kmeans_clustering_spark.operators import skyline as SKY
+
+PROMO_UNITS = 10_000
+DIFF_BUCKETS = 64
+COV_DIMS = 8
+# conversion = any purchase above this value: splits users ~45-55%
+# at every SF (purchase-count thresholds don't separate — every
+# synthetic user buys; the per-user max purchase value has its
+# median near 145)
+AB_CONV_VALUE = 150.0
+
+
+def q_skyline_parts(spark, sf_dir):
+    """Pareto frontier of parts under (minimize price, maximize
+    size): the multi-objective shortlist — no returned part has
+    another both cheaper and at least as large. Distributed skyline
+    (operators/skyline.py): distinct (price, size) aggregate, a
+    bucketed local-frontier window, then one global window over the
+    per-bucket survivors — dominance by sort order, never a pairwise
+    join (the brute NOT EXISTS form is only the oracle)."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    sky = SKY.skyline_2d(
+        p.select(
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").alias("size"),
+            "p_partkey",
+        ),
+        "price",
+        "size",
+        aggs=[
+            F.count("*").cast("long").alias("n_parts"),
+            F.min("p_partkey").alias("min_partkey"),
+        ],
+    )
+    return sky.select("price", "size", "n_parts", "min_partkey")
+
+
+def q_budget_allocation(spark, sf_dir):
+    """Largest-remainder (Hamilton) apportionment: split a 10,000-unit
+    promo budget across nations proportional to order revenue, summing
+    EXACTLY to the budget — floor shares + one extra unit to the
+    largest remainders (operators/allocation.py largest_remainder).
+    Integer cents end-to-end; the rank window runs over 25 nation
+    rows, never the fact table."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("rev_cents")
+        )
+    )
+    alloc = AL.largest_remainder(rev, "c_nationkey", "rev_cents", PROMO_UNITS)
+    return (
+        alloc.join(
+            F.broadcast(n), alloc["c_nationkey"] == n["n_nationkey"]
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_nationkey").cast("int").alias("nationkey"),
+            "floor_units",
+            "got_extra",
+            "units",
+        )
+    )
+
+
+def q_fifo_match(spark, sf_dir):
+    """FIFO lot attribution: per part, returned quantities (R flag)
+    consume shipped lots (N flag) strictly in shipdate order —
+    matched pairs come from cumulative-sum interval overlap, an
+    equi-join on partkey with a range residual, never a nested-loop
+    scan (operators/allocation.py fifo_match). Integer quantities;
+    per-part summary keeps the output one row per returned part."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    seq = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    lots = li.where(F.col("l_returnflag") == "N")
+    dems = li.where(F.col("l_returnflag") == "R")
+    m = AL.fifo_match(lots, dems, "l_partkey", seq, "l_quantity")
+    matched = m.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("matched_qty").alias("matched_qty"),
+    )
+    demand = dems.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("demand_qty")
+    )
+    return (
+        demand.join(matched, "l_partkey", "left")
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("matched_qty", F.lit(0))
+            .cast("long")
+            .alias("matched_qty"),
+            "demand_qty",
+            (
+                F.col("demand_qty")
+                - F.coalesce("matched_qty", F.lit(0))
+            ).cast("long").alias("unfilled_qty"),
+        )
+    )
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation: two deterministic versions of orders
+    (B adds the keys A lacks, drops every 89th, bumps every 97th
+    price) classified added/removed/changed by fingerprint full-outer
+    join, plus Merkle-leaf bucket digests that localize the damage
+    without shipping rows (operators/diff.py). Single summary row —
+    the anti-entropy gate a 100 TB mirror runs before a sync."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+    snap_a = o.where(F.col("o_orderkey") % 101 != 0)
+    snap_b = o.where(F.col("o_orderkey") % 89 != 0).withColumn(
+        "price_cents",
+        F.col("price_cents")
+        + F.when(F.col("o_orderkey") % 97 == 0, F.lit(100)).otherwise(
+            F.lit(0)
+        ),
+    )
+    keys, vals = ["o_orderkey"], [
+        "price_cents",
+        "o_orderstatus",
+        "o_orderpriority",
+    ]
+    d = DF.snapshot_diff(snap_a, snap_b, keys, vals)
+    counts = d.agg(
+        F.sum((F.col("change") == "added").cast("long")).alias("n_added"),
+        F.sum((F.col("change") == "removed").cast("long")).alias(
+            "n_removed"
+        ),
+        F.sum((F.col("change") == "changed").cast("long")).alias(
+            "n_changed"
+        ),
+    )
+    da = DF.bucket_digests(snap_a, keys, vals, DIFF_BUCKETS)
+    db = DF.bucket_digests(snap_b, keys, vals, DIFF_BUCKETS)
+    bd = (
+        da.withColumnRenamed("n_rows", "na")
+        .withColumnRenamed("digest", "ga")
+        .join(
+            db.withColumnRenamed("n_rows", "nb").withColumnRenamed(
+                "digest", "gb"
+            ),
+            "bucket",
+            "full_outer",
+        )
+        .where(
+            F.col("na").isNull()
+            | F.col("nb").isNull()
+            | (F.col("na") != F.col("nb"))
+            | (F.col("ga") != F.col("gb"))
+        )
+        .agg(F.count("*").cast("long").alias("n_buckets_differ"))
+    )
+    return counts.crossJoin(F.broadcast(bd))
+
+
+def q_ab_lift(spark, sf_dir):
+    """Two-arm conversion experiment read-out: users split by
+    user_id parity, conversion = any purchase event; per-arm rates,
+    absolute lift, and the pooled two-proportion z statistic. Counts
+    are exact integers; every double is ONE division chain written
+    identically in the oracle, rounded half-up in integer arithmetic
+    (the Neyman/Gini recipe — Spark and DuckDB round(double) disagree
+    near .5 ties, SCALE.md §5)."""
+    e = _events(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > AB_CONV_VALUE)
+            ).cast("int")
+        ).alias("converted")
+    )
+    arms = per_user.select(
+        (F.col("user_id") % 2).cast("int").alias("arm"), "converted"
+    )
+    agg = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+
+    def r6(col):
+        return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+
+    pa = F.col("conv_a") / F.col("n_a")
+    pb = F.col("conv_b") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (pb - pa) / F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return agg.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        r6(pa).alias("rate_a"),
+        r6(pb).alias("rate_b"),
+        r6(pb - pa).alias("lift"),
+        r6(z).alias("z_score"),
+    )
+
+
+def q_quantile_normalize(spark, sf_dir):
+    """Cross-source quantile normalization of document lengths (the
+    batch-effect remover: rank within source, replace each value by
+    the cross-source mean at its rank). Rank-mean is kept RATIONAL
+    (sum, count) until one half-up integer division at 6 dp — the
+    '(2x·scale + d) div 2d' recipe — so no float accumulates across
+    rows. Output: per (source, rank-decile) mean normalized length."""
+    docs = _docs(spark, sf_dir)
+    w_rank = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.row_number().over(w_rank).alias("r"),
+        F.count("*")
+        .over(Window.partitionBy("source"))
+        .alias("n_src"),
+    )
+    rank_stats = ranked.groupBy("r").agg(
+        F.sum("n_chars").alias("sum_r"),
+        F.count("*").cast("long").alias("cnt_r"),
+    )
+    # norm_q6 = half-up((sum_r / cnt_r) * 1e6) in pure integers
+    norm = ranked.join(rank_stats, "r").select(
+        "source",
+        F.expr("(r - 1) * 10 div n_src").cast("int").alias("decile"),
+        F.expr(
+            "(2 * sum_r * 1000000 + cnt_r) div (2 * cnt_r)"
+        ).alias("norm_q6"),
+    )
+    out = norm.groupBy("source", "decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("norm_q6").alias("sum_norm"),
+    )
+    avg_norm = F.floor(
+        (F.col("sum_norm") / F.col("n_docs") / F.lit(1e6)) * 1e6
+        + F.lit(0.5)
+    ) / 1e6
+    return out.select(
+        "source", "decile", "n_docs", avg_norm.alias("avg_norm")
+    )
+
+
+def q_embed_cov(spark, sf_dir):
+    """Quantized covariance of the first 8 embedding dimensions: the
+    feature-correlation gate before a training run (collapsed or
+    redundant dims show up as off-diagonal mass). Values quantize
+    half-up at 6 dp to integers so all moment sums are EXACT and
+    order-independent; the covariance combination rides DECIMAL(38,0)
+    (n·P_ij − S_i·S_j overflows long past ~sf1) with one final
+    double division chain. Single map-side-combined aggregate — no
+    explode, no join, 45 accumulator columns; the BLAS-twin for the
+    full 64-dim Gram lives in operators/pca.py moments_nd."""
+    e = _emb(spark, sf_dir)
+    D = COV_DIMS
+    qs = [
+        F.floor(
+            F.element_at("embedding", i + 1).cast("double") * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias(f"q{i}")
+        for i in range(D)
+    ]
+    st = e.select(*qs)
+    aggs = [F.count("*").cast("long").alias("n")]
+    aggs += [F.sum(f"q{i}").alias(f"s{i}") for i in range(D)]
+    aggs += [
+        F.sum(F.col(f"q{i}") * F.col(f"q{j}")).alias(f"p{i}_{j}")
+        for i in range(D)
+        for j in range(i, D)
+    ]
+    row = st.agg(*aggs)
+    dec = "decimal(38,0)"
+    triples = []
+    for i in range(D):
+        for j in range(i, D):
+            num = F.col("n").cast(dec) * F.col(f"p{i}_{j}").cast(
+                dec
+            ) - F.col(f"s{i}").cast(dec) * F.col(f"s{j}").cast(dec)
+            cov = (
+                num.cast("double")
+                / F.col("n")
+                / F.col("n")
+                / F.lit(1e12)
+            )
+            cov_q6 = F.floor(cov * 1e6 + F.lit(0.5)) / 1e6
+            triples.append(
+                F.struct(
+                    F.lit(i).cast("int").alias("dim_i"),
+                    F.lit(j).cast("int").alias("dim_j"),
+                    F.col("n").alias("n_vecs"),
+                    cov_q6.alias("cov_q6"),
+                )
+            )
+    return row.select(
+        F.explode(F.array(*triples)).alias("t")
+    ).select("t.dim_i", "t.dim_j", "t.n_vecs", "t.cov_q6")
+
+
+# Skyline oracle: brute-force dominance NOT EXISTS — the quadratic
+# form the operator's sort-order formulation replaces.
+PIPELINE_ORACLES["q_skyline_parts"] = """
+WITH pts AS (
+  SELECT p_retailprice AS price, p_size AS size,
+         count(*)::BIGINT AS n_parts, min(p_partkey) AS min_partkey
+  FROM part GROUP BY 1, 2)
+SELECT price, size, n_parts, min_partkey
+FROM pts a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts b
+  WHERE b.price <= a.price AND b.size >= a.size
+    AND (b.price < a.price OR b.size > a.size))
+ORDER BY price"""
+
+# Largest-remainder oracle: same integer floor/remainder math; the
+# extra-unit rank breaks ties (rem DESC, nationkey ASC) identically.
+PIPELINE_ORACLES["q_budget_allocation"] = f"""
+WITH w AS (
+  SELECT c_nationkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS wgt
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1),
+t AS (SELECT sum(wgt)::BIGINT AS wt FROM w),
+s AS (SELECT c_nationkey, ({PROMO_UNITS} * wgt) // wt AS fl,
+             ({PROMO_UNITS} * wgt) % wt AS rem
+      FROM w CROSS JOIN t),
+r AS (SELECT c_nationkey, fl,
+             row_number() OVER (ORDER BY rem DESC, c_nationkey)::BIGINT AS rk,
+             ({PROMO_UNITS} - (SELECT sum(fl) FROM s))::BIGINT AS short
+      FROM s)
+SELECT n_name AS nation, c_nationkey::INT AS nationkey,
+       fl::BIGINT AS floor_units,
+       (CASE WHEN rk <= short THEN 1 ELSE 0 END)::INT AS got_extra,
+       (fl + CASE WHEN rk <= short THEN 1 ELSE 0 END)::BIGINT AS units
+FROM r JOIN nation ON n_nationkey = c_nationkey"""
+
+# FIFO oracle: identical cumulative-interval construction in SQL
+# windows; HUGEINT intermediates cast back at the output boundary.
+PIPELINE_ORACLES["q_fifo_match"] = """
+WITH lots AS (
+  SELECT l_partkey,
+         sum(CAST(l_quantity AS BIGINT)) OVER w AS hi,
+         sum(CAST(l_quantity AS BIGINT)) OVER w
+           - CAST(l_quantity AS BIGINT) AS lo
+  FROM lineitem WHERE l_returnflag = 'N'
+  WINDOW w AS (PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+dems AS (
+  SELECT l_partkey,
+         sum(CAST(l_quantity AS BIGINT)) OVER w AS hi,
+         sum(CAST(l_quantity AS BIGINT)) OVER w
+           - CAST(l_quantity AS BIGINT) AS lo
+  FROM lineitem WHERE l_returnflag = 'R'
+  WINDOW w AS (PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+m AS (
+  SELECT l.l_partkey,
+         least(l.hi, d.hi) - greatest(l.lo, d.lo) AS mq
+  FROM lots l JOIN dems d ON l.l_partkey = d.l_partkey
+  WHERE d.lo < l.hi AND l.lo < d.hi),
+ms AS (SELECT l_partkey, count(*)::BIGINT AS n_pairs,
+              sum(mq)::BIGINT AS matched_qty
+       FROM m GROUP BY 1),
+dd AS (SELECT l_partkey,
+              sum(CAST(l_quantity AS BIGINT))::BIGINT AS demand_qty
+       FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1)
+SELECT dd.l_partkey AS partkey,
+       coalesce(ms.n_pairs, 0)::BIGINT AS n_pairs,
+       coalesce(ms.matched_qty, 0)::BIGINT AS matched_qty,
+       dd.demand_qty,
+       (dd.demand_qty - coalesce(ms.matched_qty, 0))::BIGINT AS unfilled_qty
+FROM dd LEFT JOIN ms ON dd.l_partkey = ms.l_partkey"""
+
+# Snapshot-diff oracle: md5 fingerprints and 48-bit digest sums
+# replayed in SQL ('0x'||substr trick — the portable hash family).
+PIPELINE_ORACLES["q_snapshot_diff"] = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+         o_orderstatus, o_orderpriority
+  FROM orders),
+a AS (SELECT * FROM o WHERE o_orderkey % 101 != 0),
+b AS (SELECT o_orderkey,
+             pc + CASE WHEN o_orderkey % 97 = 0 THEN 100 ELSE 0 END AS pc,
+             o_orderstatus, o_orderpriority
+      FROM o WHERE o_orderkey % 89 != 0),
+fa AS (SELECT o_orderkey,
+              md5(pc::VARCHAR || '|' || o_orderstatus || '|'
+                  || o_orderpriority) AS fp FROM a),
+fb AS (SELECT o_orderkey,
+              md5(pc::VARCHAR || '|' || o_orderstatus || '|'
+                  || o_orderpriority) AS fp FROM b),
+cls AS (
+  SELECT CASE WHEN fa.fp IS NULL THEN 'added'
+              WHEN fb.fp IS NULL THEN 'removed'
+              WHEN fa.fp != fb.fp THEN 'changed' END AS change
+  FROM fa FULL OUTER JOIN fb ON fa.o_orderkey = fb.o_orderkey),
+cnt AS (
+  SELECT sum(CASE WHEN change = 'added' THEN 1 ELSE 0 END)::BIGINT
+           AS n_added,
+         sum(CASE WHEN change = 'removed' THEN 1 ELSE 0 END)::BIGINT
+           AS n_removed,
+         sum(CASE WHEN change = 'changed' THEN 1 ELSE 0 END)::BIGINT
+           AS n_changed
+  FROM cls),
+ga AS (
+  SELECT ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 12))::BIGINT % 64
+           AS bucket,
+         count(*)::BIGINT AS n_rows,
+         sum(('0x' || substr(md5(o_orderkey::VARCHAR || '|' || pc::VARCHAR
+               || '|' || o_orderstatus || '|' || o_orderpriority), 1, 12)
+             )::BIGINT)::BIGINT AS digest
+  FROM a GROUP BY 1),
+gb AS (
+  SELECT ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 12))::BIGINT % 64
+           AS bucket,
+         count(*)::BIGINT AS n_rows,
+         sum(('0x' || substr(md5(o_orderkey::VARCHAR || '|' || pc::VARCHAR
+               || '|' || o_orderstatus || '|' || o_orderpriority), 1, 12)
+             )::BIGINT)::BIGINT AS digest
+  FROM b GROUP BY 1),
+bd AS (
+  SELECT count(*)::BIGINT AS n_buckets_differ
+  FROM ga FULL OUTER JOIN gb ON ga.bucket = gb.bucket
+  WHERE ga.n_rows IS NULL OR gb.n_rows IS NULL
+     OR ga.n_rows != gb.n_rows OR ga.digest != gb.digest)
+SELECT n_added, n_removed, n_changed, n_buckets_differ
+FROM cnt CROSS JOIN bd"""
+
+# A/B oracle: identical division chains; half-up 6-dp via
+# floor(x*1e6 + 0.5)/1e6 both sides (round() ties differ cross-engine).
+PIPELINE_ORACLES["q_ab_lift"] = """
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value > 150.0
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1),
+a AS (
+  SELECT sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)::BIGINT
+           AS conv_a,
+         sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END)::BIGINT
+           AS conv_b
+  FROM u)
+SELECT n_a, conv_a, n_b, conv_b,
+  floor((conv_a / n_a) * 1000000.0 + 0.5) / 1000000.0 AS rate_a,
+  floor((conv_b / n_b) * 1000000.0 + 0.5) / 1000000.0 AS rate_b,
+  floor(((conv_b / n_b) - (conv_a / n_a)) * 1000000.0 + 0.5) / 1000000.0
+    AS lift,
+  floor((((conv_b / n_b) - (conv_a / n_a))
+         / sqrt(((conv_a + conv_b) / (n_a + n_b))
+                * (1.0 - ((conv_a + conv_b) / (n_a + n_b)))
+                * ((1.0 / n_a) + (1.0 / n_b))))
+        * 1000000.0 + 0.5) / 1000000.0 AS z_score
+FROM a"""
+
+# Quantile-normalization oracle: same rank windows, same pure-integer
+# half-up '(2x*scale + d) div 2d' rank means.
+PIPELINE_ORACLES["q_quantile_normalize"] = """
+WITH ranked AS (
+  SELECT source, n_chars::BIGINT AS n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS r,
+         count(*) OVER (PARTITION BY source) AS n_src
+  FROM documents),
+rs AS (SELECT r, sum(n_chars)::BIGINT AS sum_r, count(*)::BIGINT AS cnt_r
+       FROM ranked GROUP BY 1),
+norm AS (
+  SELECT source, CAST((r - 1) * 10 // n_src AS INT) AS decile,
+         (2 * sum_r * 1000000 + cnt_r) // (2 * cnt_r) AS norm_q6
+  FROM ranked JOIN rs USING (r)),
+o AS (SELECT source, decile, count(*)::BIGINT AS n_docs,
+             sum(norm_q6)::BIGINT AS sum_norm
+      FROM norm GROUP BY 1, 2)
+SELECT source, decile, n_docs,
+       floor((sum_norm / n_docs / 1000000.0) * 1000000.0 + 0.5)
+         / 1000000.0 AS avg_norm
+FROM o"""
+
+
+def _embed_cov_oracle(d: int) -> str:
+    """Quantized-covariance oracle: 6-dp half-up integer moments,
+    HUGEINT combination (= the Spark DECIMAL(38,0) channel), one
+    final double division chain — written by loop so the 36 pair
+    expressions stay literally identical to the Spark side."""
+    qs = ",\n         ".join(
+        f"CAST(floor(embedding[{i + 1}]::DOUBLE * 1000000.0 + 0.5)"
+        f" AS BIGINT) AS q{i}"
+        for i in range(d)
+    )
+    aggs = ["count(*)::BIGINT AS n"]
+    aggs += [f"sum(q{i})::BIGINT AS s{i}" for i in range(d)]
+    aggs += [
+        f"sum(q{i} * q{j})::BIGINT AS p{i}_{j}"
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    rows = []
+    for i in range(d):
+        for j in range(i, d):
+            num = (
+                f"(n::HUGEINT * p{i}_{j}::HUGEINT"
+                f" - s{i}::HUGEINT * s{j}::HUGEINT)"
+            )
+            cov = f"{num}::DOUBLE / n / n / 1e12"
+            rows.append(
+                f"SELECT {i}::INT AS dim_i, {j}::INT AS dim_j,"
+                f" n AS n_vecs,"
+                f" floor(({cov}) * 1000000.0 + 0.5) / 1000000.0 AS cov_q6"
+                f" FROM a"
+            )
+    return (
+        "WITH q AS (SELECT " + qs + " FROM embeddings),\n"
+        "a AS (SELECT " + ", ".join(aggs) + " FROM q)\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+PIPELINE_ORACLES["q_embed_cov"] = _embed_cov_oracle(COV_DIMS)
+
+PIPELINE_QUERIES.update(
+    {
+        "q_skyline_parts": q_skyline_parts,
+        "q_budget_allocation": q_budget_allocation,
+        "q_fifo_match": q_fifo_match,
+        "q_snapshot_diff": q_snapshot_diff,
+        "q_ab_lift": q_ab_lift,
+        "q_quantile_normalize": q_quantile_normalize,
+        "q_embed_cov": q_embed_cov,
+    }
+)

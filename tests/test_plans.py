@@ -622,3 +622,45 @@ def test_round5_extension_query_plans(spark):
     p = _plan(q_bpe_train(spark, SF))
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+
+def test_round5_batch2_query_plans(spark):
+    """Batch-2 extension queries stay in the house shapes: skyline is
+    windows over one aggregate (no join at all), FIFO is an equi join
+    with a range residual (never nested-loop), the diff is a key
+    equi full-outer plus 1-row anchors, and nothing touches Python."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_ab_lift,
+        q_budget_allocation,
+        q_embed_cov,
+        q_fifo_match,
+        q_quantile_normalize,
+        q_skyline_parts,
+        q_snapshot_diff,
+    )
+
+    # pure window/aggregate plans: no join of any kind
+    for q in (q_skyline_parts, q_ab_lift, q_embed_cov):
+        p = _plan(q(spark, SF))
+        assert "Join" not in p, q.__name__
+        assert "BatchEvalPython" not in p and "MapInPandas" not in p, q.__name__
+
+    # equi joins only (hash/sort-merge/broadcast-hash), no BNLJ
+    for q in (q_fifo_match, q_quantile_normalize):
+        p = _plan(q(spark, SF))
+        assert "CartesianProduct" not in p, q.__name__
+        assert "BroadcastNestedLoopJoin" not in p, q.__name__
+        assert "BatchEvalPython" not in p and "MapInPandas" not in p, q.__name__
+
+    # 1-row scalar anchors are the only nested loops
+    for q in (q_budget_allocation, q_snapshot_diff):
+        p = _plan(q(spark, SF))
+        assert "CartesianProduct" not in p, q.__name__
+        assert _scalar_anchor_bnlj_only(p), q.__name__
+        assert "BatchEvalPython" not in p and "MapInPandas" not in p, q.__name__
+
+    # the FIFO join must keep the partkey as the equi key with the
+    # interval overlap as a residual condition, not degrade to a
+    # nested loop over parts
+    p = _plan(q_fifo_match(spark, SF))
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
