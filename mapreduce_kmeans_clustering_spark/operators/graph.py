@@ -182,3 +182,63 @@ def triangle_counts(
             .alias("clustering"),
         )
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: list[int],
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    frontier_dedup: bool = True,
+) -> DataFrame:
+    """Shortest-path hop levels from ``sources`` over a directed edge
+    relation, unrolled to ``max_hops`` min-plus rounds:
+
+        dist_{k+1}(v) = min(dist_k(v), min over (u,v) in E of dist_k(u) + 1)
+
+    Returns (nk, hops) for every node reachable within ``max_hops``;
+    unreachable nodes are absent (no sentinel infinities).
+
+    Physical shape per round: frontier ⋈ edges on the node key (the
+    frontier is |reached| rows, edges broadcast when small), then a
+    min aggregate — the same iterative join-aggregate posture as
+    pagerank above and dup_groups' label propagation. The unroll is
+    FIXED depth, so the plan is finite and replayable declaratively
+    (the reference's fixed-R chain posture, SURVEY §2.1 O9 —
+    KMeansDriver.java's bounded reducer rounds); for unbounded-depth
+    traversals switch to the dup_groups convergence loop with
+    deferred checkpoints.
+    """
+    spark = edges.sparkSession
+    d = spark.createDataFrame(
+        [(int(s), 0) for s in sources], "nk int, hops int"
+    )
+    if frontier_dedup:
+        for _ in range(max_hops):
+            nxt = d.join(edges, d["nk"] == edges[src_col]).select(
+                F.col(dst_col).cast("int").alias("nk"),
+                (F.col("hops") + F.lit(1)).cast("int").alias("hops"),
+            )
+            d = (
+                d.unionByName(nxt)
+                .groupBy("nk")
+                .agg(F.min("hops").cast("int").alias("hops"))
+            )
+        return d
+    # path-enumeration mode: expand without per-round dedup and take
+    # ONE final min — a single shuffle instead of max_hops of them.
+    # Frontier size is Sum_k sources*degree^k, so this is strictly
+    # for small max_hops x bounded out-degree (the sparsified-graph
+    # case); per-round dedup is the general-graph default.
+    layers = [d]
+    for _ in range(max_hops):
+        d = layers[-1].join(edges, layers[-1]["nk"] == edges[src_col]).select(
+            F.col(dst_col).cast("int").alias("nk"),
+            (F.col("hops") + F.lit(1)).cast("int").alias("hops"),
+        )
+        layers.append(d)
+    out = layers[0]
+    for layer in layers[1:]:
+        out = out.unionByName(layer)
+    return out.groupBy("nk").agg(F.min("hops").cast("int").alias("hops"))

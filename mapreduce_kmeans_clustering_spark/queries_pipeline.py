@@ -7717,3 +7717,343 @@ PIPELINE_QUERIES.update(
         "q_embed_cov": q_embed_cov,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 late batch 3: graph reach, hybrid retrieval fusion, grouped OLS.
+# ---------------------------------------------------------------------------
+
+from mapreduce_kmeans_clustering_spark.operators.graph import bfs_levels
+
+HOPS_TOP_EDGES = 3
+HOPS_MAX = 3
+HOPS_SOURCE = 0
+HOPS_YEAR = 2000
+RRF_SHIFT = 60
+RRF_CAND = 50
+RRF_TOP = 10
+RRF_TERMS = ["hash", "join", "merge"]
+TREND_BASE_YEAR = 1995
+
+
+def _trade_edges(spark, sf_dir):
+    """Top-HOPS_TOP_EDGES revenue destinations per supplier nation
+    over the HOPS_YEAR trade season: the SF-stable sparsifier
+    (absolute/relative revenue thresholds flip between empty and
+    complete graphs as SF grows — measured). The year filter reaches
+    the parquet scan, so the 4-way fact join reads one season, not
+    the history."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.year("l_shipdate") == HOPS_YEAR)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice")
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cents").desc(), F.col("dst").asc()
+    )
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= HOPS_TOP_EDGES)
+        .select("src", "dst")
+    )
+
+
+def q_nation_hops(spark, sf_dir):
+    """Trade-reach BFS: hop levels from nation 0 over the top-3
+    revenue-destination graph (operators/graph.py bfs_levels — fixed
+    3-round min-plus unroll, frontier ⋈ edges equi-join + min
+    aggregate per round; edges are a 75-row broadcast). The graph
+    sparsifier is rank-based so the query means the same thing at
+    every SF. Unreached nations are absent, not sentineled."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    # the 75-row edge relation is referenced once per BFS round:
+    # without the pin each round replays the 4-way fact join (the
+    # PageRank edge-list lesson — deferred checkpoint materializes
+    # the DAG once on first action)
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
+    # out-degree is pinned at HOPS_TOP_EDGES, so path-enumeration mode
+    # (<= 1+3+9+27 frontier rows, ONE min shuffle) beats 3 rounds of
+    # dedup shuffles
+    d = bfs_levels(edges, [HOPS_SOURCE], HOPS_MAX, frontier_dedup=False)
+    return d.join(
+        F.broadcast(nation), d["nk"] == nation["n_nationkey"]
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.col("nk").cast("int").alias("nationkey"),
+        "hops",
+    )
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al.) of a
+    BM25 keyword ranking and a length-prior ranking over the same
+    candidate pool — the two-retriever fusion every RAG/dedup
+    pipeline runs. rrf = 1/(60+r_bm25) + 1/(60+r_len): ranks are
+    exact ints, each fused score a fixed two-term double sum,
+    half-up 6 dp. Candidates = BM25 top-50, so the len-rank window
+    is a 50-row single task, never corpus-wide."""
+    docs = _docs(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [("q", t) for t in RRF_TERMS], "query_id string, term string"
+    )
+    cand = CU.bm25_search(docs, qdf, k=RRF_CAND).select(
+        "doc_id", F.col("rank").alias("rank_bm25")
+    )
+    withlen = cand.join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    w_len = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    staged = withlen.withColumn(
+        "rank_len", F.row_number().over(w_len).cast("int")
+    )
+    rrf = F.lit(1.0) / (F.lit(RRF_SHIFT) + F.col("rank_bm25")) + F.lit(
+        1.0
+    ) / (F.lit(RRF_SHIFT) + F.col("rank_len"))
+    scored = staged.select(
+        "doc_id",
+        "rank_bm25",
+        "rank_len",
+        (F.floor(rrf * 1e6 + F.lit(0.5)) / 1e6).alias("rrf_q6"),
+    )
+    w_f = Window.orderBy(F.col("rrf_q6").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w_f).cast("int"))
+        .where(F.col("rank") <= RRF_TOP)
+        .select("doc_id", "rank_bm25", "rank_len", "rrf_q6", "rank")
+    )
+
+
+def q_revenue_trend(spark, sf_dir):
+    """Per-nation OLS trend of monthly order revenue: slope,
+    intercept, R² from EXACT integer moments (cents, global month
+    index) — the grouped-regression primitive behind every
+    drift/forecast dashboard. Sums ride DECIMAL(38,0) (Σy² overflows
+    long past ~sf1); each output is one double division chain
+    written identically in the oracle, half-up 6 dp. Degenerate
+    groups (constant x or y) are filtered symmetrically, not
+    divided."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    dec = "decimal(38,0)"
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "c_nationkey",
+            (
+                (F.year("o_orderdate") - TREND_BASE_YEAR) * 12
+                + (F.month("o_orderdate") - 1)
+            )
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("y")
+        )
+    )
+    mom = monthly.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
+    )
+    num = F.col("n").cast(dec) * F.col("sxy").cast(dec) - F.col(
+        "sx"
+    ).cast(dec) * F.col("sy").cast(dec)
+    denx = F.col("n").cast(dec) * F.col("sxx").cast(dec) - F.col(
+        "sx"
+    ).cast(dec) * F.col("sx").cast(dec)
+    deny = F.col("n").cast(dec) * F.col("syy") - F.col("sy").cast(
+        dec
+    ) * F.col("sy").cast(dec)
+    staged = mom.select(
+        "c_nationkey",
+        "n",
+        "sx",
+        "sy",
+        num.alias("num"),
+        denx.alias("denx"),
+        deny.alias("deny"),
+    ).where(
+        (F.col("n") >= 3) & (F.col("denx") != 0) & (F.col("deny") != 0)
+    )
+    slope = F.col("num").cast("double") / F.col("denx").cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n")
+    r2 = (F.col("num").cast("double") * F.col("num").cast("double")) / (
+        F.col("denx").cast("double") * F.col("deny").cast("double")
+    )
+
+    def h6(col):
+        return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+
+    out = staged.select(
+        "c_nationkey",
+        F.col("n").alias("n_months"),
+        h6(slope).alias("slope_q6"),
+        h6(intercept).alias("intercept_q6"),
+        h6(r2).alias("r2_q6"),
+    )
+    return out.join(
+        F.broadcast(n), out["c_nationkey"] == n["n_nationkey"]
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        "n_months",
+        "slope_q6",
+        "intercept_q6",
+        "r2_q6",
+    )
+
+
+def _nation_hops_oracle() -> str:
+    """Unrolled min-plus BFS in SQL: the same HOPS_MAX rounds the
+    Spark loop runs, as chained CTEs (no recursive CTE — identical
+    fixed-depth semantics both engines by construction)."""
+    prev = "d0"
+    rounds = []
+    for i in range(1, HOPS_MAX + 1):
+        rounds.append(
+            f"d{i} AS (SELECT nk, min(hops)::INT AS hops FROM (\n"
+            f"  SELECT nk, hops FROM {prev}\n"
+            f"  UNION ALL\n"
+            f"  SELECT e.dst AS nk, {prev}.hops + 1 AS hops\n"
+            f"  FROM {prev} JOIN e ON {prev}.nk = e.src) GROUP BY nk)"
+        )
+        prev = f"d{i}"
+    return f"""
+WITH rev AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE year(l.l_shipdate) = {HOPS_YEAR}
+  GROUP BY 1, 2),
+e AS (SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cents DESC, dst) AS rk
+        FROM rev)
+      WHERE rk <= {HOPS_TOP_EDGES}),
+d0(nk, hops) AS (SELECT {HOPS_SOURCE}, 0),
+{",".join(rounds)}
+SELECT n_name AS nation, nk::INT AS nationkey, hops
+FROM {prev} JOIN nation ON n_nationkey = nk"""
+
+
+PIPELINE_ORACLES["q_nation_hops"] = _nation_hops_oracle()
+
+# RRF oracle: the BM25 CTE chain (same contract as q_bm25_search's
+# oracle) for the single fused query, then the 50-row length rank and
+# the fixed two-term reciprocal sum.
+PIPELINE_ORACLES["q_hybrid_rrf"] = f"""
+WITH q(query_id, term) AS (VALUES {", ".join(f"('q', '{t}')" for t in RRF_TERMS)}),
+t AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM t GROUP BY 1, 2),
+dl AS (SELECT doc_id, term, tf,
+              sum(tf) OVER (PARTITION BY doc_id) AS dl
+       FROM tf),
+stats AS (SELECT count(*)::DOUBLE AS n_docs,
+                 avg(len({_TOK}))::DOUBLE AS avgdl
+          FROM documents),
+m AS (SELECT q.query_id, d.doc_id, d.tf, d.dl, d.term,
+             count(*) OVER (PARTITION BY q.query_id, d.term)::DOUBLE AS df
+      FROM dl d JOIN q USING (term)),
+s AS (SELECT query_id, doc_id,
+             round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * (1.2 + 1.0))
+                       / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))), 6)
+               AS score
+      FROM m CROSS JOIN stats GROUP BY 1, 2),
+r AS (SELECT doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id)::INT
+               AS rank_bm25
+      FROM s),
+cand AS (SELECT doc_id, rank_bm25 FROM r WHERE rank_bm25 <= {RRF_CAND}),
+wl AS (SELECT c.doc_id, c.rank_bm25,
+              row_number() OVER (ORDER BY d.n_chars DESC, c.doc_id)::INT
+                AS rank_len
+       FROM cand c JOIN documents d USING (doc_id)),
+sc AS (SELECT doc_id, rank_bm25, rank_len,
+              floor((1.0 / ({RRF_SHIFT} + rank_bm25)
+                     + 1.0 / ({RRF_SHIFT} + rank_len))
+                    * 1000000.0 + 0.5) / 1000000.0 AS rrf_q6
+       FROM wl),
+f AS (SELECT doc_id, rank_bm25, rank_len, rrf_q6,
+             row_number() OVER (ORDER BY rrf_q6 DESC, doc_id)::INT AS rank
+      FROM sc)
+SELECT doc_id, rank_bm25, rank_len, rrf_q6, rank
+FROM f WHERE rank <= {RRF_TOP}"""
+
+# Grouped-OLS oracle: identical integer moments (HUGEINT = the Spark
+# DECIMAL(38,0) channel), identical double division chains.
+PIPELINE_ORACLES["q_revenue_trend"] = f"""
+WITH monthly AS (
+  SELECT c_nationkey,
+         ((year(o_orderdate) - {TREND_BASE_YEAR}) * 12
+          + (month(o_orderdate) - 1))::BIGINT AS x,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2),
+mom AS (
+  SELECT c_nationkey, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+         sum(x * x)::BIGINT AS sxx,
+         sum(y::HUGEINT * y::HUGEINT) AS syy
+  FROM monthly GROUP BY 1),
+st AS (
+  SELECT c_nationkey, n, sx, sy,
+         (n::HUGEINT * sxy::HUGEINT - sx::HUGEINT * sy::HUGEINT) AS num,
+         (n::HUGEINT * sxx::HUGEINT - sx::HUGEINT * sx::HUGEINT) AS denx,
+         (n::HUGEINT * syy - sy::HUGEINT * sy::HUGEINT) AS deny
+  FROM mom WHERE n >= 3),
+f AS (SELECT * FROM st WHERE denx != 0 AND deny != 0)
+SELECT n_name AS nation, c_nationkey::INT AS nationkey, n AS n_months,
+  floor((num::DOUBLE / denx::DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+    AS slope_q6,
+  floor(((sy::DOUBLE - (num::DOUBLE / denx::DOUBLE) * sx::DOUBLE) / n)
+        * 1000000.0 + 0.5) / 1000000.0 AS intercept_q6,
+  floor(((num::DOUBLE * num::DOUBLE) / (denx::DOUBLE * deny::DOUBLE))
+        * 1000000.0 + 0.5) / 1000000.0 AS r2_q6
+FROM f JOIN nation ON n_nationkey = c_nationkey"""
+
+PIPELINE_QUERIES.update(
+    {
+        "q_nation_hops": q_nation_hops,
+        "q_hybrid_rrf": q_hybrid_rrf,
+        "q_revenue_trend": q_revenue_trend,
+    }
+)

@@ -100,3 +100,40 @@ def test_triangle_square_has_none(spark):
     out = _tri(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
     assert all(r["n_triangles"] == 0 for r in out.values())
     assert all(r["clustering"] == 0.0 for r in out.values())
+
+
+def test_bfs_levels_min_over_paths(spark):
+    from mapreduce_kmeans_clustering_spark.operators.graph import bfs_levels
+
+    # 0->1->2->3 chain plus a 0->2 shortcut; 4 unreachable; 5->0 wrong
+    # direction (directed edges must not be followed backwards)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 2), (5, 0)], "src int, dst int"
+    )
+    got = {r["nk"]: r["hops"] for r in bfs_levels(edges, [0], 3).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_bfs_levels_hop_cap_and_multi_source(spark):
+    from mapreduce_kmeans_clustering_spark.operators.graph import bfs_levels
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src int, dst int"
+    )
+    got = {r["nk"]: r["hops"] for r in bfs_levels(chain, [0], 2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}  # nodes past the cap absent
+    got2 = {r["nk"]: r["hops"] for r in bfs_levels(chain, [0, 4], 2).collect()}
+    assert got2 == {0: 0, 1: 1, 2: 2, 4: 0, 5: 1, 6: 2}
+
+
+def test_bfs_path_enumeration_mode_equals_dedup_mode(spark):
+    from mapreduce_kmeans_clustering_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 2), (2, 0), (3, 1)], "src int, dst int"
+    )
+    a = sorted(map(tuple, bfs_levels(edges, [0], 3).collect()))
+    b = sorted(
+        map(tuple, bfs_levels(edges, [0], 3, frontier_dedup=False).collect())
+    )
+    assert a == b

@@ -664,3 +664,26 @@ def test_round5_batch2_query_plans(spark):
     # nested loop over parts
     p = _plan(q_fifo_match(spark, SF))
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_round5_batch3_query_plans(spark):
+    """BFS rounds are equi joins over a broadcastable edge relation;
+    RRF rides the BM25 inverted-index join with its 1-row stats
+    anchor; grouped OLS is equi joins + one aggregate. No cartesian,
+    no Python anywhere."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_hybrid_rrf,
+        q_nation_hops,
+        q_revenue_trend,
+    )
+
+    for q in (q_nation_hops, q_revenue_trend):
+        p = _plan(q(spark, SF))
+        assert "CartesianProduct" not in p, q.__name__
+        assert "BroadcastNestedLoopJoin" not in p, q.__name__
+        assert "BatchEvalPython" not in p and "MapInPandas" not in p, q.__name__
+
+    p = _plan(q_hybrid_rrf(spark, SF))
+    assert "CartesianProduct" not in p
+    assert _scalar_anchor_bnlj_only(p)
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
