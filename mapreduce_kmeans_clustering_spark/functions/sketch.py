@@ -311,3 +311,148 @@ def hll_estimate(registers: DataFrame, groups: list[str]) -> DataFrame:
         v.alias("n_zero_registers"),
         F.round(est, 4).alias("est_distinct"),
     )
+
+
+def kmv_minima(
+    df: DataFrame,
+    value: str,
+    k: int,
+    salt_buckets: int = 16,
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """The k smallest distinct-value hashes as (__v, __h) rows — the
+    mergeable KMV sketch itself (kmv_distinct keeps only the
+    estimate). Same salted two-stage as kmv_distinct, bit-identical
+    to the single-sort plan; the final window moves k rows.
+    ``assume_distinct`` skips the distinct-reduce when the caller
+    already holds one (kmv_set_ops shares it with the exact side)."""
+    vals = df.select(F.col(value).alias("__v"))
+    if not assume_distinct:
+        vals = vals.distinct()
+    hashed = vals.withColumn("__h", kmv_hash("__v"))
+    if salt_buckets > 1:
+        salt = (
+            F.conv(
+                F.substring(F.md5(F.col("__v").cast("string")), 30, 3), 16, 10
+            )
+            .cast("int")
+            % salt_buckets
+        )
+        w1 = Window.partitionBy("__salt").orderBy("__h")
+        hashed = (
+            hashed.withColumn("__salt", salt)
+            .withColumn("__r1", F.row_number().over(w1))
+            .where(F.col("__r1") <= k)
+            .drop("__salt", "__r1")
+        )
+    w = Window.orderBy("__h")
+    return (
+        hashed.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
+def kmv_set_ops(a: DataFrame, b: DataFrame, value: str, k: int) -> DataFrame:
+    """One-row distinct-cardinality estimates for A, B, A ∪ B and
+    A ∩ B from two KMV sketches (Beyer et al., SIGMOD'07) next to
+    the exact counts — the set-operation gate: "how many NEW
+    documents does source B add" / "how big is the overlap" from
+    k-row summaries instead of a full distinct join.
+
+    The union's k minima are a subset of the two sides' k-minima
+    union (any union minimum lives in one side's k smallest), so the
+    merge stage handles <= 2k rows regardless of corpus size. The
+    intersection estimator is the union-sketch membership ratio:
+    D(A ∩ B) ~= (|{union minima in both}| / k) * D(A ∪ B), exact
+    when the union has fewer than k distinct values. Deterministic
+    md5 hashes make every estimate a pure function of the value sets
+    (the same cross-engine contract as kmv_distinct); the exact side
+    is one distinct-merge aggregate.
+    """
+    # one distinct-reduce per side feeds BOTH the sketch and the
+    # exact gate (deferred checkpoint — computed once per action)
+    da = (
+        a.select(F.col(value).alias("__v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    db = (
+        b.select(F.col(value).alias("__v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ma = kmv_minima(da, "__v", k, assume_distinct=True).withColumnRenamed(
+        "__h", "__ha"
+    )
+    mb = kmv_minima(db, "__v", k, assume_distinct=True).withColumnRenamed(
+        "__h", "__hb"
+    )
+    merged = (
+        ma.join(mb, "__v", "full_outer")
+        .select(
+            "__v",
+            F.coalesce("__ha", "__hb").alias("__h"),
+            F.col("__ha").isNotNull().cast("int").alias("__in_a"),
+            F.col("__hb").isNotNull().cast("int").alias("__in_b"),
+        )
+    )
+    w = Window.orderBy("__h")
+    topu = merged.withColumn("__r", F.row_number().over(w)).where(
+        F.col("__r") <= k
+    )
+
+    def est(n_col, hmax_col):
+        return F.round(
+            F.when(n_col < k, n_col.cast("double")).otherwise(
+                F.lit(float(k - 1)) / hmax_col
+            ),
+            4,
+        )
+
+    ea = ma.agg(
+        est(F.count("*"), F.max("__ha")).alias("est_a")
+    )
+    eb = mb.agg(
+        est(F.count("*"), F.max("__hb")).alias("est_b")
+    )
+    eu = topu.agg(
+        F.count("*").cast("int").alias("n_kept"),
+        F.sum(F.col("__in_a") * F.col("__in_b")).cast("int").alias("n_both"),
+        est(F.count("*"), F.max("__h")).alias("est_union"),
+    ).select(
+        "n_kept",
+        "n_both",
+        "est_union",
+        F.round(
+            F.when(
+                F.col("n_kept") < k, F.col("n_both").cast("double")
+            ).otherwise(
+                F.col("n_both").cast("double")
+                / F.lit(float(k))
+                * F.col("est_union")
+            ),
+            4,
+        ).alias("est_inter"),
+    )
+    exact = (
+        da.select("__v", F.lit(1).alias("__a"))
+        .join(db.select("__v", F.lit(1).alias("__b")), "__v", "full_outer")
+        .agg(
+            F.sum("__a").cast("long").alias("exact_a"),
+            F.sum("__b").cast("long").alias("exact_b"),
+            F.count("*").cast("long").alias("exact_union"),
+            F.sum(
+                (F.col("__a").isNotNull() & F.col("__b").isNotNull()).cast(
+                    "int"
+                )
+            )
+            .cast("long")
+            .alias("exact_inter"),
+        )
+    )
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(exact))
+    )

@@ -8057,3 +8057,181 @@ PIPELINE_QUERIES.update(
         "q_revenue_trend": q_revenue_trend,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 late batch 4: sketch set operations + isotonic calibration.
+# ---------------------------------------------------------------------------
+
+from mapreduce_kmeans_clustering_spark.operators.calibrate import isotonic_fit
+
+KMV_SETOPS_K = 64
+KMV_YEAR_A = 1997
+KMV_YEAR_B = 1998
+ISO_BUCKET_WIDTH = 50
+ISO_BUCKET_CAP = 9
+
+
+def q_kmv_setops(spark, sf_dir):
+    """Set-operation cardinality gate: repeat-customer overlap between
+    the 1997 and 1998 order cohorts, estimated from two 64-row KMV
+    sketches (functions/sketch.kmv_set_ops — union minima ⊆ the two
+    sides' minima, so the merge is ≤2k rows at any corpus size;
+    intersection via union-sketch membership ratio, Beyer et al.)
+    next to the exact distinct-merge counts. Deterministic md5
+    hashing keeps every estimate a pure function of the key sets, so
+    the oracle replays estimates AND truth."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = o.where(F.year("o_orderdate") == KMV_YEAR_A).select("o_custkey")
+    b = o.where(F.year("o_orderdate") == KMV_YEAR_B).select("o_custkey")
+    return SK.kmv_set_ops(a, b, "o_custkey", KMV_SETOPS_K)
+
+
+def q_conversion_isotonic(spark, sf_dir):
+    """Monotone conversion calibration: the empirical conversion rate
+    per (event_type, value bucket) fitted by grouped isotonic
+    regression (operators/calibrate.py — PAV in applyInPandas,
+    integer cross-multiplication pooling). The oracle evaluates the
+    minimax characterization ŷ = max_{j<=i} min_{k>=i} mean[j..k]
+    declaratively, so the Arrow path is value-pinned against pure
+    SQL — the strongest check a Python-side operator can get."""
+    e = _events(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > AB_CONV_VALUE)
+            ).cast("int")
+        ).alias("conv")
+    )
+    pts = (
+        e.join(per_user, "user_id")
+        .groupBy(
+            "event_type",
+            F.least(
+                F.floor(F.col("value") / ISO_BUCKET_WIDTH),
+                F.lit(ISO_BUCKET_CAP),
+            )
+            .cast("int")
+            .alias("bucket"),
+        )
+        .agg(
+            F.sum("conv").cast("long").alias("n_conv"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+    fit = isotonic_fit(
+        pts, ["event_type"], "bucket", "n_conv", "n_events"
+    )
+
+    def h6(col):
+        return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+
+    return fit.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        "n_conv",
+        h6(F.col("n_conv") / F.col("n_events")).alias("rate_q6"),
+        h6(F.col("y_hat")).alias("iso_q6"),
+    )
+
+
+PIPELINE_ORACLES["q_kmv_setops"] = f"""
+WITH va AS (SELECT DISTINCT o_custkey AS v FROM orders
+            WHERE year(o_orderdate) = {KMV_YEAR_A}),
+vb AS (SELECT DISTINCT o_custkey AS v FROM orders
+       WHERE year(o_orderdate) = {KMV_YEAR_B}),
+ha AS (SELECT v, ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 13))::BIGINT
+                 / 4503599627370496.0 AS h FROM va),
+hb AS (SELECT v, ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 13))::BIGINT
+                 / 4503599627370496.0 AS h FROM vb),
+ma AS (SELECT v, h FROM (SELECT v, h, row_number() OVER (ORDER BY h) AS r
+                         FROM ha) WHERE r <= {KMV_SETOPS_K}),
+mb AS (SELECT v, h FROM (SELECT v, h, row_number() OVER (ORDER BY h) AS r
+                         FROM hb) WHERE r <= {KMV_SETOPS_K}),
+merged AS (
+  SELECT coalesce(ma.v, mb.v) AS v, coalesce(ma.h, mb.h) AS h,
+         CASE WHEN ma.v IS NOT NULL THEN 1 ELSE 0 END AS ia,
+         CASE WHEN mb.v IS NOT NULL THEN 1 ELSE 0 END AS ib
+  FROM ma FULL OUTER JOIN mb ON ma.v = mb.v),
+topu AS (SELECT * FROM (SELECT *, row_number() OVER (ORDER BY h) AS r
+                        FROM merged) WHERE r <= {KMV_SETOPS_K}),
+ea AS (SELECT round(CASE WHEN count(*) < {KMV_SETOPS_K}
+                         THEN count(*)::DOUBLE
+                         ELSE {KMV_SETOPS_K - 1}.0 / max(h) END, 4)
+                AS est_a FROM ma),
+eb AS (SELECT round(CASE WHEN count(*) < {KMV_SETOPS_K}
+                         THEN count(*)::DOUBLE
+                         ELSE {KMV_SETOPS_K - 1}.0 / max(h) END, 4)
+                AS est_b FROM mb),
+eu AS (SELECT count(*)::INT AS n_kept, sum(ia * ib)::INT AS n_both,
+              round(CASE WHEN count(*) < {KMV_SETOPS_K}
+                         THEN count(*)::DOUBLE
+                         ELSE {KMV_SETOPS_K - 1}.0 / max(h) END, 4)
+                AS est_union
+       FROM topu),
+eu2 AS (SELECT n_kept, n_both, est_union,
+               round(CASE WHEN n_kept < {KMV_SETOPS_K}
+                          THEN n_both::DOUBLE
+                          ELSE n_both::DOUBLE / {KMV_SETOPS_K}.0
+                               * est_union END, 4) AS est_inter
+        FROM eu),
+ex AS (
+  SELECT sum(CASE WHEN va.v IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS exact_a,
+         sum(CASE WHEN vb.v IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS exact_b,
+         count(*)::BIGINT AS exact_union,
+         sum(CASE WHEN va.v IS NOT NULL AND vb.v IS NOT NULL
+                  THEN 1 ELSE 0 END)::BIGINT AS exact_inter
+  FROM va FULL OUTER JOIN vb ON va.v = vb.v)
+SELECT est_a, est_b, n_kept, n_both, est_union, est_inter,
+       exact_a, exact_b, exact_union, exact_inter
+FROM ea CROSS JOIN eb CROSS JOIN eu2 CROSS JOIN ex"""
+
+# Isotonic oracle: the minimax characterization evaluated over
+# prefix sums — pure SQL, no recursion; the PAV block mean is the
+# (j=block start, k=block end) candidate, and monotone IEEE rounding
+# makes the double-valued max-min pick exactly that division.
+PIPELINE_ORACLES["q_conversion_isotonic"] = f"""
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value > 150.0
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1),
+g AS (
+  SELECT e.event_type,
+         least(floor(e.value / {ISO_BUCKET_WIDTH}), {ISO_BUCKET_CAP})::INT
+           AS bucket,
+         sum(u.conv)::BIGINT AS n_conv, count(*)::BIGINT AS n_events
+  FROM events e JOIN u USING (user_id)
+  GROUP BY 1, 2),
+p AS (
+  SELECT event_type, bucket, n_conv, n_events,
+         sum(n_conv) OVER w AS sn, sum(n_events) OVER w AS sd
+  FROM g
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+mn AS (
+  SELECT i.event_type, i.bucket,
+         j.sn - j.n_conv AS snj, j.sd - j.n_events AS sdj,
+         min((k.sn - (j.sn - j.n_conv))::DOUBLE
+             / (k.sd - (j.sd - j.n_events))) AS m
+  FROM p i
+  JOIN p j ON j.event_type = i.event_type AND j.bucket <= i.bucket
+  JOIN p k ON k.event_type = i.event_type AND k.bucket >= i.bucket
+  GROUP BY 1, 2, 3, 4),
+f AS (SELECT event_type, bucket, max(m) AS y FROM mn GROUP BY 1, 2)
+SELECT g.event_type, g.bucket, g.n_events, g.n_conv,
+       floor((g.n_conv::DOUBLE / g.n_events) * 1000000.0 + 0.5)
+         / 1000000.0 AS rate_q6,
+       floor(f.y * 1000000.0 + 0.5) / 1000000.0 AS iso_q6
+FROM g JOIN f USING (event_type, bucket)"""
+
+PIPELINE_QUERIES.update(
+    {
+        "q_kmv_setops": q_kmv_setops,
+        "q_conversion_isotonic": q_conversion_isotonic,
+    }
+)

@@ -687,3 +687,24 @@ def test_round5_batch3_query_plans(spark):
     assert "CartesianProduct" not in p
     assert _scalar_anchor_bnlj_only(p)
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+
+def test_round5_batch4_query_plans(spark):
+    """KMV set ops: k-row windows + 1-row anchors, no cartesian, no
+    Python. Isotonic: the FlatMapGroupsInPandas IS the deliberate
+    Arrow path (asserted present), everything else equi."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_conversion_isotonic,
+        q_kmv_setops,
+    )
+
+    p = _plan(q_kmv_setops(spark, SF))
+    assert "CartesianProduct" not in p
+    assert _scalar_anchor_bnlj_only(p)
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+    p = _plan(q_conversion_isotonic(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "FlatMapGroupsInPandas" in p  # the deliberate Arrow stage
+    assert "BatchEvalPython" not in p

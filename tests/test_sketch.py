@@ -244,3 +244,44 @@ def test_hll_small_range_linear_counting(spark):
     r = hll_estimate(hll_registers(df, ["g"], "v"), ["g"]).collect()[0]
     assert r["n_zero_registers"] >= 59  # at most 5 registers touched
     assert abs(r["est_distinct"] - 5) <= 1.0
+
+
+def test_kmv_set_ops_exact_branch_small_sets(spark):
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.functions.sketch import kmv_set_ops
+
+    a = spark.createDataFrame([(i,) for i in range(30)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(20, 50)], "v long")
+    row = kmv_set_ops(a, b, "v", k=64).collect()[0]
+    # under k distinct everywhere: estimates ARE the exact counts
+    assert row["est_a"] == 30.0 and row["est_b"] == 30.0
+    assert row["est_union"] == 50.0 and row["est_inter"] == 10.0
+    assert (row["exact_a"], row["exact_b"]) == (30, 30)
+    assert (row["exact_union"], row["exact_inter"]) == (50, 10)
+
+
+def test_kmv_set_ops_estimator_branch_tracks_truth(spark):
+    from mapreduce_kmeans_clustering_spark.functions.sketch import kmv_set_ops
+
+    # 600 + 600 values with a 200-value overlap, k=64: estimates must
+    # land within 35% of truth (k=64 KMV standard error ~1/sqrt(62)
+    # ~= 13%; 35% is a deterministic-fixture bound, not a stat claim)
+    a = spark.createDataFrame([(i,) for i in range(600)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(400, 1000)], "v long")
+    row = kmv_set_ops(a, b, "v", k=64).collect()[0]
+    assert row["n_kept"] == 64
+    assert abs(row["est_a"] - 600) / 600 < 0.35
+    assert abs(row["est_b"] - 600) / 600 < 0.35
+    assert abs(row["est_union"] - 1000) / 1000 < 0.35
+    assert abs(row["est_inter"] - 200) / 200 < 0.6  # ratio estimator is noisier
+    assert (row["exact_union"], row["exact_inter"]) == (1000, 200)
+
+
+def test_kmv_minima_salted_equals_plain(spark):
+    from mapreduce_kmeans_clustering_spark.functions.sketch import kmv_minima
+
+    df = spark.createDataFrame([(f"v{i}",) for i in range(500)], "v string")
+    plain = sorted(r["__h"] for r in kmv_minima(df, "v", 32, salt_buckets=1).collect())
+    salted = sorted(r["__h"] for r in kmv_minima(df, "v", 32, salt_buckets=16).collect())
+    assert plain == salted and len(plain) == 32
