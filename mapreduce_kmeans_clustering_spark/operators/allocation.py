@@ -40,6 +40,12 @@ def largest_remainder(
     nations, a few thousand shards), so the single-task rank sort is
     K-row, never corpus-sized; for huge K use the hash-priority
     TakeOrdered pattern (operators/sampling.py weight_priority).
+
+    Bounds: weights must be positive integers; units * max(weight)
+    must fit a long (both engines raise loudly on overflow — ANSI
+    Spark and DuckDB alike — rather than silently diverging; rescale
+    weights, e.g. cents -> whole units, before calling at the point
+    that bound binds).
     """
     total = weights.agg(
         F.sum(F.col(weight_col).cast("long")).alias("_w_total")
