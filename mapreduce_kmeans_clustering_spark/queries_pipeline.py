@@ -8235,3 +8235,134 @@ PIPELINE_QUERIES.update(
         "q_conversion_isotonic": q_conversion_isotonic,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 late batch 5: activity streaks + cohort LTV curves.
+# ---------------------------------------------------------------------------
+
+STREAK_EPOCH = "2024-01-01"
+LTV_BASE_YEAR = 1995
+
+
+def q_user_streaks(spark, sf_dir):
+    """Consecutive-day activity streaks per user — the
+    gaps-and-islands classic (day − dense row number is constant
+    within a run): longest streak, current number of runs, active-day
+    count. One distinct-reduce on (user, day), one partitioned
+    window, two aggregates; everything integer day arithmetic."""
+    e = _events(spark, sf_dir)
+    days = (
+        e.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit(STREAK_EPOCH)).alias("d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = days.withColumn(
+        "anchor", F.col("d") - F.row_number().over(w)
+    ).groupBy("user_id", "anchor").agg(
+        F.count("*").cast("long").alias("run_len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("run_len").cast("long").alias("n_active_days"),
+        F.count("*").cast("long").alias("n_runs"),
+        F.max("run_len").cast("long").alias("longest_streak"),
+    )
+
+
+def q_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value triangle: customers cohorted by first
+    order month; per (cohort, months-since-first) the cohort's
+    cumulative revenue per customer — the retention economics chart.
+    Integer cents cumsum over an ordered window; the per-customer
+    LTV is the exact-integer half-up '(2x + n) div 2n' division, so
+    no float ever accumulates."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        (
+            (F.year("o_orderdate") - LTV_BASE_YEAR) * 12
+            + (F.month("o_orderdate") - 1)
+        ).alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    sized = first.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )
+    aged = (
+        o.join(first, "o_custkey")
+        .groupBy("cohort", (F.col("m") - F.col("cohort")).alias("age"))
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    wc = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = aged.withColumn("cum_rev_cents", F.sum("rev_cents").over(wc))
+    return (
+        cum.join(F.broadcast(sized), "cohort")
+        .select(
+            F.col("cohort").cast("int").alias("cohort"),
+            F.col("age").cast("int").alias("age"),
+            "n_customers",
+            F.col("rev_cents").cast("long").alias("rev_cents"),
+            F.col("cum_rev_cents").cast("long").alias("cum_rev_cents"),
+            F.expr(
+                "(2 * cum_rev_cents + n_customers) div (2 * n_customers)"
+            )
+            .cast("long")
+            .alias("ltv_cents"),
+        )
+    )
+
+
+PIPELINE_ORACLES["q_user_streaks"] = f"""
+WITH days AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '{STREAK_EPOCH}', ts::DATE)::INT AS d
+  FROM events),
+runs AS (
+  SELECT user_id,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS anchor
+  FROM days),
+r AS (SELECT user_id, anchor, count(*)::BIGINT AS run_len
+      FROM runs GROUP BY 1, 2)
+SELECT user_id, sum(run_len)::BIGINT AS n_active_days,
+       count(*)::BIGINT AS n_runs, max(run_len)::BIGINT AS longest_streak
+FROM r GROUP BY user_id"""
+
+PIPELINE_ORACLES["q_cohort_ltv"] = f"""
+WITH o AS (
+  SELECT o_custkey,
+         (year(o_orderdate) - {LTV_BASE_YEAR}) * 12
+           + (month(o_orderdate) - 1) AS m,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+first AS (SELECT o_custkey, min(m) AS cohort FROM o GROUP BY 1),
+sized AS (SELECT cohort, count(*)::BIGINT AS n_customers
+          FROM first GROUP BY 1),
+aged AS (
+  SELECT f.cohort, o.m - f.cohort AS age, sum(o.cents)::BIGINT AS rev_cents
+  FROM o JOIN first f USING (o_custkey)
+  GROUP BY 1, 2),
+cum AS (
+  SELECT cohort, age, rev_cents,
+         sum(rev_cents) OVER (PARTITION BY cohort ORDER BY age
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)::BIGINT AS cum_rev_cents
+  FROM aged)
+SELECT c.cohort::INT AS cohort, c.age::INT AS age, s.n_customers,
+       c.rev_cents, c.cum_rev_cents,
+       ((2 * c.cum_rev_cents + s.n_customers)
+        // (2 * s.n_customers))::BIGINT AS ltv_cents
+FROM cum c JOIN sized s USING (cohort)"""
+
+PIPELINE_QUERIES.update(
+    {
+        "q_user_streaks": q_user_streaks,
+        "q_cohort_ltv": q_cohort_ltv,
+    }
+)

@@ -708,3 +708,18 @@ def test_round5_batch4_query_plans(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "FlatMapGroupsInPandas" in p  # the deliberate Arrow stage
     assert "BatchEvalPython" not in p
+
+
+def test_round5_batch5_query_plans(spark):
+    """Streaks and cohort LTV: windows + aggregates + one broadcast
+    each — no nested loops, no Python."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_cohort_ltv,
+        q_user_streaks,
+    )
+
+    for q in (q_user_streaks, q_cohort_ltv):
+        p = _plan(q(spark, SF))
+        assert "CartesianProduct" not in p, q.__name__
+        assert "BroadcastNestedLoopJoin" not in p, q.__name__
+        assert "BatchEvalPython" not in p and "MapInPandas" not in p, q.__name__
