@@ -439,8 +439,8 @@ def kmv_set_ops(a: DataFrame, b: DataFrame, value: str, k: int) -> DataFrame:
         da.select("__v", F.lit(1).alias("__a"))
         .join(db.select("__v", F.lit(1).alias("__b")), "__v", "full_outer")
         .agg(
-            F.sum("__a").cast("long").alias("exact_a"),
-            F.sum("__b").cast("long").alias("exact_b"),
+            F.coalesce(F.sum("__a"), F.lit(0)).cast("long").alias("exact_a"),
+            F.coalesce(F.sum("__b"), F.lit(0)).cast("long").alias("exact_b"),
             F.count("*").cast("long").alias("exact_union"),
             F.sum(
                 (F.col("__a").isNotNull() & F.col("__b").isNotNull()).cast(

@@ -113,7 +113,13 @@ def fifo_match(
     n_lots + n_demands - 1 matched pairs per key.
 
     Quantities must be integral (cast to long); fractional
-    quantities would reintroduce float cumsum drift.
+    quantities would reintroduce float cumsum drift. Non-positive
+    quantities are DROPPED before interval construction: a zero
+    quantity is an empty interval (it can match nothing, but its
+    zero-width endpoints would still satisfy the strict overlap
+    predicate and emit matched_qty=0 pairs past the n+m-1 bound),
+    and a negative one would corrupt every later interval on its
+    key's axis.
     """
     def cum(df: DataFrame, side: str) -> DataFrame:
         w = (
@@ -122,7 +128,7 @@ def fifo_match(
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         q = F.col(qty_col).cast("long")
-        return df.select(
+        return df.where(q > 0).select(
             F.col(key_col),
             F.concat_ws("|", *[F.col(c).cast("string") for c in seq_cols])
             .alias(f"{side}_seq"),

@@ -68,6 +68,14 @@ SIMHASH_BITS = 16
 MAX_HAMMING = 3
 
 
+def _h6(col):
+    """Half-up 6-dp rounding of a computed double: identical
+    floor(x*1e6 + 0.5)/1e6 chain both engines — Spark and DuckDB
+    round(double, n) DISAGREE near .5 ties (SCALE.md §5; proven by
+    the sf0.1 parity sweep on q_min_cost_supplier/q_text_quality)."""
+    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -154,9 +162,9 @@ def q_text_quality(spark, sf_dir):
     return d.select(
         "doc_id",
         TX.token_count("text").cast("long").alias("n_words"),
-        F.round(TX.alpha_ratio("text"), 6).alias("alpha_ratio"),
-        F.round(TX.stopword_ratio("text"), 6).alias("stop_ratio"),
-        F.round(TX.quality_score("text"), 6).alias("quality"),
+        _h6(TX.alpha_ratio("text")).alias("alpha_ratio"),
+        _h6(TX.stopword_ratio("text")).alias("stop_ratio"),
+        _h6(TX.quality_score("text")).alias("quality"),
     )
 
 
@@ -3978,7 +3986,9 @@ def q_min_cost_supplier(spark, sf_dir):
         .agg(F.min(F.struct(unit.alias("u"), F.col("l_suppkey").alias("sk"))).alias("b"))
         .select(
             "l_partkey",
-            F.round(F.col("b.u"), 4).alias("min_unit_price"),
+            (F.floor(F.col("b.u") * 1e4 + F.lit(0.5)) / 1e4).alias(
+                "min_unit_price"
+            ),
             F.col("b.sk").alias("l_suppkey"),
         )
     )
@@ -4763,8 +4773,10 @@ WITH t AS (
            / greatest(length(coalesce(text, '')), 1) AS alpha,
          ({_STOP_CNT}) / greatest(len({_TOK}), 1) AS stop
   FROM documents)
-SELECT doc_id, ntok::BIGINT AS n_words, round(alpha, 6) AS alpha_ratio,
-       round(stop, 6) AS stop_ratio, round({_QUALITY}, 6) AS quality
+SELECT doc_id, ntok::BIGINT AS n_words,
+       floor(alpha * 1000000.0 + 0.5) / 1000000.0 AS alpha_ratio,
+       floor(stop * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
+       floor(({_QUALITY}) * 1000000.0 + 0.5) / 1000000.0 AS quality
 FROM t""",
     "q_text_lang": f"""
 WITH s AS (
@@ -6291,7 +6303,8 @@ WITH u AS (SELECT l_partkey, l_suppkey,
      c AS (SELECT u.l_partkey, b.mu, min(u.l_suppkey) AS the_supp
            FROM u JOIN b ON u.l_partkey = b.l_partkey AND u.uprice = b.mu
            GROUP BY u.l_partkey, b.mu)
-SELECT p_partkey, p_brand, s_name, round(mu, 4) AS min_unit_price
+SELECT p_partkey, p_brand, s_name,
+       floor(mu * 10000.0 + 0.5) / 10000.0 AS min_unit_price
 FROM c JOIN part ON l_partkey = p_partkey
        JOIN supplier ON the_supp = s_suppkey
 WHERE p_size < 10""",
@@ -7293,13 +7306,15 @@ def q_snapshot_diff(spark, sf_dir):
     ]
     d = DF.snapshot_diff(snap_a, snap_b, keys, vals)
     counts = d.agg(
-        F.sum((F.col("change") == "added").cast("long")).alias("n_added"),
-        F.sum((F.col("change") == "removed").cast("long")).alias(
-            "n_removed"
-        ),
-        F.sum((F.col("change") == "changed").cast("long")).alias(
-            "n_changed"
-        ),
+        F.coalesce(
+            F.sum((F.col("change") == "added").cast("long")), F.lit(0)
+        ).alias("n_added"),
+        F.coalesce(
+            F.sum((F.col("change") == "removed").cast("long")), F.lit(0)
+        ).alias("n_removed"),
+        F.coalesce(
+            F.sum((F.col("change") == "changed").cast("long")), F.lit(0)
+        ).alias("n_changed"),
     )
     da = DF.bucket_digests(snap_a, keys, vals, DIFF_BUCKETS)
     db = DF.bucket_digests(snap_b, keys, vals, DIFF_BUCKETS)
@@ -7359,9 +7374,6 @@ def q_ab_lift(spark, sf_dir):
         .alias("conv_b"),
     )
 
-    def r6(col):
-        return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
-
     pa = F.col("conv_a") / F.col("n_a")
     pb = F.col("conv_b") / F.col("n_b")
     pp = (F.col("conv_a") + F.col("conv_b")) / (
@@ -7376,10 +7388,10 @@ def q_ab_lift(spark, sf_dir):
         "conv_a",
         "n_b",
         "conv_b",
-        r6(pa).alias("rate_a"),
-        r6(pb).alias("rate_b"),
-        r6(pb - pa).alias("lift"),
-        r6(z).alias("z_score"),
+        _h6(pa).alias("rate_a"),
+        _h6(pb).alias("rate_b"),
+        _h6(pb - pa).alias("lift"),
+        _h6(z).alias("z_score"),
     )
 
 
@@ -7416,10 +7428,7 @@ def q_quantile_normalize(spark, sf_dir):
         F.count("*").cast("long").alias("n_docs"),
         F.sum("norm_q6").alias("sum_norm"),
     )
-    avg_norm = F.floor(
-        (F.col("sum_norm") / F.col("n_docs") / F.lit(1e6)) * 1e6
-        + F.lit(0.5)
-    ) / 1e6
+    avg_norm = _h6(F.col("sum_norm") / F.col("n_docs") / F.lit(1e6))
     return out.select(
         "source", "decile", "n_docs", avg_norm.alias("avg_norm")
     )
@@ -7468,7 +7477,7 @@ def q_embed_cov(spark, sf_dir):
                 / F.col("n")
                 / F.lit(1e12)
             )
-            cov_q6 = F.floor(cov * 1e6 + F.lit(0.5)) / 1e6
+            cov_q6 = _h6(cov)
             triples.append(
                 F.struct(
                     F.lit(i).cast("int").alias("dim_i"),
@@ -7560,7 +7569,7 @@ FROM dd LEFT JOIN ms ON dd.l_partkey = ms.l_partkey"""
 
 # Snapshot-diff oracle: md5 fingerprints and 48-bit digest sums
 # replayed in SQL ('0x'||substr trick — the portable hash family).
-PIPELINE_ORACLES["q_snapshot_diff"] = """
+PIPELINE_ORACLES["q_snapshot_diff"] = f"""
 WITH o AS (
   SELECT o_orderkey,
          CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
@@ -7591,7 +7600,7 @@ cnt AS (
            AS n_changed
   FROM cls),
 ga AS (
-  SELECT ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 12))::BIGINT % 64
+  SELECT ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 12))::BIGINT % {DIFF_BUCKETS}
            AS bucket,
          count(*)::BIGINT AS n_rows,
          sum(('0x' || substr(md5(o_orderkey::VARCHAR || '|' || pc::VARCHAR
@@ -7599,7 +7608,7 @@ ga AS (
              )::BIGINT)::BIGINT AS digest
   FROM a GROUP BY 1),
 gb AS (
-  SELECT ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 12))::BIGINT % 64
+  SELECT ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 12))::BIGINT % {DIFF_BUCKETS}
            AS bucket,
          count(*)::BIGINT AS n_rows,
          sum(('0x' || substr(md5(o_orderkey::VARCHAR || '|' || pc::VARCHAR
@@ -7616,10 +7625,10 @@ FROM cnt CROSS JOIN bd"""
 
 # A/B oracle: identical division chains; half-up 6-dp via
 # floor(x*1e6 + 0.5)/1e6 both sides (round() ties differ cross-engine).
-PIPELINE_ORACLES["q_ab_lift"] = """
+PIPELINE_ORACLES["q_ab_lift"] = f"""
 WITH u AS (
   SELECT user_id,
-         max(CASE WHEN event_type = 'purchase' AND value > 150.0
+         max(CASE WHEN event_type = 'purchase' AND value > {AB_CONV_VALUE}
                   THEN 1 ELSE 0 END) AS conv
   FROM events GROUP BY 1),
 a AS (
@@ -7836,7 +7845,7 @@ def q_hybrid_rrf(spark, sf_dir):
         "doc_id",
         "rank_bm25",
         "rank_len",
-        (F.floor(rrf * 1e6 + F.lit(0.5)) / 1e6).alias("rrf_q6"),
+        _h6(rrf).alias("rrf_q6"),
     )
     w_f = Window.orderBy(F.col("rrf_q6").desc(), F.col("doc_id").asc())
     return (
@@ -7914,15 +7923,12 @@ def q_revenue_trend(spark, sf_dir):
         F.col("denx").cast("double") * F.col("deny").cast("double")
     )
 
-    def h6(col):
-        return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
-
     out = staged.select(
         "c_nationkey",
         F.col("n").alias("n_months"),
-        h6(slope).alias("slope_q6"),
-        h6(intercept).alias("intercept_q6"),
-        h6(r2).alias("r2_q6"),
+        _h6(slope).alias("slope_q6"),
+        _h6(intercept).alias("intercept_q6"),
+        _h6(r2).alias("r2_q6"),
     )
     return out.join(
         F.broadcast(n), out["c_nationkey"] == n["n_nationkey"]
@@ -8124,16 +8130,13 @@ def q_conversion_isotonic(spark, sf_dir):
         pts, ["event_type"], "bucket", "n_conv", "n_events"
     )
 
-    def h6(col):
-        return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
-
     return fit.select(
         "event_type",
         "bucket",
         "n_events",
         "n_conv",
-        h6(F.col("n_conv") / F.col("n_events")).alias("rate_q6"),
-        h6(F.col("y_hat")).alias("iso_q6"),
+        _h6(F.col("n_conv") / F.col("n_events")).alias("rate_q6"),
+        _h6(F.col("y_hat")).alias("iso_q6"),
     )
 
 
@@ -8197,7 +8200,7 @@ FROM ea CROSS JOIN eb CROSS JOIN eu2 CROSS JOIN ex"""
 PIPELINE_ORACLES["q_conversion_isotonic"] = f"""
 WITH u AS (
   SELECT user_id,
-         max(CASE WHEN event_type = 'purchase' AND value > 150.0
+         max(CASE WHEN event_type = 'purchase' AND value > {AB_CONV_VALUE}
                   THEN 1 ELSE 0 END) AS conv
   FROM events GROUP BY 1),
 g AS (

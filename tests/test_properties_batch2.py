@@ -79,30 +79,37 @@ def test_largest_remainder_always_sums_exactly(spark, weights, units):
 def test_fifo_conservation_laws(spark, lots, demands):
     from mapreduce_kmeans_clustering_spark.operators.allocation import fifo_match
 
-    lrows = [("k", f"{i:02d}", q) for i, (_, q) in enumerate(lots)]
-    drows = [("k", f"{i:02d}", q) for i, (_, q) in enumerate(demands)]
+    lrows = [(f"k{k}", f"{i:02d}", q) for i, (k, q) in enumerate(lots)]
+    drows = [(f"k{k}", f"{i:02d}", q) for i, (k, q) in enumerate(demands)]
     ldf = spark.createDataFrame(lrows, "k string, seq string, qty long")
     ddf = spark.createDataFrame(drows, "k string, seq string, qty long")
     got = fifo_match(ldf, ddf, "k", ["seq"], "qty").collect()
-    supply = sum(q for _, q in lots)
-    demand = sum(q for _, q in demands)
-    matched = sum(r["matched_qty"] for r in got)
-    # conservation: total matched = min(supply, demand), every pair
-    # positive, pair count within the ordered-merge bound
-    assert matched == min(supply, demand)
-    assert all(r["matched_qty"] > 0 for r in got)
-    if lots and demands:
-        assert len(got) <= len(lots) + len(demands) - 1
-    # per-lot and per-demand totals never exceed their quantities
-    per_lot: dict[str, int] = {}
-    per_dem: dict[str, int] = {}
-    for r in got:
-        per_lot[r["lot_seq"]] = per_lot.get(r["lot_seq"], 0) + r["matched_qty"]
-        per_dem[r["dem_seq"]] = per_dem.get(r["dem_seq"], 0) + r["matched_qty"]
-    for i, (_, q) in enumerate(lots):
-        assert per_lot.get(f"{i:02d}", 0) <= q
-    for i, (_, q) in enumerate(demands):
-        assert per_dem.get(f"{i:02d}", 0) <= q
+    keys = {f"k{k}" for k, _ in lots} | {f"k{k}" for k, _ in demands}
+    for key in keys:
+        supply = sum(q for i, (k, q) in enumerate(lots) if f"k{k}" == key)
+        demand = sum(q for i, (k, q) in enumerate(demands) if f"k{k}" == key)
+        rows = [r for r in got if r["k"] == key]
+        matched = sum(r["matched_qty"] for r in rows)
+        # per-key conservation: matched = min(supply, demand); every
+        # pair positive; pair count within the ordered-merge bound
+        assert matched == min(supply, demand), key
+        assert all(r["matched_qty"] > 0 for r in rows), key
+        n_l = sum(1 for k, _ in lots if f"k{k}" == key)
+        n_d = sum(1 for k, _ in demands if f"k{k}" == key)
+        if n_l and n_d:
+            assert len(rows) <= n_l + n_d - 1, key
+        # per-lot and per-demand totals never exceed their quantities
+        per_lot: dict[str, int] = {}
+        per_dem: dict[str, int] = {}
+        for r in rows:
+            per_lot[r["lot_seq"]] = per_lot.get(r["lot_seq"], 0) + r["matched_qty"]
+            per_dem[r["dem_seq"]] = per_dem.get(r["dem_seq"], 0) + r["matched_qty"]
+        for i, (k, q) in enumerate(lots):
+            if f"k{k}" == key:
+                assert per_lot.get(f"{i:02d}", 0) <= q
+        for i, (k, q) in enumerate(demands):
+            if f"k{k}" == key:
+                assert per_dem.get(f"{i:02d}", 0) <= q
 
 
 @SETTINGS
