@@ -8369,3 +8369,213 @@ PIPELINE_QUERIES.update(
         "q_cohort_ltv": q_cohort_ltv,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 late batch 6: robust trend statistics (Theil-Sen + Mann-Kendall).
+# ---------------------------------------------------------------------------
+
+
+def q_trend_robust(spark, sf_dir):
+    """Robust per-nation revenue trend: Theil-Sen median slope and the
+    Mann-Kendall monotone-trend test over monthly revenue — the
+    outlier-proof twin of q_revenue_trend's OLS (one wild month moves
+    OLS, not the pairwise median). Everything flows from integer pair
+    statistics: MK S is a sum of signs, its tie-corrected variance is
+    pure integer until one /18.0, the median slope is a per-nation
+    rank selection over exact int/int divisions with (slope, xi, xj)
+    total order, and the even-count middle pair rides commutative
+    two-term addition. Pair space is C(months, 2) per nation (~3.2k
+    rows) — an equi-join on nation with an x< residual, never
+    corpus-scale."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "c_nationkey",
+            (
+                (F.year("o_orderdate") - TREND_BASE_YEAR) * 12
+                + (F.month("o_orderdate") - 1)
+            )
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("y")
+        )
+    )
+    a = monthly.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("x").alias("xi"),
+        F.col("y").alias("yi"),
+    )
+    b = monthly.select(
+        F.col("c_nationkey").alias("nk2"),
+        F.col("x").alias("xj"),
+        F.col("y").alias("yj"),
+    )
+    pairs = a.join(
+        b, (F.col("nk") == F.col("nk2")) & (F.col("xi") < F.col("xj"))
+    ).select(
+        "nk",
+        "xi",
+        "xj",
+        F.when(F.col("yj") > F.col("yi"), 1)
+        .when(F.col("yj") < F.col("yi"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+        (
+            (F.col("yj") - F.col("yi")).cast("double")
+            / (F.col("xj") - F.col("xi"))
+        ).alias("slope"),
+    )
+    w_rk = Window.partitionBy("nk").orderBy("slope", "xi", "xj")
+    w_m = Window.partitionBy("nk")
+    ranked = pairs.select(
+        "nk",
+        "sgn",
+        "slope",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count("*").over(w_m).alias("m"),
+    )
+    med = (
+        ranked.where(
+            (F.col("rk") == F.expr("(m + 1) div 2"))
+            | (F.col("rk") == F.expr("(m + 2) div 2"))
+        )
+        .groupBy("nk")
+        .agg(F.avg("slope").alias("slope_ts"))
+    )
+    s_stat = ranked.groupBy("nk").agg(
+        F.sum("sgn").cast("long").alias("s_stat"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    sizes = monthly.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("nm")
+    )
+    ties = (
+        monthly.groupBy("c_nationkey", "y")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    staged = (
+        s_stat.join(med, "nk")
+        .join(sizes, s_stat["nk"] == sizes["c_nationkey"])
+        .drop(sizes["c_nationkey"])
+        .join(ties, s_stat["nk"] == ties["c_nationkey"])
+        .drop(ties["c_nationkey"])
+        .select(
+            "nk",
+            "nm",
+            "n_pairs",
+            "s_stat",
+            "slope_ts",
+            (
+                (
+                    F.col("nm")
+                    * (F.col("nm") - 1)
+                    * (2 * F.col("nm") + 5)
+                    - F.col("tie_term")
+                ).cast("double")
+                / F.lit(18.0)
+            ).alias("var_s"),
+        )
+    )
+    z = (
+        F.when(
+            (F.col("var_s") > 0) & (F.col("s_stat") > 0),
+            (F.col("s_stat") - 1) / F.sqrt(F.col("var_s")),
+        )
+        .when(
+            (F.col("var_s") > 0) & (F.col("s_stat") < 0),
+            (F.col("s_stat") + 1) / F.sqrt(F.col("var_s")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    out = staged.select(
+        "nk",
+        F.col("nm").alias("n_months"),
+        "n_pairs",
+        "s_stat",
+        _h6(F.col("slope_ts")).alias("ts_slope_q6"),
+        _h6(z).alias("mk_z_q6"),
+    )
+    return out.join(
+        F.broadcast(n), out["nk"] == n["n_nationkey"]
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.col("nk").cast("int").alias("nationkey"),
+        "n_months",
+        "n_pairs",
+        "s_stat",
+        "ts_slope_q6",
+        "mk_z_q6",
+    )
+
+
+PIPELINE_ORACLES["q_trend_robust"] = f"""
+WITH monthly AS (
+  SELECT c_nationkey,
+         ((year(o_orderdate) - {TREND_BASE_YEAR}) * 12
+          + (month(o_orderdate) - 1))::BIGINT AS x,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT a.c_nationkey AS nk, a.x AS xi, b.x AS xj,
+         CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END
+           AS sgn,
+         (b.y - a.y)::DOUBLE / (b.x - a.x) AS slope
+  FROM monthly a JOIN monthly b
+    ON a.c_nationkey = b.c_nationkey AND a.x < b.x),
+ranked AS (
+  SELECT nk, sgn, slope,
+         row_number() OVER (PARTITION BY nk
+                            ORDER BY slope, xi, xj) AS rk,
+         count(*) OVER (PARTITION BY nk) AS m
+  FROM pairs),
+med AS (
+  SELECT nk, avg(slope) AS slope_ts
+  FROM ranked
+  WHERE rk = (m + 1) // 2 OR rk = (m + 2) // 2
+  GROUP BY nk),
+s AS (SELECT nk, sum(sgn)::BIGINT AS s_stat, count(*)::BIGINT AS n_pairs
+      FROM ranked GROUP BY nk),
+sizes AS (SELECT c_nationkey, count(*)::BIGINT AS nm
+          FROM monthly GROUP BY 1),
+ties AS (
+  SELECT c_nationkey,
+         sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term
+  FROM (SELECT c_nationkey, y, count(*)::BIGINT AS t
+        FROM monthly GROUP BY 1, 2)
+  GROUP BY 1),
+staged AS (
+  SELECT s.nk, sz.nm, s.n_pairs, s.s_stat, med.slope_ts,
+         (sz.nm * (sz.nm - 1) * (2 * sz.nm + 5) - ties.tie_term)::DOUBLE
+           / 18.0 AS var_s
+  FROM s JOIN med USING (nk)
+         JOIN sizes sz ON s.nk = sz.c_nationkey
+         JOIN ties ON s.nk = ties.c_nationkey)
+SELECT n_name AS nation, nk::INT AS nationkey, nm AS n_months,
+       n_pairs, s_stat,
+       floor(slope_ts * 1000000.0 + 0.5) / 1000000.0 AS ts_slope_q6,
+       floor((CASE WHEN var_s > 0 AND s_stat > 0
+                   THEN (s_stat - 1) / sqrt(var_s)
+                   WHEN var_s > 0 AND s_stat < 0
+                   THEN (s_stat + 1) / sqrt(var_s)
+                   ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0
+         AS mk_z_q6
+FROM staged JOIN nation ON n_nationkey = nk"""
+
+PIPELINE_QUERIES.update({"q_trend_robust": q_trend_robust})

@@ -723,3 +723,16 @@ def test_round5_batch5_query_plans(spark):
         assert "CartesianProduct" not in p, q.__name__
         assert "BroadcastNestedLoopJoin" not in p, q.__name__
         assert "BatchEvalPython" not in p and "MapInPandas" not in p, q.__name__
+
+
+def test_round5_batch6_query_plan(spark):
+    """Theil-Sen/Mann-Kendall: the pair space is an equi join on
+    nation with the x< residual; no cartesian, no BNLJ, no Python."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_trend_robust,
+    )
+
+    p = _plan(q_trend_robust(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p

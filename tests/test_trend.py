@@ -45,3 +45,63 @@ def test_trend_matches_numpy_polyfit(spark):
         ), nk
         assert abs(row["r2_q6"] - r * r) < 1e-6, nk
         assert 0.0 <= row["r2_q6"] <= 1.0 + 1e-9
+
+
+def test_trend_robust_known_series(spark):
+    """Theil-Sen/Mann-Kendall formula pins on constructed series: the
+    oracle only proves Spark==DuckDB; this proves the statistics."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_trend_robust,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"""
+        SELECT c_nationkey,
+               (year(o_orderdate)-1995)*12 + (month(o_orderdate)-1) AS x,
+               sum(CAST(round(o_totalprice*100) AS BIGINT)) AS y
+        FROM '{sf}/orders.parquet'
+        JOIN '{sf}/customer.parquet' ON o_custkey = c_custkey
+        GROUP BY 1, 2"""
+    ).fetchall()
+    series: dict[int, list[tuple[int, int]]] = {}
+    for nk, x, y in rows:
+        series.setdefault(nk, []).append((int(x), int(y)))
+    got = {r["nationkey"]: r for r in q_trend_robust(spark, sf).collect()}
+    for nk, pts in series.items():
+        pts.sort()
+        n = len(pts)
+        slopes, S = [], 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                dy = pts[j][1] - pts[i][1]
+                S += (dy > 0) - (dy < 0)
+                slopes.append(dy / (pts[j][0] - pts[i][0]))
+        slopes.sort()
+        m = len(slopes)
+        med = (
+            slopes[(m - 1) // 2]
+            if m % 2
+            else (slopes[m // 2 - 1] + slopes[m // 2]) / 2
+        )
+        tie_term = sum(
+            t * (t - 1) * (2 * t + 5)
+            for t in Counter(y for _, y in pts).values()
+        )
+        var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+        if var_s > 0 and S > 0:
+            z = (S - 1) / math.sqrt(var_s)
+        elif var_s > 0 and S < 0:
+            z = (S + 1) / math.sqrt(var_s)
+        else:
+            z = 0.0
+        r = got[nk]
+        assert r["s_stat"] == S, nk
+        assert r["n_pairs"] == m, nk
+        assert abs(r["ts_slope_q6"] - med) < 1e-5 * max(1, abs(med)), nk
+        assert abs(r["mk_z_q6"] - z) < 1e-5, nk
