@@ -134,3 +134,79 @@ def test_diff_digests_invariant_to_row_order(spark, rows, nbuckets):
     da = sorted(map(tuple, bucket_digests(a, ["id"], ["v", "w"], nbuckets).collect()))
     db = sorted(map(tuple, bucket_digests(b, ["id"], ["v", "w"], nbuckets).collect()))
     assert da == db
+
+
+iso_points = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(1, 30)),  # (num<=den enforced below)
+    min_size=1,
+    max_size=10,
+)
+
+
+@SETTINGS
+@given(pts=iso_points)
+def test_isotonic_matches_minimax_for_any_rates(spark, pts):
+    from fractions import Fraction
+
+    from mapreduce_kmeans_clustering_spark.operators.calibrate import (
+        isotonic_fit,
+    )
+
+    pts = [(min(n, d), d) for n, d in pts]  # valid rates num<=den
+    rows = [("g", i, n, d) for i, (n, d) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "g string, x int, num long, den long")
+    got = {
+        r["x"]: r["y_hat"]
+        for r in isotonic_fit(df, ["g"], "x", "num", "den").collect()
+    }
+    # minimax characterization with exact Fractions
+    n = len(pts)
+    for i in range(n):
+        best = None
+        for j in range(i + 1):
+            worst = None
+            for k in range(i, n):
+                sn = sum(p[0] for p in pts[j : k + 1])
+                sd = sum(p[1] for p in pts[j : k + 1])
+                r = Fraction(sn, sd)
+                worst = r if worst is None or r < worst else worst
+            best = worst if best is None or worst > best else best
+        assert abs(got[i] - float(best)) < 1e-12, i
+    # monotone nondecreasing
+    ys = [got[i] for i in range(n)]
+    assert all(ys[i] <= ys[i + 1] + 1e-15 for i in range(n - 1))
+
+
+edgeset = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=0, max_size=30
+)
+
+
+@SETTINGS
+@given(edges=edgeset, hops=st.integers(1, 4))
+def test_bfs_matches_dijkstra_unit_weights(spark, edges, hops):
+    from mapreduce_kmeans_clustering_spark.operators.graph import bfs_levels
+
+    df = spark.createDataFrame(
+        edges or [(0, 0)], "src int, dst int"
+    )
+    got = {r["nk"]: r["hops"] for r in bfs_levels(df, [0], hops).collect()}
+    # brute BFS with unit weights, capped at `hops`
+    dist = {0: 0}
+    frontier = {0}
+    for h in range(1, hops + 1):
+        nxt = {
+            d
+            for s, d in (edges or [(0, 0)])
+            if s in frontier and d not in dist
+        }
+        for d in nxt:
+            dist[d] = h
+        frontier = nxt
+    assert got == dist
+    # both modes agree
+    got2 = {
+        r["nk"]: r["hops"]
+        for r in bfs_levels(df, [0], hops, frontier_dedup=False).collect()
+    }
+    assert got2 == dist
