@@ -583,12 +583,14 @@ def decode_media(payload: bytes, kind: str) -> dict:
             from mapreduce_kmeans_clustering_spark.operators.jpeg import decode_jpeg
 
             return decode_jpeg(payload)
+        if payload[:4] in (_TIFF_II, _TIFF_MM):
+            return decode_tiff(payload)
         if payload[:2] not in (b"P6", b"P5"):
             raise NotImplementedError(
                 "image decode supports binary netpbm (P6/P5), PNG, "
-                "24-bit BMP, GIF and baseline/progressive JPEG; other "
-                "compressed formats need a codec library (PIL) not "
-                "present in this environment"
+                "24-bit BMP, GIF, baseline/progressive JPEG and "
+                "baseline TIFF; other compressed formats need a codec "
+                "library (PIL) not present in this environment"
             )
         # header: magic, width, height, maxval — whitespace/comment
         # separated, then a single whitespace byte before raster data
@@ -650,6 +652,246 @@ def decode_media(payload: bytes, kind: str) -> dict:
     raise ValueError(f"unknown media kind: {kind!r}")
 
 
+# ---------------------------------------------------------------------------
+# TIFF (baseline, rev 6.0): both byte orders, 8-bit gray/RGB, strips,
+# uncompressed + PackBits. Pure stdlib (struct) — same posture as the
+# PNG/BMP/GIF/JPEG codecs above: decode for real or raise the labeled
+# NotImplementedError, never pretend.
+# ---------------------------------------------------------------------------
+
+_TIFF_II = b"II*\x00"
+_TIFF_MM = b"MM\x00*"
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits (TIFF compression 32773): n in [0,127] copies
+    n+1 literals, n in [-127,-1] repeats the next byte 1-n times,
+    -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) < expected:
+        raise ValueError(
+            f"truncated PackBits strip: expected {expected}, got {len(out)}"
+        )
+    return bytes(out[:expected])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Minimal valid PackBits encoder (runs >= 3 become repeat
+    packets, the rest literal packets) for the self-encoder."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        j = i
+        lits = 0
+        while j < n and lits < 128:
+            r = 1
+            while j + r < n and r < 3 and data[j + r] == data[j]:
+                r += 1
+            if r >= 3:
+                break
+            j += 1
+            lits += 1
+        out += bytes([lits - 1]) + data[i : i + lits]
+        i += lits
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> dict:
+    """Baseline TIFF decode: II/MM byte orders, 8-bit samples, gray
+    (photometric 0/1 — WhiteIsZero inverted to the BlackIsZero
+    convention) or RGB, strip layout, compression 1 (none) or 32773
+    (PackBits). LZW/Deflate/JPEG-in-TIFF, tiles, planar=2 and non-8
+    bit depths raise the labeled NotImplementedError."""
+    import struct
+
+    if payload[:4] == _TIFF_II:
+        e = "<"
+    elif payload[:4] == _TIFF_MM:
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack_from(e + "I", payload, 4)
+    (n_entries,) = struct.unpack_from(e + "H", payload, ifd_off)
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    for k in range(n_entries):
+        base = ifd_off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from(e + "HHI", payload, base)
+        tags[tag] = (typ, cnt, payload[base + 8 : base + 12])
+
+    _SZ = {1: 1, 3: 2, 4: 4}
+
+    def values(tag: int, default=None) -> list[int]:
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return [default]
+        typ, cnt, field = tags[tag]
+        if typ not in _SZ:
+            raise NotImplementedError(f"TIFF tag {tag} type {typ} not supported")
+        size = _SZ[typ] * cnt
+        if size <= 4:
+            raw = field[:size]
+        else:
+            (off,) = struct.unpack_from(e + "I", field, 0)
+            raw = payload[off : off + size]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        import struct as _s
+
+        return list(_s.unpack(e + fmt * cnt, raw))
+
+    width = values(256)[0]
+    height = values(257)[0]
+    spp = values(277, default=1)[0]
+    bits = values(258, default=8)
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"TIFF bit depths {bits} not supported (8 only)")
+    comp = values(259, default=1)[0]
+    if comp not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} not supported (1=none, 32773=PackBits; "
+            "LZW/Deflate/JPEG-in-TIFF need a codec library)"
+        )
+    photometric = values(262)[0]
+    if photometric not in (0, 1, 2):
+        raise NotImplementedError(
+            f"TIFF photometric {photometric} not supported (gray/RGB only)"
+        )
+    if values(284, default=1)[0] != 1:
+        raise NotImplementedError("TIFF planar configuration 2 not supported")
+    if (photometric == 2) != (spp == 3):
+        raise ValueError("TIFF photometric/samples-per-pixel mismatch")
+    rows_per_strip = values(278, default=height)[0]
+    offsets = values(273)
+    counts = values(279)
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF strip offsets/counts length mismatch")
+    raster = bytearray()
+    row_bytes = width * spp
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip_rows = min(rows_per_strip, height - si * rows_per_strip)
+        expected = strip_rows * row_bytes
+        chunk = payload[off : off + cnt]
+        if comp == 32773:
+            raster += _packbits_decode(chunk, expected)
+        else:
+            if len(chunk) < expected:
+                raise ValueError(
+                    f"truncated TIFF strip {si}: expected {expected}, got {len(chunk)}"
+                )
+            raster += chunk[:expected]
+    if photometric == 0:  # WhiteIsZero -> invert to BlackIsZero
+        raster = bytearray(255 - b for b in raster)
+    return {
+        "width": width,
+        "height": height,
+        "channels": spp,
+        "pixels": bytes(raster),
+    }
+
+
+def encode_tiff(
+    width: int,
+    height: int,
+    seed: int,
+    big_endian: bool = False,
+    gray: bool = False,
+    packbits: bool = False,
+) -> bytes:
+    """Deterministic valid baseline TIFF (md5-chain raster, same
+    generator family as encode_ppm): II or MM order, gray or RGB,
+    two strips, optional PackBits — every branch decode_tiff
+    supports, so the self-encoder exercises the whole matrix."""
+    import struct
+
+    e = ">" if big_endian else "<"
+    spp = 1 if gray else 3
+    need = width * height * spp
+    out = bytearray()
+    block = hashlib.md5(f"tiff:{seed}".encode()).digest()
+    while len(out) < need:
+        out += block
+        block = hashlib.md5(block).digest()
+    raster = bytes(out[:need])
+    rows_per_strip = max(1, (height + 1) // 2)
+    row_bytes = width * spp
+    strips = []
+    r = 0
+    while r < height:
+        rows = min(rows_per_strip, height - r)
+        chunk = raster[r * row_bytes : (r + rows) * row_bytes]
+        strips.append(_packbits_encode(chunk) if packbits else chunk)
+        r += rows
+    header = struct.pack(e + "2sHI", b"MM" if big_endian else b"II", 42, 0)
+    body = bytearray(header)
+    strip_offsets = []
+    for chunk in strips:
+        strip_offsets.append(len(body))
+        body += chunk
+    if len(body) % 2:
+        body += b"\x00"
+    # out-of-line arrays (strip offsets/counts, bits-per-sample for RGB)
+    def put_longs(vals):
+        off = len(body)
+        body.extend(struct.pack(e + "I" * len(vals), *vals))
+        return off
+
+    so_off = put_longs(strip_offsets)
+    sc_off = put_longs([len(c) for c in strips])
+    bps_off = None
+    if spp == 3:
+        bps_off = len(body)
+        body.extend(struct.pack(e + "HHH", 8, 8, 8))
+        if len(body) % 2:
+            body += b"\x00"
+    ifd_off = len(body)
+    struct.pack_into(e + "I", body, 4, ifd_off)
+
+    def entry(tag, typ, cnt, value_bytes):
+        return struct.pack(e + "HHI", tag, typ, cnt) + value_bytes.ljust(4, b"\x00")
+
+    def short_val(v):
+        return struct.pack(e + "H", v)
+
+    def long_val(v):
+        return struct.pack(e + "I", v)
+
+    entries = [
+        entry(256, 4, 1, long_val(width)),
+        entry(257, 4, 1, long_val(height)),
+        entry(258, 3, spp, short_val(8) if spp == 1 else long_val(bps_off)),
+        entry(259, 3, 1, short_val(32773 if packbits else 1)),
+        entry(262, 3, 1, short_val(1 if gray else 2)),
+        entry(273, 4, len(strips), long_val(so_off)),
+        entry(277, 3, 1, short_val(spp)),
+        entry(278, 4, 1, long_val(rows_per_strip)),
+        entry(279, 4, len(strips), long_val(sc_off)),
+    ]
+    body += struct.pack(e + "H", len(entries))
+    for en in entries:
+        body += en
+    body += struct.pack(e + "I", 0)  # next-IFD terminator
+    return bytes(body)
+
+
 def encode_ppm(width: int, height: int, seed: int) -> bytes:
     """Deterministic valid binary-PPM (P6) test image: md5-chain
     raster seeded by ``seed``. Pure stdlib; decodable by decode_media
@@ -702,7 +944,8 @@ def synthesize_decodable_media(
 ) -> DataFrame:
     """A media table whose payloads are REAL decodable bytes,
     alternating by id: id % 2 == 1 is PCM WAV audio; even ids split
-    between P6 PPM (id % 8 == 0), PNG (id % 8 == 2, cycling the
+    between P6 PPM / baseline TIFF (id % 8 == 0, alternating; TIFF
+    cycles byte order, gray/RGB and PackBits), PNG (id % 8 == 2, cycling the
     supported color types), GIF (id % 8 == 4, alternating progressive
     interlace) and JPEG (id % 8 == 6, alternating 4:4:4 / 4:2:0 and
     sequential / progressive scans) — generated executor-side via
@@ -721,7 +964,17 @@ def synthesize_decodable_media(
             for i in ids:
                 if i % 2 == 0:
                     if i % 8 == 0:
-                        payload = encode_ppm(8 + i % 8, 6 + i % 5, i)
+                        if (i // 8) % 2 == 1:
+                            payload = encode_tiff(
+                                8 + i % 8,
+                                6 + i % 5,
+                                i,
+                                big_endian=(i // 16) % 2 == 1,
+                                gray=(i // 32) % 2 == 1,
+                                packbits=(i // 64) % 2 == 1,
+                            )
+                        else:
+                            payload = encode_ppm(8 + i % 8, 6 + i % 5, i)
                     elif i % 8 == 4:
                         payload = encode_gif(
                             8 + i % 8, 6 + i % 5, i, interlace=(i // 8) % 2 == 1

@@ -1,5 +1,5 @@
 """Multimodal tests: schema, Arrow batch path, determinism, and the
-real stdlib decode (netpbm/PNG/BMP/GIF/JPEG/WAV); remaining
+real stdlib decode (netpbm/PNG/BMP/GIF/TIFF/JPEG/WAV); remaining
 compressed formats (MP3/WebP) and video stay a labeled
 NotImplementedError (no codec packages in the container)."""
 
@@ -253,7 +253,21 @@ def test_decoded_stats_over_synthesized_decodable_media(spark):
         r = got[i]
         if i % 2 == 0:
             if i % 8 == 0:
-                payload = encode_ppm(8 + i % 8, 6 + i % 5, i)
+                if (i // 8) % 2 == 1:
+                    from mapreduce_kmeans_clustering_spark.operators.multimodal import (
+                        encode_tiff,
+                    )
+
+                    payload = encode_tiff(
+                        8 + i % 8,
+                        6 + i % 5,
+                        i,
+                        big_endian=(i // 16) % 2 == 1,
+                        gray=(i // 32) % 2 == 1,
+                        packbits=(i // 64) % 2 == 1,
+                    )
+                else:
+                    payload = encode_ppm(8 + i % 8, 6 + i % 5, i)
             elif i % 8 == 4:
                 from mapreduce_kmeans_clustering_spark.operators.multimodal import (
                     encode_gif,
@@ -631,3 +645,74 @@ def test_gif_clean_failures():
             decode_gif(bytes(b))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_tiff_all_branches_roundtrip_and_edges():
+    """decode_tiff parses every branch the self-encoder emits
+    (II/MM x gray/RGB x none/PackBits) byte-exactly; WhiteIsZero
+    inverts; unsupported compressions raise the labeled error."""
+    import hashlib
+    import struct
+
+    import pytest
+
+    from mapreduce_kmeans_clustering_spark.operators.multimodal import (
+        decode_media,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    def chain(n, seed):
+        out = bytearray()
+        block = hashlib.md5(f"tiff:{seed}".encode()).digest()
+        while len(out) < n:
+            out += block
+            block = hashlib.md5(block).digest()
+        return bytes(out[:n])
+
+    for be in (False, True):
+        for gray in (False, True):
+            for pb in (False, True):
+                t = encode_tiff(9, 7, seed=5, big_endian=be, gray=gray, packbits=pb)
+                d = decode_media(t, "image")
+                spp = 1 if gray else 3
+                assert (d["width"], d["height"], d["channels"]) == (9, 7, spp)
+                assert d["pixels"] == chain(9 * 7 * spp, 5)
+
+    # WhiteIsZero (photometric 0): same bytes, inverted result. The
+    # photometric tag (262) is a SHORT entry; patch its value in place.
+    t = encode_tiff(6, 4, seed=9, gray=True)
+    (ifd_off,) = struct.unpack_from("<I", t, 4)
+    (n_entries,) = struct.unpack_from("<H", t, ifd_off)
+    patched = bytearray(t)
+    for k in range(n_entries):
+        base = ifd_off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from("<HHI", t, base)
+        if tag == 262:
+            struct.pack_into("<H", patched, base + 8, 0)
+    inv = decode_tiff(bytes(patched))
+    ref = decode_tiff(t)
+    assert inv["pixels"] == bytes(255 - b for b in ref["pixels"])
+
+    # unsupported compression (5 = LZW) raises the labeled error
+    patched = bytearray(t)
+    for k in range(n_entries):
+        base = ifd_off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from("<HHI", t, base)
+        if tag == 259:
+            struct.pack_into("<H", patched, base + 8, 5)
+    with pytest.raises(NotImplementedError, match="compression 5"):
+        decode_tiff(bytes(patched))
+
+    # a strip pointing past the end of the payload raises cleanly
+    # (the IFD sits at the tail in the self-encoder layout, so plain
+    # tail truncation is a header parse error, not a strip error)
+    patched = bytearray(t)
+    for k in range(n_entries):
+        base = ifd_off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from("<HHI", t, base)
+        if tag == 273:
+            (arr_off,) = struct.unpack_from("<I", t, base + 8)
+            struct.pack_into("<I", patched, arr_off, len(t) - 2)
+    with pytest.raises(ValueError, match="truncated TIFF strip"):
+        decode_tiff(bytes(patched))
