@@ -754,9 +754,7 @@ def decode_tiff(payload: bytes) -> dict:
             (off,) = struct.unpack_from(e + "I", field, 0)
             raw = payload[off : off + size]
         fmt = {1: "B", 3: "H", 4: "I"}[typ]
-        import struct as _s
-
-        return list(_s.unpack(e + fmt * cnt, raw))
+        return list(struct.unpack(e + fmt * cnt, raw))
 
     width = values(256)[0]
     height = values(257)[0]
@@ -798,6 +796,11 @@ def decode_tiff(payload: bytes) -> dict:
                     f"truncated TIFF strip {si}: expected {expected}, got {len(chunk)}"
                 )
             raster += chunk[:expected]
+    if len(raster) != width * height * spp:
+        raise ValueError(
+            f"TIFF strips cover {len(raster)} bytes, image needs "
+            f"{width * height * spp}"
+        )
     if photometric == 0:  # WhiteIsZero -> invert to BlackIsZero
         raster = bytearray(255 - b for b in raster)
     return {
@@ -854,8 +857,15 @@ def encode_tiff(
         body.extend(struct.pack(e + "I" * len(vals), *vals))
         return off
 
-    so_off = put_longs(strip_offsets)
-    sc_off = put_longs([len(c) for c in strips])
+    # TIFF inlines any value that fits the 4-byte field: a count-1
+    # LONG array written out-of-line would be read as the value itself
+    # by every conforming reader (and by decode_tiff) — single-strip
+    # images must inline
+    if len(strips) == 1:
+        so_off = sc_off = None
+    else:
+        so_off = put_longs(strip_offsets)
+        sc_off = put_longs([len(c) for c in strips])
     bps_off = None
     if spp == 3:
         bps_off = len(body)
@@ -880,10 +890,20 @@ def encode_tiff(
         entry(258, 3, spp, short_val(8) if spp == 1 else long_val(bps_off)),
         entry(259, 3, 1, short_val(32773 if packbits else 1)),
         entry(262, 3, 1, short_val(1 if gray else 2)),
-        entry(273, 4, len(strips), long_val(so_off)),
+        entry(
+            273,
+            4,
+            len(strips),
+            long_val(strip_offsets[0] if so_off is None else so_off),
+        ),
         entry(277, 3, 1, short_val(spp)),
         entry(278, 4, 1, long_val(rows_per_strip)),
-        entry(279, 4, len(strips), long_val(sc_off)),
+        entry(
+            279,
+            4,
+            len(strips),
+            long_val(len(strips[0]) if sc_off is None else sc_off),
+        ),
     ]
     body += struct.pack(e + "H", len(entries))
     for en in entries:

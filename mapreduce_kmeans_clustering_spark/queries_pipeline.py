@@ -7249,8 +7249,10 @@ def q_fifo_match(spark, sf_dir):
     per-part summary keeps the output one row per returned part."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     seq = ["l_shipdate", "l_orderkey", "l_linenumber"]
-    lots = li.where(F.col("l_returnflag") == "N")
-    dems = li.where(F.col("l_returnflag") == "R")
+    # mirror fifo_match's qty>0 drop on the demand-total side so the
+    # summary stays consistent if a non-positive quantity ever appears
+    lots = li.where((F.col("l_returnflag") == "N") & (F.col("l_quantity") > 0))
+    dems = li.where((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 0))
     m = AL.fifo_match(lots, dems, "l_partkey", seq, "l_quantity")
     matched = m.groupBy("l_partkey").agg(
         F.count("*").cast("long").alias("n_pairs"),
@@ -7536,7 +7538,7 @@ WITH lots AS (
          sum(CAST(l_quantity AS BIGINT)) OVER w AS hi,
          sum(CAST(l_quantity AS BIGINT)) OVER w
            - CAST(l_quantity AS BIGINT) AS lo
-  FROM lineitem WHERE l_returnflag = 'N'
+  FROM lineitem WHERE l_returnflag = 'N' AND l_quantity > 0
   WINDOW w AS (PARTITION BY l_partkey
                ORDER BY l_shipdate, l_orderkey, l_linenumber
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
@@ -7545,7 +7547,7 @@ dems AS (
          sum(CAST(l_quantity AS BIGINT)) OVER w AS hi,
          sum(CAST(l_quantity AS BIGINT)) OVER w
            - CAST(l_quantity AS BIGINT) AS lo
-  FROM lineitem WHERE l_returnflag = 'R'
+  FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 0
   WINDOW w AS (PARTITION BY l_partkey
                ORDER BY l_shipdate, l_orderkey, l_linenumber
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
@@ -7559,7 +7561,8 @@ ms AS (SELECT l_partkey, count(*)::BIGINT AS n_pairs,
        FROM m GROUP BY 1),
 dd AS (SELECT l_partkey,
               sum(CAST(l_quantity AS BIGINT))::BIGINT AS demand_qty
-       FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1)
+       FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 0
+       GROUP BY 1)
 SELECT dd.l_partkey AS partkey,
        coalesce(ms.n_pairs, 0)::BIGINT AS n_pairs,
        coalesce(ms.matched_qty, 0)::BIGINT AS matched_qty,

@@ -716,3 +716,42 @@ def test_tiff_all_branches_roundtrip_and_edges():
             struct.pack_into("<I", patched, arr_off, len(t) - 2)
     with pytest.raises(ValueError, match="truncated TIFF strip"):
         decode_tiff(bytes(patched))
+
+
+def test_tiff_single_strip_and_short_strip_coverage():
+    """Regression: a count-1 strip array must be INLINE per TIFF spec
+    (an out-of-line pointer decodes as the value itself — caught by
+    review, verified corrupt before the fix); and a strip list that
+    covers fewer rows than ImageLength must raise, not return short
+    pixels."""
+    import hashlib
+    import struct
+
+    import pytest
+
+    from mapreduce_kmeans_clustering_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    t = encode_tiff(5, 1, seed=3)  # height 1 -> exactly one strip
+    d = decode_tiff(t)
+    out = bytearray()
+    block = hashlib.md5(b"tiff:3").digest()
+    while len(out) < 15:
+        out += block
+        block = hashlib.md5(block).digest()
+    assert d["pixels"] == bytes(out[: 5 * 1 * 3])
+
+    # understate ImageLength coverage: patch height (257) UP so the
+    # strips no longer cover the image
+    t2 = bytearray(encode_tiff(6, 4, seed=7, gray=True))
+    (ifd_off,) = struct.unpack_from("<I", t2, 4)
+    (n_entries,) = struct.unpack_from("<H", t2, ifd_off)
+    for k in range(n_entries):
+        base = ifd_off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from("<HHI", t2, base)
+        if tag == 257:
+            struct.pack_into("<I", t2, base + 8, 8)
+    with pytest.raises(ValueError, match="strips cover"):
+        decode_tiff(bytes(t2))

@@ -59,7 +59,7 @@ def test_trend_robust_known_series(spark):
         q_trend_robust,
     )
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF
     rows = duckdb.sql(
         f"""
         SELECT c_nationkey,
