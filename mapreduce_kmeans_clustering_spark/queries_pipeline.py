@@ -8582,3 +8582,117 @@ SELECT n_name AS nation, nk::INT AS nationkey, nm AS n_months,
 FROM staged JOIN nation ON n_nationkey = nk"""
 
 PIPELINE_QUERIES.update({"q_trend_robust": q_trend_robust})
+
+
+# ---------------------------------------------------------------------------
+# Round-5 late batch 7: sliding-window distinct users via HLL merge.
+# ---------------------------------------------------------------------------
+
+SLIDE_DAYS = 3
+
+
+def q_uniques_sliding(spark, sf_dir):
+    """Trailing 3-day distinct users per day WITHOUT re-scanning 3
+    days of events per output row: daily HLL register tables merge
+    across the window by max(rho) per bucket — the mergeable-sketch x
+    window-frame composition that makes sliding distinct counts
+    affordable at 100 TB (state per day is 64 registers, not a user
+    set). The bucket grid densifies by scan-local explode (no join),
+    the merge is one RANGE window per bucket, and the estimate reuses
+    hll_estimate's exact-long harmonic sum. The exact twin explodes
+    each (day, user) to the <= 3 windows it serves — an equi join,
+    never a range scan."""
+    ev = _events(spark, sf_dir)
+    day = F.datediff(F.to_date("ts"), F.lit(STREAK_EPOCH)).alias("d")
+    regs = SK.hll_registers(ev.select(day, "user_id"), ["d"], "user_id")
+    day_dim = ev.select(day).distinct()
+    grid = day_dim.select(
+        "d",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bucket"),
+    )
+    cells = grid.join(regs, ["d", "bucket"], "left")
+    wm = (
+        Window.partitionBy("bucket")
+        .orderBy("d")
+        .rangeBetween(-(SLIDE_DAYS - 1), 0)
+    )
+    merged = cells.select(
+        "d", "bucket", F.max("rho").over(wm).alias("rho")
+    ).where(F.col("rho").isNotNull())
+    est = SK.hll_estimate(merged, ["d"])
+    du = ev.select(day, "user_id").distinct()
+    tgt = du.select(
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + (SLIDE_DAYS - 1))
+        ).alias("d0"),
+        "user_id",
+    )
+    exact = (
+        tgt.join(day_dim.withColumnRenamed("d", "d0"), "d0")
+        .groupBy("d0")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+        .withColumnRenamed("d0", "d")
+    )
+    rel = (F.col("est_distinct") - F.col("exact_distinct")) / F.col(
+        "exact_distinct"
+    ).cast("double")
+    return est.join(exact, "d").select(
+        "d",
+        "n_zero_registers",
+        "est_distinct",
+        "exact_distinct",
+        (F.floor(rel * 1e4 + F.lit(0.5)) / 1e4).alias("rel_err"),
+    )
+
+
+PIPELINE_ORACLES["q_uniques_sliding"] = f"""
+WITH ev AS (SELECT datediff('day', DATE '{STREAK_EPOCH}', ts::DATE)::INT
+              AS d, user_id
+            FROM events),
+h AS (SELECT d, ('0x' || substr(md5('hll:' || user_id), 1, 13))::BIGINT
+             AS h FROM ev),
+r AS (SELECT d, (h // 70368744177664)::INT AS bucket,
+             (CASE WHEN h % 70368744177664 = 0 THEN 47
+                   ELSE 47 - length(bin(h % 70368744177664)) END)::INT
+               AS rho
+      FROM h),
+regs AS (SELECT d, bucket, max(rho) AS rho FROM r GROUP BY 1, 2),
+days AS (SELECT DISTINCT d FROM ev),
+grid AS (SELECT d, unnest(range(0, 64))::INT AS bucket FROM days),
+cells AS (SELECT g.d, g.bucket, regs.rho
+          FROM grid g LEFT JOIN regs
+            ON g.d = regs.d AND g.bucket = regs.bucket),
+merged AS (
+  SELECT d, bucket,
+         max(rho) OVER (PARTITION BY bucket ORDER BY d
+                        RANGE BETWEEN {SLIDE_DAYS - 1} PRECEDING
+                        AND CURRENT ROW) AS rho
+  FROM cells),
+m2 AS (SELECT d, bucket, rho FROM merged WHERE rho IS NOT NULL),
+t AS (SELECT d, sum(1::BIGINT << (46 - rho))::BIGINT AS s,
+             count(*)::BIGINT AS nb
+      FROM m2 GROUP BY 1),
+e AS (SELECT d, (64 - nb)::INT AS v,
+             (s + (64 - nb) * 70368744177664)::DOUBLE AS sfull
+      FROM t),
+est AS (SELECT d, v,
+               CASE WHEN (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0
+                         * 70368744177664.0 / sfull <= 160.0 AND v > 0
+                    THEN 64.0 * ln(64.0 / v)
+                    ELSE (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0
+                         * 70368744177664.0 / sfull END AS raw
+        FROM e),
+du AS (SELECT DISTINCT d, user_id FROM ev),
+tgt AS (SELECT unnest(generate_series(d, d + {SLIDE_DAYS - 1}))::INT
+          AS d0, user_id
+        FROM du),
+x AS (SELECT t.d0 AS d, count(DISTINCT t.user_id)::BIGINT
+        AS exact_distinct
+      FROM tgt t JOIN days ON t.d0 = days.d GROUP BY 1)
+SELECT est.d, v AS n_zero_registers, round(raw, 4) AS est_distinct,
+       exact_distinct,
+       floor(((round(raw, 4) - exact_distinct) / exact_distinct)
+             * 10000.0 + 0.5) / 10000.0 AS rel_err
+FROM est JOIN x USING (d)"""
+
+PIPELINE_QUERIES.update({"q_uniques_sliding": q_uniques_sliding})

@@ -736,3 +736,17 @@ def test_round5_batch6_query_plan(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+
+def test_round5_batch7_query_plan(spark):
+    """Sliding-HLL: the bucket grid is a scan-local explode (no
+    BNLJ), the merge a RANGE window, the exact twin an explode +
+    equi join. No cartesian, no Python."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_uniques_sliding,
+    )
+
+    p = _plan(q_uniques_sliding(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
