@@ -306,10 +306,12 @@ def hll_estimate(registers: DataFrame, groups: list[str]) -> DataFrame:
     )
     lc = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double"))
     est = F.when((raw <= F.lit(2.5 * HLL_M)) & (v > 0), lc).otherwise(raw)
+    # half-up 4 dp via the floor chain — Spark/DuckDB round(double, n)
+    # disagree near .5 ties (the q_min_cost_supplier lesson)
     return terms.select(
         *groups,
         v.alias("n_zero_registers"),
-        F.round(est, 4).alias("est_distinct"),
+        (F.floor(est * 1e4 + F.lit(0.5)) / 1e4).alias("est_distinct"),
     )
 
 

@@ -1763,10 +1763,14 @@ def q_hll_distinct(spark, sf_dir):
             "n_zero_registers",
             "est_distinct",
             "exact_distinct",
-            F.round(
-                (F.col("est_distinct") - F.col("exact_distinct"))
-                / F.col("exact_distinct").cast("double"),
-                4,
+            (
+                F.floor(
+                    (F.col("est_distinct") - F.col("exact_distinct"))
+                    / F.col("exact_distinct").cast("double")
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
             ).alias("rel_err"),
         )
         .orderBy("event_type")
@@ -6728,37 +6732,54 @@ FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT {PATH_TOP}"""
 
 # HLL oracle: identical 52-bit md5 split, string-length bit_length,
 # exact power-of-two harmonic sum, same alpha expression text.
-PIPELINE_ORACLES["q_hll_distinct"] = """
-WITH h AS (SELECT event_type,
-                  ('0x' || substr(md5('hll:' || user_id), 1, 13))::BIGINT AS h
-           FROM events),
-b AS (SELECT event_type, h // 70368744177664 AS bucket,
-             h % 70368744177664 AS rem
+
+
+def _hll_hash_sql(group: str, src: str) -> str:
+    """CTEs h, r, regs: the engine-exact HLL register build (md5 ->
+    2^46 bucket/rho split) parameterized by grouping column — ONE
+    copy of the constants for every oracle replaying
+    functions/sketch.hll_registers."""
+    return f"""h AS (SELECT {group},
+             ('0x' || substr(md5('hll:' || user_id), 1, 13))::BIGINT AS h
+      FROM {src}),
+r AS (SELECT {group}, (h // 70368744177664)::INT AS bucket,
+             (CASE WHEN h % 70368744177664 = 0 THEN 47
+                   ELSE 47 - length(bin(h % 70368744177664)) END)::INT
+               AS rho
       FROM h),
-r AS (SELECT event_type, bucket::INT AS bucket,
-             (CASE WHEN rem = 0 THEN 47
-                   ELSE 47 - length(bin(rem)) END)::INT AS rho
-      FROM b),
-regs AS (SELECT event_type, bucket, max(rho) AS rho FROM r GROUP BY 1, 2),
-t AS (SELECT event_type,
-             sum(1::BIGINT << (46 - rho))::BIGINT AS s,
+regs AS (SELECT {group}, bucket, max(rho) AS rho FROM r GROUP BY 1, 2)"""
+
+
+def _hll_est_sql(group: str, regs_rel: str) -> str:
+    """CTEs t, e, est: harmonic sum + linear-counting-corrected
+    estimate over any (group, bucket, rho) register relation — the
+    oracle twin of functions/sketch.hll_estimate; est exposes
+    ({group}, v, raw)."""
+    return f"""t AS (SELECT {group}, sum(1::BIGINT << (46 - rho))::BIGINT AS s,
              count(*)::BIGINT AS nb
-      FROM regs GROUP BY 1),
-e AS (SELECT event_type, (64 - nb)::INT AS v,
+      FROM {regs_rel} GROUP BY 1),
+e AS (SELECT {group}, (64 - nb)::INT AS v,
              (s + (64 - nb) * 70368744177664)::DOUBLE AS sfull
       FROM t),
-est AS (SELECT event_type, v,
+est AS (SELECT {group}, v,
                CASE WHEN (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0
                          * 70368744177664.0 / sfull <= 160.0 AND v > 0
                     THEN 64.0 * ln(64.0 / v)
                     ELSE (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0
                          * 70368744177664.0 / sfull END AS raw
-        FROM e),
+        FROM e)"""
+
+
+PIPELINE_ORACLES["q_hll_distinct"] = f"""
+WITH {_hll_hash_sql("event_type", "events")},
+{_hll_est_sql("event_type", "regs")},
 x AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
       FROM events GROUP BY 1)
 SELECT event_type, v AS n_zero_registers,
-       round(raw, 4) AS est_distinct, exact_distinct,
-       round((round(raw, 4) - exact_distinct) / exact_distinct::DOUBLE, 4)
+       floor(raw * 10000.0 + 0.5) / 10000.0 AS est_distinct,
+       exact_distinct,
+       floor(((floor(raw * 10000.0 + 0.5) / 10000.0 - exact_distinct)
+              / exact_distinct::DOUBLE) * 10000.0 + 0.5) / 10000.0
          AS rel_err
 FROM est JOIN x USING (event_type) ORDER BY event_type"""
 
@@ -8645,18 +8666,14 @@ def q_uniques_sliding(spark, sf_dir):
     )
 
 
+# Sliding-HLL oracle: per-day registers from the shared hash
+# fragment; the densified grid, RANGE-window merge and estimate tail
+# (shared fragment again, over the merged relation) mirror Spark.
 PIPELINE_ORACLES["q_uniques_sliding"] = f"""
 WITH ev AS (SELECT datediff('day', DATE '{STREAK_EPOCH}', ts::DATE)::INT
               AS d, user_id
             FROM events),
-h AS (SELECT d, ('0x' || substr(md5('hll:' || user_id), 1, 13))::BIGINT
-             AS h FROM ev),
-r AS (SELECT d, (h // 70368744177664)::INT AS bucket,
-             (CASE WHEN h % 70368744177664 = 0 THEN 47
-                   ELSE 47 - length(bin(h % 70368744177664)) END)::INT
-               AS rho
-      FROM h),
-regs AS (SELECT d, bucket, max(rho) AS rho FROM r GROUP BY 1, 2),
+{_hll_hash_sql("d", "ev")},
 days AS (SELECT DISTINCT d FROM ev),
 grid AS (SELECT d, unnest(range(0, 64))::INT AS bucket FROM days),
 cells AS (SELECT g.d, g.bucket, regs.rho
@@ -8669,19 +8686,7 @@ merged AS (
                         AND CURRENT ROW) AS rho
   FROM cells),
 m2 AS (SELECT d, bucket, rho FROM merged WHERE rho IS NOT NULL),
-t AS (SELECT d, sum(1::BIGINT << (46 - rho))::BIGINT AS s,
-             count(*)::BIGINT AS nb
-      FROM m2 GROUP BY 1),
-e AS (SELECT d, (64 - nb)::INT AS v,
-             (s + (64 - nb) * 70368744177664)::DOUBLE AS sfull
-      FROM t),
-est AS (SELECT d, v,
-               CASE WHEN (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0
-                         * 70368744177664.0 / sfull <= 160.0 AND v > 0
-                    THEN 64.0 * ln(64.0 / v)
-                    ELSE (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0
-                         * 70368744177664.0 / sfull END AS raw
-        FROM e),
+{_hll_est_sql("d", "m2")},
 du AS (SELECT DISTINCT d, user_id FROM ev),
 tgt AS (SELECT unnest(generate_series(d, d + {SLIDE_DAYS - 1}))::INT
           AS d0, user_id
@@ -8689,10 +8694,11 @@ tgt AS (SELECT unnest(generate_series(d, d + {SLIDE_DAYS - 1}))::INT
 x AS (SELECT t.d0 AS d, count(DISTINCT t.user_id)::BIGINT
         AS exact_distinct
       FROM tgt t JOIN days ON t.d0 = days.d GROUP BY 1)
-SELECT est.d, v AS n_zero_registers, round(raw, 4) AS est_distinct,
+SELECT est.d, v AS n_zero_registers,
+       floor(raw * 10000.0 + 0.5) / 10000.0 AS est_distinct,
        exact_distinct,
-       floor(((round(raw, 4) - exact_distinct) / exact_distinct)
-             * 10000.0 + 0.5) / 10000.0 AS rel_err
+       floor(((floor(raw * 10000.0 + 0.5) / 10000.0 - exact_distinct)
+              / exact_distinct) * 10000.0 + 0.5) / 10000.0 AS rel_err
 FROM est JOIN x USING (d)"""
 
 PIPELINE_QUERIES.update({"q_uniques_sliding": q_uniques_sliding})
