@@ -8702,3 +8702,325 @@ SELECT est.d, v AS n_zero_registers,
 FROM est JOIN x USING (d)"""
 
 PIPELINE_QUERIES.update({"q_uniques_sliding": q_uniques_sliding})
+
+
+# ---------------------------------------------------------------------------
+# Round-5 late batch 8: difference-in-differences experiment read-out.
+# ---------------------------------------------------------------------------
+
+DID_POST_YEAR = 1998
+
+
+def q_did(spark, sf_dir):
+    """Difference-in-differences on order revenue: treated nations
+    (even keys) vs control, pre/post 1998 — the quasi-experimental
+    read-out when there is no randomized arm. All four cell moments
+    (n, Σcents, Σcents²) are exact integers (the square sums ride
+    DECIMAL(38,0) — cents² sums pass 2^63 around sf0.1); cell means,
+    the DiD estimate, per-cell sample variances and the Welch-style
+    z are each ONE double division chain written identically in the
+    oracle, half-up 6 dp. Single scan, one conditional aggregate —
+    the ab_lift shape with a second factor."""
+    dec = "decimal(38,0)"
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        (F.year("o_orderdate") >= DID_POST_YEAR).alias("post"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", (F.col("c_nationkey") % 2 == 0).alias("treated")
+    )
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    aggs = []
+    for t in (0, 1):
+        for p in (0, 1):
+            cond = (F.col("treated") == bool(t)) & (
+                F.col("post") == bool(p)
+            )
+            name = f"{'t' if t else 'c'}_{'post' if p else 'pre'}"
+            aggs += [
+                F.sum(F.when(cond, 1).otherwise(0))
+                .cast("long")
+                .alias(f"n_{name}"),
+                F.sum(F.when(cond, F.col("cents")).otherwise(0))
+                .cast("long")
+                .alias(f"s_{name}"),
+                F.sum(
+                    F.when(
+                        cond,
+                        F.col("cents").cast(dec) * F.col("cents").cast(dec),
+                    ).otherwise(F.lit(0).cast(dec))
+                ).alias(f"ss_{name}"),
+            ]
+    row = j.agg(*aggs)
+
+    def mean(name):
+        return F.col(f"s_{name}") / F.col(f"n_{name}")
+
+    def var(name):
+        num = F.col(f"n_{name}").cast(dec) * F.col(f"ss_{name}") - F.col(
+            f"s_{name}"
+        ).cast(dec) * F.col(f"s_{name}").cast(dec)
+        return (
+            num.cast("double")
+            / F.col(f"n_{name}")
+            / (F.col(f"n_{name}") - 1)
+        )
+
+    did = (mean("t_post") - mean("t_pre")) - (
+        mean("c_post") - mean("c_pre")
+    )
+    se = F.sqrt(
+        var("t_post") / F.col("n_t_post")
+        + var("t_pre") / F.col("n_t_pre")
+        + var("c_post") / F.col("n_c_post")
+        + var("c_pre") / F.col("n_c_pre")
+    )
+    out = [F.col(f"n_{n}") for n in ("c_pre", "c_post", "t_pre", "t_post")]
+    out += [
+        _h6(mean(n)).alias(f"mean_{n}")
+        for n in ("c_pre", "c_post", "t_pre", "t_post")
+    ]
+    out += [_h6(did).alias("did_q6"), _h6(did / se).alias("z_q6")]
+    return row.select(*out)
+
+
+PIPELINE_ORACLES["q_did"] = f"""
+WITH j AS (
+  SELECT (c_nationkey % 2 = 0) AS treated,
+         (year(o_orderdate) >= {DID_POST_YEAR}) AS post,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+a AS (
+  SELECT
+    {", ".join(
+        f"sum(CASE WHEN treated = {bool(t)} AND post = {bool(p)} THEN 1 ELSE 0 END)::BIGINT AS n_{n}, "
+        f"sum(CASE WHEN treated = {bool(t)} AND post = {bool(p)} THEN cents ELSE 0 END)::BIGINT AS s_{n}, "
+        f"sum(CASE WHEN treated = {bool(t)} AND post = {bool(p)} THEN cents::HUGEINT * cents::HUGEINT ELSE 0::HUGEINT END) AS ss_{n}"
+        for t, p, n in [(0, 0, "c_pre"), (0, 1, "c_post"),
+                        (1, 0, "t_pre"), (1, 1, "t_post")]
+    )}
+  FROM j)
+SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+  {", ".join(
+      f"floor((s_{n} / n_{n}) * 1000000.0 + 0.5) / 1000000.0 AS mean_{n}"
+      for n in ("c_pre", "c_post", "t_pre", "t_post")
+  )},
+  floor((((s_t_post / n_t_post) - (s_t_pre / n_t_pre))
+         - ((s_c_post / n_c_post) - (s_c_pre / n_c_pre)))
+        * 1000000.0 + 0.5) / 1000000.0 AS did_q6,
+  floor(((((s_t_post / n_t_post) - (s_t_pre / n_t_pre))
+          - ((s_c_post / n_c_post) - (s_c_pre / n_c_pre)))
+         / sqrt(
+             ((n_t_post::HUGEINT * ss_t_post
+               - s_t_post::HUGEINT * s_t_post::HUGEINT)::DOUBLE
+              / n_t_post / (n_t_post - 1)) / n_t_post
+           + ((n_t_pre::HUGEINT * ss_t_pre
+               - s_t_pre::HUGEINT * s_t_pre::HUGEINT)::DOUBLE
+              / n_t_pre / (n_t_pre - 1)) / n_t_pre
+           + ((n_c_post::HUGEINT * ss_c_post
+               - s_c_post::HUGEINT * s_c_post::HUGEINT)::DOUBLE
+              / n_c_post / (n_c_post - 1)) / n_c_post
+           + ((n_c_pre::HUGEINT * ss_c_pre
+               - s_c_pre::HUGEINT * s_c_pre::HUGEINT)::DOUBLE
+              / n_c_pre / (n_c_pre - 1)) / n_c_pre))
+        * 1000000.0 + 0.5) / 1000000.0 AS z_q6
+FROM a"""
+
+PIPELINE_QUERIES.update({"q_did": q_did})
+
+
+# ---------------------------------------------------------------------------
+# Round-5 late batch 8b: two-group log-rank survival test.
+# ---------------------------------------------------------------------------
+
+LOGRANK_SEGMENT = "BUILDING"
+
+
+def q_survival_logrank(spark, sf_dir):
+    """Two-group log-rank test on customer churn (BUILDING segment vs
+    the rest) — the hypothesis test that belongs next to
+    q_survival_km's curves: at every event month, observed group-1
+    events against the at-risk-proportional expectation,
+
+        Z = Σ_t (d1 − d·n1/n) / sqrt(Σ_t d·n1·n0·(n−d) / (n²(n−1)))
+
+    Per-month numerators are EXACT integers (d1·n − d·n1 and the
+    variance product ride DECIMAL(38,0) past ~sf1); each per-month
+    ratio is one double division, and both sums run over an ORDERED
+    cumulative window so the summation order is pinned cross-engine
+    (the KM/KS fixed-order argument). The month grid densifies via a
+    1-row max anchor + sequence explode, so each group's at-risk
+    count exists at every event time even when that group has no row
+    there."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    span = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_o"),
+        F.max("o_orderdate").alias("last_o"),
+    )
+    ref = o.agg(F.max("o_orderdate").alias("max_d"))
+    life = (
+        span.crossJoin(F.broadcast(ref))
+        .join(cust, span["o_custkey"] == cust["c_custkey"])
+        .select(
+            (F.col("c_mktsegment") == LOGRANK_SEGMENT)
+            .cast("int")
+            .alias("grp"),
+            F.expr(f"datediff(last_o, first_o) div {KM_MONTH_DAYS}")
+            .cast("int")
+            .alias("t"),
+            (F.datediff(F.col("max_d"), F.col("last_o")) > KM_CHURN_DAYS)
+            .cast("int")
+            .alias("churned"),
+        )
+    )
+    per = life.groupBy("grp", "t").agg(
+        F.count("*").cast("long").alias("ended"),
+        F.sum("churned").cast("long").alias("d"),
+    )
+    tmax = life.agg(F.max("t").alias("tmax"))
+    grid = (
+        spark.createDataFrame([(0,), (1,)], "grp int")
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            "grp",
+            F.explode(F.sequence(F.lit(0), F.col("tmax"))).alias("t"),
+        )
+    )
+    cells = grid.join(per, ["grp", "t"], "left").select(
+        "grp",
+        "t",
+        F.coalesce("ended", F.lit(0)).alias("ended"),
+        F.coalesce("d", F.lit(0)).alias("d"),
+    )
+    tot = Window.partitionBy("grp")
+    cum_prev = (
+        Window.partitionBy("grp")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risky = cells.select(
+        "grp",
+        "t",
+        "d",
+        (
+            F.sum("ended").over(tot)
+            - F.coalesce(F.sum("ended").over(cum_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    byt = risky.groupBy("t").agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("n_risk")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("n_risk")).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("d")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("d")).otherwise(0))
+        .cast("long")
+        .alias("d0"),
+    )
+    dec = "decimal(38,0)"
+    ev = byt.select(
+        "t",
+        (F.col("n1") + F.col("n0")).alias("n"),
+        (F.col("d1") + F.col("d0")).alias("d"),
+        "n1",
+        "n0",
+        "d1",
+    ).where((F.col("d1") + F.col("d0") > 0) & (F.col("n1") + F.col("n0") >= 2))
+    o_term = (
+        F.col("d1").cast(dec) * F.col("n").cast(dec)
+        - F.col("d").cast(dec) * F.col("n1").cast(dec)
+    ).cast("double") / F.col("n")
+    v_term = (
+        F.col("d").cast(dec)
+        * F.col("n1").cast(dec)
+        * F.col("n0").cast(dec)
+        * (F.col("n") - F.col("d")).cast(dec)
+    ).cast("double") / F.col("n") / F.col("n") / (F.col("n") - 1)
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cum = ev.select(
+        "t",
+        F.sum(o_term).over(wcum).alias("cum_o"),
+        F.sum(v_term).over(wcum).alias("cum_v"),
+        F.count("*").over(wcum).alias("n_times"),
+    )
+    fin = cum.agg(
+        F.max(F.struct("t", "n_times", "cum_o", "cum_v")).alias("f")
+    )
+    return fin.select(
+        F.col("f.n_times").cast("long").alias("n_event_months"),
+        _h6(F.col("f.cum_o")).alias("o_minus_e_q6"),
+        _h6(F.col("f.cum_v")).alias("var_q6"),
+        _h6(F.col("f.cum_o") / F.sqrt(F.col("f.cum_v"))).alias("z_q6"),
+    )
+
+
+PIPELINE_ORACLES["q_survival_logrank"] = f"""
+WITH span AS (
+  SELECT o_custkey, min(o_orderdate) AS first_o, max(o_orderdate) AS last_o
+  FROM orders GROUP BY 1),
+ref AS (SELECT max(o_orderdate) AS max_d FROM orders),
+life AS (
+  SELECT (CASE WHEN c_mktsegment = '{LOGRANK_SEGMENT}' THEN 1 ELSE 0 END)
+           AS grp,
+         (datediff('day', first_o, last_o) // {KM_MONTH_DAYS})::INT AS t,
+         CASE WHEN datediff('day', last_o, max_d) > {KM_CHURN_DAYS}
+              THEN 1 ELSE 0 END AS churned
+  FROM span CROSS JOIN ref
+  JOIN customer ON o_custkey = c_custkey),
+per AS (SELECT grp, t, count(*)::BIGINT AS ended,
+               sum(churned)::BIGINT AS d
+        FROM life GROUP BY 1, 2),
+tmax AS (SELECT max(t) AS tmax FROM life),
+grid AS (SELECT grp, unnest(generate_series(0, tmax))::INT AS t
+         FROM (VALUES (0), (1)) g(grp) CROSS JOIN tmax),
+cells AS (
+  SELECT grid.grp, grid.t,
+         coalesce(per.ended, 0) AS ended, coalesce(per.d, 0) AS d
+  FROM grid LEFT JOIN per ON grid.grp = per.grp AND grid.t = per.t),
+risky AS (
+  SELECT grp, t, d,
+         sum(ended) OVER (PARTITION BY grp)
+           - coalesce(sum(ended) OVER (PARTITION BY grp ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS n_risk
+  FROM cells),
+byt AS (
+  SELECT t,
+         sum(CASE WHEN grp = 1 THEN n_risk ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN grp = 0 THEN n_risk ELSE 0 END)::BIGINT AS n0,
+         sum(CASE WHEN grp = 1 THEN d ELSE 0 END)::BIGINT AS d1,
+         sum(CASE WHEN grp = 0 THEN d ELSE 0 END)::BIGINT AS d0
+  FROM risky GROUP BY 1),
+ev AS (
+  SELECT t, n1 + n0 AS n, d1 + d0 AS d, n1, n0, d1
+  FROM byt WHERE d1 + d0 > 0 AND n1 + n0 >= 2),
+terms AS (
+  SELECT t,
+         (d1::HUGEINT * n::HUGEINT - d::HUGEINT * n1::HUGEINT)::DOUBLE
+           / n AS o_term,
+         (d::HUGEINT * n1::HUGEINT * n0::HUGEINT
+          * (n - d)::HUGEINT)::DOUBLE / n / n / (n - 1) AS v_term
+  FROM ev),
+cum AS (
+  SELECT t,
+         sum(o_term) OVER w AS cum_o, sum(v_term) OVER w AS cum_v,
+         count(*) OVER w AS n_times
+  FROM terms
+  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)),
+fin AS (SELECT * FROM cum ORDER BY t DESC LIMIT 1)
+SELECT n_times::BIGINT AS n_event_months,
+       floor(cum_o * 1000000.0 + 0.5) / 1000000.0 AS o_minus_e_q6,
+       floor(cum_v * 1000000.0 + 0.5) / 1000000.0 AS var_q6,
+       floor((cum_o / sqrt(cum_v)) * 1000000.0 + 0.5) / 1000000.0 AS z_q6
+FROM fin"""
+
+PIPELINE_QUERIES.update({"q_survival_logrank": q_survival_logrank})

@@ -750,3 +750,28 @@ def test_round5_batch7_query_plan(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+
+def test_round5_batch8_query_plan(spark):
+    """DiD: one equi join + one conditional aggregate — no window,
+    no nested loop, no Python."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import q_did
+
+    p = _plan(q_did(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+
+def test_round5_batch8b_query_plan(spark):
+    """Log-rank: aggregates + densified grid (1-row anchor + explode)
+    + ordered cumulative windows. The only nested loop is the two
+    1-row anchors (max-date ref, tmax)."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_survival_logrank,
+    )
+
+    p = _plan(q_survival_logrank(spark, SF))
+    assert "CartesianProduct" not in p
+    assert _scalar_anchor_bnlj_only(p)
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p

@@ -105,3 +105,54 @@ def test_trend_robust_known_series(spark):
         assert r["n_pairs"] == m, nk
         assert abs(r["ts_slope_q6"] - med) < 1e-5 * max(1, abs(med)), nk
         assert abs(r["mk_z_q6"] - z) < 1e-5, nk
+
+
+def test_survival_logrank_matches_python_replay(spark):
+    """The log-rank statistic replayed from raw lifetimes in plain
+    Python (textbook formula) — proves the windowed construction IS
+    the log-rank test, not merely Spark==DuckDB of one expression."""
+    import math
+
+    import duckdb
+
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        KM_CHURN_DAYS,
+        KM_MONTH_DAYS,
+        LOGRANK_SEGMENT,
+        q_survival_logrank,
+    )
+
+    sf = SF
+    rows = duckdb.sql(
+        f"""
+        WITH span AS (SELECT o_custkey, min(o_orderdate) AS f,
+                             max(o_orderdate) AS l
+                      FROM '{sf}/orders.parquet' GROUP BY 1),
+        ref AS (SELECT max(o_orderdate) AS m FROM '{sf}/orders.parquet')
+        SELECT (c_mktsegment = '{LOGRANK_SEGMENT}')::INT AS grp,
+               (datediff('day', f, l) // {KM_MONTH_DAYS})::INT AS t,
+               (datediff('day', l, m) > {KM_CHURN_DAYS})::INT AS churned
+        FROM span CROSS JOIN ref
+        JOIN '{sf}/customer.parquet' ON o_custkey = c_custkey"""
+    ).fetchall()
+    # textbook log-rank over event times
+    times = sorted({t for _, t, c in rows if c == 1})
+    O = V = 0.0
+    k = 0
+    for t in times:
+        n1 = sum(1 for g, tt, _ in rows if g == 1 and tt >= t)
+        n0 = sum(1 for g, tt, _ in rows if g == 0 and tt >= t)
+        d1 = sum(1 for g, tt, c in rows if g == 1 and tt == t and c == 1)
+        d0 = sum(1 for g, tt, c in rows if g == 0 and tt == t and c == 1)
+        n, d = n1 + n0, d1 + d0
+        if d == 0 or n < 2:
+            continue
+        k += 1
+        O += d1 - d * n1 / n
+        V += d * n1 * n0 * (n - d) / (n * n * (n - 1))
+    z = O / math.sqrt(V)
+    got = q_survival_logrank(spark, sf).collect()[0]
+    assert got["n_event_months"] == k
+    assert abs(got["o_minus_e_q6"] - O) < 1e-4 * max(1, abs(O))
+    assert abs(got["var_q6"] - V) < 1e-4 * max(1, abs(V))
+    assert abs(got["z_q6"] - z) < 1e-5
