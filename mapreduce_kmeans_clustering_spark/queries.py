@@ -523,36 +523,29 @@ from mapreduce_kmeans_clustering_spark.queries_pipeline import (  # noqa: E402
 # tests/test_oracle_parity.py (the local mirror of the driver's DuckDB
 # gate).
 #
-# Round-5 rotation (executed exactly as CORRECTNESS_r04/VERDICT r4
-# planned): the 20 round-4 additions (the only keys never seen by the
-# external driver — cumulative through r04 is 131/131 of the queries
-# registered through round 3), plus the 2 round-5 additions
-# (q_ann_ivfpq_recall, q_length_buckets_approx), plus 16 refreshers.
-# Refreshers re-verify the channels this round's -0.0 literal
-# normalization touched (kmeans_nd literal argmin, the ANN family, the
-# dedup family whose semantic/embedding paths ride sqdist_to_const)
-# and the 5 keys whose only driver verification dates to round 1.
-# 12 K-Means pins + 38 here = exactly the driver's 50-row window.
+# Round-6 rotation (executed exactly as VERDICT r5 item 1 planned):
+# 38 of the 42 late-round-5 additions — the only keys never seen by
+# the external driver (cumulative through r05 is 155/197). The four
+# newest registrations (q_trend_robust, q_uniques_sliding, q_did,
+# q_survival_logrank) spill to round 7: never-verified keys outrank
+# refreshes and 38 + 12 K-Means pins = exactly the driver's 50-row
+# window, leaving zero refresher slots this round. A green
+# CORRECTNESS_r06 takes cumulative driver-verified coverage to
+# 193/197.
 DRIVER_ROTATION: list[str] = [
-    # -- round-4 additions, first driver pass --
-    "q_pq_encode", "q_pq_adc", "q_ann_ivfpq", "q_cdc_user_state",
-    "q_user_state_periods", "q_semantic_decontam", "q_fuzzy_suppliers",
-    "q_minhash_accuracy", "q_token_pmi", "q_bpe_merge_pairs",
-    "q_knn_graph", "q_vocab_coverage", "q_corpus_temperature",
-    "q_length_buckets", "q_incremental_join_view", "q_embed_outliers",
-    "q_events_ffill", "q_events_anomaly", "q_lang_confusion",
-    "q_basket_pairs",
-    # -- round-5 additions, first driver pass --
-    "q_ann_ivfpq_recall", "q_length_buckets_approx",
-    "q_source_kl", "q_length_ks",
-    # -- refreshers: -0.0-touched channels + r1-stale keys (the two
-    # r1 keys displaced by the late round-5 additions, q_brand_top_parts
-    # and q_events_pivot, stay r1-verified — never-verified keys take
-    # window priority over refreshes) --
-    "q_kmeans_nd_step", "q_ann_topk", "q_ann_lsh", "q_ann_ivf",
-    "q_ann_recall", "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
-    "q_dedup_jaccard", "q_dedup_embed", "q_dedup_groups",
-    "q_approx_distinct", "q_priority_distinct", "q_user_segments",
+    # -- late round-5 additions, first driver pass --
+    "q_minhash_pr", "q_pagerank_nations", "q_event_transitions",
+    "q_revenue_pareto", "q_gopher_quality", "q_ann_dim_recall",
+    "q_bm25_search", "q_copurchase_triangles", "q_bpe_train",
+    "q_events_cusum", "q_sample_neyman", "q_zorder_locality",
+    "q_events_trending", "q_psi_drift", "q_linkage_scores",
+    "q_basket_triples", "q_events_seasonal", "q_hll_distinct",
+    "q_session_paths", "q_fd_profile", "q_benford", "q_balance_gini",
+    "q_basket_rules", "q_survival_km", "q_skyline_parts",
+    "q_budget_allocation", "q_fifo_match", "q_snapshot_diff",
+    "q_ab_lift", "q_quantile_normalize", "q_embed_cov", "q_nation_hops",
+    "q_hybrid_rrf", "q_revenue_trend", "q_kmv_setops",
+    "q_conversion_isotonic", "q_user_streaks", "q_cohort_ltv",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -33,6 +33,12 @@ from mapreduce_kmeans_clustering_spark.operators import sampling as S
 JACCARD_THRESHOLD = 0.2
 VERIFY_THRESHOLD = 0.3
 EMBED_DUP_THRESHOLD = 0.5
+# q_dedup_embed planted-near-dup knobs (see its docstring): every
+# vec_id % MOD == 0 gets a +0.25-on-element-1 twin at vec_id + OFFSET.
+EMBED_PLANT_MOD = 25
+EMBED_PLANT_OFFSET = 1_000_000
+# q_idle_rich_customers "no recent orders" cutoff (see its docstring).
+IDLE_CUTOFF = "1999-01-01"
 # SemDeDup prune threshold: the synthetic corpus tops out at ~0.47-0.49
 # in-cluster cosine, so 0.4 keeps the prune branch live at every SF
 # (0.5 would register an all-'keep' query and never test pruning).
@@ -375,8 +381,34 @@ def q_dedup_embed(spark, sf_dir):
     """Embedding near-dup pairs within hyperplane-LSH buckets (bucket
     equi-join + exact in-bucket cosine — no driver collect, no
     corpus-sized broadcast; the oracle mirrors the bucketing so the
-    comparison is exact despite recall < 1 vs brute all-pairs)."""
-    p = D.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=EMBED_DUP_THRESHOLD)
+    comparison is exact despite recall < 1 vs brute all-pairs).
+
+    The synthetic embeddings tables hold no natural pair above the 0.5
+    threshold at ANY test SF (max in-bucket cos ~0.49 at sf0.1), which
+    made the registered check vacuously green — 0 rows = 0 rows says
+    nothing about the bucketed-cosine path (round-5 VERDICT item 2).
+    So the query plants deterministic near-dups: every vec_id % 25 == 0
+    gains a copy at vec_id + 1_000_000 with element 1 shifted +0.25
+    (exact double arithmetic both engines, so buckets and cosines stay
+    bit-identical cross-engine). The planted twin of a unit vector has
+    cos ~0.97 with its source; the ones whose +0.25 shift flips a
+    hyperplane sign drop out in BOTH engines identically (the
+    recall < 1 semantics under test). Non-vacuous at every SF:
+    9 pairs at sf0.001/sf0.01, 34 at sf0.1."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = e.where(F.col("vec_id") % EMBED_PLANT_MOD == 0).select(
+        (F.col("vec_id") + F.lit(EMBED_PLANT_OFFSET)).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.25)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    p = D.embedding_near_dup_pairs(
+        e.unionByName(planted), threshold=EMBED_DUP_THRESHOLD
+    )
     return p.select("a", "b", F.round("cos", 6).alias("cos"))
 
 
@@ -4013,12 +4045,20 @@ def q_min_cost_supplier(spark, sf_dir):
 
 def q_idle_rich_customers(spark, sf_dir):
     """TPC-H Q22 shape: customers with above-average positive balance
-    and no orders, per nation — the scalar-aggregate threshold
-    (computed once, broadcast) plus an anti join. The above-average
-    test is done in integer cents cross-multiplied against (sum, n) —
+    and no RECENT orders (none on/after IDLE_CUTOFF), per nation — the
+    scalar-aggregate threshold (computed once, broadcast) plus an anti
+    join against the date-filtered order set. The above-average test is
+    done in integer cents cross-multiplied against (sum, n) —
     ``cents * n > sum_cents`` — so no engine ever compares a fractional
     average (a double-vs-decimal threshold could flip a customer
-    sitting exactly on the mean)."""
+    sitting exactly on the mean).
+
+    Round 6 de-vacuation: the original "no orders at all" anti join was
+    EMPTY at sf0.001/sf0.01 (every synthetic customer has >= 1 order)
+    and 1 row at sf0.1 — a 0-row hash match verified nothing. The
+    recency cutoff keeps the Q22 shape (scalar threshold + anti join)
+    while qualifying 2/14/148 customers at the three test SFs, and the
+    date predicate is pushed into the anti join's build side scan."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cents = F.round(F.col("c_acctbal") * 100).cast("long")
@@ -4028,12 +4068,15 @@ def q_idle_rich_customers(spark, sf_dir):
     thr = pos.agg(
         F.sum("__c").alias("__s"), F.count("*").cast("long").alias("__n")
     )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit(IDLE_CUTOFF).cast("timestamp")
+    ).select("o_custkey")
     return (
         pos.crossJoin(F.broadcast(thr))
         .where(F.col("__c") * F.col("__n") > F.col("__s"))
         .join(
-            orders.select("o_custkey"),
-            pos["c_custkey"] == orders["o_custkey"],
+            recent,
+            pos["c_custkey"] == recent["o_custkey"],
             "left_anti",
         )
         .groupBy("c_nationkey")
@@ -4962,7 +5005,14 @@ SELECT a.doc_id AS a, b.doc_id AS b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {MAX_HAMMING}""",
     "q_dedup_embed": f"""
-WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH ve0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ve AS (
+  SELECT vec_id, v FROM ve0
+  UNION ALL
+  SELECT vec_id + {EMBED_PLANT_OFFSET} AS vec_id,
+         list_concat([v[1] + 0.25], v[2:64]) AS v
+  FROM ve0 WHERE vec_id % {EMBED_PLANT_MOD} = 0
+),
 vb AS (SELECT vec_id, v, {_PLANE_BUCKET} AS bucket FROM ve),
 p AS (SELECT a.vec_id AS a, b.vec_id AS b, a.v AS va, b.v AS vb
       FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
@@ -6312,7 +6362,7 @@ SELECT p_partkey, p_brand, s_name,
 FROM c JOIN part ON l_partkey = p_partkey
        JOIN supplier ON the_supp = s_suppkey
 WHERE p_size < 10""",
-    "q_idle_rich_customers": """
+    "q_idle_rich_customers": f"""
 WITH pos AS (SELECT c_custkey, c_nationkey,
                     CAST(round(c_acctbal * 100) AS BIGINT) AS c
              FROM customer WHERE c_acctbal > 0),
@@ -6321,7 +6371,9 @@ SELECT c_nationkey, count(*)::BIGINT AS n_cust,
        round(sum(c) / 100.0, 2) AS total_bal
 FROM pos CROSS JOIN thr
 WHERE c * n > s
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{IDLE_CUTOFF}')
 GROUP BY c_nationkey""",
     "q_events_rollup_incremental": """
 SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day, event_type,
