@@ -290,8 +290,17 @@ def hll_estimate(registers: DataFrame, groups: list[str]) -> DataFrame:
     any summation order), divided once at the end. alpha is spelled
     as its defining expression so both engines bind the same double.
     """
+    # rho = HLL_W + 1 (all rank bits zero, p ≈ 2^-46 per distinct)
+    # would make the shift negative — shiftleft(1L, -1) is
+    # Long.MIN_VALUE on the JVM, corrupting the whole harmonic sum.
+    # Clamp to 0: the saturated register contributes 2^0 (as rho =
+    # HLL_W would), a one-ulp-of-2^-46 underestimate of its true
+    # 2^-(W+1) term — bounded, documented, and mirrored verbatim in
+    # the DuckDB oracle (_hll_est_sql).
     terms = registers.groupBy(*groups).agg(
-        F.sum(F.expr(f"shiftleft(1L, {HLL_W} - rho)")).alias("_s"),
+        F.sum(
+            F.expr(f"shiftleft(1L, greatest(0, {HLL_W} - rho))")
+        ).alias("_s"),
         F.count("*").alias("_nb"),
     )
     # zero registers contribute 2^46 each (rho = 0)

@@ -61,12 +61,45 @@ def write_zordered(
     partition + local sort on the interleaved key (one shuffle,
     balanced files via sampled ranges), key dropped on write. Each
     output file then covers a compact rectangle of (x, y), so both
-    columns' parquet min/max footer stats become selective."""
-    keyed = df.withColumn(
-        "__zk",
-        zorder_key(
-            F.col(x_col) % (1 << bits), F.col(y_col) % (1 << bits), bits
-        ),
+    columns' parquet min/max footer stats become selective.
+
+    Inputs are RANGE-NORMALIZED onto the 2^bits grid from their
+    observed min/max (one tiny 1-row aggregate, broadcast back as the
+    house scalar anchor — no driver collect). A raw ``% 2^bits`` wrap
+    would alias values ≥ 2^bits (and negatives) onto distant Z-cells,
+    silently destroying exactly the min/max locality the layout exists
+    for. Min/max scaling is monotone per dimension, so locality holds
+    for any numeric domain; a constant column degenerates to cell 0."""
+    m = 1 << bits
+    stats = df.agg(
+        F.min(F.col(x_col).cast("double")).alias("__xmin"),
+        F.max(F.col(x_col).cast("double")).alias("__xmax"),
+        F.min(F.col(y_col).cast("double")).alias("__ymin"),
+        F.max(F.col(y_col).cast("double")).alias("__ymax"),
+    )
+
+    def _cell(c: str, lo: str, hi: str) -> Column:
+        span = F.col(hi) - F.col(lo)
+        return F.when(span <= 0, F.lit(0).cast("long")).otherwise(
+            F.least(
+                F.lit(m - 1).cast("long"),
+                F.floor(
+                    (F.col(c).cast("double") - F.col(lo)) / span * F.lit(m)
+                ),
+            )
+        )
+
+    keyed = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__zk",
+            zorder_key(
+                _cell(x_col, "__xmin", "__xmax"),
+                _cell(y_col, "__ymin", "__ymax"),
+                bits,
+            ),
+        )
+        .drop("__xmin", "__xmax", "__ymin", "__ymax")
     )
     (
         keyed.repartitionByRange(num_files, "__zk")

@@ -523,29 +523,44 @@ from mapreduce_kmeans_clustering_spark.queries_pipeline import (  # noqa: E402
 # tests/test_oracle_parity.py (the local mirror of the driver's DuckDB
 # gate).
 #
-# Round-6 rotation (executed exactly as VERDICT r5 item 1 planned):
-# 38 of the 42 late-round-5 additions — the only keys never seen by
-# the external driver (cumulative through r05 is 155/197). The four
-# newest registrations (q_trend_robust, q_uniques_sliding, q_did,
-# q_survival_logrank) spill to round 7: never-verified keys outrank
-# refreshes and 38 + 12 K-Means pins = exactly the driver's 50-row
-# window, leaving zero refresher slots this round. A green
-# CORRECTNESS_r06 takes cumulative driver-verified coverage to
-# 193/197.
+# Round-7 rotation (executes VERDICT r6 item 1 exactly): closes
+# cumulative driver coverage at 197/197 and retires all r1/r2-stale
+# verifications. Slot budget (38 = 50-row driver window minus the 12
+# K-Means pins):
+#   * 4 never-verified keys registered after the r6 window froze
+#     (q_trend_robust, q_uniques_sliding, q_did, q_survival_logrank);
+#   * 2 keys whose semantics changed in round 6 AFTER their last
+#     driver pass — q_dedup_embed (planted near-dups, last green r05)
+#     and q_idle_rich_customers (recency-cutoff anti join, last green
+#     r04): their cumulative-verified status predates the change, so
+#     they ride ahead of generic refreshers (ADVICE r6);
+#   * 2 keys last verified in round 1 (q_events_pivot,
+#     q_brand_top_parts) and all 28 keys last verified in round 2;
+#   * 2 oldest round-3 keys in registry order (q_text_tokens,
+#     q_engaged_customers).
+# After a green CORRECTNESS_r07 no key's latest verification predates
+# round 3. Rotation policy: set ONCE at round start, never mid-round
+# (see QUERIES.md "Driver coverage cap + rotation").
 DRIVER_ROTATION: list[str] = [
-    # -- late round-5 additions, first driver pass --
-    "q_minhash_pr", "q_pagerank_nations", "q_event_transitions",
-    "q_revenue_pareto", "q_gopher_quality", "q_ann_dim_recall",
-    "q_bm25_search", "q_copurchase_triangles", "q_bpe_train",
-    "q_events_cusum", "q_sample_neyman", "q_zorder_locality",
-    "q_events_trending", "q_psi_drift", "q_linkage_scores",
-    "q_basket_triples", "q_events_seasonal", "q_hll_distinct",
-    "q_session_paths", "q_fd_profile", "q_benford", "q_balance_gini",
-    "q_basket_rules", "q_survival_km", "q_skyline_parts",
-    "q_budget_allocation", "q_fifo_match", "q_snapshot_diff",
-    "q_ab_lift", "q_quantile_normalize", "q_embed_cov", "q_nation_hops",
-    "q_hybrid_rrf", "q_revenue_trend", "q_kmv_setops",
-    "q_conversion_isotonic", "q_user_streaks", "q_cohort_ltv",
+    # -- never driver-verified (registered after the r6 freeze) --
+    "q_trend_robust", "q_uniques_sliding", "q_did", "q_survival_logrank",
+    # -- modified in round 6 after their last driver pass --
+    "q_dedup_embed", "q_idle_rich_customers",
+    # -- last verified round 1 --
+    "q_events_pivot", "q_brand_top_parts",
+    # -- last verified round 2 (all 28) --
+    "q_brand_revenue", "q_customer_cumulative", "q_dedup_incremental",
+    "q_dedup_pipeline", "q_dedup_simhash_pairs", "q_embed_quantize",
+    "q_events_attrib", "q_events_campaign", "q_events_funnel",
+    "q_events_hourly", "q_events_json", "q_events_sessions",
+    "q_events_top_users", "q_media_features", "q_parts_no_discount",
+    "q_pricing_summary", "q_region_rollup", "q_sales_cube",
+    "q_sample_mix", "q_text_fingerprint", "q_text_lang",
+    "q_text_quality", "q_text_redact", "q_text_repetition",
+    "q_text_stats", "q_text_winnow", "q_top_orders",
+    "q_value_percentiles",
+    # -- oldest round-3 refreshers (registry order) --
+    "q_text_tokens", "q_engaged_customers",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

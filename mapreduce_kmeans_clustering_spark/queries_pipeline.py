@@ -34,9 +34,14 @@ JACCARD_THRESHOLD = 0.2
 VERIFY_THRESHOLD = 0.3
 EMBED_DUP_THRESHOLD = 0.5
 # q_dedup_embed planted-near-dup knobs (see its docstring): every
-# vec_id % MOD == 0 gets a +0.25-on-element-1 twin at vec_id + OFFSET.
+# vec_id % MOD == 0 gets a +SHIFT-on-element-1 twin at vec_id +
+# OFFSET over the first DIM elements. ALL four constants interpolate
+# into BOTH the Spark expression and the DuckDB oracle f-string — a
+# one-sided edit cannot silently desynchronize the plant.
 EMBED_PLANT_MOD = 25
 EMBED_PLANT_OFFSET = 1_000_000
+EMBED_PLANT_SHIFT = 0.25
+EMBED_PLANT_DIM = 64
 # q_idle_rich_customers "no recent orders" cutoff (see its docstring).
 IDLE_CUTOFF = "1999-01-01"
 # SemDeDup prune threshold: the synthetic corpus tops out at ~0.47-0.49
@@ -402,8 +407,10 @@ def q_dedup_embed(spark, sf_dir):
     planted = e.where(F.col("vec_id") % EMBED_PLANT_MOD == 0).select(
         (F.col("vec_id") + F.lit(EMBED_PLANT_OFFSET)).alias("vec_id"),
         F.concat(
-            F.array(F.element_at("embedding", 1) + F.lit(0.25)),
-            F.slice("embedding", 2, 63),
+            F.array(
+                F.element_at("embedding", 1) + F.lit(EMBED_PLANT_SHIFT)
+            ),
+            F.slice("embedding", 2, EMBED_PLANT_DIM - 1),
         ).alias("embedding"),
     )
     p = D.embedding_near_dup_pairs(
@@ -5010,7 +5017,8 @@ ve AS (
   SELECT vec_id, v FROM ve0
   UNION ALL
   SELECT vec_id + {EMBED_PLANT_OFFSET} AS vec_id,
-         list_concat([v[1] + 0.25], v[2:64]) AS v
+         list_concat([v[1] + {EMBED_PLANT_SHIFT}],
+                     v[2:{EMBED_PLANT_DIM}]) AS v
   FROM ve0 WHERE vec_id % {EMBED_PLANT_MOD} = 0
 ),
 vb AS (SELECT vec_id, v, {_PLANE_BUCKET} AS bucket FROM ve),
@@ -6807,7 +6815,8 @@ def _hll_est_sql(group: str, regs_rel: str) -> str:
     estimate over any (group, bucket, rho) register relation — the
     oracle twin of functions/sketch.hll_estimate; est exposes
     ({group}, v, raw)."""
-    return f"""t AS (SELECT {group}, sum(1::BIGINT << (46 - rho))::BIGINT AS s,
+    return f"""t AS (SELECT {group},
+             sum(1::BIGINT << greatest(0, 46 - rho))::BIGINT AS s,
              count(*)::BIGINT AS nb
       FROM {regs_rel} GROUP BY 1),
 e AS (SELECT {group}, (64 - nb)::INT AS v,

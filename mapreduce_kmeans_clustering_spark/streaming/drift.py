@@ -141,9 +141,14 @@ def stream_cusum(
     under the rollup module's marker-committed version protocol:
     replayed epochs fold onto versions strictly below themselves and
     overwrite their own directory — idempotent, and readers never see
-    a half-written version. State grows with KEYS, never history.
-    Appends one row per (batch, key) to ``out_dir``:
-    (batch_id, key, batch_value, sp, sn, alarm_pos, alarm_neg)."""
+    a half-written version. State grows with KEYS, never history, and
+    carries across batches a key skips (full-outer state join:
+    deviation 0 for absent keys, never a reset). Keys missing from
+    ``ref_means`` are carried but unscored — alarms false plus an
+    explicit ``unknown_key`` flag, never NULL alarm rows.
+    Appends one row per (batch, key-present-in-batch) to ``out_dir``:
+    (batch_id, key, batch_value, sp, sn, alarm_pos, alarm_neg,
+    unknown_key)."""
     import os
 
     from mapreduce_kmeans_clustering_spark.streaming.rollup import _versions
@@ -163,26 +168,56 @@ def stream_cusum(
             else spark.createDataFrame([], "key STRING, sp DOUBLE, sn DOUBLE")
         )
         ref = ref_means.select(F.col(key_col).alias("key"), "mu")
+        # FULL outer join against prior state: a key absent from this
+        # micro-batch must CARRY its accumulated S+/S− forward
+        # unchanged (deviation 0), not silently reset to 0 on its next
+        # appearance — resetting would defeat CUSUM's
+        # accumulate-small-sustained-drift contract for intermittent
+        # keys. Keys with no reference mean (mu null) are carried but
+        # never scored: deviation 0, alarms false, flagged
+        # unknown_key so the operator surfaces them instead of writing
+        # NULL alarm rows.
+        scored = F.col("in_batch") & F.col("known")
         j = (
-            totals.join(F.broadcast(ref), "key", "left")
-            .join(prior, "key", "left")
+            totals.join(prior, "key", "full")
+            .join(F.broadcast(ref), "key", "left")
             .select(
                 "key",
-                "x",
-                (
-                    F.col("x")
-                    - F.col("n") * F.col("mu") * F.lit(1.0 + rel_slack)
-                ).alias("dev_p"),
-                (
-                    F.col("n") * F.col("mu") * F.lit(1.0 - rel_slack)
-                    - F.col("x")
-                ).alias("dev_n"),
+                F.col("x").isNotNull().alias("in_batch"),
+                F.col("mu").isNotNull().alias("known"),
+                F.coalesce(F.col("x"), F.lit(0.0)).alias("x"),
+                F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
                 F.coalesce(F.col("sp"), F.lit(0.0)).alias("sp0"),
                 F.coalesce(F.col("sn"), F.lit(0.0)).alias("sn0"),
                 F.col("mu"),
             )
             .select(
                 "key",
+                "in_batch",
+                "known",
+                "x",
+                F.when(
+                    scored,
+                    F.col("x")
+                    - F.col("n") * F.col("mu") * F.lit(1.0 + rel_slack),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("dev_p"),
+                F.when(
+                    scored,
+                    F.col("n") * F.col("mu") * F.lit(1.0 - rel_slack)
+                    - F.col("x"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("dev_n"),
+                "sp0",
+                "sn0",
+                F.col("mu"),
+            )
+            .select(
+                "key",
+                "in_batch",
+                "known",
                 "x",
                 F.greatest(F.lit(0.0), F.col("sp0") + F.col("dev_p")).alias("sp"),
                 F.greatest(F.lit(0.0), F.col("sn0") + F.col("dev_n")).alias("sn"),
@@ -197,14 +232,15 @@ def stream_cusum(
             with open(marker, "w"):
                 pass
         h = F.lit(threshold_means) * F.col("mu")
-        out = j.select(
+        out = j.filter("in_batch").select(
             F.lit(int(epoch)).alias("batch_id"),
             "key",
             F.round("x", 4).alias("batch_value"),
             F.round("sp", 4).alias("sp"),
             F.round("sn", 4).alias("sn"),
-            (F.col("sp") > h).alias("alarm_pos"),
-            (F.col("sn") > h).alias("alarm_neg"),
+            F.coalesce(F.col("sp") > h, F.lit(False)).alias("alarm_pos"),
+            F.coalesce(F.col("sn") > h, F.lit(False)).alias("alarm_neg"),
+            (~F.col("known")).alias("unknown_key"),
         )
         out.write.mode("append").parquet(out_dir)
 

@@ -230,6 +230,46 @@ def test_hll_registers_merge_like_shards(spark):
     assert got["n_zero_registers"] == whole["n_zero_registers"]
 
 
+def test_hll_saturated_register_rho47_stays_bounded(spark):
+    """A register at rho = 47 (all 46 rank bits zero — p ≈ 2^-46 per
+    distinct, but any 100 TB corpus WILL hit it) must contribute a
+    clamped 2^0 term, not shiftleft(1L, -1) = Long.MIN_VALUE. Pin with
+    a synthetic register table: the harmonic sum stays inside the
+    documented integer bound (≤ 64·2^46) and the estimate stays a
+    positive finite double, equal to the rho = 46 twin's (the clamp's
+    defined semantics)."""
+    from mapreduce_kmeans_clustering_spark.functions.sketch import (
+        HLL_M,
+        HLL_W,
+        hll_estimate,
+    )
+
+    def regs(rho_edge):
+        return spark.createDataFrame(
+            [("g", b, 3) for b in range(40)] + [("g", 63, rho_edge)],
+            "g STRING, bucket INT, rho INT",
+        )
+
+    sat = hll_estimate(regs(HLL_W + 1), ["g"]).collect()[0]
+    twin = hll_estimate(regs(HLL_W), ["g"]).collect()[0]
+    assert sat["est_distinct"] > 0.0
+    assert sat["est_distinct"] == twin["est_distinct"]
+    assert sat["n_zero_registers"] == HLL_M - 41
+    # and the raw harmonic sum respects the 2^52 < 2^53 exactness bound
+    raw = (
+        spark.createDataFrame(
+            [("g", 63, HLL_W + 1)], "g STRING, bucket INT, rho INT"
+        )
+        .agg(
+            F.sum(
+                F.expr(f"shiftleft(1L, greatest(0, {HLL_W} - rho))")
+            ).alias("s")
+        )
+        .collect()[0]["s"]
+    )
+    assert 0 < raw <= HLL_M * (1 << HLL_W)
+
+
 def test_hll_small_range_linear_counting(spark):
     """A 5-distinct group takes the linear-counting branch and lands
     near-exact (m ln(m/V) with V close to m)."""

@@ -775,6 +775,97 @@ def test_stream_cusum_accumulates_and_survives_restart(spark, tmp_path):
     assert rows2[-1][1] == pytest.approx(exp[-1] + 28.0, abs=1e-9)
 
 
+def test_stream_cusum_intermittent_key_carries_state(spark, tmp_path):
+    """A key present in batches 1 and 3 but ABSENT from batch 2 must
+    accumulate S+ across the gap (full-outer state join), not reset:
+    two +28 deviations with a skipped batch between them land at 56,
+    exactly as if the batches were consecutive. The always-present
+    key 'k' keeps each micro-batch non-empty."""
+    import json as _json
+
+    from mapreduce_kmeans_clustering_spark.streaming.drift import stream_cusum
+
+    ref = spark.createDataFrame(
+        [("m", 10.0), ("k", 10.0)], "event_type STRING, mu DOUBLE"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch a: m hot (+28 dev) + k on-mean; batch b: ONLY k; batch c:
+    # m hot again + k. File names fix the availableNow batch order.
+    def write(name, rows):
+        with open(src / name, "w") as fh:
+            for et, v in rows:
+                fh.write(_json.dumps({"event_type": et, "value": v}) + "\n")
+
+    write("a.json", [("m", 13.0)] * 10 + [("k", 10.0)] * 5)
+    write("b.json", [("k", 10.0)] * 5)
+    write("c.json", [("m", 13.0)] * 10 + [("k", 10.0)] * 5)
+    q = stream_cusum(
+        spark.readStream.schema("event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src)),
+        ref,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "state"),
+        rel_slack=0.02,
+        threshold_means=2.0,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    m_rows = sorted(
+        (r["batch_id"], r["sp"], r["alarm_pos"])
+        for r in out.filter("key = 'm'").collect()
+    )
+    # m appears in exactly 2 batches; dev per hot batch = 130-102 = 28
+    assert [r[1] for r in m_rows] == [
+        pytest.approx(28.0, abs=1e-9),
+        pytest.approx(56.0, abs=1e-9),
+    ]
+    # 56 > 2*mu = 20: the carried state alarms where a reset (28)
+    # would too — assert the STATE value, which only passes un-reset
+    assert m_rows[-1][2] is True
+    # the state version written by the m-less batch still carries m
+    mid_epoch = sorted(r["batch_id"] for r in out.collect())[1]
+    state_mid = spark.read.parquet(
+        str(tmp_path / "state" / f"v={mid_epoch}")
+    )
+    [m_state] = state_mid.filter("key = 'm'").collect()
+    assert m_state["sp"] == pytest.approx(28.0, abs=1e-9)
+
+
+def test_stream_cusum_unknown_key_flagged_not_null(spark, tmp_path):
+    """A batch key with no reference mean must surface as
+    unknown_key=True with alarms False — never NULL alarm rows."""
+    import json as _json
+
+    from mapreduce_kmeans_clustering_spark.streaming.drift import stream_cusum
+
+    ref = spark.createDataFrame([("m", 10.0)], "event_type STRING, mu DOUBLE")
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "a.json", "w") as fh:
+        for et, v in [("m", 10.0)] * 5 + [("mystery", 99.0)] * 5:
+            fh.write(_json.dumps({"event_type": et, "value": v}) + "\n")
+    q = stream_cusum(
+        spark.readStream.schema("event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src)),
+        ref,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "state"),
+    )
+    q.awaitTermination(120)
+    rows = {r["key"]: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert rows["mystery"]["unknown_key"] is True
+    assert rows["mystery"]["alarm_pos"] is False
+    assert rows["mystery"]["alarm_neg"] is False
+    assert rows["mystery"]["sp"] == 0.0 and rows["mystery"]["sn"] == 0.0
+    assert rows["m"]["unknown_key"] is False
+    assert rows["m"]["alarm_pos"] is False
+
+
 def test_stream_cusum_stationary_stays_at_zero(spark, tmp_path):
     import json as _json
 

@@ -116,3 +116,50 @@ def test_write_zordered_files_prune_both_columns(spark, tmp_path):
     assert max(r["xs"] for r in zs) <= 300
     assert max(r["ys"] for r in ls) > 900
     assert sum(r["xs"] for r in ls) / len(ls) < 100  # x tight under linear
+
+
+def test_write_zordered_normalizes_out_of_grid_domains(spark, tmp_path):
+    """Coordinates ≥ 2^bits and negative coordinates must keep their
+    locality: range normalization maps any numeric domain monotonically
+    onto the grid, where the old ``% 2^bits`` wrap aliased distant
+    values onto the same cells and scattered neighbors."""
+    # x in [1_000_000, 1_004_095] (>> 2^10), y in [-2048, 2047]
+    pts = (
+        spark.range(0, 4096)
+        .select(
+            (F.lit(1_000_000) + (F.col("id") * 37) % 4096).alias("x"),
+            (((F.col("id") * 101) % 4096) - F.lit(2048)).alias("y"),
+        )
+        .distinct()
+    )
+    zdir = str(tmp_path / "z")
+    write_zordered(pts, zdir, "x", "y", num_files=16)
+    df = spark.read.parquet(zdir).withColumn(
+        "f", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    spans = (
+        df.groupBy("f")
+        .agg(
+            (F.max("x") - F.min("x")).alias("xs"),
+            (F.max("y") - F.min("y")).alias("ys"),
+        )
+        .collect()
+    )
+    # domain span is 4096 per axis; compact rectangles stay well under
+    # the full span on BOTH axes (old wrap left y unbounded per file)
+    assert max(r["xs"] for r in spans) <= 1200
+    assert max(r["ys"] for r in spans) <= 1200
+    # round-trip preserves the data exactly
+    assert spark.read.parquet(zdir).count() == pts.count()
+
+
+def test_write_zordered_constant_column_degenerates_cleanly(spark, tmp_path):
+    """A zero-span dimension maps to cell 0 everywhere instead of
+    dividing by zero; the layout degrades to a 1-D sort on the other
+    axis."""
+    pts = spark.range(0, 512).select(
+        F.lit(7).alias("x"), ((F.col("id") * 13) % 512).alias("y")
+    )
+    zdir = str(tmp_path / "z")
+    write_zordered(pts, zdir, "x", "y", num_files=4)
+    assert spark.read.parquet(zdir).count() == 512

@@ -1,0 +1,209 @@
+"""sf0.1 → sf1.0 scaling sweep (SCALE.md §8): measure wall-time
+scaling EXPONENTS for the headline heavy operators instead of arguing
+plan shapes — ``t ~ n^e`` with ``e = log10(t_sf1 / t_sf0.1)`` over a
+10× row-count step.
+
+The driver ships no sf1.0 directory, so this harness synthesizes one
+under /tmp from 10 PERTURBED replicas of the sf0.1 tables. Replication
+is designed so the workload's combinatorics scale the way a true 10×
+corpus would, never degenerately:
+
+* documents — per-replica token suffix (``regexp_replace(text, ' ',
+  '<i> ')``) changes every shingle, so replicas are NOT near-dups of
+  each other: dup-pair counts scale with corpus structure, not with
+  the 45 artificial cross-replica pairs per doc a verbatim copy would
+  plant.
+* embeddings — replica i rotates each vector by i positions (norm-
+  and distribution-preserving, decorrelates the copies) so LSH/IVF
+  bucket occupancies grow ~10×, not 10-deep identical stacks.
+* events — user_id/event_id offset per replica (distinct-user count
+  really grows 10×, the HLL's whole workload), ts shifted i seconds.
+* lineitem — all three keys offset per replica: the TPC-H scaling
+  model itself (orders AND parts grow with SF; per-part degree stays
+  constant, so triangle work scales like real SF growth).
+
+Timing: min of 2 runs per (query, sf) after a JVM warm-up — the same
+steady-state protocol as bench.py. Output: one JSON line per query
+plus a markdown table ready for SCALE.md.
+
+Run:  python tools/scale_sweep.py [--replicas 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sweep_sf1"
+BIG = 10_000_000
+DIMS = ["region", "nation", "customer", "supplier", "part", "orders"]
+
+SWEEP_QUERIES = [
+    "q_ann_topk",
+    "q_ann_lsh",
+    "q_ann_ivfpq",
+    "q_dedup_passages",
+    "q_dedup_jaccard",
+    "q_bm25_search",
+    "q_copurchase_triangles",
+    "q_hll_distinct",
+]
+
+
+def build_sf1(spark, replicas: int) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(DST):
+        shutil.rmtree(DST)
+    os.makedirs(DST)
+    for t in DIMS:
+        os.symlink(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    parts = []
+    for i in range(replicas):
+        txt = (
+            F.col("text")
+            if i == 0
+            else F.regexp_replace("text", " ", f"{i} ")
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * BIG)).alias("doc_id"),
+                txt.alias("text"),
+                "lang",
+                "source",
+                F.length(txt).cast("long").alias("n_chars"),
+            )
+        )
+    _union(parts).write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    parts = []
+    for i in range(replicas):
+        vec = (
+            F.col("embedding")
+            if i == 0
+            else F.concat(
+                F.slice("embedding", i + 1, 64 - i),
+                F.slice("embedding", 1, i),
+            )
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * BIG)).alias("vec_id"),
+                vec.alias("embedding"),
+                "label",
+            )
+        )
+    _union(parts).write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    parts = []
+    for i in range(replicas):
+        parts.append(
+            ev.select(
+                (F.col("event_id") + F.lit(i * BIG)).alias("event_id"),
+                (F.col("ts") + F.expr(f"INTERVAL {i} SECOND")).alias("ts"),
+                (F.col("user_id") + F.lit(i * BIG)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    _union(parts).write.mode("overwrite").parquet(f"{DST}/events.parquet")
+
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    parts = []
+    for i in range(replicas):
+        parts.append(
+            li.select(
+                (F.col("l_orderkey") + F.lit(i * BIG)).alias("l_orderkey"),
+                (F.col("l_partkey") + F.lit(i * BIG)).alias("l_partkey"),
+                (F.col("l_suppkey") + F.lit(i * BIG)).alias("l_suppkey"),
+                "l_linenumber",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+                "l_returnflag",
+                "l_linestatus",
+                "l_shipdate",
+            )
+        )
+    _union(parts).write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
+
+
+def _union(dfs):
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def time_query(fn, spark, sf_dir: str) -> float:
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    args = ap.parse_args()
+
+    import math
+
+    from mapreduce_kmeans_clustering_spark import get_spark
+    from mapreduce_kmeans_clustering_spark.queries import ALL_QUERIES
+
+    spark = get_spark(app_name="mrkc-scale-sweep")
+    t0 = time.perf_counter()
+    build_sf1(spark, args.replicas)
+    print(f"built {DST} in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    # JVM/codegen warm-up at each scale before timed runs
+    spark.read.parquet(f"{SRC}/lineitem.parquet").limit(1).count()
+    spark.read.parquet(f"{DST}/lineitem.parquet").limit(1).count()
+
+    rows = []
+    for name in SWEEP_QUERIES:
+        fn = ALL_QUERIES[name]
+        t_small = time_query(fn, spark, SRC)
+        t_big = time_query(fn, spark, DST)
+        exp = math.log10(max(t_big, 1e-3) / max(t_small, 1e-3)) / math.log10(
+            args.replicas
+        )
+        rows.append(
+            {
+                "query": name,
+                "t_sf0.1": t_small,
+                "t_sf1.0": t_big,
+                "ratio": round(t_big / max(t_small, 1e-3), 2),
+                "exponent": round(exp, 2),
+            }
+        )
+        print(json.dumps(rows[-1]), flush=True)
+
+    print("\n| query | sf0.1 s | sf1.0 s | ratio | exponent |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['query']} | {r['t_sf0.1']} | {r['t_sf1.0']} "
+            f"| {r['ratio']}× | {r['exponent']} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
