@@ -11,7 +11,8 @@ GIF (variable-width LZW, 4-pass deinterlace, frame counting), JPEG
 PCM audio — and ``decoded_stats`` runs that decode executor-side over
 Arrow batches (``synthesize_decodable_media`` generates valid
 payloads across all five image formats plus WAV to drive it).
-Remaining compressed formats (MP3/WebP/...) and video raise
+Lossless WebP (VP8L) decodes for real too (operators/webp.py).
+Remaining compressed formats (MP3, lossy VP8, ...) and video raise
 NotImplementedError with the codec message; ``extract_features``
 keeps a deterministic digest-derived feature vector as the
 model-embedding stand-in. Everything Spark-side — schema, binary
@@ -585,12 +586,19 @@ def decode_media(payload: bytes, kind: str) -> dict:
             return decode_jpeg(payload)
         if payload[:4] in (_TIFF_II, _TIFF_MM):
             return decode_tiff(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            from mapreduce_kmeans_clustering_spark.operators.webp import (
+                decode_webp,
+            )
+
+            return decode_webp(payload)
         if payload[:2] not in (b"P6", b"P5"):
             raise NotImplementedError(
                 "image decode supports binary netpbm (P6/P5), PNG, "
-                "24-bit BMP, GIF, baseline/progressive JPEG and "
-                "baseline TIFF; other compressed formats need a codec "
-                "library (PIL) not present in this environment"
+                "24-bit BMP, GIF, baseline/progressive JPEG, baseline "
+                "TIFF and lossless (VP8L) WebP; other compressed "
+                "formats need a codec library (PIL) not present in "
+                "this environment"
             )
         # header: magic, width, height, maxval — whitespace/comment
         # separated, then a single whitespace byte before raster data

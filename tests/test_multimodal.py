@@ -160,12 +160,19 @@ def test_real_decode_rejects_compressed_and_video():
     from mapreduce_kmeans_clustering_spark.operators.multimodal import decode_media
 
     # JPEG and GIF are decoded for real since round 5: garbage bodies
-    # are parse errors, not silence; a still-unsupported format (WebP)
-    # carries the honest codec message
+    # are parse errors, not silence; lossless WebP decodes for real
+    # since round 7, lossy VP8 carries the honest codec message
     with pytest.raises(ValueError):
         decode_media(b"GIF89agifdata", "image")
-    with pytest.raises(NotImplementedError, match="netpbm"):
-        decode_media(b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image")
+    with pytest.raises(NotImplementedError, match="VP8"):
+        decode_media(
+            b"RIFF\x10\x00\x00\x00WEBP"
+            + b"VP8 \x04\x00\x00\x00\x00\x00\x00\x00",
+            "image",
+        )
+    with pytest.raises(ValueError, match="VP8L"):
+        # a WebP container with no image chunk at all is malformed
+        decode_media(b"RIFF\x04\x00\x00\x00WEBP", "image")
     with pytest.raises((ValueError, IndexError, struct.error)):
         decode_media(b"\xff\xd8\xff\xe0jpegdata", "image")
     with pytest.raises(NotImplementedError, match="codec"):
