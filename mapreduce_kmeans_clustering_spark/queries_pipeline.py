@@ -452,13 +452,31 @@ def q_ann_lsh(spark, sf_dir):
     return t.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
 
 
+# Buffer-pool memo for the exact cosine top-k BASELINE the recall
+# gates compare against (q_ann_recall, q_ann_dim_recall): the baseline
+# is harness cost, not the operator under measurement, so it is built
+# once per (application, sf_dir) instead of per gate (the standing
+# SCALE.md §4.22 efficiency note). q_ann_topk deliberately does NOT
+# use it — that query IS the brute-force operator measurement.
+_EXACT_TOPK_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EXACT_TOPK_CACHE:
+        _EXACT_TOPK_CACHE[key] = SIM.cosine_topk(
+            _emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K
+        ).localCheckpoint(eager=False)
+    return _EXACT_TOPK_CACHE[key]
+
+
 def q_ann_recall(spark, sf_dir):
     """Recall@k of both ANN paths (hyperplane LSH, IVF-flat) against
     the exact brute-force top-k, one row per method — the measurement a
     vector-search user needs before trusting planes/nprobe settings.
     hits/possible are integer pair counts; recall is one division."""
     emb = _emb(spark, sf_dir)
-    exact = SIM.cosine_topk(emb, ANN_QUERY_IDS, k=ANN_K)
+    exact = _exact_topk(spark, sf_dir)
     lsh = SIM.lsh_topk(
         emb, ANN_QUERY_IDS, k=ANN_K, planes=LSH_PLANES, probe_hamming=LSH_PROBE_HAMMING
     )
@@ -1256,7 +1274,7 @@ def q_ann_dim_recall(spark, sf_dir):
     gate exists to give). Same (method, hits, possible, recall) row as
     the other recall gates."""
     emb = _emb(spark, sf_dir)
-    exact = SIM.cosine_topk(emb, ANN_QUERY_IDS, k=ANN_K)
+    exact = _exact_topk(spark, sf_dir)
     trunc = emb.select(
         "vec_id", F.slice(F.col("embedding"), 1, TRUNC_DIM).alias("embedding")
     )

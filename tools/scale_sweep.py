@@ -58,7 +58,19 @@ SWEEP_QUERIES = [
 ]
 
 
-def build_sf1(spark, replicas: int) -> None:
+QUERY_TABLES = {
+    "q_ann_topk": {"embeddings"},
+    "q_ann_lsh": {"embeddings"},
+    "q_ann_ivfpq": {"embeddings"},
+    "q_dedup_passages": {"documents"},
+    "q_dedup_jaccard": {"documents"},
+    "q_bm25_search": {"documents"},
+    "q_copurchase_triangles": {"lineitem"},
+    "q_hll_distinct": {"events"},
+}
+
+
+def build_sf1(spark, replicas: int, tables: set[str]) -> None:
     from pyspark.sql import functions as F
 
     if os.path.isdir(DST):
@@ -66,81 +78,106 @@ def build_sf1(spark, replicas: int) -> None:
     os.makedirs(DST)
     for t in DIMS:
         os.symlink(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    # replicate only what the targeted queries read — a 100x lineitem
+    # build for an embeddings-only sweep just fragments the heap and
+    # perturbs the measurements
+    for t in {"documents", "embeddings", "events", "lineitem"} - tables:
+        os.symlink(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
 
-    docs = spark.read.parquet(f"{SRC}/documents.parquet")
-    parts = []
-    for i in range(replicas):
-        txt = (
-            F.col("text")
-            if i == 0
-            else F.regexp_replace("text", " ", f"{i} ")
-        )
-        parts.append(
-            docs.select(
-                (F.col("doc_id") + F.lit(i * BIG)).alias("doc_id"),
-                txt.alias("text"),
-                "lang",
-                "source",
-                F.length(txt).cast("long").alias("n_chars"),
+    if "documents" in tables:
+        docs = spark.read.parquet(f"{SRC}/documents.parquet")
+        parts = []
+        for i in range(replicas):
+            txt = (
+                F.col("text")
+                if i == 0
+                else F.regexp_replace("text", " ", f"{i} ")
             )
+            parts.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(i * BIG)).alias("doc_id"),
+                    txt.alias("text"),
+                    "lang",
+                    "source",
+                    F.length(txt).cast("long").alias("n_chars"),
+                )
+            )
+        _union(parts).write.mode("overwrite").parquet(
+            f"{DST}/documents.parquet"
         )
-    _union(parts).write.mode("overwrite").parquet(f"{DST}/documents.parquet")
 
-    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
-    parts = []
-    for i in range(replicas):
-        r = i % 64  # rotation wraps past the 64-dim vector length
-        vec = (
-            F.col("embedding")
-            if r == 0
-            else F.concat(
-                F.slice("embedding", r + 1, 64 - r),
-                F.slice("embedding", 1, r),
+    if "embeddings" in tables:
+        emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+        parts = []
+        for i in range(replicas):
+            r = i % 64  # rotation wraps past the 64-dim vector length
+            vec = (
+                F.col("embedding")
+                if r == 0
+                else F.concat(
+                    F.slice("embedding", r + 1, 64 - r),
+                    F.slice("embedding", 1, r),
+                )
             )
-        )
-        parts.append(
-            emb.select(
-                (F.col("vec_id") + F.lit(i * BIG)).alias("vec_id"),
-                vec.alias("embedding"),
-                "label",
+            parts.append(
+                emb.select(
+                    (F.col("vec_id") + F.lit(i * BIG)).alias("vec_id"),
+                    vec.alias("embedding"),
+                    "label",
+                )
             )
+        _union(parts).write.mode("overwrite").parquet(
+            f"{DST}/embeddings.parquet"
         )
-    _union(parts).write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
 
-    ev = spark.read.parquet(f"{SRC}/events.parquet")
-    parts = []
-    for i in range(replicas):
-        parts.append(
-            ev.select(
-                (F.col("event_id") + F.lit(i * BIG)).alias("event_id"),
-                (F.col("ts") + F.expr(f"INTERVAL {i} SECOND")).alias("ts"),
-                (F.col("user_id") + F.lit(i * BIG)).alias("user_id"),
-                "event_type",
-                "value",
-                "props",
+    if "events" in tables:
+        ev = spark.read.parquet(f"{SRC}/events.parquet")
+        parts = []
+        for i in range(replicas):
+            parts.append(
+                ev.select(
+                    (F.col("event_id") + F.lit(i * BIG)).alias("event_id"),
+                    (F.col("ts") + F.expr(f"INTERVAL {i} SECOND")).alias(
+                        "ts"
+                    ),
+                    (F.col("user_id") + F.lit(i * BIG)).alias("user_id"),
+                    "event_type",
+                    "value",
+                    "props",
+                )
             )
+        _union(parts).write.mode("overwrite").parquet(
+            f"{DST}/events.parquet"
         )
-    _union(parts).write.mode("overwrite").parquet(f"{DST}/events.parquet")
 
-    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
-    parts = []
-    for i in range(replicas):
-        parts.append(
-            li.select(
-                (F.col("l_orderkey") + F.lit(i * BIG)).alias("l_orderkey"),
-                (F.col("l_partkey") + F.lit(i * BIG)).alias("l_partkey"),
-                (F.col("l_suppkey") + F.lit(i * BIG)).alias("l_suppkey"),
-                "l_linenumber",
-                "l_quantity",
-                "l_extendedprice",
-                "l_discount",
-                "l_tax",
-                "l_returnflag",
-                "l_linestatus",
-                "l_shipdate",
+    if "lineitem" in tables:
+        li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+        parts = []
+        for i in range(replicas):
+            parts.append(
+                li.select(
+                    (F.col("l_orderkey") + F.lit(i * BIG)).alias(
+                        "l_orderkey"
+                    ),
+                    (F.col("l_partkey") + F.lit(i * BIG)).alias(
+                        "l_partkey"
+                    ),
+                    (F.col("l_suppkey") + F.lit(i * BIG)).alias(
+                        "l_suppkey"
+                    ),
+                    "l_linenumber",
+                    "l_quantity",
+                    "l_extendedprice",
+                    "l_discount",
+                    "l_tax",
+                    "l_returnflag",
+                    "l_linestatus",
+                    "l_shipdate",
+                )
             )
+        _union(parts).write.mode("overwrite").parquet(
+            f"{DST}/lineitem.parquet"
         )
-    _union(parts).write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
 
 
 def _union(dfs):
@@ -164,6 +201,7 @@ def time_query(fn, spark, sf_dir: str) -> float:
         QP._IVF_ASSIGN_CACHE.clear()
         QP._IVFPQ_CACHE.clear()
         QP._GROUPS_CACHE.clear()
+        QP._EXACT_TOPK_CACHE.clear()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         best = min(best, time.perf_counter() - t0)
@@ -193,8 +231,13 @@ def main() -> None:
         app_name="mrkc-scale-sweep",
         extra_conf={"spark.driver.memory": "24g"},
     )
+    tables = set()
+    for q in targets:
+        tables |= QUERY_TABLES.get(
+            q, {"documents", "embeddings", "events", "lineitem"}
+        )
     t0 = time.perf_counter()
-    build_sf1(spark, args.replicas)
+    build_sf1(spark, args.replicas, tables)
     print(f"built {DST} in {time.perf_counter() - t0:.1f}s", flush=True)
 
     # JVM/codegen warm-up at each scale before timed runs
