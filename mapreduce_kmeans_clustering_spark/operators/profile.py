@@ -277,3 +277,67 @@ def cusum_daily(
         (F.col("sp").cast("double") > F.col("h")).alias("alarm_pos"),
         (F.col("sn").cast("double") > F.col("h")).alias("alarm_neg"),
     )
+
+
+def woe_iv(
+    df: DataFrame,
+    bin_col: Column | str,
+    bad_col: Column | str,
+) -> DataFrame:
+    """Weight-of-evidence / information-value profile of a binned
+    feature against a binary target — the classic scorecard diagnostic
+    for "does this feature separate the classes, and monotonically?".
+
+    Per bin: ``woe = ln((bad/bad_tot) / (good/good_tot))`` and the IV
+    contribution ``(bad/bad_tot - good/good_tot) * woe``. All counts
+    are exact BIGINTs from one hash aggregate; the 1-row class totals
+    come back via the broadcast-anchor crossJoin (house scalar
+    pattern), so each woe is ONE ln of a ratio of integer products and
+    each iv term multiplies the grid-snapped woe — deterministic
+    cross-engine up to the 1e-6 half-up grid. Bins where either class
+    count is zero get NULL woe/iv (undefined, flagged not faked).
+
+    Plan: aggregate(bin) -> broadcast anchor -> projection. One
+    shuffle on the bin key; bin cardinality is assumed profile-sized
+    (<= thousands), the normal regime for scorecard features.
+    Output: (bin, n_good, n_bad, woe_q6, iv_q6) sorted by bin.
+    """
+    b = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    t = F.col(bad_col) if isinstance(bad_col, str) else bad_col
+    per = df.select(b.alias("bin"), t.cast("int").alias("__bad")).groupBy(
+        "bin"
+    ).agg(
+        F.sum(F.lit(1) - F.col("__bad")).cast("long").alias("n_good"),
+        F.sum("__bad").cast("long").alias("n_bad"),
+    )
+    tot = per.agg(
+        F.sum("n_good").cast("long").alias("__gt"),
+        F.sum("n_bad").cast("long").alias("__bt"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    woe = F.when(
+        (F.col("n_good") > 0) & (F.col("n_bad") > 0),
+        q6(
+            F.log(
+                (F.col("n_bad") * F.col("__gt")).cast("double")
+                / (F.col("n_good") * F.col("__bt")).cast("double")
+            )
+        ),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_good",
+            "n_bad",
+            woe.alias("woe_q6"),
+            q6(
+                (
+                    F.col("n_bad") / F.col("__bt")
+                    - F.col("n_good") / F.col("__gt")
+                )
+                * woe
+            ).alias("iv_q6"),
+        )
+        .orderBy("bin")
+    )

@@ -291,3 +291,79 @@ def sample_neyman(
             "n_stratum",
         )
     )
+
+
+def parity_copy_counts(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic oversampling plan to class parity: how many copies
+    of each row a balanced epoch contains, so every label's total
+    equals the majority label's count (the standard rebalance before
+    training on a skewed corpus).
+
+    Per label ``l`` with ``n_l`` rows and target ``t`` = max label
+    count: every row gets ``t div n_l`` copies and the first
+    ``t mod n_l`` rows — ranked by (md5(id), id), the same
+    engine-portable hash order as ``cap_per_key`` — get one more.
+    Pure function of the data: no RNG, reproducible across engines,
+    retries, and partitionings, and sum(n_copies) per label is exactly
+    ``t`` by construction.
+
+    Plan shape: one row_number window partitioned by label (a single
+    shuffle on the label key), a 10-ish-row label-count aggregate
+    broadcast back, and the 1-row global max joined via the
+    broadcast-anchor crossJoin (the house pattern for scalar anchors).
+    No driver collect. Output: (id, label, n_copies).
+    """
+    counts = df.groupBy(label_col).agg(F.count("*").alias("__n"))
+    target = counts.agg(F.max("__n").alias("__target"))
+    quota = F.broadcast(
+        counts.crossJoin(F.broadcast(target)).select(
+            label_col,
+            "__n",
+            F.floor(F.col("__target") / F.col("__n")).cast("long").alias("__base"),
+            (F.col("__target") % F.col("__n")).alias("__extra"),
+        )
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.select(id_col, label_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .join(quota, label_col)
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            (
+                F.col("__base")
+                + F.when(F.col("__rn") <= F.col("__extra"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("int")
+            .alias("n_copies"),
+        )
+    )
+
+
+def oversample_to_parity(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Materialized class-parity epoch: each row of ``df`` replicated
+    ``n_copies`` times (see ``parity_copy_counts``), with ``copy_idx``
+    distinguishing the replicas so downstream shuffling/sharding sees
+    distinct rows. explode(sequence(...)) keeps the replication
+    executor-side and lazy — no row ever transits the driver."""
+    plan = parity_copy_counts(df, label_col=label_col, id_col=id_col)
+    return (
+        df.join(plan.select(id_col, "n_copies"), id_col)
+        .withColumn(
+            "copy_idx", F.explode(F.sequence(F.lit(1), F.col("n_copies")))
+        )
+        .drop("n_copies")
+    )

@@ -18,6 +18,7 @@ literals.
 from __future__ import annotations
 
 import hashlib
+import math
 from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
@@ -385,6 +386,169 @@ def recall_vs_exact(exact: DataFrame, approx: DataFrame, method: str) -> DataFra
         "hits",
         "possible",
         F.round(F.col("hits") * F.lit(1.0) / F.col("possible"), 6).alias("recall"),
+    )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    anchor_ids: list[int],
+    k: int = 3,
+    dim: int = DEFAULT_DIM,
+    planes: int = DEFAULT_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-k highest-cosine corpus vectors whose LABEL DIFFERS from
+    the anchor's — the confusable-but-wrong examples a triplet /
+    InfoNCE loss learns the most from.
+
+    Candidates come from the anchor's hyperplane-LSH bucket (the same
+    equi-join shape as ``lsh_topk`` — never an all-pairs scan), so at
+    100 TB this is one hash join against a bucketed corpus; the
+    different-label requirement is a post-join filter. Recall < 1 by
+    design and mirrored exactly in the SQL oracle. Ties rank by
+    (cos desc, negative_id asc). Output: (anchor_id, negative_id,
+    anchor_label, negative_label, rank, cos)."""
+    vecs = embeddings.select(
+        F.col(id_col),
+        F.col(label_col).alias("_lab"),
+        _as_double(F.col(vec_col)).alias("v"),
+        lsh_bucket_expr(F.col(vec_col), dim, planes).alias("bucket"),
+    )
+    q = F.broadcast(
+        vecs.where(F.col(id_col).isin(anchor_ids)).select(
+            F.col(id_col).alias("anchor_id"),
+            F.col("_lab").alias("anchor_label"),
+            F.col("v").alias("qv"),
+            "bucket",
+        )
+    )
+    c = vecs.select(
+        F.col(id_col).alias("negative_id"),
+        F.col("_lab").alias("negative_label"),
+        F.col("v").alias("cv"),
+        "bucket",
+    )
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("anchor_label") != F.col("negative_label"))
+        .select(
+            "anchor_id",
+            "negative_id",
+            "anchor_label",
+            "negative_label",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            "negative_id",
+            "anchor_label",
+            "negative_label",
+            F.col("rank").cast("int").alias("rank"),
+            "cos",
+        )
+    )
+
+
+def _q6_int(x: Column) -> Column:
+    """floor(x * 1e6 + 0.5) as a long — the half-up 6-dp integer grid
+    used so per-query metric terms SUM order-independently (the PSI /
+    isotonic recipe: integer addition is associative, double addition
+    is not)."""
+    return F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+
+def ranking_term_tables(k: int) -> tuple[list[int], list[int], int]:
+    """The 1e-6-grid integer lookup tables ranking_metrics scores
+    with: (rr_terms, dcg_terms, idcg) where rr_terms[r-1] =
+    q6(1/r), dcg_terms[r-1] = q6(1/log2(r+1)), idcg = sum(dcg_terms).
+    Computed ONCE in Python and embedded as literals on BOTH engines
+    (Spark arrays, oracle SQL lists), so no runtime transcendental —
+    JVM Math.log vs libm log ulp drift — can desynchronize a
+    comparison."""
+    rr = [math.floor((1.0 / r) * 1000000.0 + 0.5) for r in range(1, k + 1)]
+    dcg = [
+        math.floor((1.0 / math.log2(r + 1)) * 1000000.0 + 0.5)
+        for r in range(1, k + 1)
+    ]
+    return rr, dcg, sum(dcg)
+
+
+def ranking_metrics(
+    exact: DataFrame,
+    approx: DataFrame,
+    method: str,
+    k: int,
+) -> DataFrame:
+    """MRR@k and nDCG@k of an ANN ranking against the exact top-k as
+    the (binary) relevance set — the ranking-quality view the recall
+    gates can't give: recall treats rank 1 and rank k the same, these
+    weight early hits.
+
+    Exactness contract: per-rank terms (1/first_hit_rank,
+    1/log2(rank+1)) come from the Python-precomputed integer tables of
+    ``ranking_term_tables`` (embedded as array literals, looked up by
+    rank), so the aggregates are integer sums — order-independent,
+    engine-independent; the final mrr/ndcg doubles are each one
+    integer division snapped to the same grid. Queries with zero hits
+    contribute 0 to both numerators but still count in the denominator
+    (the mean is over ALL queries). Output: one row (method,
+    n_queries, mrr_sum_q6, dcg_sum_q6, idcg_q6, mrr, ndcg)."""
+    rr_terms, dcg_terms, idcg_q6 = ranking_term_tables(k)
+    rr_arr = F.array(*[F.lit(t).cast("long") for t in rr_terms])
+    dcg_arr = F.array(*[F.lit(t).cast("long") for t in dcg_terms])
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id", "rank")
+    hits = e.join(a, ["query_id", "neighbor_id"])
+    per_q = hits.groupBy("query_id").agg(
+        F.element_at(rr_arr, F.min("rank")).alias("rr_q6"),
+        F.sum(F.element_at(dcg_arr, F.col("rank"))).alias("dcg_q6"),
+    )
+    nq = F.broadcast(
+        e.agg(F.countDistinct("query_id").cast("long").alias("n_queries"))
+    )
+    sums = per_q.agg(
+        F.sum("rr_q6").cast("long").alias("mrr_sum_q6"),
+        F.sum("dcg_q6").cast("long").alias("dcg_sum_q6"),
+    )
+    return (
+        sums.crossJoin(nq)
+        .select(
+            F.lit(method).alias("method"),
+            "n_queries",
+            F.coalesce(F.col("mrr_sum_q6"), F.lit(0)).alias("mrr_sum_q6"),
+            F.coalesce(F.col("dcg_sum_q6"), F.lit(0)).alias("dcg_sum_q6"),
+            F.lit(idcg_q6).cast("long").alias("idcg_q6"),
+        )
+        .select(
+            "method",
+            "n_queries",
+            "mrr_sum_q6",
+            "dcg_sum_q6",
+            "idcg_q6",
+            (
+                _q6_int(
+                    F.col("mrr_sum_q6") / (F.col("n_queries") * F.lit(1000000.0))
+                )
+                / F.lit(1000000.0)
+            ).alias("mrr"),
+            (
+                _q6_int(
+                    F.col("dcg_sum_q6")
+                    / (F.col("n_queries") * F.col("idcg_q6")).cast("double")
+                )
+                / F.lit(1000000.0)
+            ).alias("ndcg"),
+        )
     )
 
 

@@ -75,16 +75,34 @@ def init_farthest_nd(
     work, no shuffle beyond the 1-row agg, O(k·dim) driver state —
     the spread-out-seed quality of k-means++ without its RNG.
     """
+    return [vec for _, _, _, vec in farthest_trace_nd(vectors, k, id_col, vec_col)]
+
+
+def farthest_trace_nd(
+    vectors: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, float | None, list[float]]]:
+    """``init_farthest_nd`` with its selection trace exposed: one
+    ``(rank, id, d2_to_previous_set, vector)`` tuple per chosen seed,
+    where ``d2_to_previous_set`` is the squared Euclidean distance
+    that made the point win round ``rank`` (None for the rank-0 start
+    seed — there is no previous set). The trace is what an oracle can
+    replay stage-by-stage; same cost/shape as the plain init (k driver
+    rounds, each a scan-local projection + 1-row max(struct) agg)."""
     if k < 1:
         raise ValueError("k must be >= 1")
     first = (
         vectors.select(id_col, vec_col).orderBy(id_col).limit(1).collect()[0]
     )
-    chosen = [[float(x) for x in first[1]]]
+    trace: list[tuple[int, int, float | None, list[float]]] = [
+        (0, int(first[0]), None, [float(x) for x in first[1]])
+    ]
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    for _ in range(1, k):
+    for r in range(1, k):
         d2 = None
-        for c in chosen:
+        for _, _, _, c in trace:
             lit = const_vec(c)
             expr = F.aggregate(
                 F.zip_with(v, lit, lambda a, b: (a - b) * (a - b)),
@@ -101,8 +119,10 @@ def init_farthest_nd(
             )
             .collect()[0]["b"]
         )
-        chosen.append([float(x) for x in far["vv"]])
-    return chosen
+        trace.append(
+            (r, int(-far["ni"]), float(far["d2"]), [float(x) for x in far["vv"]])
+        )
+    return trace
 
 
 def _min_dist2_nd(

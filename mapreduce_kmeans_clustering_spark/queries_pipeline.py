@@ -9103,3 +9103,275 @@ SELECT n_times::BIGINT AS n_event_months,
 FROM fin"""
 
 PIPELINE_QUERIES.update({"q_survival_logrank": q_survival_logrank})
+
+
+# ---------------------------------------------------------------------------
+# Round-7 registrations: seeding, contrastive mining, rebalancing,
+# ranking quality, scorecard binning (tail keys — ride the round-8
+# driver window per the QUERIES.md rotation policy).
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+from mapreduce_kmeans_clustering_spark.operators import profile as PROF
+from mapreduce_kmeans_clustering_spark.plans import kmeans_nd as KND
+
+# farthest-first seeding: k seeds over the embedding corpus
+KCENTER_K = 6
+# hard negatives per anchor
+HARDNEG_K = 3
+
+
+def q_kcenter_seeds(spark, sf_dir):
+    """Gonzalez farthest-first k-center seeding over the embedding
+    corpus (plans/kmeans_nd.farthest_trace_nd): start from the
+    lowest-id vector, repeatedly add the vector farthest (squared
+    Euclidean) from its nearest chosen seed, ties to the lowest id.
+    The RNG-free seeding the library offers when no seed file exists
+    (the reference can only read seeds from a side file — SURVEY §2.1
+    O2); k driver rounds of scan-local distance projection + one-row
+    max(struct) aggregate, O(k·dim) driver state. The oracle replays
+    the identical stage chain in SQL, so this is a full VALUE check of
+    an iterative algorithm (the isotonic-PAV precedent). d2 snapped
+    half-up to the 1e-6 grid; rank 0 has no previous set, so its d2 is
+    0.0 by convention (NULL would be more honest but mixed None/float
+    columns break the hash comparator's row sort)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    trace = KND.farthest_trace_nd(emb, KCENTER_K)
+    rows = [
+        (
+            r,
+            i,
+            0.0 if d is None else _math.floor(d * 1000000.0 + 0.5) / 1000000.0,
+        )
+        for r, i, d, _ in trace
+    ]
+    return spark.createDataFrame(
+        rows, schema="rank INT, vec_id BIGINT, d2_q6 DOUBLE"
+    )
+
+
+def _kcenter_oracle(k: int) -> str:
+    d2 = (
+        "list_sum(list_transform(range(1, 65),"
+        " i -> (a.v[i] - s.v[i]) * (a.v[i] - s.v[i])))"
+    )
+    ctes = [
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "s0 AS (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 1)",
+        f"p1 AS (SELECT a.vec_id, a.v, {d2} AS dmin FROM v a, s0 s)",
+    ]
+    for i in range(1, k):
+        ctes.append(
+            f"s{i} AS (SELECT vec_id, v, dmin FROM p{i}"
+            " ORDER BY dmin DESC, vec_id LIMIT 1)"
+        )
+        if i < k - 1:
+            ctes.append(
+                f"p{i + 1} AS (SELECT a.vec_id, a.v,"
+                f" least(a.dmin, {d2}) AS dmin FROM p{i} a, s{i} s)"
+            )
+    sel = [
+        "SELECT CAST(0 AS INT) AS rank, vec_id, 0.0::DOUBLE AS d2_q6 FROM s0"
+    ]
+    for i in range(1, k):
+        sel.append(
+            f"SELECT CAST({i} AS INT) AS rank, vec_id,"
+            f" floor(dmin * 1000000.0 + 0.5) / 1000000.0 AS d2_q6 FROM s{i}"
+        )
+    return ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k highest-cosine vectors with a DIFFERENT label inside the
+    anchor's hyperplane-LSH bucket (operators/similarity.hard_negatives
+    — bucket equi-join + post-join label filter, never all-pairs). The
+    confusable-but-wrong pairs a triplet/InfoNCE loss learns most
+    from; recall < 1 by design, mirrored exactly by the oracle's
+    identical bucketing."""
+    t = SIM.hard_negatives(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        ANN_QUERY_IDS,
+        k=HARDNEG_K,
+        planes=LSH_PLANES,
+    )
+    return t.select(
+        "anchor_id",
+        "negative_id",
+        "anchor_label",
+        "negative_label",
+        "rank",
+        F.round("cos", 6).alias("cos"),
+    )
+
+
+def q_class_balance(spark, sf_dir):
+    """Deterministic oversampling plan to class parity over the
+    embedding labels (operators/sampling.parity_copy_counts): each
+    row's copy count for a balanced epoch — base = target div n_label for
+    everyone, +1 for the first (target mod n_label) rows in
+    (md5(id), id) hash order. No RNG: engines, retries, and
+    partitionings agree on exactly which rows replicate."""
+    return S.parity_copy_counts(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        label_col="label",
+        id_col="vec_id",
+    )
+
+
+def q_retrieval_metrics(spark, sf_dir):
+    """MRR@k and nDCG@k of both ANN paths (multi-probe LSH, IVF-flat)
+    against the exact cosine top-k as binary relevance — the ranking-
+    quality companion to q_ann_recall (recall can't see WHERE in the
+    list the hits landed; these weight early ranks). Per-rank terms
+    are Python-precomputed 1e-6-grid integers embedded on both engines
+    (operators/similarity.ranking_term_tables), so the whole
+    comparison reduces to integer sums + one division per metric."""
+    emb = _emb(spark, sf_dir)
+    exact = _exact_topk(spark, sf_dir)
+    lsh = SIM.lsh_topk(
+        emb,
+        ANN_QUERY_IDS,
+        k=ANN_K,
+        planes=LSH_PLANES,
+        probe_hamming=LSH_PROBE_HAMMING,
+    )
+    ivf = SIM.ivf_topk(
+        emb,
+        ANN_QUERY_IDS,
+        k=ANN_K,
+        nlist=IVF_NLIST,
+        nprobe=IVF_NPROBE,
+        assigned=_ivf_assigned(spark, sf_dir, IVF_NLIST),
+    )
+    return SIM.ranking_metrics(exact, lsh, "lsh", ANN_K).unionByName(
+        SIM.ranking_metrics(exact, ivf, "ivf", ANN_K)
+    )
+
+
+def q_woe_binning(spark, sf_dir):
+    """Weight-of-evidence / information-value scorecard profile of the
+    discount percentage against the return flag
+    (operators/profile.woe_iv): per discount bin, exact class counts
+    plus woe = ln((bad/bad_tot)/(good/good_tot)) and its IV
+    contribution — the classic does-this-feature-separate diagnostic.
+    One hash aggregate + broadcast-anchor totals; ln applied once per
+    bin to a ratio of exact integer products, snapped to the 1e-6
+    grid."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = PROF.woe_iv(
+        li,
+        F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5)).cast("int"),
+        (F.col("l_returnflag") == "R").cast("int"),
+    )
+    return out.select(
+        F.col("bin").alias("discount_pct"),
+        "n_good",
+        "n_bad",
+        "woe_q6",
+        "iv_q6",
+    )
+
+
+_RR_TERMS, _DCG_TERMS, _IDCG_Q6 = SIM.ranking_term_tables(ANN_K)
+_RR_SQL = "[" + ", ".join(str(t) for t in _RR_TERMS) + "]"
+_DCG_SQL = "[" + ", ".join(str(t) for t in _DCG_TERMS) + "]"
+
+
+def _ranking_oracle_arm(src_sql: str, method: str) -> str:
+    return f"""
+SELECT '{method}' AS method, n_queries, mrr_sum_q6, dcg_sum_q6,
+       CAST({_IDCG_Q6} AS BIGINT) AS idcg_q6,
+       floor((mrr_sum_q6 / (n_queries * 1000000.0)) * 1000000.0 + 0.5)
+         / 1000000.0 AS mrr,
+       floor((dcg_sum_q6 / CAST(n_queries * {_IDCG_Q6} AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS ndcg
+FROM (
+  SELECT (SELECT count(DISTINCT query_id)
+          FROM ({_SQL_ANN_TOPK}))::BIGINT AS n_queries,
+         coalesce(sum(rr_q6), 0)::BIGINT AS mrr_sum_q6,
+         coalesce(sum(dcg_q6), 0)::BIGINT AS dcg_sum_q6
+  FROM (
+    SELECT h.query_id,
+           ({_RR_SQL})[min(h.rank)] AS rr_q6,
+           sum(({_DCG_SQL})[h.rank]) AS dcg_q6
+    FROM (
+      SELECT e.query_id, a.rank
+      FROM (SELECT query_id, neighbor_id FROM ({_SQL_ANN_TOPK})) e
+      JOIN (SELECT query_id, neighbor_id, rank FROM ({src_sql})) a
+        USING (query_id, neighbor_id)) h
+    GROUP BY h.query_id))"""
+
+
+PIPELINE_ORACLES["q_kcenter_seeds"] = _kcenter_oracle(KCENTER_K)
+
+PIPELINE_ORACLES["q_hard_negatives"] = f"""
+WITH ve AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+vbk AS (SELECT vec_id, label, v, {_PLANE_BUCKET4} AS bucket FROM ve),
+q AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS va, bucket
+      FROM vbk WHERE vec_id < 10),
+s AS (SELECT anchor_id, anchor_label, c.vec_id AS negative_id,
+             c.label AS negative_label, va, c.v AS vb
+      FROM q JOIN vbk c USING (bucket)
+      WHERE c.label <> anchor_label),
+r AS (SELECT anchor_id, negative_id, anchor_label, negative_label,
+             {_COS} AS cos,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY {_COS} DESC, negative_id) AS rank
+      FROM s)
+SELECT anchor_id, negative_id, anchor_label, negative_label,
+       CAST(rank AS INT) AS rank, round(cos, 6) AS cos
+FROM r WHERE rank <= {HARDNEG_K}"""
+
+PIPELINE_ORACLES["q_class_balance"] = """
+WITH e AS (SELECT vec_id, label FROM embeddings),
+c AS (SELECT label, count(*)::BIGINT AS n FROM e GROUP BY 1),
+t AS (SELECT max(n) AS target FROM c),
+quota AS (SELECT label, n, target // n AS base, target % n AS extra
+          FROM c, t),
+r AS (SELECT vec_id, label,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
+      FROM e)
+SELECT r.vec_id, r.label,
+       CAST(base + CASE WHEN rn <= extra THEN 1 ELSE 0 END AS INT)
+         AS n_copies
+FROM r JOIN quota USING (label)"""
+
+PIPELINE_ORACLES["q_retrieval_metrics"] = (
+    _ranking_oracle_arm(_SQL_ANN_LSH, "lsh")
+    + "\nUNION ALL\n"
+    + _ranking_oracle_arm(_SQL_ANN_IVF, "ivf")
+)
+
+PIPELINE_ORACLES["q_woe_binning"] = """
+WITH b AS (SELECT CAST(floor(l_discount * 100.0 + 0.5) AS INT) AS bin,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+           FROM lineitem),
+per AS (SELECT bin, sum(1 - bad)::BIGINT AS n_good,
+               sum(bad)::BIGINT AS n_bad
+        FROM b GROUP BY 1),
+tot AS (SELECT sum(n_good)::BIGINT AS gt, sum(n_bad)::BIGINT AS bt
+        FROM per),
+w AS (SELECT bin, n_good, n_bad,
+             CASE WHEN n_good > 0 AND n_bad > 0 THEN
+               floor(ln((n_bad * gt)::DOUBLE / (n_good * bt)::DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0
+             END AS woe_q6,
+             gt, bt
+      FROM per, tot)
+SELECT bin AS discount_pct, n_good, n_bad, woe_q6,
+       floor(((n_bad::DOUBLE / bt) - (n_good::DOUBLE / gt)) * woe_q6
+             * 1000000.0 + 0.5) / 1000000.0 AS iv_q6
+FROM w"""
+
+PIPELINE_QUERIES.update(
+    {
+        "q_kcenter_seeds": q_kcenter_seeds,
+        "q_hard_negatives": q_hard_negatives,
+        "q_class_balance": q_class_balance,
+        "q_retrieval_metrics": q_retrieval_metrics,
+        "q_woe_binning": q_woe_binning,
+    }
+)

@@ -168,3 +168,25 @@ def test_kmeans_parallel_few_points_returns_all(spark):
     )
     seeds = init_kmeans_parallel_nd(df, k=5, rounds=2)
     assert len(seeds) <= 2
+
+
+def test_farthest_trace_nd_matches_init_and_is_monotone(spark):
+    from mapreduce_kmeans_clustering_spark.plans import init_farthest_nd
+    from mapreduce_kmeans_clustering_spark.plans.kmeans_nd import (
+        farthest_trace_nd,
+    )
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 0.5]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    trace = farthest_trace_nd(df, 4)
+    seeds = init_farthest_nd(df, 4)
+    assert [vec for _, _, _, vec in trace] == seeds
+    assert [r for r, _, _, _ in trace] == [0, 1, 2, 3]
+    assert trace[0][2] is None
+    # the winning min-distance sequence is non-increasing (each new
+    # seed can only shrink every point's distance-to-set)
+    d = [d2 for _, _, d2, _ in trace[1:]]
+    assert all(a >= b for a, b in zip(d, d[1:]))
+    # chosen ids are distinct rows of the input
+    ids = [i for _, i, _, _ in trace]
+    assert len(set(ids)) == 4

@@ -775,3 +775,67 @@ def test_round5_batch8b_query_plan(spark):
     assert "CartesianProduct" not in p
     assert _scalar_anchor_bnlj_only(p)
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+
+def test_hard_negatives_is_bucket_equi_join(spark):
+    """Hard-negative mining must generate candidates via the LSH
+    bucket equi-join (hash join against the broadcast anchor set) —
+    the different-label constraint is a post-join filter, never a
+    reason to fall back to an all-pairs loop."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_hard_negatives,
+    )
+
+    p = _plan(q_hard_negatives(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_class_balance_anchor_only_and_broadcast_quota(spark):
+    """Parity oversampling: the global-target scalar rides the 1-row
+    anchor BNLJ; the per-label quota joins back BROADCAST (label
+    cardinality is profile-sized); exactly one shuffle for the
+    row_number window on the label key."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_class_balance,
+    )
+
+    p = _plan(q_class_balance(spark, SF))
+    assert "CartesianProduct" not in p
+    assert _scalar_anchor_bnlj_only(p), p
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_retrieval_metrics_hit_join_is_hash_shaped(spark):
+    """MRR/nDCG scoring: the exact-vs-approx hit join and the
+    bucket/probe candidate joins must stay hash-shaped; the only
+    nested loops allowed are the deliberate broadcast of the bounded
+    query set (the exact baseline's documented brute-force arm) and
+    the 1-row n_queries anchor. No Python UDFs anywhere."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_retrieval_metrics,
+    )
+
+    p = _plan(q_retrieval_metrics(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_woe_binning_anchor_only_partial_agg_pruned_scan(spark):
+    """WOE/IV: one partial+final hash aggregate on the bin key, class
+    totals via the 1-row anchor BNLJ, and the lineitem scan pruned to
+    the two columns the scorecard reads."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_woe_binning,
+    )
+
+    p = _plan(q_woe_binning(spark, SF))
+    assert "CartesianProduct" not in p
+    assert _scalar_anchor_bnlj_only(p), p
+    assert "partial_sum" in p
+    scan = p.split("FileScan parquet [")[1].split("]")[0]
+    assert len(scan.split(",")) <= 2, scan

@@ -521,3 +521,34 @@ def test_survival_km_hand_curve(spark, tmp_path):
     assert got[0]["survival"] == pytest.approx(0.7, abs=1e-6)
     assert got[1]["survival"] == pytest.approx(0.5, abs=1e-6)
     assert got[2]["survival"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_woe_iv_hand_check(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.operators.profile import woe_iv
+
+    # bin 0: 3 good / 1 bad; bin 1: 1 good / 3 bad  (totals 4/4)
+    rows = [(0, 0)] * 3 + [(0, 1)] + [(1, 0)] + [(1, 1)] * 3
+    df = spark.createDataFrame(rows, "b INT, bad INT")
+    out = {r["bin"]: r for r in woe_iv(df, "b", "bad").collect()}
+    woe0 = math.floor(math.log((1 * 4) / (3 * 4)) * 1e6 + 0.5) / 1e6
+    assert out[0]["n_good"] == 3 and out[0]["n_bad"] == 1
+    assert out[0]["woe_q6"] == woe0
+    iv0 = math.floor((1 / 4 - 3 / 4) * woe0 * 1e6 + 0.5) / 1e6
+    assert out[0]["iv_q6"] == iv0
+    # symmetry: bin 1 mirrors bin 0
+    assert out[1]["woe_q6"] == -out[0]["woe_q6"]
+
+
+def test_woe_iv_zero_class_bin_is_null_not_faked(spark):
+    from mapreduce_kmeans_clustering_spark.operators.profile import woe_iv
+
+    rows = [(0, 0), (0, 1), (1, 0), (1, 0)]  # bin 1 has zero bads
+    df = spark.createDataFrame(rows, "b INT, bad INT")
+    out = {r["bin"]: r for r in woe_iv(df, "b", "bad").collect()}
+    assert out[1]["woe_q6"] is None
+    assert out[1]["iv_q6"] is None
+    assert out[0]["woe_q6"] is not None

@@ -333,3 +333,48 @@ def test_neyman_deterministic_under_repartition(spark):
         ).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_parity_copy_counts_sums_to_majority(spark):
+    from mapreduce_kmeans_clustering_spark.operators.sampling import (
+        parity_copy_counts,
+    )
+
+    rows = [(i, "a") for i in range(7)] + [(i + 100, "b") for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id LONG, label STRING")
+    out = parity_copy_counts(df, label_col="label", id_col="vec_id")
+    per = {
+        r["label"]: r["s"]
+        for r in out.groupBy("label").agg(F.sum("n_copies").alias("s")).collect()
+    }
+    assert per == {"a": 7, "b": 7}
+    counts = {r["vec_id"]: r["n_copies"] for r in out.collect()}
+    # majority rows never replicate; minority rows get 2 or 3 copies
+    assert all(counts[i] == 1 for i in range(7))
+    assert sorted(counts[i + 100] for i in range(3)) == [2, 2, 3]
+
+
+def test_parity_copy_counts_partitioning_invariant(spark):
+    from mapreduce_kmeans_clustering_spark.operators.sampling import (
+        parity_copy_counts,
+    )
+
+    rows = [(i, i % 4) for i in range(37)]
+    df = spark.createDataFrame(rows, "vec_id LONG, label INT")
+    a = sorted(map(tuple, parity_copy_counts(df).collect()))
+    b = sorted(map(tuple, parity_copy_counts(df.repartition(7)).collect()))
+    assert a == b
+
+
+def test_oversample_to_parity_materializes_balanced_epoch(spark):
+    from mapreduce_kmeans_clustering_spark.operators.sampling import (
+        oversample_to_parity,
+    )
+
+    rows = [(i, "maj") for i in range(8)] + [(100 + i, "min") for i in range(2)]
+    df = spark.createDataFrame(rows, "vec_id LONG, label STRING")
+    out = oversample_to_parity(df, label_col="label", id_col="vec_id")
+    per = {r["label"]: r["n"] for r in out.groupBy("label").count().withColumnRenamed("count", "n").collect()}
+    assert per == {"maj": 8, "min": 8}
+    # replicas are distinguishable: (vec_id, copy_idx) unique
+    assert out.select("vec_id", "copy_idx").distinct().count() == out.count()

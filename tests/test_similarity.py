@@ -225,3 +225,100 @@ def test_ivfpq_recall_floor(spark):
     chance = ANN_K / (n - 1)
     assert r["recall"] >= 10 * chance, (r["recall"], chance)
     assert r["recall"] >= 0.1, r["recall"]
+
+
+# ---------------------------------------------------------------- round 7
+
+
+@pytest.fixture(scope="module")
+def labeled_emb(spark):
+    import math
+
+    rows = []
+    # ring vectors again, alternating labels so every vector's nearest
+    # neighbors include other-label points
+    for i in range(40):
+        a = 2 * math.pi * i / 40
+        rows.append((i, i % 3, [math.cos(a), math.sin(a), 0.1, -0.1]))
+    return spark.createDataFrame(
+        rows, "vec_id LONG, label INT, embedding ARRAY<FLOAT>"
+    )
+
+
+def test_hard_negatives_labels_always_differ(labeled_emb):
+    from mapreduce_kmeans_clustering_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    out = hard_negatives(
+        labeled_emb, anchor_ids=[0, 1, 2], k=3, dim=4, planes=3
+    ).collect()
+    assert out, "ring + 3 planes must leave same-bucket other-label pairs"
+    for r in out:
+        assert r["anchor_label"] != r["negative_label"]
+        assert r["negative_id"] != r["anchor_id"]
+        assert 1 <= r["rank"] <= 3
+
+
+def test_hard_negatives_subset_of_unlabeled_bucket_candidates(labeled_emb):
+    """Every hard negative must also be an in-bucket cosine candidate:
+    mining = lsh candidacy + label filter, nothing more."""
+    from mapreduce_kmeans_clustering_spark.operators.similarity import (
+        hard_negatives,
+        lsh_topk,
+    )
+
+    hn = hard_negatives(labeled_emb, anchor_ids=[0], k=40, dim=4, planes=3)
+    allc = lsh_topk(labeled_emb, query_ids=[0], k=40, dim=4, planes=3)
+    hn_ids = {r["negative_id"] for r in hn.collect()}
+    all_ids = {r["neighbor_id"] for r in allc.collect()}
+    assert hn_ids <= all_ids
+    lab = {r["vec_id"]: r["label"] for r in labeled_emb.collect()}
+    assert all_ids - hn_ids == {i for i in all_ids if lab[i] == lab[0]}
+
+
+def test_ranking_metrics_perfect_and_empty(spark):
+    from mapreduce_kmeans_clustering_spark.operators.similarity import (
+        ranking_metrics,
+    )
+
+    exact = spark.createDataFrame(
+        [(q, n, r) for q in (0, 1) for r, n in enumerate((10, 11, 12), 1)],
+        "query_id LONG, neighbor_id LONG, rank INT",
+    )
+    perfect = ranking_metrics(exact, exact, "self", 3).collect()[0]
+    assert perfect["mrr"] == 1.0
+    assert perfect["ndcg"] == 1.0
+    assert perfect["n_queries"] == 2
+    miss = exact.selectExpr(
+        "query_id", "neighbor_id + 100 AS neighbor_id", "rank"
+    )
+    empty = ranking_metrics(exact, miss, "none", 3).collect()[0]
+    assert empty["mrr"] == 0.0
+    assert empty["ndcg"] == 0.0
+
+
+def test_ranking_metrics_single_hit_at_rank2_hand_value(spark):
+    """One query, one hit at rank 2: mrr = 1/2, ndcg =
+    q6(1/log2(3)) / idcg — checked against the Python-side tables."""
+    from mapreduce_kmeans_clustering_spark.operators.similarity import (
+        ranking_metrics,
+        ranking_term_tables,
+    )
+
+    rr, dcg, idcg = ranking_term_tables(3)
+    exact = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id LONG, neighbor_id LONG, rank INT",
+    )
+    approx = spark.createDataFrame(
+        [(0, 99, 1), (0, 10, 2), (0, 98, 3)],
+        "query_id LONG, neighbor_id LONG, rank INT",
+    )
+    row = ranking_metrics(exact, approx, "m", 3).collect()[0]
+    assert row["mrr_sum_q6"] == rr[1]
+    assert row["dcg_sum_q6"] == dcg[1]
+    import math as m
+
+    assert row["mrr"] == m.floor((rr[1] / 1e6) * 1e6 + 0.5) / 1e6
+    assert row["ndcg"] == m.floor((dcg[1] / idcg) * 1e6 + 0.5) / 1e6
