@@ -430,6 +430,34 @@ def bpe_train(
     (word-repr, count) with deferred ``localCheckpoint`` truncating
     the per-iteration lineage (the dedup/pagerank posture).
     """
+    merge_steps = [
+        best.select(
+            F.lit(step).cast("int").alias("step"),
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            F.col("c").cast("long").alias("pair_count"),
+        )
+        for step, best in enumerate(
+            bpe_merge_anchors(docs, n_merges, text_col), 1
+        )
+    ]
+    out = merge_steps[0]
+    for m in merge_steps[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def bpe_merge_anchors(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> list:
+    """The sequential merge-anchor chain ``bpe_train`` is built from:
+    one 1-row DataFrame (a, b, c) per learned merge, each derived from
+    the vocabulary state AFTER the previous merges applied (the lazy
+    broadcast-anchor chain — no driver collect). Shared by
+    ``bpe_train`` (which just formats them) and ``bpe_encode`` (which
+    re-applies them to full documents)."""
     wf = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
@@ -438,7 +466,7 @@ def bpe_train(
     state = wf.select(
         F.regexp_replace("w", "(.)", r"|$1|").alias("r"), "wc"
     ).localCheckpoint(eager=False)
-    merge_steps = []
+    bests = []
     for step in range(1, n_merges + 1):
         syms = state.select(
             F.split(F.expr("substring(r, 2, length(r)-2)"), r"\|\|").alias("s"),
@@ -463,29 +491,81 @@ def bpe_train(
             .limit(1)
             .localCheckpoint(eager=False)
         )
-        merge_steps.append(
-            best.select(
-                F.lit(step).cast("int").alias("step"),
-                F.col("a").alias("left_sym"),
-                F.col("b").alias("right_sym"),
-                F.col("c").cast("long").alias("pair_count"),
-            )
-        )
+        bests.append(best)
         state = (
             state.crossJoin(F.broadcast(best))
             .select(
-                F.replace(
-                    F.col("r"),
-                    F.concat(
-                        F.lit("|"), F.col("a"), F.lit("||"), F.col("b"), F.lit("|")
-                    ),
-                    F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|")),
-                ).alias("r"),
+                _apply_merge(F.col("r")).alias("r"),
                 "wc",
             )
             .localCheckpoint(eager=False)
         )
-    out = merge_steps[0]
-    for m in merge_steps[1:]:
-        out = out.unionAll(m)
-    return out
+    return bests
+
+
+def _apply_merge(r: Column) -> Column:
+    """Rewrite one learned merge into a bar-delimited symbol string:
+    replace('|a||b|', '|ab|') with (a, b) read from the crossJoined
+    1-row anchor. Plain-string replace = non-overlapping leftmost in
+    both engines; the double-bar delimiter only matches true adjacent
+    symbol boundaries."""
+    return F.replace(
+        r,
+        F.concat(F.lit("|"), F.col("a"), F.lit("||"), F.col("b"), F.lit("|")),
+        F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|")),
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize every document with the BPE merges learned on this
+    corpus — the APPLY half of the tokenizer (``bpe_train`` is the
+    LEARN half): per doc, pretokens are char-split into the
+    bar-delimited form, all words joined by a space (a space can never
+    participate in a '|L||R|' match, so merges stay word-local exactly
+    like subword-nmt), then the k learned merges are applied in step
+    order as k plain replaces riding the same 1-row broadcast anchors
+    the trainer used.
+
+    Scale shape: the document side is k scan-local rewrites — no
+    shuffle, no collect, no Python; only the (vocabulary-sized) train
+    chain aggregates. Output per doc: pretoken count, post-merge token
+    count, and md5 of the full encoded string (the compact but
+    value-exact fingerprint an oracle can replay).
+    """
+    bests = bpe_merge_anchors(docs, n_merges, text_col)
+    toks = tokens(F.col(text_col))
+    rep = F.array_join(
+        F.transform(
+            toks, lambda t: F.regexp_replace(t, "(.)", r"|$1|")
+        ),
+        " ",
+    )
+    state = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("int").alias("n_pretokens"),
+        rep.alias("r"),
+    )
+    for best in bests:
+        state = state.crossJoin(F.broadcast(best)).select(
+            id_col,
+            "n_pretokens",
+            _apply_merge(F.col("r")).alias("r"),
+        )
+    n_tokens = (
+        (
+            F.length("r")
+            - F.length(F.replace(F.col("r"), F.lit("|"), F.lit("")))
+        )
+        / F.lit(2)
+    ).cast("int")
+    return state.select(
+        id_col,
+        "n_pretokens",
+        n_tokens.alias("n_tokens"),
+        F.md5("r").alias("enc_md5"),
+    )

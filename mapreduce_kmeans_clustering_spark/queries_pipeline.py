@@ -6619,11 +6619,13 @@ FROM deg LEFT JOIN tn ON deg.node = tn.node
 ORDER BY p_partkey"""
 
 
-def _bpe_train_oracle(k: int) -> str:
-    """Unrolled K-step BPE train (text.bpe_train replayed exactly):
-    MATERIALIZED per-step state so DuckDB doesn't re-inline the
-    iterative chain (SCALE.md finding 6), same bar-delimited replace
-    semantics, same (count DESC, left, right) argmax tie-break."""
+def _bpe_chain_ctes(k: int) -> list[str]:
+    """The shared K-step BPE merge-learning CTE chain (wf, s0, p_i,
+    b_i, s_i): MATERIALIZED per-step state so DuckDB doesn't re-inline
+    the iterative chain (SCALE.md finding 6), same bar-delimited
+    replace semantics, same (count DESC, left, right) argmax tie-break
+    as text.bpe_merge_anchors. Used by both the train oracle (reads
+    b_1..b_k) and the encode oracle (applies b_1..b_k to documents)."""
     ctes = [
         f"""wf AS MATERIALIZED (
   SELECT w, count(*)::BIGINT AS wc
@@ -6653,6 +6655,11 @@ def _bpe_train_oracle(k: int) -> str:
                     '|' || a || b || '|') AS r, wc
   FROM s{i - 1} CROSS JOIN b{i})"""
             )
+    return ctes
+
+
+def _bpe_train_oracle(k: int) -> str:
+    """Unrolled K-step BPE train: the shared chain's b_1..b_k rows."""
     union = "\nUNION ALL ".join(
         f"SELECT {i}::INT AS step, a AS left_sym, b AS right_sym, "
         f"c AS pair_count FROM b{i}"
@@ -6660,7 +6667,7 @@ def _bpe_train_oracle(k: int) -> str:
     )
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_bpe_chain_ctes(k))
         + f"\nSELECT * FROM (\n{union}\n) ORDER BY step"
     )
 
@@ -9375,3 +9382,51 @@ PIPELINE_QUERIES.update(
         "q_woe_binning": q_woe_binning,
     }
 )
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Tokenizer APPLICATION over the corpus (text.bpe_encode): every
+    document encoded with the BPE_TRAIN_MERGES merges learned by
+    q_bpe_train's chain — per doc, the pretoken count, the post-merge
+    token count, and md5 of the full bar-delimited encoding (compact
+    but value-exact: one flipped merge anywhere changes the hash).
+    The document side is k scan-local replaces riding the trainer's
+    1-row broadcast anchors: no shuffle, no collect, no Python — the
+    shape that tokenizes 100 TB at scan speed once the (tiny) merge
+    table exists."""
+    return TX.bpe_encode(
+        _docs(spark, sf_dir), n_merges=BPE_TRAIN_MERGES
+    )
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    ctes = _bpe_chain_ctes(k)
+    ctes.append(
+        rf"""d0 AS (
+  SELECT doc_id,
+         len({_TOK})::INT AS n_pretokens,
+         array_to_string(list_transform({_TOK},
+             t -> regexp_replace(t, '(.)', '|\1|', 'g')), ' ') AS r
+  FROM documents)"""
+    )
+    for i in range(1, k + 1):
+        ctes.append(
+            f"""d{i} AS (
+  SELECT doc_id, n_pretokens,
+         replace(r, '|' || a || '||' || b || '|',
+                    '|' || a || b || '|') AS r
+  FROM d{i - 1} CROSS JOIN b{i})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT doc_id, n_pretokens,
+       ((length(r) - length(replace(r, '|', ''))) // 2)::INT AS n_tokens,
+       md5(r) AS enc_md5
+FROM d{k}"""
+    )
+
+
+PIPELINE_ORACLES["q_bpe_encode"] = _bpe_encode_oracle(BPE_TRAIN_MERGES)
+PIPELINE_QUERIES.update({"q_bpe_encode": q_bpe_encode})

@@ -839,3 +839,16 @@ def test_woe_binning_anchor_only_partial_agg_pruned_scan(spark):
     assert "partial_sum" in p
     scan = p.split("FileScan parquet [")[1].split("]")[0]
     assert len(scan.split(",")) <= 2, scan
+
+
+def test_bpe_encode_doc_side_is_scan_local(spark):
+    """Tokenizer application: the document side must be k chained
+    replaces over broadcast 1-row merge anchors — nothing cartesian,
+    no Python, and no Exchange introduced by the doc-side projections
+    (the only shuffles in the plan belong to the vocabulary-sized
+    train chain)."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import q_bpe_encode
+
+    p = _plan(q_bpe_encode(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p

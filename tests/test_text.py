@@ -275,3 +275,41 @@ def test_bpe_train_pair_exhaustion_is_graceful(spark):
     remaining steps yield no rows instead of failing."""
     got = _bpe(spark, ["aa aa aa ab"], k=3)
     assert got == [(1, "a", "a", 3), (2, "a", "b", 1)]
+
+
+def test_bpe_encode_hand_check(spark):
+    """Corpus 'the the the cat' learns (h,e), (t,he), (a,t) — see the
+    chained-merges test. Encoding 'the cat' with those merges must
+    yield [the] [c,at]: 1 + 2 = 3 tokens from 6 pretoken chars."""
+    import hashlib
+
+    from mapreduce_kmeans_clustering_spark.operators.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "the the the cat"), (2, "the cat"), (3, "")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in bpe_encode(docs, n_merges=3).collect()}
+    assert out[2]["n_pretokens"] == 2
+    assert out[2]["n_tokens"] == 3  # |the| |c||at|
+    expected = "|the| |c||at|"
+    assert out[2]["enc_md5"] == hashlib.md5(expected.encode()).hexdigest()
+    # the training doc: 3x |the| + |c||at|
+    assert out[1]["n_tokens"] == 5
+    # empty text: zero tokens, md5 of the empty encoding
+    assert out[3]["n_pretokens"] == 0
+    assert out[3]["n_tokens"] == 0
+    assert out[3]["enc_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_bpe_encode_merge_cannot_cross_word_boundary(spark):
+    """Words 'ab' and 'b a' share letters across a space; the (a,b)
+    merge must only fire inside 'ab', never across the join space."""
+    from mapreduce_kmeans_clustering_spark.operators.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab b a")], "doc_id LONG, text STRING"
+    )
+    row = bpe_encode(docs, n_merges=1).collect()[0]
+    # |ab| |ab| |b| |a| -> 4 tokens (not 3: 'b a' must stay split)
+    assert row["n_tokens"] == 4
