@@ -9430,3 +9430,149 @@ FROM d{k}"""
 
 PIPELINE_ORACLES["q_bpe_encode"] = _bpe_encode_oracle(BPE_TRAIN_MERGES)
 PIPELINE_QUERIES.update({"q_bpe_encode": q_bpe_encode})
+
+
+CCF_MAX_LAG = 2
+CCF_X_TYPE = "view"
+CCF_Y_TYPE = "purchase"
+
+
+def q_events_ccf(spark, sf_dir):
+    """Lagged cross-correlation between the daily view and purchase
+    series: Pearson r of (views_t, purchases_{t+L}) for L in
+    [-CCF_MAX_LAG, +CCF_MAX_LAG] — the does-traffic-lead-revenue
+    diagnostic. The calendar grid is densified from a 1-row min/max
+    anchor (missing days count 0, so lags align on real days, not on
+    whatever days happened to have rows); one ordered window builds
+    all five lag columns in a single pass, stack() longs them to
+    (lag, x, yl) rows, and one aggregate per lag produces exact
+    integer moments (counts are BIGINTs). r is assembled as
+    n·Σxy−ΣxΣy over sqrt(nΣx²−(Σx)²)·sqrt(nΣy²−(Σy)²) — two IEEE
+    sqrts and one division on identical exact operands both engines —
+    and snapped to the 1e-6 grid. Degenerate zero-variance lags yield
+    NULL, not a fake 0. The daily series is calendar-bounded, so the
+    single-partition ordered window is a non-issue at any corpus
+    size."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.where(F.col("event_type").isin(CCF_X_TYPE, CCF_Y_TYPE))
+        .groupBy(F.to_date(F.col("ts")).alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == CCF_X_TYPE, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == CCF_Y_TYPE, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    span = ev.agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    grid = span.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    dense = grid.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("x", F.lit(0)).alias("x"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    w = Window.orderBy("day")
+    lag_cols = []
+    for L in range(-CCF_MAX_LAG, CCF_MAX_LAG + 1):
+        c = (
+            F.lag("y", -L).over(w)
+            if L < 0
+            else F.lead("y", L).over(w)
+        )
+        lag_cols.append(c.alias(f"yl_{L + CCF_MAX_LAG}"))
+    stacked = dense.select("day", "x", *lag_cols).select(
+        "x",
+        F.expr(
+            "stack("
+            + str(2 * CCF_MAX_LAG + 1)
+            + ", "
+            + ", ".join(
+                f"{L}, yl_{L + CCF_MAX_LAG}"
+                for L in range(-CCF_MAX_LAG, CCF_MAX_LAG + 1)
+            )
+            + ") as (lag, yl)"
+        ),
+    ).where(F.col("yl").isNotNull())
+    m = stacked.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("yl").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("yl")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("yl") * F.col("yl")).cast("long").alias("syy"),
+    )
+    num = (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    denx = (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    deny = (F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    r = F.when(
+        (denx > 0) & (deny > 0),
+        F.floor(
+            num / (F.sqrt(denx) * F.sqrt(deny)) * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0),
+    )
+    return m.select(
+        F.col("lag").cast("int").alias("lag"), "n_days", r.alias("r_q6")
+    ).orderBy("lag")
+
+
+def _ccf_oracle(max_lag: int) -> str:
+    arms = "\nUNION ALL ".join(
+        f"SELECT {L}::INT AS lag, x, "
+        + (f"lag(y, {-L})" if L < 0 else f"lead(y, {L})")
+        + " OVER (ORDER BY day) AS yl FROM dense"
+        for L in range(-max_lag, max_lag + 1)
+    )
+    return f"""
+WITH ev AS (SELECT ts, event_type FROM events),
+daily AS (
+  SELECT ts::DATE AS day,
+         sum(CASE WHEN event_type = '{CCF_X_TYPE}' THEN 1 ELSE 0 END)::BIGINT AS x,
+         sum(CASE WHEN event_type = '{CCF_Y_TYPE}' THEN 1 ELSE 0 END)::BIGINT AS y
+  FROM ev WHERE event_type IN ('{CCF_X_TYPE}', '{CCF_Y_TYPE}')
+  GROUP BY 1),
+span AS (SELECT min(ts)::DATE AS d0, max(ts)::DATE AS d1 FROM ev),
+grid AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+         FROM span),
+dense AS (
+  SELECT grid.day, coalesce(x, 0)::BIGINT AS x, coalesce(y, 0)::BIGINT AS y
+  FROM grid LEFT JOIN daily ON grid.day = daily.day),
+stacked AS ({arms}),
+m AS (
+  SELECT lag, count(*)::BIGINT AS n_days,
+         sum(x)::BIGINT AS sx, sum(yl)::BIGINT AS sy,
+         sum(x * yl)::BIGINT AS sxy,
+         sum(x * x)::BIGINT AS sxx, sum(yl * yl)::BIGINT AS syy
+  FROM stacked WHERE yl IS NOT NULL GROUP BY 1)
+SELECT lag, n_days,
+       CASE WHEN (n_days * sxx - sx * sx) > 0
+             AND (n_days * syy - sy * sy) > 0 THEN
+         floor((n_days * sxy - sx * sy)::DOUBLE
+               / (sqrt((n_days * sxx - sx * sx)::DOUBLE)
+                  * sqrt((n_days * syy - sy * sy)::DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0
+       END AS r_q6
+FROM m ORDER BY lag"""
+
+
+PIPELINE_ORACLES["q_events_ccf"] = _ccf_oracle(CCF_MAX_LAG)
+PIPELINE_QUERIES.update({"q_events_ccf": q_events_ccf})

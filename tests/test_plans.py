@@ -852,3 +852,16 @@ def test_bpe_encode_doc_side_is_scan_local(spark):
     p = _plan(q_bpe_encode(spark, SF))
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+
+def test_events_ccf_single_pass_window_no_cartesian(spark):
+    """CCF: all five lag columns from ONE ordered window pass (the
+    plan shows a single Window node for the lead/lag family), the
+    date grid from the 1-row span anchor, nothing cartesian beyond
+    it, and no Python."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import q_events_ccf
+
+    p = _plan(q_events_ccf(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert p.count("Window") <= 2, p.count("Window")

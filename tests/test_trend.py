@@ -156,3 +156,42 @@ def test_survival_logrank_matches_python_replay(spark):
     assert abs(got["o_minus_e_q6"] - O) < 1e-4 * max(1, abs(O))
     assert abs(got["var_q6"] - V) < 1e-4 * max(1, abs(V))
     assert abs(got["z_q6"] - z) < 1e-5
+
+
+def test_events_ccf_perfect_shift_pin(spark, tmp_path):
+    """Synthetic corpus where purchases replay yesterday's views
+    exactly: r must be 1.0 at lag +1 and weaker everywhere else; the
+    lag-0 arm must use the full dense grid (n_days = span)."""
+    import datetime as dt
+
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        CCF_MAX_LAG,
+        q_events_ccf,
+    )
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    views = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    eid = 0
+    for d, v in enumerate(views):
+        for _ in range(v):  # views on day d
+            rows.append((eid, base + dt.timedelta(days=d, hours=1), 1, "view", 0.0, "{}"))
+            eid += 1
+        for _ in range(views[d - 1] if d > 0 else 0):  # purchases replay d-1
+            rows.append((eid, base + dt.timedelta(days=d, hours=2), 1, "purchase", 0.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = {r["lag"]: r for r in q_events_ccf(spark, sf).collect()}
+    assert set(out) == set(range(-CCF_MAX_LAG, CCF_MAX_LAG + 1))
+    assert out[1]["r_q6"] == 1.0
+    assert out[0]["n_days"] == len(views)
+    assert out[1]["n_days"] == len(views) - 1
+    for L in out:
+        if L != 1 and out[L]["r_q6"] is not None:
+            assert out[L]["r_q6"] < 1.0
