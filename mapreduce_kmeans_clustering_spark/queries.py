@@ -523,44 +523,44 @@ from mapreduce_kmeans_clustering_spark.queries_pipeline import (  # noqa: E402
 # tests/test_oracle_parity.py (the local mirror of the driver's DuckDB
 # gate).
 #
-# Round-7 rotation (executes VERDICT r6 item 1 exactly): closes
-# cumulative driver coverage at 197/197 and retires all r1/r2-stale
-# verifications. Slot budget (38 = 50-row driver window minus the 12
-# K-Means pins):
-#   * 4 never-verified keys registered after the r6 window froze
-#     (q_trend_robust, q_uniques_sliding, q_did, q_survival_logrank);
-#   * 2 keys whose semantics changed in round 6 AFTER their last
-#     driver pass — q_dedup_embed (planted near-dups, last green r05)
-#     and q_idle_rich_customers (recency-cutoff anti join, last green
-#     r04): their cumulative-verified status predates the change, so
-#     they ride ahead of generic refreshers (ADVICE r6);
-#   * 2 keys last verified in round 1 (q_events_pivot,
-#     q_brand_top_parts) and all 28 keys last verified in round 2;
-#   * 2 oldest round-3 keys in registry order (q_text_tokens,
-#     q_engaged_customers).
-# After a green CORRECTNESS_r07 no key's latest verification predates
-# round 3. Rotation policy: set ONCE at round start, never mid-round
-# (see QUERIES.md "Driver coverage cap + rotation").
+# Round-8 rotation (executes VERDICT r7 item 1 exactly): closes
+# cumulative driver coverage at 204/204. Slot budget (38 = 50-row
+# driver window minus the 12 K-Means pins):
+#   * 7 never-verified keys registered after the r7 window froze
+#     (q_kcenter_seeds .. q_events_ccf, the round-7 additions);
+#   * 1 key whose semantics changed in round 7 AFTER its last driver
+#     pass — q_hll_distinct (rho=47 saturated-register clamp, landed
+#     in commit eb9f43c after its r6 green; value-change probability
+#     ~2^-46, nominal refresh, but policy rule 2 says it rides);
+#   * 30 oldest round-3-stale refreshers in registry order. The 5
+#     remaining r3 keys (q_events_retention, q_nation_flow,
+#     q_events_rollup, q_value_quantile_sketch, q_text_lr_score)
+#     spill to round 9.
+# (q_zorder_locality was checked and does NOT need the
+# semantics-changed slot: the r7 zorder fix touched write_zordered
+# only; the query pre-masks inputs and calls zorder_key, unchanged.)
+# After a green CORRECTNESS_r08 no key's latest verification predates
+# round 3, and only those 5 spill keys remain at r3. Rotation policy:
+# set ONCE at round start, never mid-round (see QUERIES.md "Driver
+# coverage cap + rotation").
 DRIVER_ROTATION: list[str] = [
-    # -- never driver-verified (registered after the r6 freeze) --
-    "q_trend_robust", "q_uniques_sliding", "q_did", "q_survival_logrank",
-    # -- modified in round 6 after their last driver pass --
-    "q_dedup_embed", "q_idle_rich_customers",
-    # -- last verified round 1 --
-    "q_events_pivot", "q_brand_top_parts",
-    # -- last verified round 2 (all 28) --
-    "q_brand_revenue", "q_customer_cumulative", "q_dedup_incremental",
-    "q_dedup_pipeline", "q_dedup_simhash_pairs", "q_embed_quantize",
-    "q_events_attrib", "q_events_campaign", "q_events_funnel",
-    "q_events_hourly", "q_events_json", "q_events_sessions",
-    "q_events_top_users", "q_media_features", "q_parts_no_discount",
-    "q_pricing_summary", "q_region_rollup", "q_sales_cube",
-    "q_sample_mix", "q_text_fingerprint", "q_text_lang",
-    "q_text_quality", "q_text_redact", "q_text_repetition",
-    "q_text_stats", "q_text_winnow", "q_top_orders",
-    "q_value_percentiles",
+    # -- never driver-verified (registered after the r7 freeze) --
+    "q_kcenter_seeds", "q_hard_negatives", "q_class_balance",
+    "q_retrieval_metrics", "q_woe_binning", "q_bpe_encode",
+    "q_events_ccf",
+    # -- modified in round 7 after its last driver pass --
+    "q_hll_distinct",
     # -- oldest round-3 refreshers (registry order) --
-    "q_text_tokens", "q_engaged_customers",
+    "q_order_grouping_sets", "q_doc_chunks", "q_decontam",
+    "q_text_perplexity", "q_corpus_split", "q_returned_customers",
+    "q_customers_no_orders", "q_tfidf_terms", "q_domain_caps",
+    "q_length_hist", "q_user_moving_avg", "q_supplier_volume",
+    "q_above_avg_orders", "q_embed_diverse", "q_events_sliding",
+    "q_key_skew", "q_customer_ntile", "q_events_trailing24h",
+    "q_text_hashtf", "q_curation_pipeline", "q_large_orders",
+    "q_promo_share", "q_returned_priority", "q_top_supplier",
+    "q_profile_lineitem", "q_embed_dimstats", "q_sample_weighted",
+    "q_corpus_mix", "q_customer_order_gaps", "q_dedup_cluster_sizes",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
