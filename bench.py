@@ -55,6 +55,19 @@ def main() -> None:
     chain_centroids(spark, sf_dir, CONVERGE_CAP)
     timings["chain_warmup"] = round(time.perf_counter() - t0, 3)
 
+    # Same attribution rule for the ANN family (VERDICT r7 item 2):
+    # the exact-top-k BASELINE the recall gates compare against is
+    # memoized per application (_EXACT_TOPK_CACHE), so its build cost
+    # used to land on whichever gate ran first alphabetically
+    # (q_ann_dim_recall absorbed it in r7: 1.74→2.67 s). Build it as an
+    # explicit timed warm-up line; the gates then measure only their
+    # own work.
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import _exact_topk
+
+    t0 = time.perf_counter()
+    _exact_topk(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    timings["ann_baseline_warmup"] = round(time.perf_counter() - t0, 3)
+
     # Noise control (VERDICT r5 item 5 / r6 item 6): sandbox load
     # swings suite totals ±30%, and the distortion concentrates in
     # sub-second queries where 0.1 s of contention is 30% of the
@@ -63,6 +76,16 @@ def main() -> None:
     # relative noise is small and a re-run would double suite cost.
     # The sidecar also records 1-min loadavg at start/end so a loaded
     # round is identifiable without per-query forensics.
+    #
+    # Memoized queries (the _EXACT_TOPK_CACHE / _IVF_ASSIGN_CACHE /
+    # _IVFPQ_CACHE / _emb users) report STEADY-STATE probe-only time
+    # under the re-run: run 1 may populate a memo, run 2 reuses it, and
+    # MIN takes the warm number. That is deliberate and now consistent
+    # — the shared builds are timed as their own *_warmup lines above,
+    # so no query's number depends on alphabetical order (ADVICE r7;
+    # tools/scale_sweep.py clears the memos instead because it measures
+    # build+probe scaling, a different question). bench_mode records
+    # the policy.
     RERUN_CUTOFF = 1.5
     n_rerun = 0
     for name, fn in sorted(ALL_QUERIES.items()):
@@ -126,7 +149,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "bench_mode": f"best-of-2-under-{RERUN_CUTOFF}s",
+        "bench_mode": f"best-of-2-under-{RERUN_CUTOFF}s;memoized-steady-state",
         "n_rerun": n_rerun,
         "load_avg_start": load_start,
         "load_avg_end": load_end,
@@ -179,7 +202,7 @@ def main() -> None:
                 "queries": compact_queries,
                 "detail_file": "BENCH_DETAIL.json",
                 "sf": sf,
-                "bench_mode": f"best-of-2-under-{RERUN_CUTOFF}s",
+                "bench_mode": f"best-of-2-under-{RERUN_CUTOFF}s;memoized-steady-state",
                 "load_avg": [load_start, load_end],
             }
         )

@@ -507,7 +507,14 @@ def ranking_metrics(
     rr_arr = F.array(*[F.lit(t).cast("long") for t in rr_terms])
     dcg_arr = F.array(*[F.lit(t).cast("long") for t in dcg_terms])
     e = exact.select("query_id", "neighbor_id")
-    a = approx.select("query_id", "neighbor_id", "rank")
+    # Bound the ranking to @k BEFORE the table lookups: a caller
+    # passing a deeper top-(k+n) ranking would otherwise index past
+    # the k-entry term arrays — NULL terms silently understating the
+    # sums (or an ANSI error), instead of the @k-cutoff semantics the
+    # metric names promise (ADVICE r7).
+    a = approx.select("query_id", "neighbor_id", "rank").where(
+        F.col("rank") <= F.lit(k)
+    )
     hits = e.join(a, ["query_id", "neighbor_id"])
     per_q = hits.groupBy("query_id").agg(
         F.element_at(rr_arr, F.min("rank")).alias("rr_q6"),

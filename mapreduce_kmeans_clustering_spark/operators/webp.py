@@ -204,7 +204,6 @@ def _read_code(br: _BitReader, alphabet_size: int):
             syms.append(br.read(8))
         if num_symbols == 1:
             return syms[0]
-        lengths = [0] * alphabet_size
         # simple 2-symbol codes map bit 0 -> first, bit 1 -> second:
         # build the tree directly to preserve that order
         root: list = [None, None]

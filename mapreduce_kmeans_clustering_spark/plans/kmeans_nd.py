@@ -99,30 +99,47 @@ def farthest_trace_nd(
     trace: list[tuple[int, int, float | None, list[float]]] = [
         (0, int(first[0]), None, [float(x) for x in first[1]])
     ]
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     for r in range(1, k):
-        d2 = None
-        for _, _, _, c in trace:
-            lit = const_vec(c)
-            expr = F.aggregate(
-                F.zip_with(v, lit, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            d2 = expr if d2 is None else F.least(d2, expr)
-        far = (
-            vectors.select(F.col(id_col).alias("i"), v.alias("vv"), d2.alias("d2"))
-            .agg(
-                F.max(
-                    F.struct(F.col("d2"), (-F.col("i")).alias("ni"), F.col("vv"))
-                ).alias("b")
-            )
-            .collect()[0]["b"]
-        )
+        far = _farthest_round_df(
+            vectors, [c for _, _, _, c in trace], id_col, vec_col
+        ).collect()[0]["b"]
         trace.append(
             (r, int(-far["ni"]), float(far["d2"]), [float(x) for x in far["vv"]])
         )
     return trace
+
+
+def _farthest_round_df(
+    vectors: DataFrame,
+    seeds: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """One farthest-first round as a 1-row DataFrame: for every vector
+    the min squared distance to the chosen ``seeds`` (scan-local
+    ``zip_with``/``least`` projection over broadcast-sized literal
+    arrays — no join, no shuffle on the data side), then a single
+    global ``max(struct(d2, -id, vec))`` aggregate (partial per
+    partition, one-row final). Factored out so the plan gate
+    (tests/test_plans.py) can assert the per-round shape the
+    farthest_trace_nd docstring promises."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    d2 = None
+    for c in seeds:
+        lit = const_vec(c)
+        expr = F.aggregate(
+            F.zip_with(v, lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        d2 = expr if d2 is None else F.least(d2, expr)
+    return vectors.select(
+        F.col(id_col).alias("i"), v.alias("vv"), d2.alias("d2")
+    ).agg(
+        F.max(
+            F.struct(F.col("d2"), (-F.col("i")).alias("ni"), F.col("vv"))
+        ).alias("b")
+    )
 
 
 def _min_dist2_nd(

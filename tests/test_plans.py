@@ -865,3 +865,28 @@ def test_events_ccf_single_pass_window_no_cartesian(spark):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     assert p.count("Window") <= 2, p.count("Window")
+
+
+def test_kcenter_round_is_scan_local_one_row_agg(spark):
+    """Farthest-first seeding (q_kcenter_seeds backbone): each driver
+    round must be a scan-local distance projection against literal
+    seed arrays + a single global max(struct) aggregate. That means:
+    no Join of any kind (seeds are literals, not a relation), no
+    Python, partial aggregation before the shuffle, and exactly ONE
+    Exchange — the SinglePartition gather of the per-partition 1-row
+    partials. The VERDICT r7 item-4 gate, matching its six r7
+    siblings."""
+    from mapreduce_kmeans_clustering_spark.plans.kmeans_nd import (
+        _farthest_round_df,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    seeds = [[0.0] * 64, [1.0] * 64]
+    p = _plan(_farthest_round_df(emb, seeds, "vec_id", "embedding"))
+    assert "Join" not in p, p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert p.count("Exchange") == 1 and "SinglePartition" in p, p
+    assert "partial_max" in p, p
+    # column-pruned scan: only (vec_id, embedding) leave the parquet
+    scan = p.split("FileScan parquet [")[1].split("]")[0]
+    assert len(scan.split(",")) <= 2, scan

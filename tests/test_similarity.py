@@ -322,3 +322,37 @@ def test_ranking_metrics_single_hit_at_rank2_hand_value(spark):
 
     assert row["mrr"] == m.floor((rr[1] / 1e6) * 1e6 + 0.5) / 1e6
     assert row["ndcg"] == m.floor((dcg[1] / idcg) * 1e6 + 0.5) / 1e6
+
+
+def test_ranking_metrics_deeper_ranking_is_cut_at_k(spark):
+    """A top-(k+n) ranking must score identically to its top-k prefix
+    (ADVICE r7): ranks past k used to index past the k-entry term
+    tables — NULL terms silently dropped from the sums. Here the only
+    hits sit at ranks 4 and 5 of a depth-5 ranking scored @k=3, so
+    both metrics must be exactly zero (not NULL, not an ANSI error)."""
+    from mapreduce_kmeans_clustering_spark.operators.similarity import (
+        ranking_metrics,
+    )
+
+    exact = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id LONG, neighbor_id LONG, rank INT",
+    )
+    deep = spark.createDataFrame(
+        [(0, 97, 1), (0, 98, 2), (0, 99, 3), (0, 10, 4), (0, 11, 5)],
+        "query_id LONG, neighbor_id LONG, rank INT",
+    )
+    row = ranking_metrics(exact, deep, "deep", 3).collect()[0]
+    assert row["mrr"] == 0.0 and row["ndcg"] == 0.0
+    assert row["mrr_sum_q6"] == 0 and row["dcg_sum_q6"] == 0
+    # and a mixed case: hit at rank 2 (in range) + hit at rank 4
+    # (cut) == the rank-2-only score
+    mixed = spark.createDataFrame(
+        [(0, 99, 1), (0, 10, 2), (0, 98, 3), (0, 11, 4)],
+        "query_id LONG, neighbor_id LONG, rank INT",
+    )
+    cut = ranking_metrics(exact, mixed, "m", 3).collect()[0]
+    prefix = ranking_metrics(
+        exact, mixed.where("rank <= 3"), "m", 3
+    ).collect()[0]
+    assert cut == prefix
