@@ -62,11 +62,23 @@ def main() -> None:
     # (q_ann_dim_recall absorbed it in r7: 1.74→2.67 s). Build it as an
     # explicit timed warm-up line; the gates then measure only their
     # own work.
-    from mapreduce_kmeans_clustering_spark.queries_pipeline import _exact_topk
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        _dup_groups_df,
+        _exact_topk,
+    )
 
     t0 = time.perf_counter()
     _exact_topk(spark, sf_dir).write.mode("overwrite").format("noop").save()
     timings["ann_baseline_warmup"] = round(time.perf_counter() - t0, 3)
+
+    # ... and for the dedup-groups memo (_GROUPS_CACHE): the iterative
+    # label propagation behind q_dedup_groups/q_dedup_cluster_sizes is
+    # ~8 s cold / 0.15 s warm at sf0.1, and alphabetical order billed
+    # all of it to q_dedup_cluster_sizes (its apparent r7 "regression",
+    # 3.44→4.12 s, was this build under load — VERDICT r7 item 5).
+    t0 = time.perf_counter()
+    _dup_groups_df(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    timings["dedup_groups_warmup"] = round(time.perf_counter() - t0, 3)
 
     # Noise control (VERDICT r5 item 5 / r6 item 6): sandbox load
     # swings suite totals ±30%, and the distortion concentrates in

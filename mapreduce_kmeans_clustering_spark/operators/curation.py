@@ -588,3 +588,180 @@ def semantic_decontam(
         )
     )
     return best
+
+
+# ---------------------------------------------------------------------------
+# Quality ensembling: Gopher rules + LM perplexity + lang-id, one keep score
+# ---------------------------------------------------------------------------
+
+ENSEMBLE_CUTS = 9  # decile cutpoints for the perplexity calibration
+
+
+def quality_ensemble(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """One calibrated keep score per document from the three quality
+    signals the curation stack already computes separately:
+
+    * ``gopher_keep`` — the rule-gate conjunction of
+      ``text.gopher_quality`` (hard structural sanity);
+    * ``lang_ok`` — the n-gram ``lang_id`` prediction agrees with the
+      document's metadata language (mislabeled or mixed-language docs
+      score down);
+    * ``ppl_bucket`` — the document's decile under the corpus-trained
+      bigram LM's mean NLL (``bigram_lm_scores``), CALIBRATED against
+      the corpus itself: decile cutpoints come from one
+      ``percentile_approx`` aggregate and ride a 1-row broadcast into
+      a scan-local bucket lookup (the ``length_buckets_approx``
+      pattern — no global sort, ever). Bucket 0 = most fluent decile;
+      docs too short to have bigrams land in bucket 9 (no evidence of
+      fluency ≠ evidence of it).
+
+    The combined score is the fixed-weight vote
+    ``0.4·gopher + 0.3·lang + 0.3·(9−bucket)/9`` computed ENTIRELY in
+    integer arithmetic (score_num = 36·g + 27·l + 3·(9−b) out of 90,
+    then one half-up 6-dp division) so both engines produce identical
+    doubles, and ``keep`` is the integer comparison
+    ``score_num·2 ≥ 90`` — a document passes when it wins at least
+    half the weighted vote. Weights are the conventional
+    rules-heavy mix; they are score bookkeeping, not learned values.
+
+    Scale: gopher flags and lang-id are scan-local projections; the
+    bigram LM is the established counts-vs-counts join family; the
+    calibration is a 1-row anchor. The only new shuffles are the two
+    per-doc equi-joins stitching the three signals together.
+    """
+    from mapreduce_kmeans_clustering_spark.operators.text import (
+        gopher_quality,
+        lang_id,
+    )
+
+    g = gopher_quality(docs, id_col=id_col, text_col=text_col).select(
+        id_col, F.col("keep").alias("gopher_keep")
+    )
+    ppl = bigram_lm_scores(docs, text_col=text_col, id_col=id_col).select(
+        id_col, "avg_nll"
+    )
+    probs = [i / (ENSEMBLE_CUTS + 1) for i in range(1, ENSEMBLE_CUTS + 1)]
+    cuts = ppl.groupBy().agg(
+        F.percentile_approx("avg_nll", probs, accuracy).alias("cuts")
+    )
+    lang = docs.select(
+        F.col(id_col),
+        (lang_id(F.col(text_col)) == F.col(lang_col)).alias("lang_ok"),
+    )
+    bucket = F.when(
+        F.col("avg_nll").isNull(), F.lit(ENSEMBLE_CUTS)
+    ).otherwise(
+        F.aggregate(
+            F.col("cuts"),
+            F.lit(0),
+            lambda acc, c: acc
+            + F.when(F.col("avg_nll") > c, 1).otherwise(0),
+        )
+    )
+    num = (
+        F.col("gopher_keep").cast("int") * F.lit(36)
+        + F.col("lang_ok").cast("int") * F.lit(27)
+        + (F.lit(ENSEMBLE_CUTS) - F.col("ppl_bucket")) * F.lit(3)
+    )
+    return (
+        lang.join(g, id_col)
+        .join(ppl, id_col, "left")
+        .crossJoin(F.broadcast(cuts))
+        .withColumn("ppl_bucket", bucket.cast("int"))
+        .withColumn("score_num", num.cast("long"))
+        .select(
+            id_col,
+            "gopher_keep",
+            "lang_ok",
+            "ppl_bucket",
+            (
+                F.expr("(score_num * 1000000 + 45) div 90") / F.lit(1e6)
+            ).alias("score"),
+            (F.col("score_num") * 2 >= F.lit(90)).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contamination report rolled up to the source level
+# ---------------------------------------------------------------------------
+
+# worst-doc argmax packing: n_hits·PACK − doc_id, max, decode — the
+# deterministic (hits DESC, doc_id ASC) winner without floats or
+# engine-specific arg_max tie rules
+CONTAM_PACK = 10_000_000_000
+
+
+def contamination_source_report(
+    docs: DataFrame,
+    bench_pred: Column,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """``contamination_report`` rolled up to the data-source level —
+    the view a curation owner actually acts on ("which provider's
+    slice is leaking benchmark text"): per source, training-doc count,
+    contaminated count, half-up 6-dp contamination rate, total and max
+    shared-shingle hits, and the worst document (most hits, ties to
+    the lowest id; −1 when the source is clean — sentinel, not NULL,
+    so the row stays totally ordered for value comparison).
+
+    The argmax is the integer packing ``n_hits·PACK − doc_id`` under a
+    plain ``max`` (decode: hits = (pack + PACK−1) div PACK, doc =
+    hits·PACK − pack), deterministic in both engines with no float or
+    arg_max tie-rule dependence. Plan: the per-doc report's shingle
+    equi-join, one doc_id equi-join to attach sources, one hash
+    aggregate on the source key — nothing new shuffles more than the
+    per-doc report already did.
+    """
+    rep = contamination_report(
+        docs, bench_pred, n=n, text_col=text_col, id_col=id_col
+    )
+    src = docs.select(id_col, source_col)
+    agg = (
+        rep.join(src, id_col)
+        .groupBy(source_col)
+        .agg(
+            F.count("*").cast("long").alias("n_train_docs"),
+            F.sum(F.col("contaminated").cast("long"))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.sum("n_hits").cast("long").alias("total_hits"),
+            F.max("n_hits").cast("long").alias("max_hits"),
+            F.max(
+                F.col("n_hits") * F.lit(CONTAM_PACK) - F.col(id_col)
+            ).alias("pack"),
+        )
+    )
+    worst = F.when(F.col("max_hits") == 0, F.lit(-1).cast("long")).otherwise(
+        (
+            F.floor(
+                (F.col("pack") + F.lit(CONTAM_PACK - 1)) / F.lit(CONTAM_PACK)
+            )
+            * F.lit(CONTAM_PACK)
+            - F.col("pack")
+        ).cast("long")
+    )
+    return agg.select(
+        source_col,
+        "n_train_docs",
+        "n_contaminated",
+        (
+            F.expr(
+                "(n_contaminated * 2000000 + n_train_docs)"
+                " div (2 * n_train_docs)"
+            )
+            / F.lit(1e6)
+        ).alias("contamination_rate"),
+        "total_hits",
+        "max_hits",
+        worst.alias("worst_doc_id"),
+    )

@@ -9576,3 +9576,123 @@ FROM m ORDER BY lag"""
 
 PIPELINE_ORACLES["q_events_ccf"] = _ccf_oracle(CCF_MAX_LAG)
 PIPELINE_QUERIES.update({"q_events_ccf": q_events_ccf})
+
+
+def q_quality_ensemble(spark, sf_dir):
+    """Calibrated quality-ensemble keep score per document
+    (operators/curation.quality_ensemble): the Gopher rule gate +
+    lang-id/metadata agreement + the doc's decile under the corpus
+    bigram LM, combined as the integer-arithmetic weighted vote
+    36·gopher + 27·lang + 3·(9−decile) out of 90 (≙ 0.4/0.3/0.3),
+    keep ⇔ the vote reaches half. The decile calibration is a 1-row
+    percentile_approx anchor broadcast into a scan-local bucket
+    lookup — no global sort (the length_buckets_approx discipline);
+    the oracle replays every stage, cutpoints via quantile_disc
+    (exact-sketch regime, the established equivalence)."""
+    return CU.quality_ensemble(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _quality_ensemble_oracle() -> str:
+    deciles = ", ".join(
+        f"quantile_disc(avg_nll, {i}/10.0)" for i in range(1, 10)
+    )
+    lang_scores = ", ".join(
+        f"{_lang_score(lang)} AS s_{lang}" for lang in _LANGS
+    )
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_TOK} AS w FROM documents),
+g AS (SELECT doc_id,
+        (len(w) >= 20 AND len(w) <= 100000
+         AND round(list_sum(list_transform(w, x -> length(x))) * 1.0
+                   / greatest(len(w), 1), 6) BETWEEN 3.0 AND 10.0
+         AND len(list_filter(w, x -> x IN ('the','and','of','a','to','in'))) >= 2
+         AND round(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1.0
+                   / greatest(len(w), 1), 6) >= 0.8) AS gopher_keep
+      FROM t),
+ls AS (SELECT doc_id, lang, {lang_scores} FROM documents),
+l AS (SELECT doc_id, ({_LANG_CASE}) = lang AS lang_ok FROM ls),
+ug AS (SELECT doc_id, unnest(w) AS tk FROM t),
+c1 AS (SELECT tk AS w1, count(*) AS c1 FROM ug GROUP BY 1),
+v AS (SELECT count(DISTINCT tk) AS v FROM ug),
+bgi AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t),
+bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM bgi),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+ppl AS (
+  SELECT bg.doc_id,
+         round(avg(-ln((c2.c2 + 1.0) / (c1.c1 + v.v))), 6) AS avg_nll
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+  GROUP BY bg.doc_id),
+cuts AS (SELECT [{deciles}] AS cuts FROM ppl),
+j AS (
+  SELECT g.doc_id, gopher_keep, lang_ok,
+         CASE WHEN p.avg_nll IS NULL THEN 9
+              ELSE len(list_filter(cuts, c -> p.avg_nll > c)) END AS b
+  FROM g JOIN l USING (doc_id)
+  LEFT JOIN ppl p USING (doc_id) CROSS JOIN cuts),
+n AS (SELECT doc_id, gopher_keep, lang_ok, b,
+             (CASE WHEN gopher_keep THEN 36 ELSE 0 END
+              + CASE WHEN lang_ok THEN 27 ELSE 0 END
+              + 3 * (9 - b))::BIGINT AS num
+      FROM j)
+SELECT doc_id, gopher_keep, lang_ok, b::INT AS ppl_bucket,
+       ((num * 1000000 + 45) // 90)::DOUBLE / 1000000.0 AS score,
+       num * 2 >= 90 AS keep
+FROM n ORDER BY doc_id"""
+
+
+PIPELINE_ORACLES["q_quality_ensemble"] = _quality_ensemble_oracle()
+PIPELINE_QUERIES.update({"q_quality_ensemble": q_quality_ensemble})
+
+
+def q_contamination_sources(spark, sf_dir):
+    """Benchmark-contamination report rolled up per data source
+    (operators/curation.contamination_source_report): training-doc
+    count, contaminated count, half-up 6-dp rate, total/max
+    shared-3-gram hits, and the worst document (most hits, lowest id;
+    −1 sentinel for clean sources). The actionable view over
+    q_decontam's per-doc verdicts — same shingle equi-join, plus one
+    doc_id join and one source-key aggregate. Worst-doc argmax is the
+    integer packing n_hits·PACK − doc_id under plain max, so the tie
+    rule is engine-independent."""
+    return CU.contamination_source_report(
+        _docs(spark, sf_dir), F.col("doc_id") % BENCH_MOD == 0
+    ).orderBy("source")
+
+
+def _contamination_sources_oracle() -> str:
+    pack = CU.CONTAM_PACK
+    return f"""
+WITH {_SQL_SHINGLES},
+e AS (SELECT doc_id, unnest(s) AS sh FROM shf),
+bsh AS (SELECT DISTINCT sh FROM e WHERE doc_id % {BENCH_MOD} = 0),
+hits AS (
+  SELECT e.doc_id, count(*) AS n_hits
+  FROM e JOIN bsh USING (sh)
+  WHERE e.doc_id % {BENCH_MOD} <> 0
+  GROUP BY e.doc_id),
+rep AS (
+  SELECT d.doc_id, d.source,
+         coalesce(h.n_hits, 0)::BIGINT AS n_hits
+  FROM documents d LEFT JOIN hits h USING (doc_id)
+  WHERE d.doc_id % {BENCH_MOD} <> 0),
+agg AS (
+  SELECT source,
+         count(*)::BIGINT AS n_train_docs,
+         sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END)::BIGINT
+           AS n_contaminated,
+         sum(n_hits)::BIGINT AS total_hits,
+         max(n_hits)::BIGINT AS max_hits,
+         max(n_hits * {pack} - doc_id)::BIGINT AS pack
+  FROM rep GROUP BY source)
+SELECT source, n_train_docs, n_contaminated,
+       ((n_contaminated * 2000000 + n_train_docs)
+        // (2 * n_train_docs))::DOUBLE / 1000000.0 AS contamination_rate,
+       total_hits, max_hits,
+       CASE WHEN max_hits = 0 THEN -1
+            ELSE ((pack + {pack - 1}) // {pack}) * {pack} - pack
+       END::BIGINT AS worst_doc_id
+FROM agg ORDER BY source"""
+
+
+PIPELINE_ORACLES["q_contamination_sources"] = _contamination_sources_oracle()
+PIPELINE_QUERIES.update({"q_contamination_sources": q_contamination_sources})

@@ -890,3 +890,42 @@ def test_kcenter_round_is_scan_local_one_row_agg(spark):
     # column-pruned scan: only (vec_id, embedding) leave the parquet
     scan = p.split("FileScan parquet [")[1].split("]")[0]
     assert len(scan.split(",")) <= 2, scan
+
+
+def test_quality_ensemble_anchor_only_no_python_no_sort(spark):
+    """Quality ensembling: the decile calibration must ride the 1-row
+    percentile_approx anchor (the only BNLJ shape allowed) — never a
+    global sort/rank of the corpus; signal stitching is hash equi-
+    joins; everything JVM-side."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_quality_ensemble,
+    )
+
+    p = _plan(q_quality_ensemble(spark, SF))
+    assert "CartesianProduct" not in p
+    assert _scalar_anchor_bnlj_only(p), p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    # no UNPARTITIONED window (a percent_rank-style calibration would
+    # sort the whole corpus into one partition). A partitioned Window
+    # line prints three bracket groups "[fns], [partition], [order]";
+    # a global one prints only two "[fns], [order]".
+    for line in p.splitlines():
+        s = line.strip()
+        if "Window [" in s and "windowspecdefinition" in s:
+            assert s.count("], [") >= 2, f"global Window in plan: {s[:120]}"
+
+
+def test_contamination_sources_shingle_join_no_pairwise(spark):
+    """Source-level contamination report: candidate generation stays
+    the shingle equi-join of the per-doc report (never doc×doc), the
+    source attach is a doc_id equi-join, the rollup a partial+final
+    hash aggregate; no Python, nothing nested-loop."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_contamination_sources,
+    )
+
+    p = _plan(q_contamination_sources(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert "partial_count" in p or "partial_sum" in p, p

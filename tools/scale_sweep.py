@@ -55,6 +55,13 @@ SWEEP_QUERIES = [
     "q_bm25_search",
     "q_copurchase_triangles",
     "q_hll_distinct",
+    # round-8 additions (VERDICT r7 item 3): the next-heaviest
+    # unswept families
+    "q_linkage_scores",
+    "q_minhash_accuracy",
+    "q_pq_adc",
+    "q_semantic_decontam",
+    "q_kcenter_seeds",
 ]
 
 
@@ -67,6 +74,11 @@ QUERY_TABLES = {
     "q_bm25_search": {"documents"},
     "q_copurchase_triangles": {"lineitem"},
     "q_hll_distinct": {"events"},
+    "q_linkage_scores": {"customer"},
+    "q_minhash_accuracy": {"documents"},
+    "q_pq_adc": {"embeddings"},
+    "q_semantic_decontam": {"embeddings"},
+    "q_kcenter_seeds": {"embeddings"},
 }
 
 
@@ -77,12 +89,41 @@ def build_sf1(spark, replicas: int, tables: set[str]) -> None:
         shutil.rmtree(DST)
     os.makedirs(DST)
     for t in DIMS:
-        os.symlink(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+        if t not in tables:
+            os.symlink(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
     # replicate only what the targeted queries read — a 100x lineitem
     # build for an embeddings-only sweep just fragments the heap and
     # perturbs the measurements
     for t in {"documents", "embeddings", "events", "lineitem"} - tables:
         os.symlink(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+
+    if "customer" in tables:
+        # TPC-H's own growth model for customers: interleaved keys
+        # (k*replicas + i) keep the key range CONTIGUOUS, and c_name
+        # is re-derived from the new key exactly as dbgen derives it
+        # ("Customer#%09d"), so the ed<=1 name-pair density scales the
+        # way a real 10x customer table's would. A same-name replica
+        # stack would instead plant C(replicas,2) cross-copy matches
+        # per customer — quadratic in replicas, the degenerate shape
+        # this builder exists to avoid.
+        cust = spark.read.parquet(f"{SRC}/customer.parquet")
+        parts = []
+        for i in range(replicas):
+            key = F.col("c_custkey") * replicas + i
+            parts.append(
+                cust.select(
+                    key.alias("c_custkey"),
+                    F.format_string("Customer#%09d", key).alias("c_name"),
+                    *[
+                        c
+                        for c in cust.columns
+                        if c not in ("c_custkey", "c_name")
+                    ],
+                )
+            )
+        _union(parts).write.mode("overwrite").parquet(
+            f"{DST}/customer.parquet"
+        )
 
     if "documents" in tables:
         docs = spark.read.parquet(f"{SRC}/documents.parquet")
