@@ -341,3 +341,118 @@ def woe_iv(
         )
         .orderBy("bin")
     )
+
+
+def binary_auc(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    score_decimals: int = 4,
+) -> DataFrame:
+    """Exact ROC-AUC of a score against a boolean label via the
+    Mann-Whitney rank statistic, computed entirely in integer
+    arithmetic so both engines agree bit-for-bit:
+
+        2U = Σ over distinct score values v of
+             n_pos(v) · (2·cum_neg(<v) + n_neg(v))
+        AUC = 2U / (2·N_pos·N_neg)        (ties count half)
+
+    The score is snapped to its ``score_decimals`` grid first
+    (``floor(s·10^d + 0.5)`` — the shared half-up recipe, exact when
+    the score already lives on that grid, as every registered
+    classifier score does). The only ordered window runs over the
+    DISTINCT grid values — the q_length_ks discipline: window size is
+    the score grid's cardinality, not the row count, so a 100 TB
+    corpus still windows over at most ~10^d·range values. One hash
+    aggregate on the grid key, one bounded window, one 1-row final
+    aggregate; the single division is the last step.
+
+    Output: one row (n_pos, n_neg, u2, auc) — auc on the half-up 6-dp
+    grid; NULL auc when either class is empty (undefined, and NULL is
+    safe in a single-row frame).
+    """
+    from pyspark.sql.window import Window
+
+    scale = 10**score_decimals
+    g = (
+        scored.select(
+            F.floor(
+                F.col(score_col) * F.lit(float(scale)) + F.lit(0.5)
+            ).alias("q"),
+            F.col(label_col).cast("int").alias("y"),
+        )
+        .groupBy("q")
+        .agg(
+            F.sum("y").cast("long").alias("n1"),
+            F.sum(1 - F.col("y")).cast("long").alias("n0"),
+        )
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    per = g.select(
+        "n1",
+        "n0",
+        F.coalesce(F.sum("n0").over(w), F.lit(0)).alias("cum0"),
+    )
+    tot = per.agg(
+        F.sum("n1").cast("long").alias("n_pos"),
+        F.sum("n0").cast("long").alias("n_neg"),
+        F.sum(F.col("n1") * (2 * F.col("cum0") + F.col("n0")))
+        .cast("long")
+        .alias("u2"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.expr(
+            "(u2 * 2000000 + 2 * n_pos * n_neg) div (4 * n_pos * n_neg)"
+        )
+        / F.lit(1e6),
+    )
+    return tot.select("n_pos", "n_neg", "u2", auc.alias("auc"))
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Reliability diagram for a score already living on a known
+    [lo, hi] range: fixed-width bins (no data-dependent cutpoints, so
+    the binning is scan-local and engine-exact), per bin the count,
+    the mean score (6-dp half-up integer division of the summed 6-dp
+    grid scores) and the empirical positive rate (same recipe). The
+    curve a score owner reads before trusting ``keep = score ≥ t``.
+    One projection + one hash aggregate."""
+    span = hi - lo
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.floor(
+            (F.col(score_col) - F.lit(lo)) / F.lit(span) * F.lit(n_bins)
+        ).cast("int"),
+    )
+    q6 = F.floor(F.col(score_col) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    g = (
+        scored.select(
+            b.alias("bin"),
+            q6.alias("s_q6"),
+            F.col(label_col).cast("long").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("s_q6").alias("sum_s_q6"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+    )
+    return g.select(
+        "bin",
+        "n",
+        (F.expr("(sum_s_q6 * 2 + n) div (2 * n)") / F.lit(1e6)).alias(
+            "mean_score"
+        ),
+        (F.expr("(n_pos * 2000000 + n) div (2 * n)") / F.lit(1e6)).alias(
+            "pos_rate"
+        ),
+    ).orderBy("bin")

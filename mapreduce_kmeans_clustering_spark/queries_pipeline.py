@@ -9696,3 +9696,92 @@ FROM agg ORDER BY source"""
 
 PIPELINE_ORACLES["q_contamination_sources"] = _contamination_sources_oracle()
 PIPELINE_QUERIES.update({"q_contamination_sources": q_contamination_sources})
+
+
+def q_quality_auc(spark, sf_dir):
+    """Exact ROC-AUC of the hashed-feature linear quality classifier
+    (q_text_lr_score's logit) against the Gopher rule gate as the
+    reference label — the agreement read-out between the two
+    INDEPENDENT quality systems, via the Mann-Whitney rank statistic
+    in pure integer arithmetic (operators/profile.binary_auc: 2U over
+    distinct 4-dp logit grid values, ties half; the only ordered
+    window runs over the bounded score grid, the q_length_ks
+    discipline)."""
+    docs = _docs(spark, sf_dir)
+    lr = CU.linear_score(
+        docs, LR_WEIGHTS, bias=LR_BIAS, n_features=LR_DIM
+    ).select("doc_id", "logit")
+    g = TX.gopher_quality(docs).select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    return PROF.binary_auc(lr.join(g, "doc_id"), "logit", "label")
+
+
+def _quality_auc_oracle() -> str:
+    return f"""
+WITH sc AS (SELECT doc_id, logit
+            FROM ({PIPELINE_ORACLES["q_text_lr_score"]})),
+lb AS (SELECT doc_id, gopher_keep
+       FROM ({PIPELINE_ORACLES["q_quality_ensemble"]})),
+j AS (SELECT floor(logit * 10000.0 + 0.5)::BIGINT AS q,
+             CASE WHEN gopher_keep THEN 1 ELSE 0 END AS y
+      FROM sc JOIN lb USING (doc_id)),
+grp AS (SELECT q, sum(y)::BIGINT AS n1, sum(1 - y)::BIGINT AS n0
+        FROM j GROUP BY q),
+c AS (SELECT n1, n0,
+             coalesce(sum(n0) OVER (ORDER BY q
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS cum0
+      FROM grp),
+tot AS (SELECT sum(n1)::BIGINT AS n_pos, sum(n0)::BIGINT AS n_neg,
+               sum(n1 * (2 * cum0 + n0))::BIGINT AS u2
+        FROM c)
+SELECT n_pos, n_neg, u2,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         ((u2 * 2000000 + 2 * n_pos * n_neg)
+          // (4 * n_pos * n_neg))::DOUBLE / 1000000.0
+       END AS auc
+FROM tot"""
+
+
+PIPELINE_ORACLES["q_quality_auc"] = _quality_auc_oracle()
+PIPELINE_QUERIES.update({"q_quality_auc": q_quality_auc})
+
+
+def q_quality_calibration(spark, sf_dir):
+    """Reliability diagram of the [0,1] ensemble keep score against
+    the linear classifier's verdict as the comparison label
+    (operators/profile.calibration_bins): ten fixed-width bins —
+    scan-local, no data-dependent cutpoints — with each bin's count,
+    6-dp mean score, and empirical agreement rate, every division the
+    shared half-up integer recipe. Monotone pos_rate across bins is
+    what 'the ensemble score ranks quality' looks like when the two
+    systems agree."""
+    docs = _docs(spark, sf_dir)
+    es = CU.quality_ensemble(docs).select("doc_id", "score")
+    lr = CU.linear_score(
+        docs, LR_WEIGHTS, bias=LR_BIAS, n_features=LR_DIM
+    ).select("doc_id", F.col("keep").alias("label"))
+    return PROF.calibration_bins(es.join(lr, "doc_id"), "score", "label")
+
+
+def _quality_calibration_oracle() -> str:
+    return f"""
+WITH es AS (SELECT doc_id, score
+            FROM ({PIPELINE_ORACLES["q_quality_ensemble"]})),
+lr AS (SELECT doc_id, keep FROM ({PIPELINE_ORACLES["q_text_lr_score"]})),
+j AS (SELECT least(9, floor(score * 10.0))::INT AS bin,
+             floor(score * 1000000.0 + 0.5)::BIGINT AS s_q6,
+             (CASE WHEN lr.keep THEN 1 ELSE 0 END)::BIGINT AS y
+      FROM es JOIN lr USING (doc_id)),
+g AS (SELECT bin, count(*)::BIGINT AS n, sum(s_q6)::BIGINT AS sum_s_q6,
+             sum(y)::BIGINT AS n_pos
+      FROM j GROUP BY bin)
+SELECT bin, n,
+       ((sum_s_q6 * 2 + n) // (2 * n))::DOUBLE / 1000000.0 AS mean_score,
+       ((n_pos * 2000000 + n) // (2 * n))::DOUBLE / 1000000.0 AS pos_rate
+FROM g ORDER BY bin"""
+
+
+PIPELINE_ORACLES["q_quality_calibration"] = _quality_calibration_oracle()
+PIPELINE_QUERIES.update({"q_quality_calibration": q_quality_calibration})

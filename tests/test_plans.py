@@ -929,3 +929,34 @@ def test_contamination_sources_shingle_join_no_pairwise(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
     assert "partial_count" in p or "partial_sum" in p, p
+
+
+def test_quality_auc_bounded_window_no_python(spark):
+    """Exact AUC: one hash aggregate on the 4-dp score grid, one
+    ordered window over the DISTINCT grid values (the deliberate
+    q_length_ks bounded-domain exception to the no-global-window
+    rule), one 1-row final aggregate. No Python, nothing cartesian,
+    partial aggregation before every exchange."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_quality_auc,
+    )
+
+    p = _plan(q_quality_auc(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert "partial_sum" in p, p
+
+
+def test_quality_calibration_scan_local_bins(spark):
+    """Reliability diagram: fixed-width bins are a scan-local
+    projection (no data-dependent cutpoint beyond the ensemble's own
+    1-row anchors), one hash aggregate on the bin key; no Python,
+    nothing cartesian beyond the anchor BNLJs."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_quality_calibration,
+    )
+
+    p = _plan(q_quality_calibration(spark, SF))
+    assert "CartesianProduct" not in p
+    assert _scalar_anchor_bnlj_only(p), p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
