@@ -9785,3 +9785,85 @@ FROM g ORDER BY bin"""
 
 PIPELINE_ORACLES["q_quality_calibration"] = _quality_calibration_oracle()
 PIPELINE_QUERIES.update({"q_quality_calibration": q_quality_calibration})
+
+
+def q_linkage_entities(spark, sf_dir):
+    """Entity resolution on top of the record-linkage candidates: the
+    ed<=1 name pairs (operators/joins.fuzzy_self_join_ed1 — deletion-
+    neighborhood blocking, never a pairwise loop) that ALSO agree on
+    both nation and market segment are treated as same-entity links
+    and promoted to connected components via the dedup family's
+    min-label propagation (operators/dedup.dup_groups). Per entity:
+    canonical id (minimum member key), member count, max member key.
+    The match rule is pure boolean agreement — no float score
+    threshold, so no transcendental can flip a membership between
+    engines; the brute levenshtein oracle doubles as the blocking
+    completeness proof (the q_linkage_scores precedent), and the
+    recursive-CTE closure replays the propagation exactly (the
+    q_dedup_groups precedent). Only linked entities appear
+    (singletons are the identity clusters)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    pairs = J.fuzzy_self_join_ed1(
+        cust.select("c_custkey", "c_name"),
+        name_col="c_name",
+        id_col="c_custkey",
+    )
+    attrs_a = cust.select(
+        F.col("c_custkey").alias("a"),
+        F.col("c_nationkey").alias("nat_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+    )
+    attrs_b = cust.select(
+        F.col("c_custkey").alias("b"),
+        F.col("c_nationkey").alias("nat_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+    )
+    links = (
+        pairs.join(attrs_a, "a")
+        .join(attrs_b, "b")
+        .where(
+            (F.col("nat_a") == F.col("nat_b"))
+            & (F.col("seg_a") == F.col("seg_b"))
+        )
+        .select("a", "b")
+    )
+    g = D.dup_groups(links)
+    return (
+        g.groupBy("group_id")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.max("node").cast("long").alias("max_member"),
+        )
+        .select(
+            F.col("group_id").cast("long").alias("entity_id"),
+            "n_members",
+            "max_member",
+        )
+        .orderBy("entity_id")
+    )
+
+
+PIPELINE_ORACLES["q_linkage_entities"] = """
+WITH RECURSIVE
+cust AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+         FROM customer),
+cand AS (SELECT x.c_custkey AS a, y.c_custkey AS b
+         FROM cust x JOIN cust y ON x.c_custkey < y.c_custkey
+         WHERE levenshtein(x.c_name, y.c_name) <= 1
+           AND x.c_nationkey = y.c_nationkey
+           AND x.c_mktsegment = y.c_mktsegment),
+edges AS (SELECT a AS u, b AS v FROM cand
+          UNION SELECT b AS u, a AS v FROM cand),
+reach(node, r) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT rr.node, e.v FROM reach rr JOIN edges e ON rr.r = e.u
+),
+lab AS (SELECT node, least(node, min(r)) AS group_id
+        FROM reach GROUP BY node)
+SELECT group_id::BIGINT AS entity_id, count(*)::BIGINT AS n_members,
+       max(node)::BIGINT AS max_member
+FROM lab GROUP BY group_id ORDER BY entity_id"""
+PIPELINE_QUERIES.update({"q_linkage_entities": q_linkage_entities})

@@ -960,3 +960,18 @@ def test_quality_calibration_scan_local_bins(spark):
     assert "CartesianProduct" not in p
     assert _scalar_anchor_bnlj_only(p), p
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+
+def test_linkage_entities_blocking_equi_join_no_python(spark):
+    """Entity resolution: candidate links must come from the
+    deletion-neighborhood equi-join (+ boolean agreement filter), and
+    the min-label propagation's joins must stay hash-shaped — never a
+    pairwise nested loop, no Python anywhere."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_linkage_entities,
+    )
+
+    p = _plan(q_linkage_entities(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
