@@ -9867,3 +9867,67 @@ SELECT group_id::BIGINT AS entity_id, count(*)::BIGINT AS n_members,
        max(node)::BIGINT AS max_member
 FROM lab GROUP BY group_id ORDER BY entity_id"""
 PIPELINE_QUERIES.update({"q_linkage_entities": q_linkage_entities})
+
+
+def q_dup_fraction(spark, sf_dir):
+    """Cross-document duplication fraction per doc — the corpus-level
+    Gopher/RefinedWeb leakage signal q_text_repetition's WITHIN-doc
+    stats can't see: of a document's distinct word-3-grams, the
+    fraction that also appear in at least one OTHER document. Shape:
+    the dedup family's distinct shingle explode, one shingle-keyed
+    doc-count aggregate (heavy-hitter shingles are AQE-skew territory,
+    same as every shingle join here), one equi-join back, one per-doc
+    aggregate; rate on the shared half-up 6-dp grid. Docs with < 3
+    tokens have no shingles and are reported with n_shingles = 0,
+    frac 0.0 (by the same totality convention as q_decontam)."""
+    docs = _docs(spark, sf_dir)
+    sh = D.exploded_shingles(docs)
+    counts = sh.groupBy("sh").agg(F.count("*").cast("long").alias("n_docs"))
+    per = (
+        sh.join(counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum((F.col("n_docs") > 1).cast("long"))
+            .cast("long")
+            .alias("n_shared"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.when(F.coalesce("n_shingles", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.expr(
+                    "(n_shared * 2000000 + n_shingles) div (2 * n_shingles)"
+                )
+                / F.lit(1e6)
+            )
+            .alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PIPELINE_ORACLES["q_dup_fraction"] = f"""
+WITH {_SQL_SHINGLES},
+e AS (SELECT doc_id, unnest(s) AS sh FROM shf),
+c AS (SELECT sh, count(*)::BIGINT AS n_docs FROM e GROUP BY sh),
+per AS (
+  SELECT e.doc_id, count(*)::BIGINT AS n_shingles,
+         sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+  FROM e JOIN c USING (sh) GROUP BY e.doc_id)
+SELECT d.doc_id,
+       coalesce(per.n_shingles, 0)::BIGINT AS n_shingles,
+       coalesce(per.n_shared, 0)::BIGINT AS n_shared,
+       CASE WHEN coalesce(per.n_shingles, 0) = 0 THEN 0.0
+            ELSE ((n_shared * 2000000 + n_shingles)
+                  // (2 * n_shingles))::DOUBLE / 1000000.0
+       END AS dup_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id"""
+PIPELINE_QUERIES.update({"q_dup_fraction": q_dup_fraction})

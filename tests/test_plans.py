@@ -975,3 +975,18 @@ def test_linkage_entities_blocking_equi_join_no_python(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+
+def test_dup_fraction_shingle_join_partial_agg(spark):
+    """Corpus dup-fraction: shingle-keyed equi-joins only (the dedup
+    family shape), partial aggregation before the shuffles, no
+    Python, nothing nested-loop."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_dup_fraction,
+    )
+
+    p = _plan(q_dup_fraction(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert "partial_count" in p or "partial_sum" in p, p
