@@ -257,3 +257,89 @@ def test_bm25_plan_is_inverted_index(spark):
     assert "BroadcastHashJoin" in p
     assert p.count("BroadcastNestedLoopJoin") == 1  # the stats anchor
     assert "CartesianProduct" not in p
+
+
+def test_quality_ensemble_short_doc_lands_in_bucket_nine(spark):
+    """A doc too short for bigrams has no LM evidence: it must land in
+    ppl_bucket 9 (perplexity component 0) with the score decided by
+    the other two votes alone — here gopher fails (too short) and lang
+    agrees, so num = 27 < 45 and keep is False. The branch no
+    testdata doc exercises (every corpus doc has >= 2 tokens)."""
+    from mapreduce_kmeans_clustering_spark.operators.curation import (
+        quality_ensemble,
+    )
+
+    long_en = "the quick brown fox jumps over the lazy dog and " * 5
+    docs = spark.createDataFrame(
+        [(0, "the", "en"), (1, long_en, "en")],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    rows = {
+        r["doc_id"]: r for r in quality_ensemble(docs).collect()
+    }
+    short = rows[0]
+    assert short["ppl_bucket"] == 9
+    assert not short["gopher_keep"]
+    assert short["lang_ok"]
+    assert short["score"] == 0.3  # 27/90 on the 6-dp grid
+    assert not short["keep"]
+
+
+def test_quality_ensemble_score_arithmetic_full_vote(spark):
+    """All three votes on: num = 36 + 27 + 3*(9-b); with a single
+    scored doc the decile cutpoints all equal its own avg_nll, so the
+    strict '>' lookup puts it in bucket 0 and score = 90/90 = 1.0."""
+    from mapreduce_kmeans_clustering_spark.operators.curation import (
+        quality_ensemble,
+    )
+
+    long_en = (
+        "the cat and the dog walked to the house in the town and "
+        "the bird sang over the tree while the sun set in the west "
+        "and the moon rose over the hill as the wind blew through "
+        "the field and the river ran to the sea by the old mill"
+    )
+    docs = spark.createDataFrame(
+        [(0, long_en, "en")], "doc_id LONG, text STRING, lang STRING"
+    )
+    row = quality_ensemble(docs).collect()[0]
+    assert row["gopher_keep"] and row["lang_ok"]
+    assert row["ppl_bucket"] == 0
+    assert row["score"] == 1.0 and row["keep"]
+
+
+def test_contamination_sources_clean_source_sentinel(spark):
+    """A source with zero shared shingles must report max_hits 0,
+    rate 0.0, and the -1 worst-doc sentinel (never NULL, never some
+    arbitrary member id) — the branch the synthetic corpus never
+    exercises because every source there leaks."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.operators.curation import (
+        contamination_source_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # benchmark doc (id % 2 == 0 predicate below)
+            (0, "alpha beta gamma delta", "bench", 22),
+            # dirty source: shares the alpha beta gamma shingle
+            (1, "alpha beta gamma epsilon", "dirty", 24),
+            # clean source: no 3-gram overlap with the benchmark
+            (3, "one two three four five", "clean", 23),
+        ],
+        "doc_id LONG, text STRING, source STRING, n_chars LONG",
+    )
+    out = {
+        r["source"]: r
+        for r in contamination_source_report(
+            docs, F.col("doc_id") % 2 == 0
+        ).collect()
+    }
+    assert set(out) == {"dirty", "clean"}  # bench rows aren't training
+    dirty, clean = out["dirty"], out["clean"]
+    assert dirty["n_contaminated"] == 1 and dirty["max_hits"] >= 1
+    assert dirty["worst_doc_id"] == 1
+    assert clean["n_contaminated"] == 0 and clean["max_hits"] == 0
+    assert clean["contamination_rate"] == 0.0
+    assert clean["worst_doc_id"] == -1
