@@ -570,22 +570,28 @@ def semantic_decontam(
         .select("train_id", "bench_id", cos.alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+    # Best-match selection is TWO hash aggregates + one equi-join, not
+    # min(struct(-cos, bench_id)): Spark can only SortAggregate a
+    # struct-typed min, which SORTS the entire pair-level hit stream —
+    # measured as a 40-minute stage at a 200k-vector corpus (sweep
+    # round 8) where the hash-agg form streams. Pass 1 takes the max
+    # cos and the match count per train vector (primitive min/max are
+    # HashAggregate-able, partial map-side); pass 2 re-joins the hits
+    # at exactly that double and takes the minimum bench id — the
+    # identical (highest cos, ties to lowest id) result, bit-for-bit,
+    # since the equality is on the same IEEE double the struct
+    # ordering compared. The pair stream is evaluated twice; two
+    # streaming passes beat one giant sort at every scale that
+    # matters.
+    agg1 = hits.groupBy("train_id").agg(
+        F.max("cos").alias("cos"),
+        F.count("*").cast("long").alias("n_matches"),
+    )
     best = (
-        hits.groupBy("train_id")
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("cos")).alias("nc"), F.col("bench_id").alias("bid")
-                )
-            ).alias("b"),
-            F.count("*").cast("long").alias("n_matches"),
-        )
-        .select(
-            "train_id",
-            F.col("b.bid").alias("bench_id"),
-            (-F.col("b.nc")).alias("cos"),
-            "n_matches",
-        )
+        hits.join(agg1, ["train_id", "cos"])
+        .groupBy("train_id", "cos", "n_matches")
+        .agg(F.min("bench_id").alias("bench_id"))
+        .select("train_id", "bench_id", "cos", "n_matches")
     )
     return best
 

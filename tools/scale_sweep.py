@@ -78,7 +78,10 @@ QUERY_TABLES = {
     "q_minhash_accuracy": {"documents"},
     "q_pq_adc": {"embeddings"},
     "q_semantic_decontam": {"embeddings"},
+    "q_semantic_decontam_scaled_planes": {"embeddings"},
     "q_kcenter_seeds": {"embeddings"},
+    "q_dup_fraction": {"documents"},
+    "q_quality_ensemble": {"documents"},
 }
 
 
@@ -228,6 +231,38 @@ def _union(dfs):
     return out
 
 
+def _semantic_decontam_planed(planes: int):
+    """q_semantic_decontam with the LSH plane count as the SCALE
+    LEVER the operator documents: fixed planes mean fixed bucket
+    count, so per-bucket occupancy grows linearly with the corpus and
+    candidate pairs grow QUADRATICALLY — the one genuine super-linear
+    cliff this sweep found (236M pairs at x100 under the registered
+    query's 4 planes / 16 buckets). Scaling planes with log2(corpus)
+    holds occupancy – and therefore pair count per row – constant.
+    The registered query keeps planes fixed for oracle continuity;
+    this variant exists to MEASURE the documented mitigation."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.operators import curation as CU
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        SEM_DECON_THRESHOLD,
+    )
+
+    def run(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = CU.semantic_decontam(
+            emb.where(F.col("vec_id") % 10 != 0),
+            emb.where(F.col("vec_id") % 10 == 0),
+            threshold=SEM_DECON_THRESHOLD,
+            planes=planes,
+        )
+        return out.select(
+            "train_id", "bench_id", F.round("cos", 6).alias("cos"), "n_matches"
+        )
+
+    return run
+
+
 def time_query(fn, spark, sf_dir: str) -> float:
     from mapreduce_kmeans_clustering_spark import queries_pipeline as QP
 
@@ -287,9 +322,17 @@ def main() -> None:
 
     rows = []
     for name in targets:
-        fn = ALL_QUERIES[name]
-        t_small = time_query(fn, spark, SRC)
-        t_big = time_query(fn, spark, DST)
+        if name == "q_semantic_decontam_scaled_planes":
+            # the measured mitigation row: planes grow with log2 of
+            # the corpus scale, holding bucket occupancy (and so
+            # pair count per row) constant
+            extra = max(0, round(math.log2(max(args.replicas, 1))))
+            fn_small = _semantic_decontam_planed(4)
+            fn_big = _semantic_decontam_planed(4 + extra)
+        else:
+            fn_small = fn_big = ALL_QUERIES[name]
+        t_small = time_query(fn_small, spark, SRC)
+        t_big = time_query(fn_big, spark, DST)
         exp = math.log10(max(t_big, 1e-3) / max(t_small, 1e-3)) / math.log10(
             args.replicas
         )
