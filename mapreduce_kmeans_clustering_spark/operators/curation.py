@@ -565,8 +565,16 @@ def semantic_decontam(
     cos = safe_cosine(
         dot_unrolled(F.col("vt"), F.col("vb"), dim), F.col("nt"), F.col("nb")
     )
+    # The benchmark side is broadcast EXPLICITLY: an eval set is small
+    # by definition (thousands of vectors), but its wide rows (a
+    # 64-double array each) exceed the 10 MB auto-broadcast threshold
+    # well before it stops being broadcast-worthy, and the fallback is
+    # a shuffle join on the bucket key — at most 2^planes partitions,
+    # which AQE then coalesces further (measured: an 11-task stage on
+    # a 32-core box, round-8 sweep). Broadcasting keeps the probe on
+    # the train scan's own splits: no shuffle, full parallelism.
     hits = (
-        t.join(bm, "_bucket")
+        t.join(F.broadcast(bm), "_bucket")
         .select("train_id", "bench_id", cos.alias("cos"))
         .where(F.col("cos") >= threshold)
     )
