@@ -577,6 +577,13 @@ def semantic_decontam(
         t.join(F.broadcast(bm), "_bucket")
         .select("train_id", "bench_id", cos.alias("cos"))
         .where(F.col("cos") >= threshold)
+        # materialized once (the _ivf_assigned buffer-pool pattern):
+        # both aggregation passes below read the filtered hit rows —
+        # WITHOUT this the second pass would re-evaluate the whole
+        # bucket-join pair stream, doubling the dominant cost at every
+        # scale (hits after the threshold filter are orders of
+        # magnitude smaller than the candidate pairs)
+        .localCheckpoint(eager=False)
     )
     # Best-match selection is TWO hash aggregates + one equi-join, not
     # min(struct(-cos, bench_id)): Spark can only SortAggregate a
