@@ -9931,3 +9931,70 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per USING (doc_id)
 ORDER BY d.doc_id"""
 PIPELINE_QUERIES.update({"q_dup_fraction": q_dup_fraction})
+
+
+KEEP_BEST_PACK = 10_000_000_000
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Representative selection per near-dup cluster — the decision a
+    dedup pipeline actually ships: within each transitive Jaccard
+    group (the q_dedup_groups components), KEEP the longest document
+    (most n_chars, ties to the lowest doc_id — the RefinedWeb-style
+    keep-longest policy), drop the rest; singletons keep themselves.
+    Per doc: its group id (own id when unpaired) and the keep verdict.
+    The argmax is the integer packing n_chars·PACK − doc_id under
+    plain max (the q_contamination_sources recipe), so the winner is
+    engine-deterministic; the only new work over the memoized group
+    relation is one group-keyed aggregate and two equi-joins."""
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    g = _dup_groups_df(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), "group_id"
+    )
+    dg = docs.join(g, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("group_id", F.col("doc_id")).alias("group_id"),
+    )
+    win = dg.groupBy("group_id").agg(
+        F.max(
+            F.col("n_chars") * F.lit(KEEP_BEST_PACK) - F.col("doc_id")
+        ).alias("pack")
+    )
+    kept = F.floor(
+        (F.col("pack") + F.lit(KEEP_BEST_PACK - 1)) / F.lit(KEEP_BEST_PACK)
+    ) * F.lit(KEEP_BEST_PACK) - F.col("pack")
+    return (
+        dg.join(win, "group_id")
+        .select(
+            "doc_id",
+            F.col("group_id").cast("long").alias("group_id"),
+            (F.col("doc_id") == kept).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PIPELINE_ORACLES["q_dedup_keep_best"] = f"""
+WITH RECURSIVE
+pairs AS (SELECT a, b FROM ({_SQL_JACCARD})),
+edges AS (SELECT a AS u, b AS v FROM pairs
+          UNION SELECT b AS u, a AS v FROM pairs),
+reach(node, r) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT rr.node, e.v FROM reach rr JOIN edges e ON rr.r = e.u
+),
+lab AS (SELECT node, least(node, min(r)) AS group_id
+        FROM reach GROUP BY node),
+dg AS (SELECT d.doc_id, d.n_chars,
+              coalesce(lab.group_id, d.doc_id) AS group_id
+       FROM documents d LEFT JOIN lab ON d.doc_id = lab.node),
+win AS (SELECT group_id,
+               max(n_chars * {KEEP_BEST_PACK} - doc_id) AS pack
+        FROM dg GROUP BY group_id)
+SELECT dg.doc_id, dg.group_id::BIGINT AS group_id,
+       dg.doc_id = (((pack + {KEEP_BEST_PACK - 1}) // {KEEP_BEST_PACK})
+                    * {KEEP_BEST_PACK} - pack) AS keep
+FROM dg JOIN win USING (group_id) ORDER BY dg.doc_id"""
+PIPELINE_QUERIES.update({"q_dedup_keep_best": q_dedup_keep_best})

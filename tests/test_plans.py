@@ -1008,3 +1008,18 @@ def test_semantic_decontam_best_match_is_hash_aggregated(spark):
     assert "HashAggregate" in p
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_dedup_keep_best_no_python_no_pairwise(spark):
+    """Keep-longest representative selection: one group-keyed hash
+    aggregate + equi-joins over the memoized dup-group relation;
+    nothing cartesian, no Python, partial agg before the shuffle."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_dedup_keep_best,
+    )
+
+    p = _plan(q_dedup_keep_best(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert "partial_max" in p, p
