@@ -82,6 +82,8 @@ QUERY_TABLES = {
     "q_kcenter_seeds": {"embeddings"},
     "q_dup_fraction": {"documents"},
     "q_quality_ensemble": {"documents"},
+    "q_linkage_entities": {"customer"},
+    "q_dedup_keep_best": {"documents"},
 }
 
 
