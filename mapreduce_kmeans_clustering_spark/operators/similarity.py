@@ -168,26 +168,41 @@ def ivf_assign(
     quantizer; kmeans refinement of the quantizer is the labeled
     follow-up, see plans/kmeans.py for the 3-D driver pattern).
 
-    Returns (id, v, list_id). Physical shape: corpus crossJoin a
-    BROADCAST nlist-row seed table (nlist-fold fanout, scan-local, no
-    shuffle) -> one hash aggregate min(struct(-cos, list_id)) keyed on
-    the vector id. At scale the output is written
+    Returns (id, v, list_id). Physical shape: the nlist seed vectors
+    ride the plan as LITERAL arrays (one K-row driver collect — the
+    operators/assign.py O3/O5 pattern) and the assignment is a
+    scan-local ``array_min(struct(-cos_i, list_id_i))`` projection:
+    no join, no shuffle, and no aggregate at all. The previous
+    crossJoin + ``min(struct(...))`` form shuffled the nlist-fold
+    fanout AND planned the struct-min as SortAggregate — sorting
+    n·nlist rows keyed by (id, 64-double array), the round-8
+    SortAggregate lesson (SCALE.md §8). Per-seed cosines reuse the
+    identical ``cosine_similarity`` expression, so results are
+    bit-compatible with the previous form and the SQL oracles; seed
+    literals route through ``const_vec`` (the ``-0.0`` codegen
+    guard, SCALE.md §7). At scale the output is written
     ``partitionBy(list_id)`` so probes prune entire files."""
+    from mapreduce_kmeans_clustering_spark.functions.literals import const_vec
+
+    seed_rows = (
+        embeddings.where(F.col(id_col) < nlist)
+        .select(F.col(id_col).cast("long").alias("lid"), _as_double(F.col(vec_col)).alias("sv"))
+        .orderBy("lid")
+        .collect()
+    )
     vecs = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    seeds = F.broadcast(
-        vecs.where(F.col(id_col) < nlist).select(
-            F.col(id_col).alias("list_id"), F.col("v").alias("sv")
+    entries = [
+        F.struct(
+            (-cosine_similarity(F.col("v"), const_vec(r["sv"]))).alias("nc"),
+            F.lit(int(r["lid"])).cast("long").alias("lid"),
         )
+        for r in seed_rows
+    ]
+    return vecs.select(
+        F.col(id_col),
+        "v",
+        F.array_min(F.array(*entries))["lid"].alias("list_id"),
     )
-    cos = cosine_similarity(F.col("v"), F.col("sv"))
-    best = (
-        vecs.crossJoin(seeds)
-        .select(F.col(id_col), "v", "list_id", cos.alias("c"))
-        .groupBy(id_col, "v")
-        .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("list_id").alias("lid"))).alias("b"))
-        .select(F.col(id_col), "v", F.col("b.lid").alias("list_id"))
-    )
-    return best
 
 
 def ivf_representatives(

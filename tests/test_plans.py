@@ -880,6 +880,11 @@ def test_kcenter_round_is_scan_local_one_row_agg(spark):
         _farthest_round_df,
     )
 
+    # another module may have .cache()d this parquet (test_pq does);
+    # the CacheManager would then splice the cached FULL-WIDTH
+    # relation into this plan and the pruned-scan assertion below
+    # would read the cached plan's unpruned FileScan text
+    spark.catalog.clearCache()
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     seeds = [[0.0] * 64, [1.0] * 64]
     p = _plan(_farthest_round_df(emb, seeds, "vec_id", "embedding"))
@@ -1023,3 +1028,20 @@ def test_dedup_keep_best_no_python_no_pairwise(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
     assert "partial_max" in p, p
+
+
+def test_ivf_assign_is_scan_local_literal_argmin(spark):
+    """The IVF coarse quantizer must assign scan-locally: seed
+    centroids ride the plan as literal arrays (assign.py's O3/O5
+    pattern), so the relation has no Join, no Exchange, and no
+    SortAggregate — the crossJoin + min(struct) form it replaces
+    sorted n*nlist (id, vector-array) rows (SCALE.md §8)."""
+    from mapreduce_kmeans_clustering_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = _plan(ivf_assign(emb, nlist=4))
+    assert "Join" not in p, p
+    assert "Exchange" not in p, p
+    assert "SortAggregate" not in p and "HashAggregate" not in p, p
