@@ -523,44 +523,46 @@ from mapreduce_kmeans_clustering_spark.queries_pipeline import (  # noqa: E402
 # tests/test_oracle_parity.py (the local mirror of the driver's DuckDB
 # gate).
 #
-# Round-8 rotation (executes VERDICT r7 item 1 exactly): closes
-# cumulative driver coverage at 204/204. Slot budget (38 = 50-row
-# driver window minus the 12 K-Means pins):
-#   * 7 never-verified keys registered after the r7 window froze
-#     (q_kcenter_seeds .. q_events_ccf, the round-7 additions);
-#   * 1 key whose semantics changed in round 7 AFTER its last driver
-#     pass — q_hll_distinct (rho=47 saturated-register clamp, landed
-#     in commit eb9f43c after its r6 green; value-change probability
-#     ~2^-46, nominal refresh, but policy rule 2 says it rides);
-#   * 30 oldest round-3-stale refreshers in registry order. The 5
-#     remaining r3 keys (q_events_retention, q_nation_flow,
-#     q_events_rollup, q_value_quantile_sketch, q_text_lr_score)
-#     spill to round 9.
-# (q_zorder_locality was checked and does NOT need the
-# semantics-changed slot: the r7 zorder fix touched write_zordered
-# only; the query pre-masks inputs and calls zorder_key, unchanged.)
-# After a green CORRECTNESS_r08 no key's latest verification predates
-# round 3, and only those 5 spill keys remain at r3. Rotation policy:
-# set ONCE at round start, never mid-round (see QUERIES.md "Driver
-# coverage cap + rotation").
+# Round-9 rotation (executes VERDICT r8 item 1, with one policy-rule-2
+# substitution): closes cumulative driver coverage at 211/211. Slot
+# budget (38 = 50-row driver window minus the 12 K-Means pins):
+#   * 7 never-verified keys registered after the r8 window froze
+#     (the round-8 quality-curation / linkage / keep-best additions);
+#   * 5 round-3-stale spill keys carried from the r8 plan;
+#   * 1 key whose semantics changed in round 9 AFTER its last driver
+#     pass — q_semantic_decontam (ADVICE r8: `~isnan(cos)` guard added
+#     to the hits filter at curation.py; output is identical on all
+#     test data — no Inf/NaN embedding components exist — but the
+#     predicate changed after its r5 green, so policy rule 2 says it
+#     rides, displacing the 26th refresher);
+#   * 25 oldest round-4-stale refreshers in registry order (the r4
+#     cohort holds 37 keys; the remaining 12 spill to round 10).
+# Keys in this window that ADVICE r8 fixes also touch —
+# q_quality_auc (binary_auc DECIMAL rework), q_contamination_sources
+# and q_dedup_keep_best (integer `div` pack decode) — are verified by
+# the driver AFTER the fixes land, which is the correct order.
+# Rotation policy: set ONCE at round start, never mid-round (see
+# QUERIES.md "Driver coverage cap + rotation").
 DRIVER_ROTATION: list[str] = [
-    # -- never driver-verified (registered after the r7 freeze) --
-    "q_kcenter_seeds", "q_hard_negatives", "q_class_balance",
-    "q_retrieval_metrics", "q_woe_binning", "q_bpe_encode",
-    "q_events_ccf",
-    # -- modified in round 7 after its last driver pass --
-    "q_hll_distinct",
-    # -- oldest round-3 refreshers (registry order) --
-    "q_order_grouping_sets", "q_doc_chunks", "q_decontam",
-    "q_text_perplexity", "q_corpus_split", "q_returned_customers",
-    "q_customers_no_orders", "q_tfidf_terms", "q_domain_caps",
-    "q_length_hist", "q_user_moving_avg", "q_supplier_volume",
-    "q_above_avg_orders", "q_embed_diverse", "q_events_sliding",
-    "q_key_skew", "q_customer_ntile", "q_events_trailing24h",
-    "q_text_hashtf", "q_curation_pipeline", "q_large_orders",
-    "q_promo_share", "q_returned_priority", "q_top_supplier",
-    "q_profile_lineitem", "q_embed_dimstats", "q_sample_weighted",
-    "q_corpus_mix", "q_customer_order_gaps", "q_dedup_cluster_sizes",
+    # -- never driver-verified (registered after the r8 freeze) --
+    "q_quality_ensemble", "q_contamination_sources", "q_quality_auc",
+    "q_quality_calibration", "q_linkage_entities", "q_dup_fraction",
+    "q_dedup_keep_best",
+    # -- round-3-stale spills from the r8 window plan --
+    "q_events_retention", "q_nation_flow", "q_events_rollup",
+    "q_value_quantile_sketch", "q_text_lr_score",
+    # -- modified in round 9 after its last driver pass (rule 2) --
+    "q_semantic_decontam",
+    # -- oldest round-4 refreshers (registry order) --
+    "q_doc_pack", "q_user_heavy_hitters", "q_events_dense_hours",
+    "q_latest_event_per_user", "q_sql_interface", "q_forecast_revenue",
+    "q_shipping_modes", "q_important_parts", "q_value_outliers",
+    "q_dedup_passages", "q_events_multitouch", "q_revenue_mom",
+    "q_lineitem_expectations", "q_corpus_shard_manifest",
+    "q_value_winsorized", "q_orders_fx", "q_user_lifetime",
+    "q_source_overlap", "q_token_zipf", "q_events_dow_hour",
+    "q_brand_type_share", "q_customer_rfm", "q_session_conversion",
+    "q_order_backlog", "q_custdist",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
