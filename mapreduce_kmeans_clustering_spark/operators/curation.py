@@ -576,7 +576,13 @@ def semantic_decontam(
     hits = (
         t.join(F.broadcast(bm), "_bucket")
         .select("train_id", "bench_id", cos.alias("cos"))
-        .where(F.col("cos") >= threshold)
+        # NaN guard (ADVICE r8): an Inf embedding component makes
+        # dot/den NaN while the norms stay finite, and Spark orders
+        # NaN ABOVE every double — so a bare `cos >= threshold` would
+        # admit the pair and max(cos) would then elect the undefined
+        # similarity as the best match. Undefined similarity is never
+        # a match, in either form of the operator.
+        .where((F.col("cos") >= threshold) & ~F.isnan(F.col("cos")))
         # materialized once (the _ivf_assigned buffer-pool pattern):
         # both aggregation passes below read the filtered hit rows —
         # WITHOUT this the second pass would re-evaluate the whole
@@ -719,6 +725,23 @@ def quality_ensemble(
 CONTAM_PACK = 10_000_000_000
 
 
+def unpack_min_id(pack_col: str, pack: int) -> Column:
+    """Decode the id out of a ``metric·pack − id`` argmax packing:
+    ``ceil(packed / pack)·pack − packed`` via integer ``div``.
+
+    Integer `div`, not ``floor(double /)`` (ADVICE r8): once the
+    packed value clears 2^53 — n_hits ≈ 9e5 at the 1e10 pack, a
+    plausible magnitude — the double division rounds and can decode a
+    NEIGHBORING id; the DuckDB oracles use integer ``//``, so the
+    engine side must be exact at all magnitudes too
+    (``tests/test_curation.py`` pins the 2^53-plus decode).
+    """
+    return (
+        F.expr(f"({pack_col} + {pack - 1}) div {pack}") * F.lit(pack)
+        - F.col(pack_col)
+    ).cast("long")
+
+
 def contamination_source_report(
     docs: DataFrame,
     bench_pred: Column,
@@ -763,13 +786,7 @@ def contamination_source_report(
         )
     )
     worst = F.when(F.col("max_hits") == 0, F.lit(-1).cast("long")).otherwise(
-        (
-            F.floor(
-                (F.col("pack") + F.lit(CONTAM_PACK - 1)) / F.lit(CONTAM_PACK)
-            )
-            * F.lit(CONTAM_PACK)
-            - F.col("pack")
-        ).cast("long")
+        unpack_min_id("pack", CONTAM_PACK)
     )
     return agg.select(
         source_col,

@@ -370,6 +370,15 @@ def binary_auc(
     Output: one row (n_pos, n_neg, u2, auc) — auc on the half-up 6-dp
     grid; NULL auc when either class is empty (undefined, and NULL is
     safe in a single-row frame).
+
+    All rank arithmetic runs in DECIMAL(38,0) (ADVICE r8): the long
+    form ``u2 * 2000000`` wraps BIGINT once n_pos·n_neg exceeds
+    ~2.3e12 (≈1.5 M rows per class — squarely in-corpus at 100 TB),
+    and 2U itself can reach 2·n_pos·n_neg ≈ n²/2. DECIMAL(38,0)
+    holds ~1e38, safe past 1e15 rows per class. The reported ``u2``
+    column stays BIGINT for schema continuity (it nulls, not wraps,
+    beyond long range — Spark non-ANSI decimal→long cast); ``auc``
+    is exact at every magnitude.
     """
     from pyspark.sql.window import Window
 
@@ -396,18 +405,27 @@ def binary_auc(
     tot = per.agg(
         F.sum("n1").cast("long").alias("n_pos"),
         F.sum("n0").cast("long").alias("n_neg"),
-        F.sum(F.col("n1") * (2 * F.col("cum0") + F.col("n0")))
-        .cast("long")
-        .alias("u2"),
+        F.sum(
+            F.col("n1").cast("decimal(38,0)")
+            * (2 * F.col("cum0") + F.col("n0"))
+        )
+        .cast("decimal(38,0)")
+        .alias("u2d"),
     )
     auc = F.when(
         (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
         F.expr(
-            "(u2 * 2000000 + 2 * n_pos * n_neg) div (4 * n_pos * n_neg)"
+            "(u2d * 2000000 + 2 * cast(n_pos as decimal(38,0)) * n_neg)"
+            " div (4 * cast(n_pos as decimal(38,0)) * n_neg)"
         )
         / F.lit(1e6),
     )
-    return tot.select("n_pos", "n_neg", "u2", auc.alias("auc"))
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        F.col("u2d").cast("long").alias("u2"),
+        auc.alias("auc"),
+    )
 
 
 def calibration_bins(

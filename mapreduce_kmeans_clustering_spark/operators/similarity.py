@@ -184,12 +184,31 @@ def ivf_assign(
     ``partitionBy(list_id)`` so probes prune entire files."""
     from mapreduce_kmeans_clustering_spark.functions.literals import const_vec
 
+    # Literal-form ceiling: the plan carries nlist×dim literal doubles
+    # through codegen — fine to a few hundred lists (nlist=256, dim=64
+    # is ~16k constants, well under janino's 64 KB method limit after
+    # expression splitting), but a caller wanting thousands of coarse
+    # cells should pre-cluster with plans/kmeans_nd and join instead.
+    if nlist > 1024:
+        raise ValueError(
+            f"ivf_assign literal-seed form caps nlist at 1024 "
+            f"(got {nlist}); use a precomputed centroid join for more"
+        )
     seed_rows = (
         embeddings.where(F.col(id_col) < nlist)
         .select(F.col(id_col).cast("long").alias("lid"), _as_double(F.col(vec_col)).alias("sv"))
         .orderBy("lid")
         .collect()
     )
+    # ADVICE r8: with zero qualifying seed ids (empty corpus slice, or
+    # ids not starting at 0) F.array() of no entries fails analysis
+    # with an opaque error — fail loudly at the API boundary instead.
+    if not seed_rows:
+        raise ValueError(
+            f"ivf_assign found no seed vectors with {id_col} < {nlist}; "
+            "the coarse quantizer seeds are the first nlist vectors by "
+            "id — pass a relation whose ids start at 0 or lower nlist"
+        )
     vecs = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     entries = [
         F.struct(

@@ -5138,7 +5138,7 @@ p AS (SELECT t.vec_id AS train_id, bm.vec_id AS bench_id,
              t.v AS va, bm.v AS vb
       FROM t JOIN bm ON t.bucket = bm.bucket),
 h AS (SELECT train_id, bench_id, {_COS} AS cos FROM p
-      WHERE {_COS} >= {SEM_DECON_THRESHOLD}),
+      WHERE {_COS} >= {SEM_DECON_THRESHOLD} AND NOT isnan({_COS})),
 r AS (SELECT train_id, bench_id, cos,
         row_number() OVER (PARTITION BY train_id
                            ORDER BY cos DESC, bench_id) AS rn,
@@ -9734,12 +9734,12 @@ c AS (SELECT n1, n0,
                0)::BIGINT AS cum0
       FROM grp),
 tot AS (SELECT sum(n1)::BIGINT AS n_pos, sum(n0)::BIGINT AS n_neg,
-               sum(n1 * (2 * cum0 + n0))::BIGINT AS u2
+               sum(n1::HUGEINT * (2 * cum0 + n0)) AS u2h
         FROM c)
-SELECT n_pos, n_neg, u2,
+SELECT n_pos, n_neg, u2h::BIGINT AS u2,
        CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-         ((u2 * 2000000 + 2 * n_pos * n_neg)
-          // (4 * n_pos * n_neg))::DOUBLE / 1000000.0
+         ((u2h * 2000000 + 2 * n_pos::HUGEINT * n_neg)
+          // (4 * n_pos::HUGEINT * n_neg))::BIGINT::DOUBLE / 1000000.0
        END AS auc
 FROM tot"""
 
@@ -9961,9 +9961,9 @@ def q_dedup_keep_best(spark, sf_dir):
             F.col("n_chars") * F.lit(KEEP_BEST_PACK) - F.col("doc_id")
         ).alias("pack")
     )
-    kept = F.floor(
-        (F.col("pack") + F.lit(KEEP_BEST_PACK - 1)) / F.lit(KEEP_BEST_PACK)
-    ) * F.lit(KEEP_BEST_PACK) - F.col("pack")
+    # integer-exact decode (ADVICE r8): n_chars·1e10 clears 2^53 at
+    # n_chars ≈ 9e5, a plausible document length
+    kept = CU.unpack_min_id("pack", KEEP_BEST_PACK)
     return (
         dg.join(win, "group_id")
         .select(

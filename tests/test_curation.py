@@ -343,3 +343,71 @@ def test_contamination_sources_clean_source_sentinel(spark):
     assert clean["n_contaminated"] == 0 and clean["max_hits"] == 0
     assert clean["contamination_rate"] == 0.0
     assert clean["worst_doc_id"] == -1
+
+
+def test_unpack_min_id_exact_past_double_mantissa(spark):
+    """ADVICE r8 regression: the argmax-pack decode must use integer
+    `div`, not floor(double /). At n_hits = 1e7 the packed value is
+    ~1e17 (> 2^53) and the double form decodes id 10000000003 instead
+    of 3 — verified divergent in plain Python with the same floats."""
+    from mapreduce_kmeans_clustering_spark.operators.curation import (
+        CONTAM_PACK,
+        unpack_min_id,
+    )
+
+    cases = [(1, 0), (1, 9_999_999_999), (10**7, 3), (10**8, 42)]
+    rows = [(m * CONTAM_PACK - i,) for m, i in cases]
+    df = spark.createDataFrame(rows, "pack LONG")
+    got = [
+        r["id"]
+        for r in df.select(
+            unpack_min_id("pack", CONTAM_PACK).alias("id")
+        ).collect()
+    ]
+    assert got == [i for _, i in cases]
+    # the double form is genuinely wrong at the 1e17 magnitude
+    m, i = 10**7, 3
+    pack = m * CONTAM_PACK - i
+    assert (
+        math.floor((pack + CONTAM_PACK - 1) / CONTAM_PACK) * CONTAM_PACK
+        - pack
+        != i
+    )
+
+
+def test_semantic_decontam_nan_cosine_never_matches(spark):
+    """ADVICE r8 regression: an Inf embedding component makes the
+    cosine NaN, and Spark orders NaN above every double — without the
+    isnan guard the pair passes `cos >= threshold` AND wins max(cos).
+    Undefined similarity must never be a match."""
+    from mapreduce_kmeans_clustering_spark.operators.curation import (
+        semantic_decontam,
+    )
+
+    inf = float("inf")
+    v = [inf] + [0.1] * 63
+    emb = spark.createDataFrame(
+        [(0, v), (1, v)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    out = semantic_decontam(
+        emb.where(F.col("vec_id") == 0),
+        emb.where(F.col("vec_id") == 1),
+        threshold=0.5,
+        dim=64,
+        planes=2,
+    )
+    assert out.count() == 0
+    # identical FINITE vectors in the same buckets still match —
+    # the guard filters NaN only, not real similarity
+    v2 = [0.5] * 64
+    emb2 = spark.createDataFrame(
+        [(0, v2), (1, v2)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    ok = semantic_decontam(
+        emb2.where(F.col("vec_id") == 0),
+        emb2.where(F.col("vec_id") == 1),
+        threshold=0.5,
+        dim=64,
+        planes=2,
+    ).collect()
+    assert len(ok) == 1 and ok[0]["cos"] == 1.0

@@ -552,3 +552,45 @@ def test_woe_iv_zero_class_bin_is_null_not_faked(spark):
     assert out[1]["woe_q6"] is None
     assert out[1]["iv_q6"] is None
     assert out[0]["woe_q6"] is not None
+
+
+def test_binary_auc_hand_check_and_ties(spark):
+    from mapreduce_kmeans_clustering_spark.operators.profile import binary_auc
+
+    # scores: pos {0.9, 0.5}, neg {0.5, 0.1}
+    #   2U = pairs(pos>neg)*2 + ties = (0.9>0.5, 0.9>0.1, 0.5>0.1)*2 + 1 = 7
+    #   AUC = 7/8 = 0.875
+    rows = [(0.9, True), (0.5, True), (0.5, False), (0.1, False)]
+    df = spark.createDataFrame(rows, "score DOUBLE, label BOOLEAN")
+    out = binary_auc(df, "score", "label").collect()[0]
+    assert (out["n_pos"], out["n_neg"], out["u2"]) == (2, 2, 7)
+    assert out["auc"] == 0.875
+
+
+def test_binary_auc_empty_class_is_null(spark):
+    from mapreduce_kmeans_clustering_spark.operators.profile import binary_auc
+
+    df = spark.createDataFrame(
+        [(0.9, True), (0.1, True)], "score DOUBLE, label BOOLEAN"
+    )
+    out = binary_auc(df, "score", "label").collect()[0]
+    assert out["auc"] is None and out["n_neg"] == 0
+
+
+def test_binary_auc_exact_past_bigint_wrap(spark):
+    """ADVICE r8 regression: with 1.6M rows per class and perfect
+    separation, 2U·2e6 = 1.024e19 exceeds BIGINT (9.22e18) — the old
+    long-form expression wrapped negative under non-ANSI Spark. The
+    DECIMAL(38,0) form must report exactly 1.0."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.operators.profile import binary_auc
+
+    n = 1_600_000
+    big = spark.range(2 * n).select(
+        F.when(F.col("id") < n, F.lit(1.0)).otherwise(F.lit(0.0)).alias("s"),
+        (F.col("id") < n).alias("y"),
+    )
+    out = binary_auc(big, "s", "y").collect()[0]
+    assert out["u2"] == 2 * n * n  # 5.12e12: the U statistic itself
+    assert out["auc"] == 1.0

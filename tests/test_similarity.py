@@ -356,3 +356,31 @@ def test_ranking_metrics_deeper_ranking_is_cut_at_k(spark):
         exact, mixed.where("rank <= 3"), "m", 3
     ).collect()[0]
     assert cut == prefix
+
+
+def test_ivf_assign_empty_seed_slice_raises(spark):
+    """ADVICE r8 regression: ids not starting at 0 (or an empty
+    corpus slice) leave the literal-seed form with zero seeds — the
+    operator must fail with a clear ValueError at the API boundary,
+    not an opaque F.array() analysis error."""
+    from mapreduce_kmeans_clustering_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    df = spark.createDataFrame(
+        [(100, [0.5] * 64)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="no seed vectors"):
+        ivf_assign(df, nlist=16)
+
+
+def test_ivf_assign_nlist_ceiling_raises(spark):
+    from mapreduce_kmeans_clustering_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.5] * 64)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="caps nlist"):
+        ivf_assign(df, nlist=2048)
