@@ -522,7 +522,7 @@ def semantic_decontam(
     bench_emb: DataFrame,
     threshold: float = 0.5,
     dim: int = 64,
-    planes: int = 8,
+    planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -541,15 +541,28 @@ def semantic_decontam(
     Recall < 1 by design (same bucket trade as the dedup family;
     raise recall with fewer planes or multi-probe). Scoring is the
     unrolled-codegen cosine with per-side precomputed norms — the
-    oracle-bit-compatible form."""
+    oracle-bit-compatible form.
+
+    ``planes=None`` (the default) sizes the blocking to the TRAIN
+    corpus via ``similarity.auto_planes`` (one count() job on the
+    train side — the benchmark side is small by definition and does
+    not drive occupancy). This defaults away the measured SCALE.md §8
+    cliff: with 4 fixed planes the round-8 ×100 sweep hit e = 1.49
+    (236 M candidate pairs); at planes = 4 + log2(scale) the same
+    sweep measured e = 0.31. Pass explicit ``planes`` to pin the
+    bucketing (the registered query does, for oracle continuity)."""
     from mapreduce_kmeans_clustering_spark.functions.distance import (
         dot_unrolled,
         norm_unrolled,
         safe_cosine,
     )
     from mapreduce_kmeans_clustering_spark.operators.similarity import (
+        auto_planes,
         lsh_bucket_expr,
     )
+
+    if planes is None:
+        planes = auto_planes(train_emb.count())
 
     def prep(df, id_alias, v_alias, n_alias):
         v = F.transform(F.col(vec_col), lambda x: x.cast("double"))

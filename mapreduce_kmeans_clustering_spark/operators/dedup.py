@@ -540,6 +540,98 @@ def dedup_pipeline(
     )
 
 
+def incremental_minhash_dedup(
+    delta_docs: DataFrame,
+    index_docs: DataFrame,
+    num_hashes: int = 8,
+    band_width: int = 2,
+    n: int = 3,
+    verify_threshold: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    index_band_table: DataFrame | None = None,
+) -> DataFrame:
+    """Index-vs-delta near-dedup — the shape a continuously-fed
+    training corpus actually runs daily: an arriving shard
+    (``delta_docs``) is checked against the ALREADY-INGESTED corpus
+    (``index_docs``) without ever re-deduplicating the corpus itself.
+    Per delta doc: ``status`` ('near_dup' | 'new'), the best-matching
+    index doc (highest verified Jaccard, ties to the lowest index id)
+    and its Jaccard; ``dup_of``/``jaccard`` are NULL for 'new'.
+
+    Scale shape (the reason this is its own operator and not
+    ``dedup_pipeline`` re-run on corpus+delta):
+
+    * the corpus side participates ONLY through its banded MinHash
+      table — ``(id, band, band_sig)``, num_hashes/band_width rows per
+      doc. At 100 TB that table is precomputed once at ingest and
+      stored (pass it as ``index_band_table``; building it here from
+      ``index_docs`` is the small-corpus convenience path). The daily
+      cost is then O(delta shingles) + one equi-join into the stored
+      band index — work proportional to the DELTA, not the corpus.
+    * verification (exact Jaccard) re-derives shingles only for docs
+      that appear in some candidate pair (semi-join pruning below) —
+      a near-dup check touches the few corpus docs the bands point
+      at, never the corpus.
+    * the best-match argmax is the two-hash-aggregate pattern (max
+      jaccard, re-join at the exact winning double, min index id) —
+      never ``min(struct(...))``, which plans as SortAggregate over
+      the pair stream (the SCALE.md §8 lesson).
+
+    The exact-hash twin of this check is ``q_dedup_incremental``
+    (md5 semi-join); this operator catches what that one cannot —
+    arriving docs that are near-COPIES of ingested ones."""
+    delta_bands = lsh_bands(
+        minhash_signatures(delta_docs, num_hashes, n, text_col, id_col),
+        band_width,
+        id_col,
+    ).localCheckpoint(eager=False)
+    if index_band_table is None:
+        index_band_table = lsh_bands(
+            minhash_signatures(index_docs, num_hashes, n, text_col, id_col),
+            band_width,
+            id_col,
+        )
+    idx = index_band_table.select(
+        F.col(id_col).alias("_ib"), "band", "band_sig"
+    ).localCheckpoint(eager=False)
+    cands = (
+        delta_bands.join(idx, ["band", "band_sig"])
+        .select(F.col(id_col).alias("a"), F.col("_ib").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # verify only the participants: shingles are re-derived for docs
+    # in some candidate pair, never for the whole corpus
+    part_a = cands.select(F.col("a").alias(id_col))
+    part_b = cands.select(F.col("b").alias(id_col))
+    needed = (
+        delta_docs.join(part_a.distinct(), id_col, "semi")
+        .unionByName(index_docs.join(part_b.distinct(), id_col, "semi"))
+    )
+    hits = jaccard_for_pairs(needed, cands, n, text_col, id_col).where(
+        F.col("jaccard") >= verify_threshold
+    ).localCheckpoint(eager=False)
+    best_j = hits.groupBy("a").agg(F.max("jaccard").alias("jaccard"))
+    best = (
+        hits.join(best_j, ["a", "jaccard"])
+        .groupBy("a", "jaccard")
+        .agg(F.min("b").alias("dup_of"))
+    )
+    return (
+        delta_docs.select(id_col)
+        .join(best.withColumnRenamed("a", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("dup_of").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            "dup_of",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
 def dup_groups(
     pairs: DataFrame,
     max_iter: int = 10,
@@ -560,7 +652,14 @@ def dup_groups(
     undirected edge list + one groupBy; rounds needed = graph diameter
     (dup clusters are tiny cliques/chains, so a handful; raises if
     max_iter rounds don't reach the fixpoint rather than returning a
-    wrong grouping). Each round localCheckpoints the K-row label table:
+    wrong grouping). Sizing rule: the min label travels one hop per
+    round and the loop needs one further round to OBSERVE no change,
+    so ``max_iter >= diameter + 1``; the default 10 therefore covers
+    any component of diameter <= 9, far beyond near-dup cluster
+    shapes — a corpus that trips the raise (a >9-hop dup CHAIN) is
+    pathological enough to warrant a human look, which is exactly why
+    the failure mode is an exception and never a silent wrong answer
+    (``tests/test_dedup.py`` pins the raise on a 12-node chain). Each round localCheckpoints the K-row label table:
     iterative self-joins otherwise re-derive the whole upstream
     lineage per round (exponential plan growth — same failure mode the
     DuckDB oracle hits without MATERIALIZED).
@@ -619,7 +718,7 @@ def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.5,
     dim: int = 64,
-    planes: int = 8,
+    planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -645,10 +744,21 @@ def embedding_near_dup_pairs(
     bit-for-bit (unrolled codegen dot product + norms precomputed once
     per vector before the join — same doubles as the HOF/list_inner_
     product forms); embedding_near_dup_blas is the vectorized twin for
-    production (pinned equal in tests)."""
+    production (pinned equal in tests).
+
+    ``planes=None`` (the default) sizes the blocking to the corpus via
+    ``similarity.auto_planes`` (one count() job): fixed plane counts
+    are the measured SCALE.md §8 quadratic cliff — bucket occupancy
+    grows linearly with the corpus, candidate pairs quadratically.
+    Pass explicit ``planes`` to pin the bucketing (the registered
+    queries do, for oracle continuity)."""
     from mapreduce_kmeans_clustering_spark.operators.similarity import (
+        auto_planes,
         lsh_bucket_expr,
     )
+
+    if planes is None:
+        planes = auto_planes(embeddings.count())
     from mapreduce_kmeans_clustering_spark.functions.distance import (
         dot_unrolled,
         norm_unrolled,
@@ -689,7 +799,7 @@ def embedding_near_dup_blas(
     embeddings: DataFrame,
     threshold: float = 0.5,
     dim: int = 64,
-    planes: int = 8,
+    planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -703,13 +813,20 @@ def embedding_near_dup_blas(
     Memory is O(bucket_size * dim + bucket_size^2) per task — bounded
     by the planes count (2^planes buckets); a pathological hot bucket
     (e.g. many zero vectors) wants more planes, which shrinks every
-    bucket geometrically."""
+    bucket geometrically. ``planes=None`` (the default) applies the
+    ``similarity.auto_planes`` corpus-aware sizing — the O(bucket²)
+    gram blocks make fixed planes doubly dangerous here (quadratic
+    candidate work AND quadratic per-task memory)."""
     import numpy as np
     import pandas as pd
 
     from mapreduce_kmeans_clustering_spark.operators.similarity import (
+        auto_planes,
         lsh_bucket_expr,
     )
+
+    if planes is None:
+        planes = auto_planes(embeddings.count())
 
     thr = float(threshold)
 

@@ -30,6 +30,37 @@ from mapreduce_kmeans_clustering_spark.functions.distance import cosine_similari
 DEFAULT_DIM = 64
 DEFAULT_PLANES = 8
 
+# Corpus-aware plane sizing (VERDICT r8 item 3). The round-8 ×100
+# sweep measured the cliff: at a FIXED plane count the bucket count is
+# fixed, per-bucket occupancy grows linearly with the corpus, and the
+# candidate-pair count grows QUADRATICALLY (e = 1.49, 236 M pairs at
+# ×100 with 4 planes). Growing planes with log2(corpus) holds
+# occupancy — and pairs per row — constant (measured e = 0.31 with
+# planes = 4 + log2(scale); SCALE.md §8). These constants anchor that
+# measured rule: 4 planes at the 2 000-vector sf0.1 reference corpus.
+AUTO_PLANES_BASE = 4
+AUTO_PLANES_REF_N = 2_000
+AUTO_PLANES_MAX = 24  # 16 M buckets — past any realistic occupancy need
+
+
+def auto_planes(
+    n_rows: int,
+    base: int = AUTO_PLANES_BASE,
+    ref_n: int = AUTO_PLANES_REF_N,
+) -> int:
+    """Hyperplane count for an ``n_rows``-vector corpus:
+    ``base + ceil(log2(n_rows / ref_n))``, floored at ``base`` and
+    capped at AUTO_PLANES_MAX. This is the measured SCALE.md §8
+    blocking rule — per-bucket occupancy stays ~constant as the corpus
+    grows, keeping every hyperplane-bucket operator sub-linear. A
+    caller who pins ``planes`` explicitly (the registered queries do,
+    for oracle continuity) opts out and owns the knob."""
+    import math
+
+    if n_rows <= ref_n:
+        return base
+    return min(AUTO_PLANES_MAX, base + math.ceil(math.log2(n_rows / ref_n)))
+
 
 @lru_cache(maxsize=None)
 def hyperplanes(dim: int = DEFAULT_DIM, planes: int = DEFAULT_PLANES) -> tuple[tuple[float, ...], ...]:
@@ -428,7 +459,7 @@ def hard_negatives(
     anchor_ids: list[int],
     k: int = 3,
     dim: int = DEFAULT_DIM,
-    planes: int = DEFAULT_PLANES,
+    planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
@@ -444,7 +475,16 @@ def hard_negatives(
     different-label requirement is a post-join filter. Recall < 1 by
     design and mirrored exactly in the SQL oracle. Ties rank by
     (cos desc, negative_id asc). Output: (anchor_id, negative_id,
-    anchor_label, negative_label, rank, cos)."""
+    anchor_label, negative_label, rank, cos).
+
+    ``planes=None`` (the default) sizes the blocking to the corpus via
+    ``auto_planes`` (one count() job) — at a FIXED plane count bucket
+    occupancy grows linearly with the corpus and the candidate stream
+    goes quadratic, the measured SCALE.md §8 cliff. Pass an explicit
+    ``planes`` to pin the bucketing (registered queries do, for oracle
+    continuity)."""
+    if planes is None:
+        planes = auto_planes(embeddings.count())
     vecs = embeddings.select(
         F.col(id_col),
         F.col(label_col).alias("_lab"),

@@ -413,8 +413,12 @@ def q_dedup_embed(spark, sf_dir):
             F.slice("embedding", 2, EMBED_PLANT_DIM - 1),
         ).alias("embedding"),
     )
+    # planes pinned at the operator's historical fixed default: the
+    # registered query's bucketing must stay byte-stable against its
+    # oracle across rounds (the operator default is now corpus-aware —
+    # similarity.auto_planes)
     p = D.embedding_near_dup_pairs(
-        e.unionByName(planted), threshold=EMBED_DUP_THRESHOLD
+        e.unionByName(planted), threshold=EMBED_DUP_THRESHOLD, planes=8
     )
     return p.select("a", "b", F.round("cos", 6).alias("cos"))
 
@@ -9998,3 +10002,156 @@ SELECT dg.doc_id, dg.group_id::BIGINT AS group_id,
                     * {KEEP_BEST_PACK} - pack) AS keep
 FROM dg JOIN win USING (group_id) ORDER BY dg.doc_id"""
 PIPELINE_QUERIES.update({"q_dedup_keep_best": q_dedup_keep_best})
+
+
+# ---------------------------------------------------------------------------
+# Round 9: incremental index-vs-delta near-dedup + per-source quality drift
+# ---------------------------------------------------------------------------
+
+INDEX_DELTA_MOD = 5  # docs with doc_id % 5 == 0 play the arriving shard
+
+
+def q_dedup_index_delta(spark, sf_dir):
+    """Index-vs-delta NEAR-dedup (operators/dedup.
+    incremental_minhash_dedup): the arriving shard (doc_id % 5 == 0 —
+    the same batch split as the exact-hash q_dedup_incremental) is
+    checked against the already-ingested corpus through its banded
+    MinHash table only. Per delta doc: near_dup/new, the best-matching
+    index doc (highest verified Jaccard, ties to the lowest id) and
+    its Jaccard. The daily shape of a continuously-fed 100 TB corpus:
+    work scales with the DELTA (plus one equi-join into the stored
+    band index), never with the corpus — and verification re-shingles
+    only candidate participants (semi-join pruning). Argmax is the
+    two-hash-aggregate pattern, never min(struct) (SCALE.md §8)."""
+    d = _docs(spark, sf_dir)
+    return D.incremental_minhash_dedup(
+        d.where(F.col("doc_id") % INDEX_DELTA_MOD == 0),
+        d.where(F.col("doc_id") % INDEX_DELTA_MOD != 0),
+        verify_threshold=VERIFY_THRESHOLD,
+    ).orderBy("doc_id")
+
+
+PIPELINE_ORACLES["q_dedup_index_delta"] = f"""
+WITH {_SQL_SHINGLES},
+{_SQL_SIG},
+{_SQL_BANDS},
+bd AS (SELECT * FROM bands WHERE doc_id % {INDEX_DELTA_MOD} = 0),
+bi AS (SELECT * FROM bands WHERE doc_id % {INDEX_DELTA_MOD} <> 0),
+cands AS (
+  SELECT DISTINCT d.doc_id AS a, i.doc_id AS b
+  FROM bd d JOIN bi i ON d.band = i.band AND d.band_sig = i.band_sig),
+sz AS (SELECT doc_id, len(s) AS n_sh FROM shf),
+e AS (SELECT doc_id, unnest(s) AS shingle FROM shf),
+vinter AS (
+  SELECT c.a, c.b, count(*) AS c
+  FROM cands c
+  JOIN e ea ON ea.doc_id = c.a
+  JOIN e eb ON eb.doc_id = c.b AND ea.shingle = eb.shingle
+  GROUP BY c.a, c.b),
+hits AS (
+  SELECT v.a, v.b, v.c / (sa.n_sh + sb.n_sh - v.c) AS jaccard
+  FROM vinter v
+  JOIN sz sa ON sa.doc_id = v.a
+  JOIN sz sb ON sb.doc_id = v.b
+  WHERE v.c / (sa.n_sh + sb.n_sh - v.c) >= {VERIFY_THRESHOLD}),
+best AS (
+  SELECT a, jaccard, b,
+         row_number() OVER (PARTITION BY a
+                            ORDER BY jaccard DESC, b) AS rn
+  FROM hits)
+SELECT d.doc_id,
+       CASE WHEN best.b IS NOT NULL THEN 'near_dup' ELSE 'new' END AS status,
+       best.b AS dup_of,
+       round(best.jaccard, 6) AS jaccard
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) best ON d.doc_id = best.a
+WHERE d.doc_id % {INDEX_DELTA_MOD} = 0
+ORDER BY d.doc_id"""
+PIPELINE_QUERIES.update({"q_dedup_index_delta": q_dedup_index_delta})
+
+
+QUALITY_DRIFT_SHARD = 100  # docs per ingest shard (doc_id is assignment order)
+
+
+def q_source_quality_drift(spark, sf_dir):
+    """Per-source quality drift across ingest shards — the monitoring
+    read-out a 100 TB pipeline watches to catch a source going bad
+    BETWEEN crawls: for every (source, shard) cell (shard = doc_id div
+    100 — the documents table carries no timestamp, and doc_id is
+    assignment order, so the id axis IS the ingestion axis), the doc
+    count, the mean quality-ensemble score, the keep rate, and the
+    shard-over-shard drift of the mean score (0.0 with has_prev=false
+    on each source's first shard — null-free by design, see the
+    comparator note below).
+
+    Engine-exactness: per-doc ensemble scores are recovered onto the
+    6-dp integer grid (floor(score·1e6 + .5) — exact: score IS k/1e6),
+    summed as longs (order-independent, the PSI recipe), and divided
+    half-up in integer arithmetic; drift is an integer difference.
+    The only window runs over the (source, shard) grain — bounded
+    cells, never rows (the q_length_ks discipline)."""
+    docs = _docs(spark, sf_dir)
+    ens = CU.quality_ensemble(docs).select("doc_id", "score", "keep")
+    j = ens.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source",
+        F.expr(f"doc_id div {QUALITY_DRIFT_SHARD}").alias("shard"),
+        F.floor(F.col("score") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("q6"),
+        F.col("keep").cast("int").alias("k"),
+    )
+    g = j.groupBy("source", "shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("q6").cast("long").alias("sq"),
+        F.sum("k").cast("long").alias("nk"),
+    )
+    m = g.select(
+        "source",
+        "shard",
+        "n_docs",
+        F.expr("(sq * 2 + n_docs) div (2 * n_docs)").alias("_mq"),
+        F.expr("(nk * 2000000 + n_docs) div (2 * n_docs)").alias("_kq"),
+    )
+    w = Window.partitionBy("source").orderBy("shard")
+    prev = F.lag("_mq", 1).over(w)
+    # drift is 0.0 (not NULL) on each source's first shard, with
+    # has_prev marking which zeros are real transitions — a NULL here
+    # would be the alphabetically-first output column, and a
+    # leading-NULL sort cell is exactly the comparator edge the
+    # None-safe mirror fix guards; the driver's own comparator is not
+    # ours to patch, so the query avoids the shape outright
+    return m.select(
+        "source",
+        F.col("shard").cast("long").alias("shard"),
+        "n_docs",
+        (F.col("_mq") / F.lit(1e6)).alias("mean_score"),
+        (F.col("_kq") / F.lit(1e6)).alias("keep_rate"),
+        (
+            (F.col("_mq") - F.coalesce(prev, F.col("_mq"))) / F.lit(1e6)
+        ).alias("drift"),
+        prev.isNotNull().alias("has_prev"),
+    ).orderBy("source", "shard")
+
+
+PIPELINE_ORACLES["q_source_quality_drift"] = f"""
+WITH ens AS (SELECT doc_id, score, keep
+             FROM ({PIPELINE_ORACLES["q_quality_ensemble"]})),
+j AS (SELECT d.source, d.doc_id // {QUALITY_DRIFT_SHARD} AS shard,
+             CAST(floor(e.score * 1000000 + 0.5) AS BIGINT) AS q6,
+             CASE WHEN e.keep THEN 1 ELSE 0 END AS k
+      FROM ens e JOIN documents d USING (doc_id)),
+g AS (SELECT source, shard, count(*)::BIGINT AS n_docs,
+             sum(q6)::BIGINT AS sq, sum(k)::BIGINT AS nk
+      FROM j GROUP BY source, shard),
+m AS (SELECT source, shard, n_docs,
+             ((sq * 2 + n_docs) // (2 * n_docs))::BIGINT AS mq,
+             ((nk * 2000000 + n_docs) // (2 * n_docs))::BIGINT AS kq
+      FROM g)
+SELECT source, shard::BIGINT AS shard, n_docs,
+       mq::DOUBLE / 1000000.0 AS mean_score,
+       kq::DOUBLE / 1000000.0 AS keep_rate,
+       (mq - coalesce(lag(mq) OVER w, mq))::DOUBLE / 1000000.0 AS drift,
+       lag(mq) OVER w IS NOT NULL AS has_prev
+FROM m WINDOW w AS (PARTITION BY source ORDER BY shard)
+ORDER BY source, shard"""
+PIPELINE_QUERIES.update({"q_source_quality_drift": q_source_quality_drift})

@@ -91,3 +91,67 @@ def stream_corpus_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_near_dedup_ingest(
+    docs_stream: DataFrame,
+    index_docs: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    num_hashes: int = 8,
+    band_width: int = 2,
+    n: int = 3,
+    verify_threshold: float = 0.3,
+    index_band_table: DataFrame | None = None,
+) -> StreamingQuery:
+    """NEAR-dup screening of an arriving document stream against the
+    ingested corpus — the streaming composition of
+    ``operators/dedup.incremental_minhash_dedup`` (VERDICT r8 item 6):
+    where ``stream_corpus_ingest`` drops only exact md5 re-arrivals,
+    this query flags arriving docs that are near-COPIES of ingested
+    ones, writing one verdict row per batch doc (doc_id, status
+    'near_dup' | 'new', dup_of, jaccard) as parquet under
+    ``ingest_batch=<epoch>`` (idempotent overwrite — the same
+    replay-safe per-epoch layout as the exact-hash ingest).
+
+    Scale shape: the corpus participates only through its banded
+    MinHash table, materialized ONCE here (eager localCheckpoint) and
+    reused verbatim by every micro-batch — per-batch cost is O(batch
+    shingles) + one equi-join into that index, never corpus work; at
+    100 TB pass the stored band table as ``index_band_table`` and the
+    corpus rows are touched only to re-shingle verification
+    candidates. Doc ids must be globally unique across stream and
+    corpus (any real pipeline's invariant) — verification merges both
+    sides' shingle sets by id."""
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        lsh_bands,
+        minhash_signatures,
+    )
+
+    if index_band_table is None:
+        index_band_table = lsh_bands(
+            minhash_signatures(index_docs, num_hashes, n), band_width
+        )
+    idx = index_band_table.localCheckpoint(eager=True)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        verdicts = incremental_minhash_dedup(
+            batch_df,
+            index_docs,
+            num_hashes=num_hashes,
+            band_width=band_width,
+            n=n,
+            verify_threshold=verify_threshold,
+            index_band_table=idx,
+        )
+        verdicts.write.mode("overwrite").parquet(
+            f"{out_path}/ingest_batch={epoch_id}"
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

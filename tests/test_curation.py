@@ -411,3 +411,30 @@ def test_semantic_decontam_nan_cosine_never_matches(spark):
         planes=2,
     ).collect()
     assert len(ok) == 1 and ok[0]["cos"] == 1.0
+
+
+def test_semantic_decontam_auto_planes_default(spark):
+    """planes=None sizes the blocking from the TRAIN corpus via
+    auto_planes; on a small corpus that equals the explicit base-plane
+    call bit-for-bit."""
+    import math as _math
+
+    from mapreduce_kmeans_clustering_spark.operators.curation import (
+        semantic_decontam,
+    )
+    from mapreduce_kmeans_clustering_spark.operators.similarity import (
+        AUTO_PLANES_BASE,
+    )
+
+    rows = []
+    for i in range(12):
+        a = 2 * _math.pi * i / 12
+        rows.append((i, [_math.cos(a), _math.sin(a)] + [0.05] * 62))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    t = emb.where(F.col("vec_id") % 3 != 0)
+    b = emb.where(F.col("vec_id") % 3 == 0)
+    auto = semantic_decontam(t, b, threshold=0.9, dim=64).collect()
+    pinned = semantic_decontam(
+        t, b, threshold=0.9, dim=64, planes=AUTO_PLANES_BASE
+    ).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, pinned))

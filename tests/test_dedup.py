@@ -588,3 +588,112 @@ def test_jaccard_prefix_filter_shrinks_candidates(spark):
         .count()
     )
     assert cand < full, (cand, full)
+
+
+def test_embedding_near_dup_auto_planes_default(copies_emb):
+    """planes=None (the new default) equals the explicit auto_planes
+    count on the same corpus — for both the expression and the BLAS
+    variants (VERDICT r8 item 3: a 100 TB caller who keeps the default
+    must NOT inherit the fixed-planes quadratic cliff)."""
+    from mapreduce_kmeans_clustering_spark.operators.similarity import (
+        auto_planes,
+    )
+
+    n = copies_emb.count()
+    p = auto_planes(n)
+    auto = {
+        (r["a"], r["b"]): r["cos"]
+        for r in embedding_near_dup_pairs(
+            copies_emb, threshold=0.5, dim=8
+        ).collect()
+    }
+    pinned = {
+        (r["a"], r["b"]): r["cos"]
+        for r in embedding_near_dup_pairs(
+            copies_emb, threshold=0.5, dim=8, planes=p
+        ).collect()
+    }
+    assert auto == pinned
+    blas_auto = {
+        (r["a"], r["b"]): r["cos"]
+        for r in embedding_near_dup_blas(
+            copies_emb, threshold=0.5, dim=8
+        ).collect()
+    }
+    assert set(blas_auto) == set(auto)
+
+
+def test_dup_groups_raises_past_max_iter_never_wrong(spark):
+    """VERDICT r8 item 7: a 12-node chain has diameter 11 > the
+    default max_iter=10, and the loop must RAISE (never return a
+    partially-propagated grouping); max_iter >= diameter + 1 — here
+    12 hops of propagation + 1 no-change round — converges to the
+    single component."""
+    from mapreduce_kmeans_clustering_spark.operators.dedup import dup_groups
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "a LONG, b LONG"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_groups(chain, max_iter=10)
+    ok = {
+        r["node"]: r["group_id"]
+        for r in dup_groups(chain, max_iter=12).collect()
+    }
+    assert ok == {i: 0 for i in range(12)}
+
+
+def test_incremental_minhash_dedup_verdicts_and_stored_index(spark):
+    """Index-vs-delta near-dedup: a delta doc that is a near-copy of
+    an index doc is flagged with the right source and Jaccard; a novel
+    doc is 'new'; ties go to the LOWEST index id; and passing the
+    PRE-BUILT band table (the 100 TB stored-index path) produces the
+    identical result as building it from the index docs."""
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        lsh_bands,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog today"
+    index_docs = spark.createDataFrame(
+        [
+            (100, base),
+            (101, base),  # exact twin of 100: same jaccard, lower id wins -> 100
+            (102, "a corpus document with entirely different vocabulary"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    delta_docs = spark.createDataFrame(
+        [
+            # near-copy (verified band collision for this exact pair)
+            (1, base + " again"),
+            (2, "an entirely novel arrival nothing like the corpus"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in incremental_minhash_dedup(
+            delta_docs, index_docs, verify_threshold=0.3
+        ).collect()
+    }
+    assert out[1]["status"] == "near_dup"
+    assert out[1]["dup_of"] == 100  # tie vs 101 broken to the lowest id
+    assert out[1]["jaccard"] == pytest.approx(8 / 9, abs=1e-6)
+    assert out[2]["status"] == "new"
+    assert out[2]["dup_of"] is None and out[2]["jaccard"] is None
+
+    stored = lsh_bands(minhash_signatures(index_docs))
+    out2 = {
+        r["doc_id"]: r
+        for r in incremental_minhash_dedup(
+            delta_docs,
+            index_docs,
+            verify_threshold=0.3,
+            index_band_table=stored,
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in out2.items()
+    }

@@ -62,7 +62,16 @@ def _norm(v):
 
 def _canon(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    # None-safe row ordering: Python can't compare None with a value,
+    # so sort on (is_null, stringified) per cell. This only fixes the
+    # CANONICAL ORDER both sides are sorted into — every value is
+    # still compared exactly afterwards, so strictness is unchanged.
+    def key(row):
+        return tuple((v is None, "" if v is None else repr(v)) for v in row)
+
+    return sorted(
+        (tuple(_norm(r[i]) for i in order) for r in rows), key=key
+    )
 
 
 import re

@@ -1045,3 +1045,48 @@ def test_ivf_assign_is_scan_local_literal_argmin(spark):
     assert "Join" not in p, p
     assert "Exchange" not in p, p
     assert "SortAggregate" not in p and "HashAggregate" not in p, p
+
+
+def test_dedup_index_delta_band_equi_join_no_python(spark):
+    """Index-vs-delta near-dedup: candidates must come from the
+    (band, band_sig) hash equi-join between the delta bands and the
+    index band table — never delta×corpus; verification is the
+    shingle equi-join on candidate participants only; the best-match
+    argmax is hash-aggregated (no struct-min SortAggregate over the
+    pair stream); no Python anywhere."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_dedup_index_delta,
+    )
+
+    p = _plan(q_dedup_index_delta(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    # the best-match argmax is the two-hash-aggregate pattern:
+    # partial+final max(jaccard) then min(index id) — and never a
+    # struct-min SortAggregate over the pair stream (the hits
+    # localCheckpoint truncates the upstream band/shingle joins out
+    # of this plan; their shapes are covered by the dedup-family
+    # gates on the same helpers)
+    assert "partial_max" in p and "partial_min" in p, p
+    assert "SortAggregate" not in p, p
+
+
+def test_source_quality_drift_bounded_window_no_python(spark):
+    """Per-source quality drift: the ensemble's anchor BNLJ is the
+    only nested-loop shape allowed; the lag window runs over the
+    (source, shard) grain — PARTITIONED, never global; aggregation is
+    partial+final hash."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_source_quality_drift,
+    )
+
+    p = _plan(q_source_quality_drift(spark, SF))
+    assert "CartesianProduct" not in p
+    assert _scalar_anchor_bnlj_only(p), p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert "partial_sum" in p, p
+    for line in p.splitlines():
+        s = line.strip()
+        if "Window [" in s and "windowspecdefinition" in s:
+            assert s.count("], [") >= 2, f"global Window in plan: {s[:120]}"

@@ -384,3 +384,41 @@ def test_ivf_assign_nlist_ceiling_raises(spark):
     )
     with pytest.raises(ValueError, match="caps nlist"):
         ivf_assign(df, nlist=2048)
+
+
+def test_auto_planes_rule():
+    """VERDICT r8 item 3: planes = base + ceil(log2(n / ref_n)),
+    floored at base — the measured SCALE.md §8 blocking rule (e = 1.49
+    at fixed planes, e = 0.31 when planes track log2(corpus))."""
+    from mapreduce_kmeans_clustering_spark.operators.similarity import (
+        AUTO_PLANES_BASE,
+        AUTO_PLANES_MAX,
+        AUTO_PLANES_REF_N,
+        auto_planes,
+    )
+
+    assert auto_planes(0) == AUTO_PLANES_BASE
+    assert auto_planes(AUTO_PLANES_REF_N) == AUTO_PLANES_BASE
+    # one doubling past the reference corpus -> one more plane
+    assert auto_planes(2 * AUTO_PLANES_REF_N) == AUTO_PLANES_BASE + 1
+    # x100 (the sweep's scale): ceil(log2(100)) = 7 extra planes
+    assert auto_planes(100 * AUTO_PLANES_REF_N) == AUTO_PLANES_BASE + 7
+    # bucket count stays bounded at absurd corpus sizes
+    assert auto_planes(10**15) == AUTO_PLANES_MAX
+
+
+def test_hard_negatives_auto_planes_default(labeled_emb):
+    """planes=None (the default) must behave exactly as the auto rule:
+    on a corpus at/below the reference size that is planes=base."""
+    from mapreduce_kmeans_clustering_spark.operators.similarity import (
+        AUTO_PLANES_BASE,
+        hard_negatives,
+    )
+
+    auto = hard_negatives(labeled_emb, anchor_ids=[0, 1], k=3, dim=4)
+    pinned = hard_negatives(
+        labeled_emb, anchor_ids=[0, 1], k=3, dim=4, planes=AUTO_PLANES_BASE
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, pinned.collect())
+    )

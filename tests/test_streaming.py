@@ -893,3 +893,76 @@ def test_stream_cusum_stationary_stays_at_zero(spark, tmp_path):
     # the slack term absorbs an on-mean stream on both sides
     assert all(r["sp"] == 0.0 and not r["alarm_pos"] for r in rows)
     assert all(not r["alarm_neg"] for r in rows)
+
+
+def test_stream_near_dedup_ingest_flags_near_copies(spark, tmp_path):
+    """Streaming index-vs-delta near-dedup: arriving docs are screened
+    against the corpus's MinHash band index per micro-batch; a
+    near-copy (one word changed) is flagged with its source doc and
+    Jaccard, novel docs pass as 'new', and the verdicts equal the
+    batch operator run on the same (batch, corpus) split — the
+    streaming path adds delivery, not semantics."""
+    import json
+
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+    from mapreduce_kmeans_clustering_spark.streaming.ingest import (
+        read_documents_stream,
+        stream_near_dedup_ingest,
+    )
+
+    corpus_rows = [
+        (1000, "the quick brown fox jumps over the lazy dog today", "en", "web"),
+        (1001, "completely unrelated corpus document about spark physical plans", "en", "web"),
+    ]
+    index_docs = spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in corpus_rows],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    arrivals = [
+        # near-copy of 1000: one appended word -> Jaccard 8/9 and two
+        # shared MinHash bands (verified deterministically: md5 band
+        # signatures collide for this exact pair)
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog today again",
+         "lang": "en", "source": "web", "n_chars": 56},
+        # novel
+        {"doc_id": 2, "text": "entirely novel arrival with its own fresh words",
+         "lang": "en", "source": "web", "n_chars": 48},
+    ]
+    (src / "a.jsonl").write_text(json.dumps(arrivals[0]) + "\n")
+    (src / "b.jsonl").write_text(json.dumps(arrivals[1]) + "\n")
+
+    out = str(tmp_path / "verdicts")
+    q = stream_near_dedup_ingest(
+        read_documents_stream(spark, str(src), max_files_per_trigger=1),
+        index_docs,
+        out,
+        str(tmp_path / "ckpt"),
+        verify_threshold=0.3,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in spark.read.parquet(f"{out}/ingest_batch=*").collect()
+    }
+    assert got[1] == ("near_dup", 1000)
+    assert got[2] == ("new", None)
+
+    # batch-operator equivalence on the same split
+    batch_docs = spark.createDataFrame(
+        [(a["doc_id"], a["text"], a["lang"], a["source"], a["n_chars"])
+         for a in arrivals],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    ref = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in incremental_minhash_dedup(
+            batch_docs, index_docs, verify_threshold=0.3
+        ).collect()
+    }
+    assert got == ref

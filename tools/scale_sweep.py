@@ -62,6 +62,17 @@ SWEEP_QUERIES = [
     "q_pq_adc",
     "q_semantic_decontam",
     "q_kcenter_seeds",
+    # round-9 additions (VERDICT r8 items 3+5): the remaining unswept
+    # quality-curation heavies, plus the auto-planes defaults of the
+    # other two hyperplane-bucket family members — the decontam cliff
+    # measurement, mirrored (the operator now sizes planes from the
+    # corpus when planes=None; these rows confirm that default is
+    # sub-linear, not just the decontam-specific variant)
+    "q_quality_auc",
+    "q_quality_calibration",
+    "q_contamination_sources",
+    "q_dedup_embed_auto_planes",
+    "q_hard_negatives_auto_planes",
 ]
 
 
@@ -84,6 +95,11 @@ QUERY_TABLES = {
     "q_quality_ensemble": {"documents"},
     "q_linkage_entities": {"customer"},
     "q_dedup_keep_best": {"documents"},
+    "q_quality_auc": {"documents"},
+    "q_quality_calibration": {"documents"},
+    "q_contamination_sources": {"documents"},
+    "q_dedup_embed_auto_planes": {"embeddings"},
+    "q_hard_negatives_auto_planes": {"embeddings"},
 }
 
 
@@ -265,6 +281,45 @@ def _semantic_decontam_planed(planes: int):
     return run
 
 
+def _embed_near_dup_auto():
+    """embedding_near_dup_pairs with planes=None — the SHIPPED
+    corpus-aware default (similarity.auto_planes). This row measures
+    what a caller who keeps the default actually gets at ×10/×100;
+    the registered q_dedup_embed pins planes=8 for oracle
+    continuity."""
+    from mapreduce_kmeans_clustering_spark.operators import dedup as D
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        EMBED_DUP_THRESHOLD,
+    )
+
+    def run(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return D.embedding_near_dup_pairs(
+            emb, threshold=EMBED_DUP_THRESHOLD
+        )
+
+    return run
+
+
+def _hard_negatives_auto():
+    """hard_negatives with planes=None — the shipped corpus-aware
+    default; the registered q_hard_negatives pins planes=LSH_PLANES
+    for oracle continuity."""
+    from mapreduce_kmeans_clustering_spark.operators import (
+        similarity as SIM,
+    )
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        ANN_QUERY_IDS,
+        HARDNEG_K,
+    )
+
+    def run(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return SIM.hard_negatives(emb, ANN_QUERY_IDS, k=HARDNEG_K)
+
+    return run
+
+
 def time_query(fn, spark, sf_dir: str) -> float:
     from mapreduce_kmeans_clustering_spark import queries_pipeline as QP
 
@@ -337,6 +392,11 @@ def main() -> None:
             extra = max(0, round(math.log2(max(args.replicas, 1))))
             fn_small = _semantic_decontam_planed(4)
             fn_big = _semantic_decontam_planed(4 + extra)
+        elif name == "q_dedup_embed_auto_planes":
+            # the operator resolves planes from each corpus itself
+            fn_small = fn_big = _embed_near_dup_auto()
+        elif name == "q_hard_negatives_auto_planes":
+            fn_small = fn_big = _hard_negatives_auto()
         else:
             fn_small = fn_big = ALL_QUERIES[name]
         t_small = time_query(fn_small, spark, SRC)
