@@ -73,6 +73,14 @@ SWEEP_QUERIES = [
     "q_contamination_sources",
     "q_dedup_embed_auto_planes",
     "q_hard_negatives_auto_planes",
+    # round-9 continuation: the next-heaviest registered keys still
+    # without a measured row (BENCH_DETAIL_r08 ordering)
+    "q_basket_rules",
+    "q_basket_triples",
+    "q_minhash_pr",
+    "q_dedup_semantic",
+    "q_dedup_pipeline",
+    "q_dedup_index_delta",
 ]
 
 
@@ -100,6 +108,12 @@ QUERY_TABLES = {
     "q_contamination_sources": {"documents"},
     "q_dedup_embed_auto_planes": {"embeddings"},
     "q_hard_negatives_auto_planes": {"embeddings"},
+    "q_basket_rules": {"lineitem"},
+    "q_basket_triples": {"lineitem"},
+    "q_minhash_pr": {"documents"},
+    "q_dedup_semantic": {"embeddings"},
+    "q_dedup_pipeline": {"documents"},
+    "q_dedup_index_delta": {"documents"},
 }
 
 
