@@ -1060,7 +1060,7 @@ def _semantic_asg(
 
 def semantic_dedup(
     embeddings: DataFrame,
-    k: int = 8,
+    k: int | None = None,
     threshold: float = 0.5,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -1100,9 +1100,19 @@ def semantic_dedup(
     The survivor rule is min-id-wins per qualifying pair (prune ``b``
     whenever some ``a < b`` in the same cluster clears the threshold)
     — matching the exact/near-dup verdict convention used by
-    dedup_pipeline."""
+    dedup_pipeline.
+
+    ``k=None`` (the default) resolves to ``suggested_semantic_k``
+    (~sqrt(n), one count() job) — the ×10 sweep measured the fixed-k
+    shape at e = 1.10 (in-cluster pairs go quadratic once occupancy
+    grows with the corpus, the same cliff as fixed LSH planes;
+    SCALE.md §8). Ignored when explicit ``centroids`` are passed
+    (they define the blocking); registered queries pin k for oracle
+    continuity."""
     from mapreduce_kmeans_clustering_spark.functions.distance import dot_hof
 
+    if k is None and centroids is None:
+        k = suggested_semantic_k(embeddings.count())
     asg = _semantic_asg(embeddings, k, dim, id_col, vec_col, centroids)
     a = asg.select(
         F.col("_id").alias("a"), F.col("_v").alias("va"), F.col("_n").alias("na"),
@@ -1143,7 +1153,7 @@ def semantic_dedup(
 
 def semantic_dedup_blas(
     embeddings: DataFrame,
-    k: int = 8,
+    k: int | None = None,
     threshold: float = 0.5,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -1170,10 +1180,16 @@ def semantic_dedup_blas(
     differ from the SQL engines' sequential sum in the last ulp, so a
     pair sitting exactly on the threshold could flip verdict. The
     registered oracle-gated query stays on semantic_dedup;
-    tests pin this twin equal to it on the real embeddings tables."""
+    tests pin this twin equal to it on the real embeddings tables.
+
+    ``k=None`` defaults to ``suggested_semantic_k`` exactly like the
+    expression twin (and is likewise ignored when explicit
+    ``centroids`` define the blocking)."""
     import numpy as np
     import pandas as pd
 
+    if k is None and centroids is None:
+        k = suggested_semantic_k(embeddings.count())
     thr = float(threshold)
 
     def verdicts(pdf: "pd.DataFrame") -> "pd.DataFrame":

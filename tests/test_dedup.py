@@ -697,3 +697,35 @@ def test_incremental_minhash_dedup_verdicts_and_stored_index(spark):
     assert {k: tuple(v) for k, v in out.items()} == {
         k: tuple(v) for k, v in out2.items()
     }
+
+
+def test_semantic_dedup_auto_k_default(copies_emb):
+    """k=None (the new default) resolves to suggested_semantic_k(n) —
+    identical verdicts to the explicit call, for both twins; and
+    explicit centroids make k irrelevant (they define the blocking)."""
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_blas,
+        suggested_semantic_k,
+    )
+
+    n = copies_emb.count()
+    kk = suggested_semantic_k(n)
+    auto = {
+        r["vec_id"]: (r["cluster"], r["status"])
+        for r in semantic_dedup(copies_emb, threshold=0.5, dim=8).collect()
+    }
+    pinned = {
+        r["vec_id"]: (r["cluster"], r["status"])
+        for r in semantic_dedup(
+            copies_emb, k=kk, threshold=0.5, dim=8
+        ).collect()
+    }
+    assert auto == pinned
+    blas = {
+        r["vec_id"]: (r["cluster"], r["status"])
+        for r in semantic_dedup_blas(
+            copies_emb, threshold=0.5, dim=8
+        ).collect()
+    }
+    assert blas == auto

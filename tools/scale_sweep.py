@@ -79,6 +79,7 @@ SWEEP_QUERIES = [
     "q_basket_triples",
     "q_minhash_pr",
     "q_dedup_semantic",
+    "q_dedup_semantic_auto_k",
     "q_dedup_pipeline",
     "q_dedup_index_delta",
 ]
@@ -112,6 +113,7 @@ QUERY_TABLES = {
     "q_basket_triples": {"lineitem"},
     "q_minhash_pr": {"documents"},
     "q_dedup_semantic": {"embeddings"},
+    "q_dedup_semantic_auto_k": {"embeddings"},
     "q_dedup_pipeline": {"documents"},
     "q_dedup_index_delta": {"documents"},
 }
@@ -315,6 +317,29 @@ def _embed_near_dup_auto():
     return run
 
 
+def _semantic_dedup_auto_k():
+    """semantic_dedup with k=None — the shipped corpus-aware default
+    (suggested_semantic_k ~ sqrt(n)). The registered q_dedup_semantic
+    pins k=8 for oracle continuity, and at fixed k the in-cluster
+    pair space is quadratic (measured e = 1.10 at ×10 — the same
+    cliff family as fixed LSH planes); this row measures the
+    default."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.operators import dedup as D
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        SEMDEDUP_THRESHOLD,
+    )
+
+    def run(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        return D.semantic_dedup(emb, threshold=SEMDEDUP_THRESHOLD)
+
+    return run
+
+
 def _hard_negatives_auto():
     """hard_negatives with planes=None — the shipped corpus-aware
     default; the registered q_hard_negatives pins planes=LSH_PLANES
@@ -411,6 +436,8 @@ def main() -> None:
             fn_small = fn_big = _embed_near_dup_auto()
         elif name == "q_hard_negatives_auto_planes":
             fn_small = fn_big = _hard_negatives_auto()
+        elif name == "q_dedup_semantic_auto_k":
+            fn_small = fn_big = _semantic_dedup_auto_k()
         else:
             fn_small = fn_big = ALL_QUERIES[name]
         t_small = time_query(fn_small, spark, SRC)
