@@ -702,7 +702,7 @@ def knn_graph(
     embeddings: DataFrame,
     k: int = 3,
     dim: int = DEFAULT_DIM,
-    planes: int = DEFAULT_PLANES,
+    planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -730,7 +730,16 @@ def knn_graph(
     (norm-guarded NULL, same convention as semantic_dedup).
 
     Output: (src, dst, rank, cos) with rank 1..k per src.
+
+    ``planes=None`` (the default) sizes the bucketing to the corpus
+    via ``auto_planes`` (one count() job): this is an ALL-VECTORS
+    in-bucket self-join, so fixed planes make it the third member of
+    the fixed-blocking cliff family (occupancy grows linearly, pair
+    space quadratically — SCALE.md §8). Pass explicit ``planes`` to
+    pin (the registered query does, for oracle continuity).
     """
+    if planes is None:
+        planes = auto_planes(embeddings.count())
     from mapreduce_kmeans_clustering_spark.functions.distance import (
         dot_hof,
         norm_hof,

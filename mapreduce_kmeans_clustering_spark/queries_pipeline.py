@@ -431,7 +431,10 @@ def q_knn_graph(spark, sf_dir):
     cosine neighbors (operators/similarity.knn_graph) — the graph
     substrate for connectivity-based curation; bucket equi-join +
     per-source rank window, never n^2."""
-    g = SIM.knn_graph(_emb(spark, sf_dir), k=KNN_K)
+    # planes pinned at the operator's historical fixed default (the
+    # operator default is now corpus-aware — similarity.auto_planes);
+    # the oracle replays this exact 8-plane bucketing
+    g = SIM.knn_graph(_emb(spark, sf_dir), k=KNN_K, planes=8)
     return g.select("src", "dst", "rank", F.round("cos", 6).alias("cos"))
 
 
@@ -10155,3 +10158,84 @@ SELECT source, shard::BIGINT AS shard, n_docs,
 FROM m WINDOW w AS (PARTITION BY source ORDER BY shard)
 ORDER BY source, shard"""
 PIPELINE_QUERIES.update({"q_source_quality_drift": q_source_quality_drift})
+
+
+def q_leakage_safe_split(spark, sf_dir):
+    """Group-aware train/val/test split — the eval-leakage guard a
+    real pipeline runs INSTEAD of the naive per-doc hash split: docs
+    in the same transitive near-dup group must land in the same split
+    (else a train doc's near-copy sits in test and the eval is
+    contaminated). Split is the standard md5 bucket of the GROUP
+    REPRESENTATIVE (min id — singletons hash their own id, so this
+    extends q_corpus_split rather than replacing it: a doc with no
+    dups keeps exactly its naive split, and membership stays stable
+    under corpus growth). Output per doc: group_id, the group-aware
+    split, the naive per-doc split, and moved = the two differ —
+    true exactly for the leak candidates the guard repairs (1/1/6
+    docs at the three SFs, non-vacuous everywhere). Only new work
+    over the memoized group relation is one scan-local md5 bucket
+    projection."""
+    from mapreduce_kmeans_clustering_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    g = _dup_groups_df(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), "group_id"
+    )
+    dg = docs.join(g, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("group_id", F.col("doc_id")).alias("group_id"),
+    )
+
+    def split_of(bucket):
+        return (
+            F.when(bucket < CU.SPLITS[0][1], F.lit(CU.SPLITS[0][0]))
+            .when(bucket < CU.SPLITS[1][1], F.lit(CU.SPLITS[1][0]))
+            .otherwise(F.lit("test"))
+        )
+
+    return dg.select(
+        "doc_id",
+        F.col("group_id").cast("long").alias("group_id"),
+        split_of(hash_bucket("group_id")).alias("split"),
+        split_of(hash_bucket("doc_id")).alias("naive_split"),
+        (
+            split_of(hash_bucket("group_id"))
+            != split_of(hash_bucket("doc_id"))
+        ).alias("moved"),
+    ).orderBy("doc_id")
+
+
+_SQL_SPLIT_CASE = (
+    "CASE WHEN {b} < 980 THEN 'train' "
+    "WHEN {b} < 990 THEN 'val' ELSE 'test' END"
+)
+
+PIPELINE_ORACLES["q_leakage_safe_split"] = f"""
+WITH RECURSIVE
+pairs AS (SELECT a, b FROM ({_SQL_JACCARD})),
+edges AS (SELECT a AS u, b AS v FROM pairs
+          UNION SELECT b AS u, a AS v FROM pairs),
+reach(node, r) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT rr.node, e.v FROM reach rr JOIN edges e ON rr.r = e.u
+),
+lab AS (SELECT node, least(node, min(r)) AS group_id
+        FROM reach GROUP BY node),
+dg AS (SELECT d.doc_id, coalesce(lab.group_id, d.doc_id) AS group_id
+       FROM documents d LEFT JOIN lab ON d.doc_id = lab.node),
+s AS (SELECT doc_id, group_id,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+          AS nb,
+        ('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+          AS gb
+      FROM dg)
+SELECT doc_id, group_id::BIGINT AS group_id,
+       {_SQL_SPLIT_CASE.format(b="gb")} AS split,
+       {_SQL_SPLIT_CASE.format(b="nb")} AS naive_split,
+       {_SQL_SPLIT_CASE.format(b="gb")} <> {_SQL_SPLIT_CASE.format(b="nb")}
+         AS moved
+FROM s ORDER BY doc_id"""
+PIPELINE_QUERIES.update({"q_leakage_safe_split": q_leakage_safe_split})

@@ -1090,3 +1090,19 @@ def test_source_quality_drift_bounded_window_no_python(spark):
         s = line.strip()
         if "Window [" in s and "windowspecdefinition" in s:
             assert s.count("], [") >= 2, f"global Window in plan: {s[:120]}"
+
+
+def test_leakage_safe_split_scan_local_buckets_no_python(spark):
+    """Group-aware split: over the memoized dup-group relation the
+    only new work is a doc_id equi-join plus a scan-local md5-bucket
+    projection — no window, no Python, nothing nested-loop."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_leakage_safe_split,
+    )
+
+    p = _plan(q_leakage_safe_split(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert "Window" not in p, p
+    assert "md5" in p  # the bucket is computed in the plan, not collected

@@ -422,3 +422,20 @@ def test_hard_negatives_auto_planes_default(labeled_emb):
     assert sorted(map(tuple, auto.collect())) == sorted(
         map(tuple, pinned.collect())
     )
+
+
+def test_knn_graph_auto_planes_default(emb):
+    """planes=None (the default) equals the explicit auto_planes count
+    on the same corpus — the all-vectors self-join must not inherit
+    the fixed-blocking cliff at 100 TB."""
+    from mapreduce_kmeans_clustering_spark.operators.similarity import (
+        auto_planes,
+        knn_graph,
+    )
+
+    p = auto_planes(emb.count())
+    auto = sorted(map(tuple, knn_graph(emb, k=2, dim=4).collect()))
+    pinned = sorted(
+        map(tuple, knn_graph(emb, k=2, dim=4, planes=p).collect())
+    )
+    assert auto == pinned

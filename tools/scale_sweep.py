@@ -82,6 +82,7 @@ SWEEP_QUERIES = [
     "q_dedup_semantic_auto_k",
     "q_dedup_pipeline",
     "q_dedup_index_delta",
+    "q_knn_graph_auto_planes",
 ]
 
 
@@ -116,6 +117,7 @@ QUERY_TABLES = {
     "q_dedup_semantic_auto_k": {"embeddings"},
     "q_dedup_pipeline": {"documents"},
     "q_dedup_index_delta": {"documents"},
+    "q_knn_graph_auto_planes": {"embeddings"},
 }
 
 
@@ -317,6 +319,27 @@ def _embed_near_dup_auto():
     return run
 
 
+def _knn_graph_auto():
+    """knn_graph with planes=None — the shipped corpus-aware default;
+    the all-vectors in-bucket self-join is the third fixed-blocking
+    cliff member, so this row measures the default's exponent. The
+    registered q_knn_graph pins planes=8 for oracle continuity."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.operators import (
+        similarity as SIM,
+    )
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import KNN_K
+
+    def run(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        return SIM.knn_graph(emb, k=KNN_K)
+
+    return run
+
+
 def _semantic_dedup_auto_k():
     """semantic_dedup with k=None — the shipped corpus-aware default
     (suggested_semantic_k ~ sqrt(n)). The registered q_dedup_semantic
@@ -438,6 +461,8 @@ def main() -> None:
             fn_small = fn_big = _hard_negatives_auto()
         elif name == "q_dedup_semantic_auto_k":
             fn_small = fn_big = _semantic_dedup_auto_k()
+        elif name == "q_knn_graph_auto_planes":
+            fn_small = fn_big = _knn_graph_auto()
         else:
             fn_small = fn_big = ALL_QUERIES[name]
         t_small = time_query(fn_small, spark, SRC)
