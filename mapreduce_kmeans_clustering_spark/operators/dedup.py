@@ -632,6 +632,35 @@ def incremental_minhash_dedup(
     )
 
 
+def extend_band_index(
+    index_band_table: DataFrame,
+    accepted_docs: DataFrame,
+    num_hashes: int = 8,
+    band_width: int = 2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Close the daily incremental-dedup loop: after
+    ``incremental_minhash_dedup`` screens a shard, the ACCEPTED
+    ('new') docs join the corpus — so their bands must join the
+    stored index before tomorrow's shard arrives. Returns the
+    extended ``(id, band, band_sig)`` relation; at 100 TB the caller
+    appends ONLY the second operand's rows to the stored index table
+    (partitioned by band — this union is the convenience form for
+    in-session chaining, and Spark plans it as a no-shuffle unionAll
+    either way). Shingling cost is O(accepted docs), never the
+    corpus."""
+    new_bands = lsh_bands(
+        minhash_signatures(accepted_docs, num_hashes, n, text_col, id_col),
+        band_width,
+        id_col,
+    )
+    return index_band_table.select(
+        F.col(id_col), "band", "band_sig"
+    ).unionByName(new_bands)
+
+
 def dup_groups(
     pairs: DataFrame,
     max_iter: int = 10,

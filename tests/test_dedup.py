@@ -729,3 +729,45 @@ def test_semantic_dedup_auto_k_default(copies_emb):
         ).collect()
     }
     assert blas == auto
+
+
+def test_two_day_incremental_loop_with_index_extension(spark):
+    """The full daily shape: day-1 shard screened against the corpus
+    index, its accepted docs' bands appended via extend_band_index,
+    then a day-2 near-copy OF A DAY-1 DOC is caught — which the
+    unextended index could not do."""
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        extend_band_index,
+        incremental_minhash_dedup,
+        lsh_bands,
+        minhash_signatures,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "a corpus document with entirely different vocabulary")],
+        "doc_id LONG, text STRING",
+    )
+    idx0 = lsh_bands(minhash_signatures(corpus))
+    base = "the quick brown fox jumps over the lazy dog today"
+    day1 = spark.createDataFrame([(1, base)], "doc_id LONG, text STRING")
+    v1 = incremental_minhash_dedup(
+        day1, corpus, verify_threshold=0.3, index_band_table=idx0
+    ).collect()
+    assert v1[0]["status"] == "new"
+    accepted = day1  # everything passed
+    idx1 = extend_band_index(idx0, accepted)
+
+    day2 = spark.createDataFrame(
+        [(2, base + " again")], "doc_id LONG, text STRING"
+    )
+    ingested = corpus.unionByName(accepted)
+    # against the UNEXTENDED index the near-copy sails through...
+    miss = incremental_minhash_dedup(
+        day2, ingested, verify_threshold=0.3, index_band_table=idx0
+    ).collect()
+    assert miss[0]["status"] == "new"
+    # ...against the extended index it is caught, attributed to day 1
+    hit = incremental_minhash_dedup(
+        day2, ingested, verify_threshold=0.3, index_band_table=idx1
+    ).collect()
+    assert hit[0]["status"] == "near_dup" and hit[0]["dup_of"] == 1

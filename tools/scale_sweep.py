@@ -83,6 +83,9 @@ SWEEP_QUERIES = [
     "q_dedup_pipeline",
     "q_dedup_index_delta",
     "q_knn_graph_auto_planes",
+    "q_embed_cov",
+    "q_approx_distinct",
+    "q_conversion_isotonic",
 ]
 
 
@@ -118,6 +121,9 @@ QUERY_TABLES = {
     "q_dedup_pipeline": {"documents"},
     "q_dedup_index_delta": {"documents"},
     "q_knn_graph_auto_planes": {"embeddings"},
+    "q_embed_cov": {"embeddings"},
+    "q_approx_distinct": {"lineitem"},
+    "q_conversion_isotonic": {"events"},
 }
 
 
