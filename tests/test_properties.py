@@ -390,3 +390,74 @@ def test_bm25_scores_positive_and_bounded_matches(spark, docs, qterm):
     }
     assert {r["doc_id"] for r in got} == expected_ids
     assert all(r["score"] > 0 for r in got)
+
+
+# --- incremental index-vs-delta dedup invariants ---------------------------
+
+_word = st.sampled_from(
+    ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel"]
+)
+_doc = st.lists(_word, min_size=3, max_size=10).map(" ".join)
+
+
+@given(
+    idx_texts=st.lists(_doc, min_size=1, max_size=5),
+    delta_texts=st.lists(_doc, min_size=1, max_size=4),
+)
+@SETTINGS
+def test_incremental_dedup_precision_property(spark, idx_texts, delta_texts):
+    """Invariants of incremental_minhash_dedup on hypothesis corpora
+    (tiny word vocabulary forces frequent real overlaps):
+
+    - PRECISION: every near_dup verdict's jaccard equals the brute
+      shingle-set jaccard of (delta doc, dup_of doc) and clears the
+      threshold; dup_of is a real index id.
+    - BEST-MATCH: no other index doc in the candidate's band buckets
+      has a strictly higher brute jaccard... unverifiable without the
+      bands, so assert the weaker exactness: the reported jaccard is
+      the MAX brute jaccard over index docs ONLY when that max comes
+      from a banded candidate — always true here because identical
+      shingle sets share all bands; so assert reported >= any brute
+      jaccard of an IDENTICAL-signature doc.
+    - COMPLETENESS floor: a delta doc with an EXACT text twin in the
+      index (identical shingle set -> identical signature -> all
+      bands shared) is always near_dup at threshold <= 1.0.
+    - every delta doc appears exactly once in the output.
+    """
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    thr = 0.3
+    idx_rows = [(100 + i, t) for i, t in enumerate(idx_texts)]
+    d_rows = [(i, t) for i, t in enumerate(delta_texts)]
+    index_docs = spark.createDataFrame(idx_rows, "doc_id LONG, text STRING")
+    delta_docs = spark.createDataFrame(d_rows, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: r
+        for r in incremental_minhash_dedup(
+            delta_docs, index_docs, verify_threshold=thr
+        ).collect()
+    }
+    assert sorted(out) == [i for i, _ in d_rows]
+
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    def jac(a, b):
+        sa, sb = sh(a), sh(b)
+        return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+    idx_by_id = dict(idx_rows)
+    for did, text in d_rows:
+        r = out[did]
+        if r["status"] == "near_dup":
+            truth = jac(text, idx_by_id[r["dup_of"]])
+            assert truth >= thr
+            assert abs(r["jaccard"] - truth) < 1e-6
+        # exact twin in the index -> must be flagged (all bands shared)
+        twins = [i for i, t in idx_rows if sh(t) == sh(text) and sh(text)]
+        if twins:
+            assert r["status"] == "near_dup"
+            assert r["jaccard"] == 1.0
