@@ -125,6 +125,10 @@ def main() -> None:
     # immediate second run, a load spike doesn't.
     RERUN_CUTOFF = 2.0
     REGRESS_RATIO = 1.3
+    bench_mode = (
+        f"best-of-2-under-{RERUN_CUTOFF}s"
+        f"-or-over-{REGRESS_RATIO}x-prev;memoized-steady-state"
+    )
     prev_timings: dict[str, float] = {}
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     import re as _re
@@ -204,10 +208,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "bench_mode": (
-            f"best-of-2-under-{RERUN_CUTOFF}s"
-            f"-or-over-{REGRESS_RATIO}x-prev;memoized-steady-state"
-        ),
+        "bench_mode": bench_mode,
         "n_rerun": n_rerun,
         "load_avg_start": load_start,
         "load_avg_end": load_end,
@@ -260,10 +261,7 @@ def main() -> None:
                 "queries": compact_queries,
                 "detail_file": "BENCH_DETAIL.json",
                 "sf": sf,
-                "bench_mode": (
-            f"best-of-2-under-{RERUN_CUTOFF}s"
-            f"-or-over-{REGRESS_RATIO}x-prev;memoized-steady-state"
-        ),
+                "bench_mode": bench_mode,
                 "load_avg": [load_start, load_end],
             }
         )

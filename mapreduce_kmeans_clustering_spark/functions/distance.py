@@ -36,9 +36,19 @@ def safe_cosine(dot: Column, na: Column, nb: Column) -> Column:
     predicate and sorts last under a desc rank — undefined similarity
     is never a match. The numpy twins get the same verdicts for free
     (IEEE NaN comparisons are false), which is what keeps the BLAS
-    paths pinned equal."""
+    paths pinned equal.
+
+    The QUOTIENT is guarded too, not just the denominator (ADVICE r8,
+    generalized round 9): an Inf vector component makes the norms —
+    and so ``den`` — Inf, which passes a den-only guard, while
+    ``dot/den`` is Inf/Inf = NaN; under Spark's NaN-greatest
+    comparison semantics that NaN would outrank every real neighbor
+    and pass every threshold. Nulling it here fixes every consumer at
+    once (near-dup pairs, SemDeDup, kNN graph, hard negatives, the
+    ANN top-k family) instead of one filter at a time."""
     den = na * nb
-    return F.when((den != 0) & ~F.isnan(den), dot / den)
+    q = dot / den
+    return F.when((den != 0) & ~F.isnan(den) & ~F.isnan(q), q)
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:

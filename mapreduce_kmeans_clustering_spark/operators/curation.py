@@ -589,12 +589,13 @@ def semantic_decontam(
     hits = (
         t.join(F.broadcast(bm), "_bucket")
         .select("train_id", "bench_id", cos.alias("cos"))
-        # NaN guard (ADVICE r8): an Inf embedding component makes
-        # dot/den NaN while the norms stay finite, and Spark orders
-        # NaN ABOVE every double — so a bare `cos >= threshold` would
-        # admit the pair and max(cos) would then elect the undefined
-        # similarity as the best match. Undefined similarity is never
-        # a match, in either form of the operator.
+        # NaN guard (ADVICE r8): an Inf embedding component used to
+        # make dot/den NaN, which Spark's NaN-greatest comparison
+        # semantics would admit past `cos >= threshold` AND elect as
+        # the max(cos) best match. safe_cosine now nulls NaN quotients
+        # for every consumer (round-9 generalization); the explicit
+        # ~isnan here stays as belt-and-suspenders because the DuckDB
+        # oracle carries the same literal predicate.
         .where((F.col("cos") >= threshold) & ~F.isnan(F.col("cos")))
         # materialized once (the _ivf_assigned buffer-pool pattern):
         # both aggregation passes below read the filtered hit rows —

@@ -592,6 +592,26 @@ def incremental_minhash_dedup(
             band_width,
             id_col,
         )
+    else:
+        # A stored index banded with different parameters would match
+        # NOTHING in the equi-join — every arrival 'new' forever, a
+        # silent recall-0 dedup. Cheaply probe what the data can
+        # prove: band_sig carries band_width '|'-joined minhashes, so
+        # a width mismatch is one first() away. (The hash-seed family
+        # and shingle n are not recoverable from the rows — matching
+        # them is the caller's contract, stated here loudly.)
+        probe = index_band_table.select("band_sig").first()
+        if probe is not None:
+            got_w = probe["band_sig"].count("|") + 1
+            if got_w != band_width:
+                raise ValueError(
+                    f"index_band_table was banded with band_width="
+                    f"{got_w}, but this call uses band_width="
+                    f"{band_width} — the (band, band_sig) join would "
+                    "match nothing and every arrival would pass as "
+                    "'new'. Rebuild the index or pass matching "
+                    "num_hashes/band_width/n."
+                )
     idx = index_band_table.select(
         F.col(id_col).alias("_ib"), "band", "band_sig"
     ).localCheckpoint(eager=False)

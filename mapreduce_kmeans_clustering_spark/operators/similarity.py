@@ -515,6 +515,11 @@ def hard_negatives(
             "negative_label",
             cosine_similarity(F.col("qv"), F.col("cv")).alias("cos"),
         )
+        # undefined similarity (zero/Inf/NaN vectors -> NULL cos) is
+        # never MINED: a hard negative with no defined cosine is
+        # garbage training signal (the top-k SEARCH family keeps such
+        # rows ranked last as a diagnostic — different contract)
+        .where(F.col("cos").isNotNull())
     )
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("cos").desc(), F.col("negative_id")

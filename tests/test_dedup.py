@@ -771,3 +771,69 @@ def test_two_day_incremental_loop_with_index_extension(spark):
         day2, ingested, verify_threshold=0.3, index_band_table=idx1
     ).collect()
     assert hit[0]["status"] == "near_dup" and hit[0]["dup_of"] == 1
+
+
+def test_inf_component_never_matches_any_cosine_consumer(spark):
+    """safe_cosine guards the QUOTIENT, not just the denominator
+    (round-9 generalization of ADVICE r8): an Inf component makes
+    den = Inf pass a den-only guard while dot/den = NaN — which
+    Spark's NaN-greatest semantics would rank above every real
+    neighbor. The Inf vector must contribute no pair/edge in any
+    cosine consumer, and the BLAS twin must agree (numpy NaN
+    comparisons are False for free)."""
+    inf = float("inf")
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),  # true dup of 0
+        (2, [inf, 0.1, 0.1, 0.1]),  # undefined similarity to everything
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    pairs = {
+        (r["a"], r["b"])
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.5, dim=4, planes=2
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+    blas = {
+        (r["a"], r["b"])
+        for r in embedding_near_dup_blas(
+            emb, threshold=0.5, dim=4, planes=2
+        ).collect()
+    }
+    assert pairs == blas
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    sd = {
+        r["vec_id"]: r["status"]
+        for r in semantic_dedup(emb, k=2, threshold=0.5, dim=4).collect()
+    }
+    assert sd[1] == "prune" and sd[2] == "keep"  # undefined never prunes
+
+
+def test_incremental_dedup_rejects_mismatched_index_banding(spark):
+    """A stored band index built with a different band_width must be
+    rejected loudly — the (band, band_sig) equi-join would silently
+    match nothing and every arrival would pass as 'new'."""
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        lsh_bands,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id LONG, text STRING",
+    )
+    wide = lsh_bands(minhash_signatures(docs, num_hashes=8), band_width=4)
+    delta = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today again")],
+        "doc_id LONG, text STRING",
+    )
+    with pytest.raises(ValueError, match="band_width"):
+        incremental_minhash_dedup(
+            delta, docs, band_width=2, index_band_table=wide
+        )

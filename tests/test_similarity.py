@@ -439,3 +439,35 @@ def test_knn_graph_auto_planes_default(emb):
         map(tuple, knn_graph(emb, k=2, dim=4, planes=p).collect())
     )
     assert auto == pinned
+
+
+def test_inf_vector_never_ranks_in_knn_or_hard_negatives(spark):
+    """kNN graph / hard negatives rank by cos desc — a NaN cosine
+    would take rank 1 under Spark's NaN-greatest ordering. With the
+    quotient-guarded safe_cosine an Inf vector's similarities are
+    NULL (sort last, fail thresholds) so it never outranks a real
+    neighbor."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.operators.similarity import (
+        hard_negatives,
+        knn_graph,
+    )
+
+    inf = float("inf")
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], "a"),
+        (1, [1.0, 0.01, 0.0, 0.0], "b"),
+        (2, [inf, 0.1, 0.1, 0.1], "b"),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label STRING"
+    )
+    g = knn_graph(emb.select("vec_id", "embedding"), k=1, dim=4, planes=1)
+    got = {(r["src"], r["dst"]): r["cos"] for r in g.collect()}
+    # 0's best neighbor is the REAL near-parallel vector, never the Inf one
+    assert (0, 1) in got and got[(0, 1)] is not None
+    assert (0, 2) not in got
+    hn = hard_negatives(emb, anchor_ids=[0], k=2, dim=4, planes=1).collect()
+    ids = [r["negative_id"] for r in hn]
+    assert ids and 2 not in ids  # the undefined-cos candidate never mined
