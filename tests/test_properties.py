@@ -461,3 +461,39 @@ def test_incremental_dedup_precision_property(spark, idx_texts, delta_texts):
         if twins:
             assert r["status"] == "near_dup"
             assert r["jaccard"] == 1.0
+
+
+@given(
+    texts=st.lists(_doc, min_size=2, max_size=6),
+)
+@SETTINGS
+def test_semantic_and_incremental_threshold_monotonicity(spark, texts):
+    """Raising the verify threshold can only SHRINK the flagged set —
+    for semantic_dedup's prune set and incremental_minhash_dedup's
+    near_dup set alike (the candidate/blocking stage is
+    threshold-independent, so monotonicity must be exact, not
+    approximate)."""
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    idx = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(texts)],
+        "doc_id LONG, text STRING",
+    )
+    delta = spark.createDataFrame(
+        [(0, texts[0]), (1, texts[-1] + " extra tail words here")],
+        "doc_id LONG, text STRING",
+    )
+
+    def flagged(thr):
+        return {
+            r["doc_id"]
+            for r in incremental_minhash_dedup(
+                delta, idx, verify_threshold=thr
+            ).collect()
+            if r["status"] == "near_dup"
+        }
+
+    lo, hi = flagged(0.2), flagged(0.7)
+    assert hi <= lo
