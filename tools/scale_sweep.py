@@ -86,6 +86,10 @@ SWEEP_QUERIES = [
     "q_embed_cov",
     "q_approx_distinct",
     "q_conversion_isotonic",
+    # the flagship itself: convergent 3-D Lloyd over the
+    # lineitem-derived points relation, full build (scan + derive +
+    # iterate-to-convergence + label)
+    "fit_converge_kmeans",
 ]
 
 
@@ -124,6 +128,7 @@ QUERY_TABLES = {
     "q_embed_cov": {"embeddings"},
     "q_approx_distinct": {"lineitem"},
     "q_conversion_isotonic": {"events"},
+    "fit_converge_kmeans": {"lineitem"},
 }
 
 
@@ -325,6 +330,32 @@ def _embed_near_dup_auto():
     return run
 
 
+def _fit_converge():
+    """Convergent K-Means fit over the lineitem-derived points — the
+    reference workload itself at ×10/×100. Clears the per-application
+    points/seeds memos so each timed run pays the FULL build (scan +
+    derive + persist + iterate + label), the number a cluster operator
+    actually budgets."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark import queries as Q
+    from mapreduce_kmeans_clustering_spark.plans.kmeans import fit, label
+
+    def run(spark, sf_dir):
+        for cache in (Q._POINTS_CACHE, Q._SEEDS_CACHE, Q._CHAIN_CACHE):
+            for v in list(cache.values()):
+                if hasattr(v, "unpersist"):
+                    v.unpersist()
+            cache.clear()
+        pts = Q.scale_points(spark, sf_dir)
+        res = fit(pts, Q.scale_seeds(spark, sf_dir), max_iter=30, threshold=5.0)
+        return label(pts, res.centroids).groupBy("cluster").agg(
+            F.count("*").alias("n")
+        )
+
+    return run
+
+
 def _knn_graph_auto():
     """knn_graph with planes=None — the shipped corpus-aware default;
     the all-vectors in-bucket self-join is the third fixed-blocking
@@ -469,6 +500,8 @@ def main() -> None:
             fn_small = fn_big = _semantic_dedup_auto_k()
         elif name == "q_knn_graph_auto_planes":
             fn_small = fn_big = _knn_graph_auto()
+        elif name == "fit_converge_kmeans":
+            fn_small = fn_big = _fit_converge()
         else:
             fn_small = fn_big = ALL_QUERIES[name]
         t_small = time_query(fn_small, spark, SRC)
