@@ -90,6 +90,8 @@ SWEEP_QUERIES = [
     # lineitem-derived points relation, full build (scan + derive +
     # iterate-to-convergence + label)
     "fit_converge_kmeans",
+    "q_curation_pipeline",
+    "q_bpe_train",
 ]
 
 
@@ -129,6 +131,8 @@ QUERY_TABLES = {
     "q_approx_distinct": {"lineitem"},
     "q_conversion_isotonic": {"events"},
     "fit_converge_kmeans": {"lineitem"},
+    "q_curation_pipeline": {"documents"},
+    "q_bpe_train": {"documents"},
 }
 
 
