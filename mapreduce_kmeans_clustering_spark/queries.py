@@ -523,46 +523,57 @@ from mapreduce_kmeans_clustering_spark.queries_pipeline import (  # noqa: E402
 # tests/test_oracle_parity.py (the local mirror of the driver's DuckDB
 # gate).
 #
-# Round-9 rotation (executes VERDICT r8 item 1, with one policy-rule-2
-# substitution): closes cumulative driver coverage at 211/211. Slot
-# budget (38 = 50-row driver window minus the 12 K-Means pins):
-#   * 7 never-verified keys registered after the r8 window froze
-#     (the round-8 quality-curation / linkage / keep-best additions);
-#   * 5 round-3-stale spill keys carried from the r8 plan;
-#   * 1 key whose semantics changed in round 9 AFTER its last driver
-#     pass — q_semantic_decontam (ADVICE r8: `~isnan(cos)` guard added
-#     to the hits filter at curation.py; output is identical on all
-#     test data — no Inf/NaN embedding components exist — but the
-#     predicate changed after its r5 green, so policy rule 2 says it
-#     rides, displacing the 26th refresher);
-#   * 25 oldest round-4-stale refreshers in registry order (the r4
-#     cohort holds 37 keys; the remaining 12 spill to round 10).
-# Keys in this window that ADVICE r8 fixes also touch —
-# q_quality_auc (binary_auc DECIMAL rework), q_contamination_sources
-# and q_dedup_keep_best (integer `div` pack decode) — are verified by
-# the driver AFTER the fixes land, which is the correct order.
+# Round-10 rotation (executes VERDICT r9 item 1, as pre-planned in
+# QUERIES.md at round-9 close, with one census correction): closes
+# cumulative driver coverage at 214/214 and raises the staleness
+# floor to round 5. Slot budget (38 = 50-row driver window minus the
+# 12 K-Means pins):
+#   * 3 never-verified keys registered after the r9 window froze
+#     (the round-9 incremental-dedup / drift / split additions);
+#   * 13 keys whose semantics changed in round 9 AFTER their last
+#     driver pass (policy rule 2): the safe_cosine quotient-NaN guard
+#     (functions/distance.py) and the hard_negatives NULL-cos mining
+#     filter are predicate changes touching every cosine-family
+#     registered key — outputs verified identical at all test SFs
+#     (zero degenerate vectors in the embeddings tables + full mirror
+#     green), but the policy requires the ride. Exact list enumerated
+#     by source inspection at round-9 close (QUERIES.md);
+#     q_kcenter_seeds excluded (squared-distance trace, not cosine).
+#     Two of these — q_dedup_semantic and q_knn_graph — are ALSO
+#     re-pinned this round to the corpus-aware defaults (k=None /
+#     planes=None, VERDICT r9 item 2), so the driver certifies the
+#     scale-safe forms, not the measured-quadratic constants;
+#   * 11 round-4-stale spill keys carried from the r9 plan (the
+#     pre-plan said 12, but its r4 list double-counted
+#     q_dedup_semantic, which is both r4-stale and rule-2 — the
+#     recomputed census puts the unique r4 remainder at 11);
+#   * 11 oldest round-5-stale refreshers in registry order (the r5
+#     cohort holds 36 keys after the rule-2 exclusions; the
+#     remaining 25 carry to round 11).
 # Rotation policy: set ONCE at round start, never mid-round (see
 # QUERIES.md "Driver coverage cap + rotation").
 DRIVER_ROTATION: list[str] = [
-    # -- never driver-verified (registered after the r8 freeze) --
-    "q_quality_ensemble", "q_contamination_sources", "q_quality_auc",
-    "q_quality_calibration", "q_linkage_entities", "q_dup_fraction",
-    "q_dedup_keep_best",
-    # -- round-3-stale spills from the r8 window plan --
-    "q_events_retention", "q_nation_flow", "q_events_rollup",
-    "q_value_quantile_sketch", "q_text_lr_score",
-    # -- modified in round 9 after its last driver pass (rule 2) --
-    "q_semantic_decontam",
-    # -- oldest round-4 refreshers (registry order) --
-    "q_doc_pack", "q_user_heavy_hitters", "q_events_dense_hours",
-    "q_latest_event_per_user", "q_sql_interface", "q_forecast_revenue",
-    "q_shipping_modes", "q_important_parts", "q_value_outliers",
-    "q_dedup_passages", "q_events_multitouch", "q_revenue_mom",
-    "q_lineitem_expectations", "q_corpus_shard_manifest",
-    "q_value_winsorized", "q_orders_fx", "q_user_lifetime",
-    "q_source_overlap", "q_token_zipf", "q_events_dow_hour",
-    "q_brand_type_share", "q_customer_rfm", "q_session_conversion",
-    "q_order_backlog", "q_custdist",
+    # -- never driver-verified (registered after the r9 freeze) --
+    "q_dedup_index_delta", "q_source_quality_drift",
+    "q_leakage_safe_split",
+    # -- rule-2: cosine-family keys touched by the round-9
+    #    safe_cosine / hard_negatives predicate changes --
+    "q_dedup_embed", "q_knn_graph", "q_ann_topk", "q_ann_lsh",
+    "q_ann_ivf", "q_ann_recall", "q_ann_ivfpq", "q_ann_ivfpq_recall",
+    "q_ann_dim_recall", "q_embed_diverse", "q_dedup_semantic",
+    "q_hard_negatives", "q_retrieval_metrics",
+    # -- round-4-stale spills from the r9 window plan (registry
+    #    order; q_dedup_semantic rides the rule-2 block above) --
+    "q_sole_return_supplier", "q_min_cost_supplier",
+    "q_events_rollup_incremental", "q_shipping_priority",
+    "q_local_supplier_volume", "q_market_share", "q_product_profit",
+    "q_ship_lag_priority", "q_part_supplier_variety",
+    "q_small_qty_revenue", "q_promotable_suppliers",
+    # -- oldest round-5 refreshers (registry order) --
+    "q_lang_confusion", "q_dedup_exact", "q_dedup_minhash",
+    "q_minhash_accuracy", "q_dedup_jaccard", "q_dedup_groups",
+    "q_dedup_simhash", "q_kmeans_nd_step", "q_pq_encode", "q_pq_adc",
+    "q_fuzzy_suppliers",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
