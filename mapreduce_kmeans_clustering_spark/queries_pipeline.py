@@ -431,10 +431,13 @@ def q_knn_graph(spark, sf_dir):
     cosine neighbors (operators/similarity.knn_graph) — the graph
     substrate for connectivity-based curation; bucket equi-join +
     per-source rank window, never n^2."""
-    # planes pinned at the operator's historical fixed default (the
-    # operator default is now corpus-aware — similarity.auto_planes);
-    # the oracle replays this exact 8-plane bucketing
-    g = SIM.knn_graph(_emb(spark, sf_dir), k=KNN_K, planes=8)
+    # planes=None → similarity.auto_planes(count): the corpus-aware
+    # blocking rule (4 + ceil(log2(n/2000)), capped at 24) that keeps
+    # per-bucket occupancy ~constant as the corpus grows — the fixed
+    # planes=8 form this replaced measured e = 1.07 / 176 s at ×100 vs
+    # 0.50 / 20.7 s auto (SCALE.md §8, VERDICT r9 item 2). The oracle
+    # replays the same rule with a gated 24-term bucket expression.
+    g = SIM.knn_graph(_emb(spark, sf_dir), k=KNN_K, planes=None)
     return g.select("src", "dst", "rank", F.round("cos", 6).alias("cos"))
 
 
@@ -4194,12 +4197,14 @@ def q_incremental_join_view(spark, sf_dir):
 
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup verdicts over the embeddings corpus: assign to the
-    first-KMEANS_ND_K seed centroids, prune in-cluster cosine near-dups
-    (min-id survivor). Pair space bounded by cluster blocks — the
-    cluster-then-prune scale path for embedding dedup (see
-    operators/dedup.semantic_dedup)."""
+    first-k seed centroids, prune in-cluster cosine near-dups (min-id
+    survivor). k=None → dedup.suggested_semantic_k(count) ~ sqrt(n),
+    so expected block size is also ~sqrt(n) and total in-cluster pair
+    work stays O(n·sqrt-block) — the fixed k=8 form this replaced
+    measured e = 1.10 at ×10 (SCALE.md §8, VERDICT r9 item 2). The
+    oracle mirrors k = greatest(8, round(sqrt(count(*)))) in SQL."""
     return D.semantic_dedup(
-        _emb(spark, sf_dir), k=KMEANS_ND_K, threshold=SEMDEDUP_THRESHOLD
+        _emb(spark, sf_dir), k=None, threshold=SEMDEDUP_THRESHOLD
     )
 
 
@@ -4562,6 +4567,25 @@ _PLANE_BUCKET = " + ".join(
 _PLANE_BUCKET4 = " + ".join(
     f"CASE WHEN list_inner_product(v, {lit}) > 0 THEN {1 << p} ELSE 0 END"
     for p, lit in enumerate(SIM.sql_plane_literal(planes=LSH_PLANES))
+)
+
+# Corpus-aware bucket: mirrors similarity.auto_planes — plane p
+# contributes its bit only when p < npl (the data-dependent plane
+# count computed in a `pl` CTE), over the full AUTO_PLANES_MAX=24
+# plane set. Same rule as the Python side: 4 planes at or below the
+# 2000-vector reference corpus, +1 per corpus doubling, capped at 24.
+_PLANE_BUCKET_AUTO = " + ".join(
+    f"CASE WHEN {p} < npl AND list_inner_product(v, {lit}) > 0 "
+    f"THEN {1 << p} ELSE 0 END"
+    for p, lit in enumerate(
+        SIM.sql_plane_literal(planes=SIM.AUTO_PLANES_MAX)
+    )
+)
+_AUTO_PLANES_SQL = (
+    f"CASE WHEN count(*) <= {SIM.AUTO_PLANES_REF_N} "
+    f"THEN {SIM.AUTO_PLANES_BASE} "
+    f"ELSE least({SIM.AUTO_PLANES_MAX}, {SIM.AUTO_PLANES_BASE} "
+    f"+ CAST(ceil(log2(count(*) / {SIM.AUTO_PLANES_REF_N}.0)) AS INT)) END"
 )
 
 _QUALITY = (
@@ -5052,7 +5076,9 @@ p AS (SELECT a.vec_id AS a, b.vec_id AS b, a.v AS va, b.v AS vb
 SELECT a, b, round({_COS}, 6) AS cos FROM p WHERE {_COS} >= {EMBED_DUP_THRESHOLD}""",
     "q_knn_graph": f"""
 WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-vb AS (SELECT vec_id, v, {_PLANE_BUCKET} AS bucket FROM ve),
+pl AS (SELECT {_AUTO_PLANES_SQL} AS npl FROM ve),
+vb AS (SELECT vec_id, v, {_PLANE_BUCKET_AUTO} AS bucket
+       FROM ve CROSS JOIN pl),
 p AS (SELECT a.vec_id AS a, b.vec_id AS b, a.v AS va, b.v AS vb
       FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
 c AS (SELECT a, b, {_COS} AS cos FROM p
@@ -6427,8 +6453,12 @@ PIPELINE_ORACLES.update(
     {
         "q_dedup_semantic": f"""
 WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-sd AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid, v AS c
-       FROM ve ORDER BY vec_id LIMIT {KMEANS_ND_K}),
+kk AS (SELECT greatest(8, CAST(round(sqrt(count(*)), 0) AS INT)) AS k
+       FROM ve),
+sd AS (SELECT cid, c FROM (
+         SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid,
+                v AS c
+         FROM ve) seeds CROSS JOIN kk WHERE cid < k),
 asg AS (
   SELECT vec_id, v, cid AS cluster FROM (
     SELECT a.vec_id, a.v, s.cid,
@@ -9333,10 +9363,21 @@ r AS (SELECT anchor_id, negative_id, anchor_label, negative_label,
              {_COS} AS cos,
              row_number() OVER (PARTITION BY anchor_id
                                 ORDER BY {_COS} DESC, negative_id) AS rank
-      FROM s)
+      FROM s
+      WHERE sqrt(list_inner_product(va, va))
+              * sqrt(list_inner_product(vb, vb)) <> 0
+        AND NOT isnan({_COS}))
 SELECT anchor_id, negative_id, anchor_label, negative_label,
        CAST(rank AS INT) AS rank, round(cos, 6) AS cos
 FROM r WHERE rank <= {HARDNEG_K}"""
+# ^ the WHERE mirrors the engine's undefined-cosine MINING exclusion
+# (similarity.hard_negatives filters cos IS NOT NULL, i.e.
+# functions/distance.safe_cosine's den==0 / NaN-den / NaN-quotient
+# cases — a NaN den forces a NaN quotient, so den<>0 + NOT isnan(cos)
+# covers all three). Vacuous on the test fixtures (zero degenerate
+# vectors), verified row-identical at all 3 SFs when added (ADVICE
+# r9): the latent parity break only fired on corpora with zero/Inf
+# vectors, where the oracle ranked undefined-cos rows first.
 
 PIPELINE_ORACLES["q_class_balance"] = """
 WITH e AS (SELECT vec_id, label FROM embeddings),

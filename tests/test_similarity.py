@@ -471,3 +471,67 @@ def test_inf_vector_never_ranks_in_knn_or_hard_negatives(spark):
     hn = hard_negatives(emb, anchor_ids=[0], k=2, dim=4, planes=1).collect()
     ids = [r["negative_id"] for r in hn]
     assert ids and 2 not in ids  # the undefined-cos candidate never mined
+
+
+def test_hard_negatives_oracle_mirrors_undefined_cos_exclusion(spark, tmp_path):
+    """ADVICE r9 (medium): the q_hard_negatives DuckDB oracle must
+    mirror the engine's undefined-cosine MINING exclusion
+    (similarity.hard_negatives filters cos IS NOT NULL). Before the
+    mirror, a zero vector sharing an anchor's bucket ranked as a
+    NULL-cos row (DuckDB x/0 -> NULL) and an Inf vector's Inf/Inf
+    cosine ranked FIRST (DuckDB sorts NaN greatest desc) — a latent
+    parity break the fixture tables never fired (zero degenerate
+    vectors). This pins engine == oracle on a corpus that HAS them,
+    and that the pre-fix oracle form diverges."""
+    import duckdb
+
+    from mapreduce_kmeans_clustering_spark.operators.similarity import (
+        hyperplanes,
+    )
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        PIPELINE_ORACLES,
+        PIPELINE_QUERIES,
+    )
+
+    hp = hyperplanes(64, 4)
+    # anchor A: all 4 plane dots < 0 -> bucket 0 (shared with the zero
+    # vector, whose dots are all exactly 0); anchor B: dots (-,+,+,+)
+    # -> bucket 14 (shared with the Inf vector: dots -Inf,Inf,Inf,Inf)
+    va = [-(hp[0][d] + hp[1][d] + hp[2][d] + hp[3][d]) / 4.0 for d in range(64)]
+    wb = [(-hp[0][d] + hp[1][d] + hp[2][d] + hp[3][d]) / 4.0 for d in range(64)]
+    rows = [
+        (0, "a", va),
+        (1, "a", wb),
+        (20, "b", [0.0] * 64),                      # zero vec, bucket 0
+        (21, "b", [x * 0.9 for x in va]),           # real cand, bucket 0
+        (22, "b", [float("inf")] + [0.0] * 63),     # Inf vec, bucket 14
+        (23, "b", [x * 0.8 for x in wb]),           # real cand, bucket 14
+    ]
+    spark.createDataFrame(
+        rows, "vec_id LONG, label STRING, embedding ARRAY<DOUBLE>"
+    ).coalesce(1).write.parquet(f"{tmp_path}/embeddings.parquet")
+
+    eng = sorted(
+        tuple(r)
+        for r in PIPELINE_QUERIES["q_hard_negatives"](spark, str(tmp_path))
+        .collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    new_sql = PIPELINE_ORACLES["q_hard_negatives"]
+    got = sorted(map(tuple, con.sql(new_sql).fetchall()))
+    assert eng == got
+    # real candidates mined, degenerate ones excluded, on both sides
+    mined = {(r[0], r[1]) for r in eng}
+    assert (0, 21) in mined and (1, 23) in mined
+    assert all(neg not in (20, 22) for _, neg in mined)
+    # the pre-fix oracle (no undefined-cos WHERE) must diverge here
+    start = new_sql.index("\n      WHERE sqrt")
+    end = new_sql.index(")\nSELECT anchor_id", start)
+    old_sql = new_sql[:start] + new_sql[end:]
+    assert old_sql != new_sql
+    old = sorted(map(tuple, con.sql(old_sql).fetchall()))
+    assert old != eng
