@@ -16,6 +16,35 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def latest_prev_timings(repo_dir: str) -> dict[str, float]:
+    """The previous round's per-query timings, from the most recent
+    BENCH_DETAIL_r{N}.json. Returns the file's actual MATCHED name's
+    contents (ADVICE r9: never rebuild the name from the round number
+    — a :02d reconstruction misses an unpadded BENCH_DETAIL_r9.json
+    the regex accepted). Empty dict when no snapshot exists."""
+    import re as _re
+
+    prev_files = [
+        (int(m.group(1)), f)
+        for f in os.listdir(repo_dir)
+        if (m := _re.fullmatch(r"BENCH_DETAIL_r(\d+)\.json", f))
+    ]
+    if not prev_files:
+        return {}
+    with open(os.path.join(repo_dir, max(prev_files)[1])) as fh:
+        return json.load(fh).get("queries", {})
+
+
+def should_rerun(
+    t: float, prev: float | None, cutoff: float, ratio: float
+) -> bool:
+    """Best-of-2 rerun rule: always under the cutoff; otherwise when
+    the first run regressed past ratio×prev. ``prev is not None``,
+    not truthiness (ADVICE r9): a recorded 0.0 timing must still arm
+    the regression comparison."""
+    return t < cutoff or (prev is not None and t > ratio * prev)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -129,29 +158,16 @@ def main() -> None:
         f"best-of-2-under-{RERUN_CUTOFF}s"
         f"-or-over-{REGRESS_RATIO}x-prev;memoized-steady-state"
     )
-    prev_timings: dict[str, float] = {}
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    import re as _re
-
-    prev_rounds = [
-        int(m.group(1))
-        for f in os.listdir(repo_dir)
-        if (m := _re.fullmatch(r"BENCH_DETAIL_r(\d+)\.json", f))
-    ]
-    if prev_rounds:
-        with open(
-            os.path.join(
-                repo_dir, f"BENCH_DETAIL_r{max(prev_rounds):02d}.json"
-            )
-        ) as fh:
-            prev_timings = json.load(fh).get("queries", {})
+    prev_timings = latest_prev_timings(repo_dir)
     n_rerun = 0
     for name, fn in sorted(ALL_QUERIES.items()):
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         t = time.perf_counter() - t0
-        prev = prev_timings.get(name)
-        if t < RERUN_CUTOFF or (prev and t > REGRESS_RATIO * prev):
+        if should_rerun(
+            t, prev_timings.get(name), RERUN_CUTOFF, REGRESS_RATIO
+        ):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             t = min(t, time.perf_counter() - t0)
@@ -255,9 +271,15 @@ def main() -> None:
                 "metric": "suite_seconds",
                 "value": total,
                 "unit": "sec",
+                # n_queries counts TIMED entries; the detail file's
+                # queries dict also carries the two *_iterations
+                # counters, hence n_detail_entries = n_queries + 2
+                # (the r10 219-vs-221 reconciliation, VERDICT r10
+                # item 8)
                 "n_queries": sum(
                     1 for k in timings if not k.endswith("iterations")
                 ),
+                "n_detail_entries": len(timings),
                 "queries": compact_queries,
                 "detail_file": "BENCH_DETAIL.json",
                 "sf": sf,

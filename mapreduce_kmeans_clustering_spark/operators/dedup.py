@@ -540,6 +540,32 @@ def dedup_pipeline(
     )
 
 
+def validate_band_width(
+    index_band_table: DataFrame, band_width: int
+) -> None:
+    """Loud-fail probe for a stored band index (one ``first()`` job):
+    a table banded with a different ``band_width`` would match NOTHING
+    in the (band, band_sig) equi-join — every arrival 'new' forever, a
+    silent recall-0 dedup. ``band_sig`` carries band_width '|'-joined
+    minhashes, so the width is one row away. (The hash-seed family and
+    shingle n are not recoverable from the rows — matching them is the
+    caller's contract.) Hoisted out of incremental_minhash_dedup so a
+    streaming caller validates ONCE before ``.start()`` instead of
+    paying the probe job every micro-batch (ADVICE r9)."""
+    probe = index_band_table.select("band_sig").first()
+    if probe is not None:
+        got_w = probe["band_sig"].count("|") + 1
+        if got_w != band_width:
+            raise ValueError(
+                f"index_band_table was banded with band_width="
+                f"{got_w}, but this call uses band_width="
+                f"{band_width} — the (band, band_sig) join would "
+                "match nothing and every arrival would pass as "
+                "'new'. Rebuild the index or pass matching "
+                "num_hashes/band_width/n."
+            )
+
+
 def incremental_minhash_dedup(
     delta_docs: DataFrame,
     index_docs: DataFrame,
@@ -550,6 +576,7 @@ def incremental_minhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     index_band_table: DataFrame | None = None,
+    validate_index: bool = True,
 ) -> DataFrame:
     """Index-vs-delta near-dedup — the shape a continuously-fed
     training corpus actually runs daily: an arriving shard
@@ -592,26 +619,11 @@ def incremental_minhash_dedup(
             band_width,
             id_col,
         )
-    else:
-        # A stored index banded with different parameters would match
-        # NOTHING in the equi-join — every arrival 'new' forever, a
-        # silent recall-0 dedup. Cheaply probe what the data can
-        # prove: band_sig carries band_width '|'-joined minhashes, so
-        # a width mismatch is one first() away. (The hash-seed family
-        # and shingle n are not recoverable from the rows — matching
-        # them is the caller's contract, stated here loudly.)
-        probe = index_band_table.select("band_sig").first()
-        if probe is not None:
-            got_w = probe["band_sig"].count("|") + 1
-            if got_w != band_width:
-                raise ValueError(
-                    f"index_band_table was banded with band_width="
-                    f"{got_w}, but this call uses band_width="
-                    f"{band_width} — the (band, band_sig) join would "
-                    "match nothing and every arrival would pass as "
-                    "'new'. Rebuild the index or pass matching "
-                    "num_hashes/band_width/n."
-                )
+    elif validate_index:
+        # validate_index=False is for callers that already ran
+        # validate_band_width on this exact table (the streaming
+        # ingest loop validates once before .start(), not per batch)
+        validate_band_width(index_band_table, band_width)
     idx = index_band_table.select(
         F.col(id_col).alias("_ib"), "band", "band_sig"
     ).localCheckpoint(eager=False)

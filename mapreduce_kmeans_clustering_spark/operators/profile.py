@@ -376,9 +376,11 @@ def binary_auc(
     ~2.3e12 (≈1.5 M rows per class — squarely in-corpus at 100 TB),
     and 2U itself can reach 2·n_pos·n_neg ≈ n²/2. DECIMAL(38,0)
     holds ~1e38, safe past 1e15 rows per class. The reported ``u2``
-    column stays BIGINT for schema continuity (it nulls, not wraps,
-    beyond long range — Spark non-ANSI decimal→long cast); ``auc``
-    is exact at every magnitude.
+    column stays BIGINT for schema continuity via ``try_cast`` — it
+    NULLs beyond long range on both engines (Spark 4's default ANSI
+    mode makes a plain decimal→long cast THROW there, and DuckDB's
+    plain ``::BIGINT`` throws OutOfRange; ADVICE r9); ``auc`` is
+    exact at every magnitude.
     """
     from pyspark.sql.window import Window
 
@@ -423,7 +425,11 @@ def binary_auc(
     return tot.select(
         "n_pos",
         "n_neg",
-        F.col("u2d").cast("long").alias("u2"),
+        # try_cast: under Spark 4's default ANSI mode a plain
+        # decimal->long cast THROWS CAST_OVERFLOW past int64 (it does
+        # not wrap or null); try_cast reports NULL, and the DuckDB
+        # oracle mirrors it with TRY_CAST(u2h AS BIGINT) (ADVICE r9)
+        F.col("u2d").try_cast("long").alias("u2"),
         auc.alias("auc"),
     )
 

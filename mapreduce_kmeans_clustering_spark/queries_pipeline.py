@@ -9784,7 +9784,10 @@ c AS (SELECT n1, n0,
 tot AS (SELECT sum(n1)::BIGINT AS n_pos, sum(n0)::BIGINT AS n_neg,
                sum(n1::HUGEINT * (2 * cum0 + n0)) AS u2h
         FROM c)
-SELECT n_pos, n_neg, u2h::BIGINT AS u2,
+-- TRY_CAST (ADVICE r9): the engine's u2 nulls beyond long range
+-- (Spark non-ANSI decimal->long cast); a plain ::BIGINT would THROW
+-- DuckDB OutOfRange there instead of mirroring the NULL
+SELECT n_pos, n_neg, TRY_CAST(u2h AS BIGINT) AS u2,
        CASE WHEN n_pos > 0 AND n_neg > 0 THEN
          ((u2h * 2000000 + 2 * n_pos::HUGEINT * n_neg)
           // (4 * n_pos::HUGEINT * n_neg))::BIGINT::DOUBLE / 1000000.0

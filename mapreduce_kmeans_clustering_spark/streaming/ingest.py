@@ -127,13 +127,22 @@ def stream_near_dedup_ingest(
         incremental_minhash_dedup,
         lsh_bands,
         minhash_signatures,
+        validate_band_width,
     )
 
+    supplied_index = index_band_table is not None
     if index_band_table is None:
         index_band_table = lsh_bands(
             minhash_signatures(index_docs, num_hashes, n), band_width
         )
     idx = index_band_table.localCheckpoint(eager=True)
+    if supplied_index:
+        # Validate the supplied index ONCE, before .start(): a width
+        # mismatch fails loudly here instead of silently recall-0
+        # inside the stream — and the per-batch path skips the probe
+        # job entirely (ADVICE r9: it used to fire a first() every
+        # micro-batch via incremental_minhash_dedup's default).
+        validate_band_width(idx, band_width)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         verdicts = incremental_minhash_dedup(
@@ -144,6 +153,7 @@ def stream_near_dedup_ingest(
             n=n,
             verify_threshold=verify_threshold,
             index_band_table=idx,
+            validate_index=False,
         )
         verdicts.write.mode("overwrite").parquet(
             f"{out_path}/ingest_batch={epoch_id}"

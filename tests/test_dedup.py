@@ -837,3 +837,18 @@ def test_incremental_dedup_rejects_mismatched_index_banding(spark):
         incremental_minhash_dedup(
             delta, docs, band_width=2, index_band_table=wide
         )
+    # validate_index=False skips the probe (ADVICE r9: for callers
+    # that already ran validate_band_width on this exact table — the
+    # streaming ingest validates once before .start(), not per batch)
+    incremental_minhash_dedup(
+        delta, docs, band_width=2, index_band_table=wide,
+        validate_index=False,
+    )
+    # and the hoisted helper itself raises / passes on the same data
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        validate_band_width,
+    )
+
+    with pytest.raises(ValueError, match="band_width"):
+        validate_band_width(wide, 2)
+    validate_band_width(wide, 4)

@@ -594,3 +594,47 @@ def test_binary_auc_exact_past_bigint_wrap(spark):
     out = binary_auc(big, "s", "y").collect()[0]
     assert out["u2"] == 2 * n * n  # 5.12e12: the U statistic itself
     assert out["auc"] == 1.0
+
+
+def test_binary_auc_u2_overflow_cast_mirrors_across_engines(spark):
+    """ADVICE r9 (low): binary_auc's u2 column NULLs (never throws)
+    past int64 on BOTH sides. Engine: Column.try_cast — under Spark
+    4's default ANSI mode a plain decimal->long cast THROWS
+    CAST_OVERFLOW. Oracle: TRY_CAST(u2h AS BIGINT) — a plain ::BIGINT
+    raises DuckDB OutOfRange. The magnitude needs ~2e9 rows per class
+    to reach organically, so this pins the cast semantics directly
+    plus both committed texts."""
+    import duckdb
+    import pytest as _pt
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        PIPELINE_ORACLES,
+    )
+
+    big = 2**70  # past int64, well inside DECIMAL(38,0)/HUGEINT
+    dec = spark.createDataFrame([(str(big),)], "s STRING").select(
+        F.col("s").cast("decimal(38,0)").alias("d")
+    )
+    assert dec.select(
+        F.col("d").try_cast("long").alias("u2")
+    ).collect()[0]["u2"] is None
+    with _pt.raises(ArithmeticException):
+        dec.select(F.col("d").cast("long")).collect()
+    # DuckDB: TRY_CAST mirrors the NULL; the plain cast throws
+    con = duckdb.connect()
+    assert con.sql(
+        f"SELECT TRY_CAST({big}::HUGEINT AS BIGINT)"
+    ).fetchone()[0] is None
+    with _pt.raises((duckdb.ConversionException, duckdb.OutOfRangeException)):
+        con.sql(f"SELECT {big}::HUGEINT::BIGINT").fetchall()
+    # and the committed texts use the safe forms
+    assert "TRY_CAST(u2h AS BIGINT)" in PIPELINE_ORACLES["q_quality_auc"]
+    import inspect
+
+    from mapreduce_kmeans_clustering_spark.operators.profile import (
+        binary_auc,
+    )
+
+    assert 'try_cast("long")' in inspect.getsource(binary_auc)

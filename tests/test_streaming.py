@@ -966,3 +966,78 @@ def test_stream_near_dedup_ingest_flags_near_copies(spark, tmp_path):
         ).collect()
     }
     assert got == ref
+
+
+def test_stream_near_dedup_validates_supplied_index_once(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r9: the band_width probe must run ONCE before .start()
+    — not one first() job per micro-batch — and a mismatched supplied
+    index must fail loudly before any stream starts."""
+    import json
+
+    import pytest as _pt
+
+    from mapreduce_kmeans_clustering_spark.operators import dedup as D
+    from mapreduce_kmeans_clustering_spark.streaming import ingest as ing
+    from mapreduce_kmeans_clustering_spark.streaming.ingest import (
+        read_documents_stream,
+        stream_near_dedup_ingest,
+    )
+
+    index_docs = spark.createDataFrame(
+        [(1000, "the quick brown fox jumps over the lazy dog today",
+          "en", "web", 50)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    for i, txt in enumerate(
+        ["first novel arrival with fresh words",
+         "second novel arrival with other words"]
+    ):
+        (src / f"{i}.jsonl").write_text(json.dumps(
+            {"doc_id": i + 1, "text": txt, "lang": "en", "source": "web",
+             "n_chars": len(txt)}) + "\n")
+
+    # mismatched width: raises BEFORE .start() (no StreamingQuery)
+    wide = D.lsh_bands(
+        D.minhash_signatures(index_docs, num_hashes=8), band_width=4
+    )
+    with _pt.raises(ValueError, match="band_width"):
+        stream_near_dedup_ingest(
+            read_documents_stream(spark, str(src), max_files_per_trigger=1),
+            index_docs,
+            str(tmp_path / "v0"),
+            str(tmp_path / "c0"),
+            band_width=2,
+            index_band_table=wide,
+        )
+
+    # matched width: the probe fires exactly once for a 2-batch stream
+    calls = {"n": 0}
+    real = D.validate_band_width
+
+    def spy(tbl, w):
+        calls["n"] += 1
+        return real(tbl, w)
+
+    monkeypatch.setattr(D, "validate_band_width", spy)
+    ok = D.lsh_bands(
+        D.minhash_signatures(index_docs, num_hashes=8), band_width=2
+    )
+    q = stream_near_dedup_ingest(
+        read_documents_stream(spark, str(src), max_files_per_trigger=1),
+        index_docs,
+        str(tmp_path / "v1"),
+        str(tmp_path / "c1"),
+        band_width=2,
+        index_band_table=ok,
+    )
+    q.awaitTermination(120)
+    batches = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "v1") + "/ingest_batch=*").collect()
+    }
+    assert batches == {1, 2}
+    assert calls["n"] == 1
