@@ -1049,7 +1049,38 @@ def semantic_assign_expr(cvecs: list[list[float]], vec: str = "_v"):
     O(k) (one zip_with/aggregate pair per centroid, vs O(k * dim)
     arithmetic nodes unrolled — the janino-compile cost that motivated
     the switch), while the serialized plan still carries the k * dim
-    centroid literals themselves."""
+    centroid literals themselves.
+
+    CONSTRUCTION is one ``F.expr`` over a Python-built SQL string, not
+    k·dim Column compositions: the per-element ``F.lit`` path costs a
+    py4j round trip per literal (measured 2.3 s of pure driver time at
+    k=45 × dim=64 — the round-9 'idle regression' of q_dedup_semantic,
+    adjudicated round 11), while one SQL parse of the same tree is
+    ~60 ms. Literals are ``norm_float``-normalized before formatting
+    (the -0.0 plan-literal CSE bug, SCALE.md §7) and rendered with
+    ``repr`` + the ``D`` double suffix — repr round-trips doubles, so
+    the parsed plan carries bit-identical constants. Non-finite
+    components (can't be spelled as SQL double literals) fall back to
+    the Column path."""
+    import math
+
+    from mapreduce_kmeans_clustering_spark.functions.literals import (
+        norm_float,
+    )
+
+    if all(math.isfinite(x) for c in cvecs for x in c):
+        cands = ", ".join(
+            "named_struct('d', aggregate(zip_with(`%s`, array(%s), "
+            "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, d) -> acc + d), "
+            "'cid', %d)"
+            % (
+                vec,
+                ", ".join(f"{norm_float(x)!r}D" for x in c),
+                cid,
+            )
+            for cid, c in enumerate(cvecs)
+        )
+        return F.expr(f"array_min(array({cands}))")["cid"]
     from mapreduce_kmeans_clustering_spark.functions.distance import sqdist_to_const
 
     cands = [

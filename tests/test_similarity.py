@@ -535,3 +535,53 @@ def test_hard_negatives_oracle_mirrors_undefined_cos_exclusion(spark, tmp_path):
     assert old_sql != new_sql
     old = sorted(map(tuple, con.sql(old_sql).fetchall()))
     assert old != eng
+
+
+def test_safe_cosine_nanvl_form_is_the_same_function(spark):
+    """Round-11 evaluation-shape change: safe_cosine moved the
+    quotient guard from `~isnan(q)` INSIDE the WHEN condition to
+    `nanvl(q, NULL)` around it — the condition form evaluated dot/den
+    TWICE per row (no CSE in join predicates; measured 2x the SemDeDup
+    k=8 pair stage). This pins that both spellings are the SAME
+    function — NULL iff den == 0, den NaN, or quotient NaN, else the
+    quotient — over a degenerate grid, so the change is an evaluation
+    strategy, not a semantics change (no rule-2 window ride)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.functions.distance import (
+        safe_cosine,
+    )
+
+    inf, nan = float("inf"), float("nan")
+    rows = [
+        (1.0, 2.0, 3.0),    # ordinary
+        (1.0, 0.0, 3.0),    # zero norm -> NULL
+        (0.0, 0.0, 0.0),    # all zero -> NULL
+        (nan, 2.0, 3.0),    # NaN dot -> NaN quotient -> NULL
+        (1.0, inf, 2.0),    # Inf den, finite dot -> 0.0 (defined)
+        (inf, inf, 1.0),    # Inf/Inf -> NaN -> NULL
+        (1.0, nan, 2.0),    # NaN den -> NULL
+        (-5.0, 2.0, 2.0),   # negative cos
+    ]
+    df = spark.createDataFrame(rows, "dot DOUBLE, na DOUBLE, nb DOUBLE")
+
+    def reference(dot, na, nb):  # the pre-r11 condition spelling
+        den = na * nb
+        q = dot / den
+        return F.when((den != 0) & ~F.isnan(den) & ~F.isnan(q), q)
+
+    got = df.select(
+        safe_cosine(F.col("dot"), F.col("na"), F.col("nb")).alias("n"),
+        reference(F.col("dot"), F.col("na"), F.col("nb")).alias("o"),
+    ).collect()
+    for r in got:
+        assert (r["n"] is None) == (r["o"] is None)
+        if r["n"] is not None:
+            assert r["n"] == r["o"]
+    # the defined Inf-den case (finite dot / Inf den) is 0.0, not NULL
+    vals = df.where(
+        (F.col("na") == float("inf")) & (F.col("dot") == 1.0)
+    ).select(
+        safe_cosine(F.col("dot"), F.col("na"), F.col("nb")).alias("n")
+    ).collect()
+    assert [r["n"] for r in vals] == [0.0]

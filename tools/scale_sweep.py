@@ -450,6 +450,88 @@ def time_query(fn, spark, sf_dir: str) -> float:
     return round(best, 3)
 
 
+def index_delta_sweep(spark, scales=(1, 10, 100)) -> None:
+    """Measure the O(delta) claim of incremental_minhash_dedup
+    (VERDICT r9 item 3): FIXED sf0.1 delta (doc_id % 5 == 0, 1000
+    docs), index side grown ×1/×10/×100 from perturbed replicas of
+    the sf0.1 remainder, with the band table PRE-BUILT and stored as
+    parquet (the at-ingest artifact the operator's contract assumes).
+    The timed run is the daily cost: read stored band index + delta
+    shingle/band + equi-join + candidate-only verification. The
+    exponent is in INDEX size at constant delta — the operator claim
+    is that it stays scan-bound (well under e=1), since the only
+    index-proportional terms are the band-table read and the
+    verification semi-join's corpus scan."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        lsh_bands,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    delta = docs.where(F.col("doc_id") % 5 == 0)
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    root = "/tmp/sweep_index_delta"
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    rows = []
+    for s in scales:
+        # replica 0 is the verbatim sf0.1 index (the delta's true
+        # near-dup structure is identical at every scale); further
+        # replicas perturb every shingle (build_sf1's documents rule)
+        # so corpus mass grows without planting cross-scale matches
+        parts = []
+        for i in range(s):
+            txt = (
+                F.col("text")
+                if i == 0
+                else F.regexp_replace("text", " ", f"{i} ")
+            )
+            parts.append(
+                base.select(
+                    (F.col("doc_id") + F.lit(i * BIG)).alias("doc_id"),
+                    txt.alias("text"),
+                    "lang",
+                    "source",
+                    F.length(txt).cast("long").alias("n_chars"),
+                )
+            )
+        idx_path = f"{root}/x{s}/index_docs.parquet"
+        band_path = f"{root}/x{s}/band_index.parquet"
+        _union(parts).write.parquet(idx_path)
+        index_docs = spark.read.parquet(idx_path)
+        lsh_bands(minhash_signatures(index_docs)).write.parquet(band_path)
+
+        def run(spark_, _sf_dir):
+            return incremental_minhash_dedup(
+                delta,
+                spark.read.parquet(idx_path),
+                index_band_table=spark.read.parquet(band_path),
+            )
+
+        t = time_query(run, spark, SRC)
+        rows.append({"index_scale": s, "t_sec": t})
+        print(json.dumps(rows[-1]), flush=True)
+    e = math.log10(
+        max(rows[-1]["t_sec"], 1e-3) / max(rows[0]["t_sec"], 1e-3)
+    ) / math.log10(scales[-1] / scales[0])
+    print(
+        json.dumps(
+            {
+                "sweep": "index_delta_fixed_delta",
+                "delta_docs": delta.count(),
+                "rows": rows,
+                "exponent_in_index_size": round(e, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
@@ -458,6 +540,12 @@ def main() -> None:
         default=None,
         help="comma-separated subset of SWEEP_QUERIES "
         "(e.g. the ANN family at --replicas 100)",
+    )
+    ap.add_argument(
+        "--index-delta",
+        action="store_true",
+        help="run the fixed-delta / growing-index O(delta) "
+        "measurement instead of the standard sweep",
     )
     args = ap.parse_args()
     targets = args.only.split(",") if args.only else SWEEP_QUERIES
@@ -473,6 +561,10 @@ def main() -> None:
         app_name="mrkc-scale-sweep",
         extra_conf={"spark.driver.memory": "24g"},
     )
+    if args.index_delta:
+        spark.read.parquet(f"{SRC}/documents.parquet").limit(1).count()
+        index_delta_sweep(spark)
+        return
     tables = set()
     for q in targets:
         tables |= QUERY_TABLES.get(
