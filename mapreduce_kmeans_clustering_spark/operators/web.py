@@ -1,0 +1,198 @@
+"""URL/domain-level curation operators (VERDICT r9/r10 item 5): the
+host-keyed stages a web-scale pretraining pipeline runs BEFORE any
+content dedup — URL-exact dedup, per-domain document budgets, and
+per-domain quality aggregation, all keyed on the PARSED REGISTRABLE
+DOMAIN (the "example.co.uk" a crawler treats as one site, not the
+"a.b.example.co.uk" host and not the "co.uk" suffix).
+
+Extends the reference's data model the same way the dedup/text surface
+does (reference: Mandar-1007/MapReduce-KMeans-Clustering has no web
+stage at all — this is the LLM-pipeline extension surface, SURVEY §7
+M6): the documents relation gains a URL column upstream; every
+operator here takes that column explicitly.
+
+Design rules (all plain `pyspark.sql.functions` — scan-local string
+expressions, zero UDFs, zero Python in the hot path; each has a
+byte-identical DuckDB spelling used by the registered oracles):
+
+- **Parsing is a projection.** ``host_expr`` / ``registrable_domain_expr``
+  / ``url_normalize_expr`` compile to regexp/split/slice expressions
+  inside whole-stage codegen; at 100 TB the parse rides the scan and
+  costs no shuffle.
+- **Dedup is a combiner-friendly aggregate.** ``url_dedup`` is
+  groupBy(normalized_url).min(id) + one equi-join back — the min is
+  map-side partial (a billion-copy URL collapses to one row per
+  partition before the exchange), which a window-min over the URL
+  would NOT get.
+- **Budgets are bounded windows.** ``domain_quality_caps`` ranks
+  within the registrable domain; mega-domain skew is the known hazard
+  and the docstring states the 100 TB mitigation.
+
+The multi-part public-suffix handling uses a deliberately small
+built-in suffix set (the common ccTLD second-levels) rather than the
+full Mozilla PSL: the operator takes ``extra_suffixes`` so a real
+deployment can pass the full list; the REGISTERED queries only need
+determinism, not completeness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Common multi-part public suffixes (a representative subset of the
+# PSL's ccTLD second-levels; extend per deployment via extra_suffixes).
+MULTI_SUFFIXES: tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "com.tr",
+    "co.in", "co.kr", "co.za", "co.nz",
+)
+
+# One regex, identical semantics in Java regex (Spark) and DuckDB's
+# RE2: optional scheme (case-insensitive — URL schemes are), optional
+# userinfo, then the host = everything up to the first of [:/?#].
+_HOST_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?([^/:?#]+)"
+
+
+def host_expr(url: Column) -> Column:
+    """Lowercased host of a URL column: scheme, userinfo, port, path,
+    query and fragment stripped — one regexp_extract, scan-local."""
+    return F.lower(F.regexp_extract(url, _HOST_RE, 1))
+
+
+def registrable_domain_expr(
+    url: Column, extra_suffixes: tuple[str, ...] = ()
+) -> Column:
+    """Registrable domain of a URL column: the last two host labels,
+    or the last three when the two-label tail is a known multi-part
+    public suffix (co.uk and friends — MULTI_SUFFIXES plus
+    ``extra_suffixes``). split + slice + array_join: scan-local, no
+    UDF; the suffix check is one IN over a literal list that travels
+    in the plan."""
+    host = host_expr(url)
+    labels = F.split(host, r"\.")
+    last2 = F.array_join(F.slice(labels, -2, 2), ".")
+    last3 = F.when(
+        F.size(labels) >= 3, F.array_join(F.slice(labels, -3, 3), ".")
+    ).otherwise(host)
+    suffixes = list(MULTI_SUFFIXES) + list(extra_suffixes)
+    return F.when(last2.isin(suffixes), last3).otherwise(
+        F.when(F.size(labels) >= 2, last2).otherwise(host)
+    )
+
+
+def url_normalize_expr(url: Column) -> Column:
+    """Canonical URL for exact-URL dedup: lowercase host (with a
+    leading ``www.`` stripped) + path, with scheme, userinfo, port,
+    query and fragment removed and any trailing slash dropped — the
+    CCNet/RefinedWeb-style URL key under which re-crawls of the same
+    page collapse. Pure string expressions, scan-local."""
+    host = F.regexp_replace(host_expr(url), r"^www\.", "")
+    # path = after the host (+ optional port), before ? or #
+    path = F.regexp_extract(
+        url, _HOST_RE + r"(?::[0-9]+)?([^?#]*)", 2
+    )
+    path = F.regexp_replace(path, r"/+$", "")
+    return F.concat(host, path)
+
+
+def url_dedup(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-exact dedup verdict: one row per document with
+    (id, norm_url, status 'keep'|'dup', dup_of) — the lowest id per
+    normalized URL survives, every other copy points at it.
+
+    Scale shape: groupBy(norm_url).min(id) — map-side partial, so a
+    URL re-crawled a billion times combines to one row per partition
+    before the single exchange — then one equi-join back on the URL
+    key (no window over the raw rows, no driver collect). At 100 TB
+    both sides of the join share the norm_url hash partitioning, so
+    AQE plans it as one shuffle."""
+    nu = url_normalize_expr(F.col(url_col))
+    base = docs.select(F.col(id_col), nu.alias("norm_url"))
+    winners = base.groupBy("norm_url").agg(
+        F.min(id_col).alias("_keep_id")
+    )
+    return (
+        base.join(winners, "norm_url")
+        .select(
+            id_col,
+            "norm_url",
+            F.when(F.col(id_col) == F.col("_keep_id"), "keep")
+            .otherwise("dup")
+            .alias("status"),
+            F.when(F.col(id_col) != F.col("_keep_id"), F.col("_keep_id"))
+            .alias("dup_of"),
+        )
+    )
+
+
+def domain_quality_caps(
+    docs: DataFrame,
+    url_col: str = "url",
+    score_col: str = "n_chars",
+    cap: int = 3,
+    id_col: str = "doc_id",
+    extra_suffixes: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-domain document budget (the RefinedWeb-style cap that stops
+    one mega-domain from dominating the corpus): within each
+    registrable domain, rank documents by (score desc, id asc) and
+    keep the top ``cap``. Output: (id, domain, domain_rank) for KEPT
+    docs only.
+
+    Scale shape: one rank window partitioned by the registrable
+    domain — embarrassingly parallel across domains. The known hazard
+    is mega-domain skew (one domain holding 1% of a 100 TB crawl makes
+    one giant partition): the mitigation at that scale is a two-pass
+    cap — pre-aggregate per-domain counts, broadcast the tiny
+    over-cap domain list, and run the full sort-rank ONLY for those
+    domains while small domains pass through a cheap count check.
+    At registered-query scale the single window is the right plan."""
+    from pyspark.sql.window import Window
+
+    dom = registrable_domain_expr(F.col(url_col), extra_suffixes)
+    scored = docs.select(
+        F.col(id_col), dom.alias("domain"), F.col(score_col).alias("_s")
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.col("_s").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("domain_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("domain_rank") <= cap)
+        .select(id_col, "domain", "domain_rank")
+    )
+
+
+def domain_stats(
+    docs: DataFrame,
+    url_col: str = "url",
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+    extra_suffixes: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-registrable-domain aggregation — the curation dashboard
+    row: document count, distinct-host count, mean score. One hash
+    aggregate (map-side partial for count/sum; the distinct-host count
+    is the standard two-phase distinct aggregate on (domain, host) —
+    still combiner-friendly because hosts per domain are few).
+    Output: (domain, n_docs, n_hosts, avg_score)."""
+    dom = registrable_domain_expr(F.col(url_col), extra_suffixes)
+    return (
+        docs.select(
+            dom.alias("domain"),
+            host_expr(F.col(url_col)).alias("_host"),
+            F.col(score_col).alias("_s"),
+            F.col(id_col),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("_host").cast("long").alias("n_hosts"),
+            F.round(F.avg("_s"), 4).alias("avg_score"),
+        )
+    )

@@ -29,6 +29,7 @@ from mapreduce_kmeans_clustering_spark.operators import text as TX
 from mapreduce_kmeans_clustering_spark.functions import sketch as SK
 from mapreduce_kmeans_clustering_spark.operators import packing as PK
 from mapreduce_kmeans_clustering_spark.operators import sampling as S
+from mapreduce_kmeans_clustering_spark.operators import web as W
 
 JACCARD_THRESHOLD = 0.2
 VERIFY_THRESHOLD = 0.3
@@ -10283,3 +10284,281 @@ SELECT doc_id, group_id::BIGINT AS group_id,
          AS moved
 FROM s ORDER BY doc_id"""
 PIPELINE_QUERIES.update({"q_leakage_safe_split": q_leakage_safe_split})
+
+
+# ---------------------------------------------------------------------------
+# Round 11: URL/domain-level curation + multi-benchmark contamination
+# (VERDICT r9/r10 item 5). The documents fixture has no URL column, so
+# the registered queries PLANT one deterministically from (doc_id,
+# source) — the q_dedup_embed planted-input pattern — covering the
+# parse shapes that matter: multi-part public suffix (co.uk), port,
+# userinfo, www., deep subdomains, scheme-less, query + fragment.
+# Operators take a real URL column (operators/web.py).
+# ---------------------------------------------------------------------------
+
+URL_CAP = 3  # per-domain document budget for q_domain_quality_caps
+
+
+def _url_col():
+    """The planted URL column (Spark side; _SQL_URL is the DuckDB
+    twin — keep the two in lockstep)."""
+    d = F.col("doc_id")
+    s = F.col("source")
+
+    def n(x):
+        return x.cast("string")
+
+    return (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("https://sub"), n(d % 3), F.lit("."), s,
+                F.lit(".co.uk:8443/p/"), n(d % 50), F.lit("?sid="), n(d),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(F.lit("http://www."), s, F.lit(".com/p/"), n(d % 50)),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(s, n(d % 5), F.lit(".example.com/x/"), n(d % 20)),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://u:p@deep.a."), s, F.lit(".org/p/"),
+                n(d % 50), F.lit("#f"),
+            )
+        )
+    )
+
+
+_SQL_URL = """CASE
+  WHEN doc_id % 4 = 0 THEN 'https://sub' || (doc_id % 3) || '.' || source
+       || '.co.uk:8443/p/' || (doc_id % 50) || '?sid=' || doc_id
+  WHEN doc_id % 4 = 1 THEN 'http://www.' || source || '.com/p/'
+       || (doc_id % 50)
+  WHEN doc_id % 4 = 2 THEN source || (doc_id % 5) || '.example.com/x/'
+       || (doc_id % 20)
+  ELSE 'https://u:p@deep.a.' || source || '.org/p/' || (doc_id % 50)
+       || '#f' END"""
+
+_SQL_HOST_RE = "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?([^/:?#]+)"
+_SQL_HOST = f"lower(regexp_extract(url, '{_SQL_HOST_RE}', 1))"
+_SQL_SUFFIX_IN = ", ".join(f"'{sfx}'" for sfx in W.MULTI_SUFFIXES)
+_SQL_DOMAIN = f"""CASE
+  WHEN array_to_string(string_split(host, '.')[-2:], '.')
+       IN ({_SQL_SUFFIX_IN})
+  THEN CASE WHEN len(string_split(host, '.')) >= 3
+            THEN array_to_string(string_split(host, '.')[-3:], '.')
+            ELSE host END
+  WHEN len(string_split(host, '.')) >= 2
+  THEN array_to_string(string_split(host, '.')[-2:], '.')
+  ELSE host END"""
+_SQL_NORM_URL = (
+    f"regexp_replace({_SQL_HOST}, '^www\\.', '') || "
+    f"regexp_replace(regexp_extract(url, "
+    f"'{_SQL_HOST_RE}(?::[0-9]+)?([^?#]*)', 2), '/+$', '')"
+)
+
+
+def q_url_host_parse(spark, sf_dir):
+    """URL anatomy over the planted column: host + registrable domain
+    (operators/web.host_expr / registrable_domain_expr) — scan-local
+    string projections, zero shuffles; the suffix list is a plan
+    literal. Exercises co.uk + port, www + com, scheme-less, and
+    userinfo + deep-subdomain shapes at every SF."""
+    d = _docs(spark, sf_dir).select("doc_id", _url_col().alias("url"))
+    return d.select(
+        "doc_id",
+        "url",
+        W.host_expr(F.col("url")).alias("host"),
+        W.registrable_domain_expr(F.col("url")).alias("domain"),
+    )
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-exact dedup verdicts (operators/web.url_dedup): lowest
+    doc_id per NORMALIZED url (scheme/port/query/fragment/www
+    stripped, trailing slash dropped) survives; re-crawls point at it.
+    Combiner-friendly groupBy-min + one equi-join back — never a
+    window over the raw rows."""
+    d = _docs(spark, sf_dir).select("doc_id", _url_col().alias("url"))
+    return W.url_dedup(d).orderBy("doc_id")
+
+
+def q_domain_quality_caps(spark, sf_dir):
+    """Per-domain document budget (operators/web.domain_quality_caps):
+    keep the top-URL_CAP docs per registrable domain by (n_chars desc,
+    doc_id) — the RefinedWeb-style cap that stops one mega-domain from
+    dominating a corpus. One rank window partitioned by domain."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "n_chars", _url_col().alias("url")
+    )
+    return W.domain_quality_caps(d, cap=URL_CAP).orderBy("doc_id")
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-registrable-domain curation dashboard row
+    (operators/web.domain_stats): doc count, distinct hosts, mean
+    n_chars (half-up 4-dp so both engines agree). One hash aggregate."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "n_chars", _url_col().alias("url")
+    )
+    dom = W.registrable_domain_expr(F.col("url"))
+    return (
+        d.select(
+            dom.alias("domain"),
+            W.host_expr(F.col("url")).alias("_host"),
+            "n_chars",
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("_host").cast("long").alias("n_hosts"),
+            F.sum("n_chars").cast("long").alias("_sum"),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            "n_hosts",
+            (
+                F.floor(
+                    F.col("_sum").cast("double")
+                    / F.col("n_docs")
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("avg_chars"),
+        )
+    )
+
+
+PIPELINE_ORACLES.update(
+    {
+        "q_url_host_parse": f"""
+WITH d AS (SELECT doc_id, {_SQL_URL} AS url FROM documents),
+h AS (SELECT doc_id, url, {_SQL_HOST} AS host FROM d)
+SELECT doc_id, url, host, {_SQL_DOMAIN} AS domain FROM h""",
+        "q_url_dedup": f"""
+WITH d AS (SELECT doc_id, {_SQL_URL} AS url FROM documents),
+n AS (SELECT doc_id, {_SQL_NORM_URL} AS norm_url FROM d),
+w AS (SELECT norm_url, min(doc_id) AS keep_id FROM n GROUP BY 1)
+SELECT doc_id, norm_url,
+       CASE WHEN doc_id = keep_id THEN 'keep' ELSE 'dup' END AS status,
+       CASE WHEN doc_id <> keep_id THEN keep_id END AS dup_of
+FROM n JOIN w USING (norm_url) ORDER BY doc_id""",
+        "q_domain_quality_caps": f"""
+WITH d AS (SELECT doc_id, n_chars, {_SQL_URL} AS url FROM documents),
+h AS (SELECT doc_id, n_chars, {_SQL_HOST} AS host FROM d),
+g AS (SELECT doc_id, n_chars, {_SQL_DOMAIN} AS domain FROM h),
+r AS (SELECT doc_id, domain,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY n_chars DESC, doc_id)::INT
+               AS domain_rank
+      FROM g)
+SELECT doc_id, domain, domain_rank FROM r
+WHERE domain_rank <= {URL_CAP} ORDER BY doc_id""",
+        "q_domain_stats": f"""
+WITH d AS (SELECT doc_id, n_chars, {_SQL_URL} AS url FROM documents),
+h AS (SELECT doc_id, n_chars, {_SQL_HOST} AS host FROM d),
+g AS (SELECT doc_id, n_chars, host, {_SQL_DOMAIN} AS domain FROM h)
+SELECT domain, count(*)::BIGINT AS n_docs,
+       count(DISTINCT host)::BIGINT AS n_hosts,
+       floor(sum(n_chars)::DOUBLE / count(*) * 10000.0 + 0.5) / 10000.0
+         AS avg_chars
+FROM g GROUP BY domain""",
+    }
+)
+PIPELINE_QUERIES.update(
+    {
+        "q_url_host_parse": q_url_host_parse,
+        "q_url_dedup": q_url_dedup,
+        "q_domain_quality_caps": q_domain_quality_caps,
+        "q_domain_stats": q_domain_stats,
+    }
+)
+
+
+MULTI_BENCH_MOD_A = 41  # verbatim benchmark subset (cos 1.0 hits)
+MULTI_BENCH_MOD_B = 43  # shifted benchmark (the q_dedup_embed plant)
+MULTI_BENCH_THRESHOLD = 0.9
+
+
+def q_multi_bench_decontam(spark, sf_dir):
+    """ONE-PASS multi-benchmark contamination sweep
+    (operators/curation.multi_semantic_decontam): the train corpus is
+    probed ONCE against the UNION of N named benchmark tables over
+    auto_planes hyperplane buckets; per contaminated (train vector,
+    benchmark): best match + hit count. Benchmarks are planted
+    deterministically — bench_a is a verbatim corpus subset
+    (vec_id % MULTI_BENCH_MOD_A == 0 → cos = 1.0 contamination),
+    bench_b shifts element 1 by +0.25 (exact double arithmetic both
+    engines → near-verbatim paraphrase contamination, same recipe as
+    q_dedup_embed). planes=None → auto_planes(train count): the
+    corpus-aware blocking, mirrored in SQL via the count(*)-derived
+    gated 24-plane bucket."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    bench_a = e.where(F.col("vec_id") % MULTI_BENCH_MOD_A == 0)
+    bench_b = e.where(F.col("vec_id") % MULTI_BENCH_MOD_B == 0).select(
+        "vec_id",
+        F.concat(
+            F.array(
+                F.element_at("embedding", 1) + F.lit(EMBED_PLANT_SHIFT)
+            ),
+            F.slice("embedding", 2, EMBED_PLANT_DIM - 1),
+        ).alias("embedding"),
+    )
+    out = CU.multi_semantic_decontam(
+        e,
+        {"bench_a": bench_a, "bench_b": bench_b},
+        threshold=MULTI_BENCH_THRESHOLD,
+        planes=None,
+    )
+    return out.select(
+        "train_id",
+        "benchmark",
+        "bench_id",
+        F.round("cos", 6).alias("cos"),
+        "n_matches",
+    )
+
+
+PIPELINE_ORACLES["q_multi_bench_decontam"] = f"""
+WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pl AS (SELECT {_AUTO_PLANES_SQL} AS npl FROM ve),
+tb AS (SELECT vec_id AS train_id, v, {_PLANE_BUCKET_AUTO} AS bucket
+       FROM ve CROSS JOIN pl),
+ba AS (SELECT vec_id, v FROM ve WHERE vec_id % {MULTI_BENCH_MOD_A} = 0),
+bb AS (SELECT vec_id,
+              list_concat([v[1] + {EMBED_PLANT_SHIFT}],
+                          v[2:{EMBED_PLANT_DIM}]) AS v
+       FROM ve WHERE vec_id % {MULTI_BENCH_MOD_B} = 0),
+bu AS (SELECT 'bench_a' AS benchmark, vec_id, v FROM ba
+       UNION ALL SELECT 'bench_b', vec_id, v FROM bb),
+bk AS (SELECT benchmark, vec_id AS bench_id, v,
+              {_PLANE_BUCKET_AUTO} AS bucket
+       FROM bu CROSS JOIN pl),
+p AS (SELECT t.train_id, b.benchmark, b.bench_id,
+             t.v AS va, b.v AS vb
+      FROM tb t JOIN bk b USING (bucket)),
+c AS (SELECT train_id, benchmark, bench_id, {_COS} AS cos FROM p
+      WHERE sqrt(list_inner_product(va, va))
+              * sqrt(list_inner_product(vb, vb)) <> 0
+        AND NOT isnan({_COS})),
+hits AS (SELECT * FROM c WHERE cos >= {MULTI_BENCH_THRESHOLD}),
+a1 AS (SELECT train_id, benchmark, max(cos) AS cos,
+              count(*)::BIGINT AS n_matches
+       FROM hits GROUP BY 1, 2)
+SELECT h.train_id, h.benchmark, min(h.bench_id) AS bench_id,
+       round(a1.cos, 6) AS cos, a1.n_matches
+FROM hits h JOIN a1 ON h.train_id = a1.train_id
+  AND h.benchmark = a1.benchmark AND h.cos = a1.cos
+GROUP BY h.train_id, h.benchmark, a1.cos, a1.n_matches"""
+PIPELINE_QUERIES.update({"q_multi_bench_decontam": q_multi_bench_decontam})

@@ -1106,3 +1106,59 @@ def test_leakage_safe_split_scan_local_buckets_no_python(spark):
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
     assert "Window" not in p, p
     assert "md5" in p  # the bucket is computed in the plan, not collected
+
+
+def test_url_family_plans(spark):
+    """Round-11 URL/domain family plan gates: parse is scan-local
+    (zero Exchange/Join), url_dedup's min is a PARTIAL hash aggregate
+    (map-side combine before the single URL-keyed exchange), the
+    domain cap is one window (no cartesian, no Python), and nothing in
+    the family evaluates Python per row."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_domain_quality_caps,
+        q_domain_stats,
+        q_url_dedup,
+        q_url_host_parse,
+    )
+
+    p = _plan(q_url_host_parse(spark, SF))
+    assert "Exchange" not in p and "Join" not in p
+    assert "BatchEvalPython" not in p
+
+    p = _plan(q_url_dedup(spark, SF))
+    assert "partial_min" in p  # combiner-friendly winner selection
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+    assert "Window" not in p  # groupBy+join, never a raw-row window
+
+    p = _plan(q_domain_quality_caps(spark, SF))
+    assert "Window" in p and "row_number" in p
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
+    p = _plan(q_domain_stats(spark, SF))
+    assert "partial_count" in p or "partial_sum" in p
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
+
+def test_multi_bench_decontam_plan(spark, monkeypatch):
+    """One-pass multi-benchmark sweep: the unioned benchmark side is
+    BROADCAST into the train scan (no shuffle on the pair stage), the
+    argmax is hash aggregates (never SortAggregate over the pair
+    stream), and there is no cartesian product or per-row Python.
+    The hits localCheckpoint is neutralized for the assertion — it
+    plans as an opaque RDD-scan leaf that would HIDE the bucket join
+    from the executed-plan text (the same blind spot the
+    semantic_decontam gates accept; here the broadcast is the point)."""
+    import pyspark.sql.classic.dataframe as _cdf
+
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_multi_bench_decontam,
+    )
+
+    monkeypatch.setattr(
+        _cdf.DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+    p = _plan(q_multi_bench_decontam(spark, SF))
+    assert "BroadcastHashJoin" in p  # bench union builds the hash side
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "SortAggregate" not in p

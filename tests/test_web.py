@@ -1,0 +1,143 @@
+"""Behavioral tests for URL/domain-level curation (operators/web.py)
+and the one-pass multi-benchmark contamination sweep."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_kmeans_clustering_spark.operators.web import (
+    domain_quality_caps,
+    domain_stats,
+    host_expr,
+    registrable_domain_expr,
+    url_dedup,
+    url_normalize_expr,
+)
+
+
+@pytest.fixture(scope="module")
+def urls(spark):
+    rows = [
+        (1, "https://sub1.shop.co.uk:8443/p/4?sid=9"),
+        (2, "http://www.shop.co.uk/p/4"),          # same page, re-crawl
+        (3, "HTTPS://WWW.News.COM/a/b/"),          # case + trailing /
+        (4, "https://news.com/a/b"),               # same page
+        (5, "https://u:p@deep.a.site.org/p/2#f"),  # userinfo + fragment
+        (6, "plain.example.com/x"),                # scheme-less
+        (7, "https://localhost/x"),                # single-label host
+        (8, "https://a.b.example.com.au/y"),       # multi-part ccTLD
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, url STRING")
+
+
+def test_host_and_registrable_domain(urls):
+    got = {
+        r["doc_id"]: (r["h"], r["d"])
+        for r in urls.select(
+            "doc_id",
+            host_expr(F.col("url")).alias("h"),
+            registrable_domain_expr(F.col("url")).alias("d"),
+        ).collect()
+    }
+    assert got[1] == ("sub1.shop.co.uk", "shop.co.uk")
+    assert got[2] == ("www.shop.co.uk", "shop.co.uk")
+    assert got[3] == ("www.news.com", "news.com")
+    assert got[5] == ("deep.a.site.org", "site.org")
+    assert got[6] == ("plain.example.com", "example.com")
+    assert got[7] == ("localhost", "localhost")  # no labels to strip
+    assert got[8] == ("a.b.example.com.au", "example.com.au")
+
+
+def test_url_normalize_collapses_recrawls(urls):
+    got = {
+        r["doc_id"]: r["n"]
+        for r in urls.select(
+            "doc_id", url_normalize_expr(F.col("url")).alias("n")
+        ).collect()
+    }
+    # port/query/scheme/www stripped; sub1 vs www differ by host
+    assert got[1] == "sub1.shop.co.uk/p/4"
+    assert got[2] == "shop.co.uk/p/4"
+    assert got[3] == got[4] == "news.com/a/b"  # case + trailing slash
+    assert got[5] == "deep.a.site.org/p/2"     # userinfo + fragment gone
+    assert got[6] == "plain.example.com/x"
+
+
+def test_url_dedup_min_id_wins(urls):
+    got = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in url_dedup(urls).collect()
+    }
+    assert got[3] == ("keep", None)
+    assert got[4] == ("dup", 3)
+    # distinct normalized urls all keep
+    for i in (1, 2, 5, 6, 7, 8):
+        assert got[i] == ("keep", None)
+
+
+def test_domain_quality_caps_budget(spark):
+    rows = [
+        (i, f"https://h{i % 2}.big.com/p/{i}", 100 - i) for i in range(6)
+    ] + [(10, "https://small.org/x", 1)]
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, url STRING, n_chars LONG"
+    )
+    kept = {
+        r["doc_id"]: (r["domain"], r["domain_rank"])
+        for r in domain_quality_caps(docs, cap=2).collect()
+    }
+    # big.com: 6 docs, top-2 by (n_chars desc, id) = ids 0, 1
+    assert set(kept) == {0, 1, 10}
+    assert kept[0] == ("big.com", 1) and kept[1] == ("big.com", 2)
+    assert kept[10] == ("small.org", 1)  # under cap: untouched
+
+
+def test_domain_stats_hosts_and_avg(spark):
+    rows = [
+        (1, "https://a.x.com/1", 10),
+        (2, "https://b.x.com/2", 20),
+        (3, "https://a.x.com/3", 33),
+        (4, "https://y.org/1", 5),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, url STRING, n_chars LONG"
+    )
+    got = {r["domain"]: r for r in domain_stats(docs).collect()}
+    assert got["x.com"]["n_docs"] == 3 and got["x.com"]["n_hosts"] == 2
+    assert got["x.com"]["avg_score"] == 21.0
+    assert got["y.org"]["n_docs"] == 1 and got["y.org"]["n_hosts"] == 1
+
+
+def test_multi_semantic_decontam_names_and_best_match(spark):
+    from mapreduce_kmeans_clustering_spark.operators.curation import (
+        multi_semantic_decontam,
+    )
+
+    train = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    # bench_a holds a verbatim copy of train 0; bench_b holds two
+    # near-copies of train 0 (the lower id must win the tie-free max)
+    bench_a = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    bench_b = spark.createDataFrame(
+        [(200, [0.9, 0.1, 0.0, 0.0]), (201, [0.9, 0.1, 0.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    out = multi_semantic_decontam(
+        train, {"bench_a": bench_a, "bench_b": bench_b},
+        threshold=0.9, dim=4, planes=1,
+    )
+    got = {
+        (r["train_id"], r["benchmark"]): (r["bench_id"], r["n_matches"])
+        for r in out.collect()
+    }
+    assert got[(0, "bench_a")] == (100, 1)
+    assert got[(0, "bench_b")] == (200, 2)  # min id at the tied max cos
+    assert (1, "bench_a") not in got and (1, "bench_b") not in got
+
+    with pytest.raises(ValueError, match="no benchmark"):
+        multi_semantic_decontam(train, {})
