@@ -85,7 +85,16 @@ def bucket_digests(
         F.pmod(digest48(kf), F.lit(nbuckets)).alias("bucket"),
         digest48(rf).alias("_d"),
     )
+    # The digest is the 48-bit-folded sum: accumulate in DECIMAL(38,0)
+    # (exact past 1e26 rows/bucket), then mod 2^48 back to a long. A
+    # plain long sum overflows once a bucket holds ~2^15 rows — at
+    # sf10-equivalent the round-11 ×100 sweep THREW ARITHMETIC_OVERFLOW
+    # under Spark 4's default ANSI mode (and silently wrapped non-ANSI)
+    # — while the folded sum stays order-independent (addition and mod
+    # commute) with the same 48-bit Merkle collision class.
     return staged.groupBy("bucket").agg(
         F.count("*").cast("long").alias("n_rows"),
-        F.sum("_d").alias("digest"),
+        (F.sum(F.col("_d").cast("decimal(38,0)")) % F.lit(1 << 48))
+        .cast("long")
+        .alias("digest"),
     )

@@ -168,6 +168,61 @@ def domain_quality_caps(
     )
 
 
+def web_curation(
+    docs: DataFrame,
+    url_col: str = "url",
+    score_col: str = "n_chars",
+    cap: int = 3,
+    id_col: str = "doc_id",
+    extra_suffixes: tuple[str, ...] = (),
+) -> DataFrame:
+    """The whole URL-level curation decision per document, in fixed
+    precedence: ``url_dup`` (a lower-id doc owns this normalized URL)
+    → ``over_domain_cap`` (URL-unique, but the registrable domain's
+    top-``cap`` budget is already filled by better-scored docs) →
+    ``keep``. One row per input doc:
+    (id, domain, status, dup_of, domain_rank) — dup_of only for
+    url_dup rows; domain_rank for every URL-surviving row (kept rows
+    have rank ≤ cap, capped rows show the rank that lost).
+
+    Composition of ``url_dedup`` (combiner-friendly min + join) and
+    ``domain_quality_caps``'s window restricted to URL-survivors —
+    the cap never ranks rows a cheaper stage already rejected, which
+    is also the at-scale execution order (each stage shrinks the next
+    stage's input)."""
+    from pyspark.sql.window import Window
+
+    dd = url_dedup(docs, url_col, id_col)
+    dom = registrable_domain_expr(F.col(url_col), extra_suffixes)
+    base = docs.select(
+        F.col(id_col), dom.alias("domain"), F.col(score_col).alias("_s")
+    ).join(dd.select(id_col, "status", "dup_of"), id_col)
+    w = Window.partitionBy("domain").orderBy(
+        F.col("_s").desc(), F.col(id_col)
+    )
+    survivors = (
+        base.where(F.col("status") == "keep")
+        .withColumn("domain_rank", F.row_number().over(w).cast("int"))
+        .select(
+            id_col,
+            "domain",
+            F.when(F.col("domain_rank") <= cap, "keep")
+            .otherwise("over_domain_cap")
+            .alias("status"),
+            F.lit(None).cast("long").alias("dup_of"),
+            "domain_rank",
+        )
+    )
+    dups = base.where(F.col("status") == "dup").select(
+        id_col,
+        "domain",
+        F.lit("url_dup").alias("status"),
+        F.col("dup_of").cast("long"),
+        F.lit(None).cast("int").alias("domain_rank"),
+    )
+    return survivors.unionByName(dups)
+
+
 def domain_stats(
     docs: DataFrame,
     url_col: str = "url",

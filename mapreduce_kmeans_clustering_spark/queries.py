@@ -547,15 +547,26 @@ from mapreduce_kmeans_clustering_spark.queries_pipeline import (  # noqa: E402
 #     last pass in round 5) and was wrongly omitted from the r10
 #     rule-2 block (ADVICE r10) — the r10 comment's "every
 #     cosine-family key" claim was wrong by this one key;
-#   * 18 oldest round-6-stale refreshers in registry order (the r6
-#     cohort holds 36; the remaining 18 carry to round 12).
+#   * 17 oldest round-6-stale refreshers in registry order, plus ONE
+#     mid-round rule-2 displacement (the ADVICE r10 precedent): the
+#     round-11 ×100 sweep threw ARITHMETIC_OVERFLOW in
+#     diff.bucket_digests' long digest sum (a real sf10 bug), and the
+#     fix (DECIMAL-accumulated sum folded mod 2^48) changes
+#     q_snapshot_diff's internal digest semantics — so q_snapshot_diff
+#     rides THIS window as a rule-2 slot, displacing the newest r6
+#     refresher q_fd_profile to round 12 (outputs verified identical
+#     at all 3 SFs; the displacement happened before any driver run,
+#     in the same commit as the fix). The r6 remainder carried to
+#     round 12 is therefore 19 keys including q_fd_profile.
 # q_hard_negatives does NOT ride: its round-11 oracle change (the
 # NULL-cos exclusion mirror, ADVICE r9) is vacuous on the test
 # fixtures — verified identical oracle rows at all 3 SFs before and
 # after the edit (zero degenerate vectors in the embeddings tables),
 # and the engine side is unchanged since its r10 green.
 # Rotation policy: set ONCE at round start, never mid-round (see
-# QUERIES.md "Driver coverage cap + rotation").
+# QUERIES.md "Driver coverage cap + rotation"); the single exception
+# above is a pre-driver-run semantics-changed displacement, the move
+# the rule-2 policy exists to force.
 DRIVER_ROTATION: list[str] = [
     # -- rule-2: re-pinned to corpus-aware defaults this round --
     "q_dedup_semantic", "q_knn_graph",
@@ -573,7 +584,9 @@ DRIVER_ROTATION: list[str] = [
     "q_copurchase_triangles", "q_bpe_train", "q_events_cusum",
     "q_sample_neyman", "q_zorder_locality", "q_events_trending",
     "q_psi_drift", "q_linkage_scores", "q_basket_triples",
-    "q_events_seasonal", "q_session_paths", "q_fd_profile",
+    "q_events_seasonal", "q_session_paths",
+    # -- rule-2 displacement slot (bucket_digests overflow fix) --
+    "q_snapshot_diff",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

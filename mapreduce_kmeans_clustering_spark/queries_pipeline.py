@@ -7751,17 +7751,17 @@ ga AS (
   SELECT ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 12))::BIGINT % {DIFF_BUCKETS}
            AS bucket,
          count(*)::BIGINT AS n_rows,
-         sum(('0x' || substr(md5(o_orderkey::VARCHAR || '|' || pc::VARCHAR
+         (sum(('0x' || substr(md5(o_orderkey::VARCHAR || '|' || pc::VARCHAR
                || '|' || o_orderstatus || '|' || o_orderpriority), 1, 12)
-             )::BIGINT)::BIGINT AS digest
+             )::BIGINT) % 281474976710656)::BIGINT AS digest
   FROM a GROUP BY 1),
 gb AS (
   SELECT ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 12))::BIGINT % {DIFF_BUCKETS}
            AS bucket,
          count(*)::BIGINT AS n_rows,
-         sum(('0x' || substr(md5(o_orderkey::VARCHAR || '|' || pc::VARCHAR
+         (sum(('0x' || substr(md5(o_orderkey::VARCHAR || '|' || pc::VARCHAR
                || '|' || o_orderstatus || '|' || o_orderpriority), 1, 12)
-             )::BIGINT)::BIGINT AS digest
+             )::BIGINT) % 281474976710656)::BIGINT AS digest
   FROM b GROUP BY 1),
 bd AS (
   SELECT count(*)::BIGINT AS n_buckets_differ
@@ -10562,3 +10562,43 @@ FROM hits h JOIN a1 ON h.train_id = a1.train_id
   AND h.benchmark = a1.benchmark AND h.cos = a1.cos
 GROUP BY h.train_id, h.benchmark, a1.cos, a1.n_matches"""
 PIPELINE_QUERIES.update({"q_multi_bench_decontam": q_multi_bench_decontam})
+
+
+def q_web_curation(spark, sf_dir):
+    """End-to-end URL-level curation verdicts
+    (operators/web.web_curation): url_dup → over_domain_cap → keep in
+    fixed precedence over the planted URL column — the capstone that
+    composes q_url_dedup's winner selection with q_domain_quality_caps'
+    budget, ranking only URL-survivors (each stage shrinks the next
+    stage's input, the at-scale execution order)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "n_chars", _url_col().alias("url")
+    )
+    return W.web_curation(d, cap=URL_CAP).orderBy("doc_id")
+
+
+PIPELINE_ORACLES["q_web_curation"] = f"""
+WITH d AS (SELECT doc_id, n_chars, {_SQL_URL} AS url FROM documents),
+n AS (SELECT doc_id, n_chars, url, {_SQL_NORM_URL} AS norm_url FROM d),
+w AS (SELECT norm_url, min(doc_id) AS keep_id FROM n GROUP BY 1),
+v AS (SELECT n.doc_id, n.n_chars, n.url, w.keep_id FROM n
+      JOIN w USING (norm_url)),
+h AS (SELECT doc_id, n_chars, keep_id, {_SQL_HOST} AS host FROM v),
+g AS (SELECT doc_id, n_chars, keep_id, {_SQL_DOMAIN} AS domain FROM h),
+surv AS (SELECT doc_id, domain,
+                row_number() OVER (PARTITION BY domain
+                                   ORDER BY n_chars DESC, doc_id)::INT
+                  AS domain_rank
+         FROM g WHERE doc_id = keep_id),
+out AS (
+  SELECT doc_id, domain,
+         CASE WHEN domain_rank <= {URL_CAP} THEN 'keep'
+              ELSE 'over_domain_cap' END AS status,
+         CAST(NULL AS BIGINT) AS dup_of, domain_rank
+  FROM surv
+  UNION ALL
+  SELECT doc_id, domain, 'url_dup' AS status, keep_id AS dup_of,
+         CAST(NULL AS INT) AS domain_rank
+  FROM g WHERE doc_id <> keep_id)
+SELECT * FROM out ORDER BY doc_id"""
+PIPELINE_QUERIES.update({"q_web_curation": q_web_curation})

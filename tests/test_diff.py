@@ -93,3 +93,31 @@ def test_value_edit_keeps_bucket_assignment(spark):
     nb = {r["bucket"]: r["n_rows"]
           for r in bucket_digests(_mk(spark, edited), ["id"], ["v", "w"], 8).collect()}
     assert na == nb
+
+
+def test_bucket_digests_survive_wide_buckets_no_long_overflow(spark):
+    """Round-11 ×100 sweep regression: a plain long sum of 48-bit
+    digests overflows (ANSI: throws ARITHMETIC_OVERFLOW) once a bucket
+    holds ~2^15 rows — sf10-equivalent orders already got there. The
+    digest is now the DECIMAL-accumulated sum folded mod 2^48: exact
+    at any bucket width, still order-independent, still a long."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.operators.diff import (
+        bucket_digests,
+    )
+
+    n = 70_000  # sum of ~2^47-avg digests over 70k rows passes 2^63
+    df = spark.range(n).select(
+        F.col("id"), F.lit("v").alias("v")
+    )
+    out = bucket_digests(df, ["id"], ["v"], 1).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_rows"] == n
+    assert 0 <= row["digest"] < (1 << 48)
+    # order independence survives the fold: reversed input, same digest
+    rev = bucket_digests(
+        df.orderBy(F.col("id").desc()), ["id"], ["v"], 1
+    ).collect()[0]
+    assert rev["digest"] == row["digest"]

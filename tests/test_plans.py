@@ -1138,6 +1138,15 @@ def test_url_family_plans(spark):
     assert "partial_count" in p or "partial_sum" in p
     assert "CartesianProduct" not in p and "BatchEvalPython" not in p
 
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_web_curation,
+    )
+
+    p = _plan(q_web_curation(spark, SF))
+    assert "partial_min" in p        # url winner stays combiner-friendly
+    assert "Window" in p             # cap ranks URL-survivors only
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
 
 def test_multi_bench_decontam_plan(spark, monkeypatch):
     """One-pass multi-benchmark sweep: the unioned benchmark side is

@@ -141,3 +141,36 @@ def test_multi_semantic_decontam_names_and_best_match(spark):
 
     with pytest.raises(ValueError, match="no benchmark"):
         multi_semantic_decontam(train, {})
+
+
+def test_web_curation_precedence(spark):
+    """url_dup beats over_domain_cap beats keep; the cap ranks only
+    URL-survivors (a duplicate never consumes domain budget)."""
+    from mapreduce_kmeans_clustering_spark.operators.web import (
+        web_curation,
+    )
+
+    rows = [
+        # big.com: 4 distinct pages + 1 re-crawl of page 0
+        (0, "https://big.com/p/0", 50),
+        (1, "https://www.big.com/p/0", 99),   # url_dup of 0 (best score!)
+        (2, "https://big.com/p/2", 40),
+        (3, "https://big.com/p/3", 30),
+        (4, "https://big.com/p/4", 20),
+        (5, "https://small.org/x", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, url STRING, n_chars LONG"
+    )
+    got = {
+        r["doc_id"]: (r["status"], r["dup_of"], r["domain_rank"])
+        for r in web_curation(docs, cap=2).collect()
+    }
+    assert got[1] == ("url_dup", 0, None)  # dup even though best-scored
+    # survivors ranked by (n_chars desc, id): 0(50), 2(40), 3(30), 4(20)
+    assert got[0] == ("keep", None, 1)
+    assert got[2] == ("keep", None, 2)
+    assert got[3] == ("over_domain_cap", None, 3)
+    assert got[4] == ("over_domain_cap", None, 4)
+    assert got[5] == ("keep", None, 1)
+    assert len(got) == 6  # exactly one verdict per input doc

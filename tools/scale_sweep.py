@@ -92,6 +92,17 @@ SWEEP_QUERIES = [
     "fit_converge_kmeans",
     "q_curation_pipeline",
     "q_bpe_train",
+    # round-11 additions (VERDICT r10 item 7 + the new registrations):
+    # the remaining registered keys without a measured row, plus the
+    # URL/domain family and the multi-benchmark sweep
+    "q_pq_encode",
+    "q_snapshot_diff",
+    "q_survival_logrank",
+    "q_url_dedup",
+    "q_domain_quality_caps",
+    "q_domain_stats",
+    "q_multi_bench_decontam",
+    "q_web_curation",
 ]
 
 
@@ -133,6 +144,14 @@ QUERY_TABLES = {
     "fit_converge_kmeans": {"lineitem"},
     "q_curation_pipeline": {"documents"},
     "q_bpe_train": {"documents"},
+    "q_pq_encode": {"embeddings"},
+    "q_snapshot_diff": {"orders"},
+    "q_survival_logrank": {"orders", "customer"},
+    "q_url_dedup": {"documents"},
+    "q_domain_quality_caps": {"documents"},
+    "q_domain_stats": {"documents"},
+    "q_multi_bench_decontam": {"embeddings"},
+    "q_web_curation": {"documents"},
 }
 
 
@@ -223,6 +242,34 @@ def build_sf1(spark, replicas: int, tables: set[str]) -> None:
             )
         _union(parts).write.mode("overwrite").parquet(
             f"{DST}/embeddings.parquet"
+        )
+
+    if "orders" in tables:
+        # TPC-H's own growth model, FK-consistent with the customer
+        # rule: interleaved o_orderkey (k*replicas + i) keeps the key
+        # range contiguous, and o_custkey interleaves the SAME way, so
+        # replica-i orders attach to replica-i customers — per-customer
+        # order counts (the survival-analysis workload shape) stay
+        # constant while both tables grow ×replicas. Dates unchanged:
+        # the churn/snapshot distributions are preserved per replica.
+        orders = spark.read.parquet(f"{SRC}/orders.parquet")
+        parts = []
+        for i in range(replicas):
+            parts.append(
+                orders.select(
+                    (F.col("o_orderkey") * replicas + i).alias(
+                        "o_orderkey"
+                    ),
+                    (F.col("o_custkey") * replicas + i).alias("o_custkey"),
+                    *[
+                        c
+                        for c in orders.columns
+                        if c not in ("o_orderkey", "o_custkey")
+                    ],
+                )
+            )
+        _union(parts).write.mode("overwrite").parquet(
+            f"{DST}/orders.parquet"
         )
 
     if "events" in tables:
