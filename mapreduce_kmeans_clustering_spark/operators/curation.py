@@ -517,6 +517,59 @@ def linear_score(
     )
 
 
+def _best_match_hits(
+    pairs: DataFrame, threshold: float, keys: list[str]
+) -> DataFrame:
+    """Shared tail of the semantic-decontam family: threshold the
+    candidate-pair stream and pick each key-group's best benchmark
+    match — (*keys, bench_id, cos, n_matches), highest cos, ties to
+    the lowest bench_id. One copy so the NaN guard, the checkpoint
+    placement, and the argmax shape can never drift between the
+    single- and multi-benchmark paths (code-review r11).
+
+    ``pairs`` must carry (*keys, bench_id, cos).
+
+    - NaN guard (ADVICE r8): an Inf embedding component used to make
+      dot/den NaN, which Spark's NaN-greatest comparison semantics
+      would admit past `cos >= threshold` AND elect as the max(cos)
+      best match. safe_cosine now nulls NaN quotients for every
+      consumer (round-9 generalization); the explicit ~isnan here
+      stays as belt-and-suspenders because the DuckDB oracle carries
+      the same literal predicate.
+    - The filtered hits are materialized once (lazy localCheckpoint —
+      the _ivf_assigned buffer-pool pattern): both aggregation passes
+      below read them; WITHOUT this the second pass would re-evaluate
+      the whole bucket-join pair stream, doubling the dominant cost at
+      every scale (hits are orders of magnitude smaller than the
+      candidate pairs).
+    - Best-match selection is TWO hash aggregates + one equi-join, not
+      min(struct(-cos, bench_id)): Spark can only SortAggregate a
+      struct-typed min, which SORTS the entire pair-level hit stream —
+      measured as a 40-minute stage at a 200k-vector corpus (sweep
+      round 8) where the hash-agg form streams. Pass 1 takes the max
+      cos and the match count per key group (primitive min/max are
+      HashAggregate-able, partial map-side); pass 2 re-joins the hits
+      at exactly that double and takes the minimum bench id — the
+      identical (highest cos, ties to lowest id) result, bit-for-bit,
+      since the equality is on the same IEEE double the struct
+      ordering compared. Two streaming passes beat one giant sort at
+      every scale that matters.
+    """
+    hits = pairs.where(
+        (F.col("cos") >= threshold) & ~F.isnan(F.col("cos"))
+    ).localCheckpoint(eager=False)
+    agg1 = hits.groupBy(*keys).agg(
+        F.max("cos").alias("cos"),
+        F.count("*").cast("long").alias("n_matches"),
+    )
+    return (
+        hits.join(agg1, [*keys, "cos"])
+        .groupBy(*keys, "cos", "n_matches")
+        .agg(F.min("bench_id").alias("bench_id"))
+        .select(*keys, "bench_id", "cos", "n_matches")
+    )
+
+
 def semantic_decontam(
     train_emb: DataFrame,
     bench_emb: DataFrame,
@@ -586,49 +639,13 @@ def semantic_decontam(
     # which AQE then coalesces further (measured: an 11-task stage on
     # a 32-core box, round-8 sweep). Broadcasting keeps the probe on
     # the train scan's own splits: no shuffle, full parallelism.
-    hits = (
-        t.join(F.broadcast(bm), "_bucket")
-        .select("train_id", "bench_id", cos.alias("cos"))
-        # NaN guard (ADVICE r8): an Inf embedding component used to
-        # make dot/den NaN, which Spark's NaN-greatest comparison
-        # semantics would admit past `cos >= threshold` AND elect as
-        # the max(cos) best match. safe_cosine now nulls NaN quotients
-        # for every consumer (round-9 generalization); the explicit
-        # ~isnan here stays as belt-and-suspenders because the DuckDB
-        # oracle carries the same literal predicate.
-        .where((F.col("cos") >= threshold) & ~F.isnan(F.col("cos")))
-        # materialized once (the _ivf_assigned buffer-pool pattern):
-        # both aggregation passes below read the filtered hit rows —
-        # WITHOUT this the second pass would re-evaluate the whole
-        # bucket-join pair stream, doubling the dominant cost at every
-        # scale (hits after the threshold filter are orders of
-        # magnitude smaller than the candidate pairs)
-        .localCheckpoint(eager=False)
+    pairs = t.join(F.broadcast(bm), "_bucket").select(
+        "train_id", "bench_id", cos.alias("cos")
     )
-    # Best-match selection is TWO hash aggregates + one equi-join, not
-    # min(struct(-cos, bench_id)): Spark can only SortAggregate a
-    # struct-typed min, which SORTS the entire pair-level hit stream —
-    # measured as a 40-minute stage at a 200k-vector corpus (sweep
-    # round 8) where the hash-agg form streams. Pass 1 takes the max
-    # cos and the match count per train vector (primitive min/max are
-    # HashAggregate-able, partial map-side); pass 2 re-joins the hits
-    # at exactly that double and takes the minimum bench id — the
-    # identical (highest cos, ties to lowest id) result, bit-for-bit,
-    # since the equality is on the same IEEE double the struct
-    # ordering compared. The pair stream is evaluated twice; two
-    # streaming passes beat one giant sort at every scale that
-    # matters.
-    agg1 = hits.groupBy("train_id").agg(
-        F.max("cos").alias("cos"),
-        F.count("*").cast("long").alias("n_matches"),
-    )
-    best = (
-        hits.join(agg1, ["train_id", "cos"])
-        .groupBy("train_id", "cos", "n_matches")
-        .agg(F.min("bench_id").alias("bench_id"))
-        .select("train_id", "bench_id", "cos", "n_matches")
-    )
-    return best
+    # threshold + NaN guard + one-materialization + two-hash-agg
+    # argmax: shared with multi_semantic_decontam (see _best_match_hits
+    # for the SortAggregate and checkpoint rationale)
+    return _best_match_hits(pairs, threshold, ["train_id"])
 
 
 def multi_semantic_decontam(
@@ -716,22 +733,10 @@ def multi_semantic_decontam(
     cos = safe_cosine(
         dot_hof(F.col("vt"), F.col("vb")), F.col("nt"), F.col("nb")
     )
-    hits = (
-        t.join(F.broadcast(bench_union), "_bucket")
-        .select("train_id", "benchmark", "bench_id", cos.alias("cos"))
-        .where((F.col("cos") >= threshold) & ~F.isnan(F.col("cos")))
-        .localCheckpoint(eager=False)
+    pairs = t.join(F.broadcast(bench_union), "_bucket").select(
+        "train_id", "benchmark", "bench_id", cos.alias("cos")
     )
-    agg1 = hits.groupBy("train_id", "benchmark").agg(
-        F.max("cos").alias("cos"),
-        F.count("*").cast("long").alias("n_matches"),
-    )
-    return (
-        hits.join(agg1, ["train_id", "benchmark", "cos"])
-        .groupBy("train_id", "benchmark", "cos", "n_matches")
-        .agg(F.min("bench_id").alias("bench_id"))
-        .select("train_id", "benchmark", "bench_id", "cos", "n_matches")
-    )
+    return _best_match_hits(pairs, threshold, ["train_id", "benchmark"])
 
 
 # ---------------------------------------------------------------------------

@@ -12,9 +12,11 @@ shape: Merkle trees in Dynamo-style stores).
 Determinism: row fingerprints are md5 over a '|'-separated
 null-sentineled rendering (the portable hash family — DuckDB replays
 it bit-for-bit); bucket digests sum a 48-bit integer slice of the
-fingerprint, so the digest is ORDER-INDEPENDENT (addition commutes)
-and overflow-free in long for < 2^15 rows per bucket — size nbuckets
-accordingly (cap rows/bucket ~ corpus/nbuckets).
+fingerprint, so the digest is ORDER-INDEPENDENT (addition commutes).
+The sum accumulates in DECIMAL(38,0) and folds mod 2^48 — exact at
+ANY bucket width (the pre-round-11 long accumulator overflowed past
+~2^15 rows/bucket under ANSI mode; see bucket_digests), so nbuckets
+is purely a granularity/transfer-size knob, not a safety bound.
 
 Derived from the reference's sink-verification posture (SURVEY §5 —
 golden task outputs compared file-by-file); here the comparison

@@ -110,14 +110,28 @@ def url_dedup(
     before the single exchange — then one equi-join back on the URL
     key (no window over the raw rows, no driver collect). At 100 TB
     both sides of the join share the norm_url hash partitioning, so
-    AQE plans it as one shuffle."""
+    AQE plans it as one shuffle.
+
+    NULL handling: a document with a NULL URL has no URL identity, so
+    it is its own group — status 'keep', norm_url NULL, dup_of NULL.
+    The group/join key coalesces NULL to a per-doc sentinel (NUL byte
+    prefix + id, which no normalized URL can equal) so the null-unsafe
+    equi-join cannot drop the row; this also keeps a crawl shard full
+    of URL-less docs from collapsing into one giant NULL group."""
     nu = url_normalize_expr(F.col(url_col))
-    base = docs.select(F.col(id_col), nu.alias("norm_url"))
-    winners = base.groupBy("norm_url").agg(
+    base = docs.select(
+        F.col(id_col),
+        nu.alias("norm_url"),
+        F.coalesce(
+            nu,
+            F.concat(F.lit("\x00nourl:"), F.col(id_col).cast("string")),
+        ).alias("_ukey"),
+    )
+    winners = base.groupBy("_ukey").agg(
         F.min(id_col).alias("_keep_id")
     )
     return (
-        base.join(winners, "norm_url")
+        base.join(winners, "_ukey")
         .select(
             id_col,
             "norm_url",
@@ -151,7 +165,13 @@ def domain_quality_caps(
     cap — pre-aggregate per-domain counts, broadcast the tiny
     over-cap domain list, and run the full sort-rank ONLY for those
     domains while small domains pass through a cheap count check.
-    At registered-query scale the single window is the right plan."""
+    At registered-query scale the single window is the right plan.
+
+    NULL handling: a document whose URL is NULL (or unparseable to a
+    domain) has no domain budget to compete for — it is kept with
+    domain NULL and domain_rank NULL, and is excluded from the rank
+    window (which would otherwise funnel every URL-less doc into one
+    skewed NULL partition and cap them as if they were one site)."""
     from pyspark.sql.window import Window
 
     dom = registrable_domain_expr(F.col(url_col), extra_suffixes)
@@ -161,11 +181,18 @@ def domain_quality_caps(
     w = Window.partitionBy("domain").orderBy(
         F.col("_s").desc(), F.col(id_col)
     )
-    return (
-        scored.withColumn("domain_rank", F.row_number().over(w).cast("int"))
+    ranked = (
+        scored.where(F.col("domain").isNotNull())
+        .withColumn("domain_rank", F.row_number().over(w).cast("int"))
         .where(F.col("domain_rank") <= cap)
         .select(id_col, "domain", "domain_rank")
     )
+    nodom = scored.where(F.col("domain").isNull()).select(
+        F.col(id_col),
+        F.col("domain"),
+        F.lit(None).cast("int").alias("domain_rank"),
+    )
+    return ranked.unionByName(nodom)
 
 
 def web_curation(
@@ -189,7 +216,13 @@ def web_curation(
     ``domain_quality_caps``'s window restricted to URL-survivors —
     the cap never ranks rows a cheaper stage already rejected, which
     is also the at-scale execution order (each stage shrinks the next
-    stage's input)."""
+    stage's input).
+
+    NULL handling mirrors the component operators: a NULL-URL doc is
+    its own URL group (never url_dup) and has no domain budget, so its
+    verdict is 'keep' with domain and domain_rank NULL — it does not
+    ride the rank window (skew + wrong semantics) and is never
+    silently dropped."""
     from pyspark.sql.window import Window
 
     dd = url_dedup(docs, url_col, id_col)
@@ -200,8 +233,9 @@ def web_curation(
     w = Window.partitionBy("domain").orderBy(
         F.col("_s").desc(), F.col(id_col)
     )
+    url_keep = base.where(F.col("status") == "keep")
     survivors = (
-        base.where(F.col("status") == "keep")
+        url_keep.where(F.col("domain").isNotNull())
         .withColumn("domain_rank", F.row_number().over(w).cast("int"))
         .select(
             id_col,
@@ -213,6 +247,14 @@ def web_curation(
             "domain_rank",
         )
     )
+    nodom = url_keep.where(F.col("domain").isNull()).select(
+        F.col(id_col),
+        F.col("domain"),
+        F.lit("keep").alias("status"),
+        F.lit(None).cast("long").alias("dup_of"),
+        F.lit(None).cast("int").alias("domain_rank"),
+    )
+    survivors = survivors.unionByName(nodom)
     dups = base.where(F.col("status") == "dup").select(
         id_col,
         "domain",
@@ -235,14 +277,15 @@ def domain_stats(
     aggregate (map-side partial for count/sum; the distinct-host count
     is the standard two-phase distinct aggregate on (domain, host) —
     still combiner-friendly because hosts per domain are few).
-    Output: (domain, n_docs, n_hosts, avg_score)."""
+    Output: (domain, n_docs, n_hosts, avg_score). NULL-URL docs land
+    on one NULL-domain dashboard row (n_hosts 0 — countDistinct skips
+    NULL hosts), which is the right report for a crawl-health view."""
     dom = registrable_domain_expr(F.col(url_col), extra_suffixes)
     return (
         docs.select(
             dom.alias("domain"),
             host_expr(F.col(url_col)).alias("_host"),
             F.col(score_col).alias("_s"),
-            F.col(id_col),
         )
         .groupBy("domain")
         .agg(

@@ -131,18 +131,21 @@ def stream_near_dedup_ingest(
     )
 
     supplied_index = index_band_table is not None
-    if index_band_table is None:
+    if supplied_index:
+        # Validate the supplied index ONCE, before .start() AND before
+        # the eager checkpoint: a width mismatch fails loudly in one
+        # first() against the stored table (milliseconds) instead of
+        # after materializing the whole index (minutes at corpus
+        # scale) — and instead of silently recall-0 inside the stream.
+        # The per-batch path then skips the probe job entirely (ADVICE
+        # r9: it used to fire a first() every micro-batch via
+        # incremental_minhash_dedup's default).
+        validate_band_width(index_band_table, band_width)
+    else:
         index_band_table = lsh_bands(
             minhash_signatures(index_docs, num_hashes, n), band_width
         )
     idx = index_band_table.localCheckpoint(eager=True)
-    if supplied_index:
-        # Validate the supplied index ONCE, before .start(): a width
-        # mismatch fails loudly here instead of silently recall-0
-        # inside the stream — and the per-batch path skips the probe
-        # job entirely (ADVICE r9: it used to fire a first() every
-        # micro-batch via incremental_minhash_dedup's default).
-        validate_band_width(idx, band_width)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         verdicts = incremental_minhash_dedup(

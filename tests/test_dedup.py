@@ -852,3 +852,40 @@ def test_incremental_dedup_rejects_mismatched_index_banding(spark):
     with pytest.raises(ValueError, match="band_width"):
         validate_band_width(wide, 2)
     validate_band_width(wide, 4)
+
+
+def test_fixture_k_stays_in_literal_argmin_regime():
+    """TRIPWIRE for q_dedup_semantic oracle parity (code-review r11).
+
+    The registered query derives k = suggested_semantic_k(n) from the
+    embeddings fixture. For k <= SEMANTIC_LITERAL_K_MAX assignment is
+    the literal HOF sum((x-c)^2) argmin, which the DuckDB oracle
+    replays bit-for-bit; above it, assignment routes through the
+    numpy/BLAS path (plans/kmeans_nd.assign_nd, ||c||^2 - 2*a.c form),
+    whose different FP rounding can flip a near-equidistant vector to
+    a different cluster and break oracle parity SILENTLY. That
+    boundary arms at n >= 4161 (round(sqrt(n)) > 64). If a fixture
+    regeneration ever crosses it, fail HERE with instructions instead
+    of in the driver's correctness gate.
+    """
+    import pyarrow.parquet as pq
+
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        SEMANTIC_LITERAL_K_MAX,
+        suggested_semantic_k,
+    )
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n = pq.ParquetFile(
+            f"/root/testdata/{sf}/embeddings.parquet"
+        ).metadata.num_rows
+        k = suggested_semantic_k(n)
+        assert k <= SEMANTIC_LITERAL_K_MAX, (
+            f"{sf}: embeddings fixture has n={n} rows -> "
+            f"suggested_semantic_k={k} > SEMANTIC_LITERAL_K_MAX="
+            f"{SEMANTIC_LITERAL_K_MAX}: q_dedup_semantic would route "
+            "through the BLAS assign path whose FP rounding differs "
+            "from the DuckDB oracle. Either cap k in the REGISTERED "
+            "query (and document the pin) or extend the oracle to "
+            "replay the expanded-form distance before trusting parity."
+        )

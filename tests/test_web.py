@@ -174,3 +174,44 @@ def test_web_curation_precedence(spark):
     assert got[4] == ("over_domain_cap", None, 4)
     assert got[5] == ("keep", None, 1)
     assert len(got) == 6  # exactly one verdict per input doc
+
+
+def test_null_url_docs_are_kept_not_dropped(spark):
+    """Code-review r11: a NULL URL means 'no URL identity'. Every web
+    operator must emit a verdict for such docs (the old null-unsafe
+    equi-join silently DROPPED them), each its own group — never
+    url_dup, never competing in a domain budget."""
+    from mapreduce_kmeans_clustering_spark.operators.web import web_curation
+
+    rows = [
+        (1, "https://www.shop.com/p/1", 100),
+        (2, "http://shop.com/p/1", 90),   # re-crawl of doc 1
+        (3, None, 80),                    # no URL at all
+        (4, None, 70),                    # second URL-less doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, url STRING, n_chars LONG")
+
+    dd = {r["doc_id"]: r for r in url_dedup(docs).collect()}
+    assert set(dd) == {1, 2, 3, 4}, "NULL-url docs must not vanish"
+    assert dd[1]["status"] == "keep" and dd[2]["status"] == "dup"
+    assert dd[2]["dup_of"] == 1
+    # each NULL-url doc is its own group: kept, NULL norm_url/dup_of
+    for i in (3, 4):
+        assert dd[i]["status"] == "keep"
+        assert dd[i]["norm_url"] is None and dd[i]["dup_of"] is None
+
+    caps = {r["doc_id"]: r for r in domain_quality_caps(docs, cap=1).collect()}
+    # cap=1 keeps only doc 1 for shop.com; NULL-domain docs are exempt
+    assert set(caps) == {1, 3, 4}
+    assert caps[3]["domain"] is None and caps[3]["domain_rank"] is None
+
+    wc = {r["doc_id"]: r for r in web_curation(docs, cap=1).collect()}
+    assert set(wc) == {1, 2, 3, 4}, "web_curation must verdict every doc"
+    assert wc[1]["status"] == "keep" and wc[2]["status"] == "url_dup"
+    for i in (3, 4):
+        assert wc[i]["status"] == "keep"
+        assert wc[i]["domain"] is None and wc[i]["domain_rank"] is None
+
+    # domain_stats: one NULL-domain dashboard row, n_hosts 0
+    st = {r["domain"]: r for r in domain_stats(docs).collect()}
+    assert st[None]["n_docs"] == 2 and st[None]["n_hosts"] == 0
