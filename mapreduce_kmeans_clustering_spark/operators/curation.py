@@ -593,8 +593,10 @@ def semantic_decontam(
 
     Recall < 1 by design (same bucket trade as the dedup family;
     raise recall with fewer planes or multi-probe). Scoring is the
-    unrolled-codegen cosine with per-side precomputed norms — the
-    oracle-bit-compatible form.
+    HOF cosine with per-side precomputed norms — bit-compatible with
+    the oracle AND with the unrolled twins (same index-ascending
+    left-associated sums), and the only form whose probe-join span
+    fits janino's 64 KB codegen limit at dim=64 (see prep below).
 
     ``planes=None`` (the default) sizes the blocking to the TRAIN
     corpus via ``similarity.auto_planes`` (one count() job on the
@@ -605,8 +607,8 @@ def semantic_decontam(
     sweep measured e = 0.31. Pass explicit ``planes`` to pin the
     bucketing (the registered query does, for oracle continuity)."""
     from mapreduce_kmeans_clustering_spark.functions.distance import (
-        dot_unrolled,
-        norm_unrolled,
+        dot_hof,
+        norm_hof,
         safe_cosine,
     )
     from mapreduce_kmeans_clustering_spark.operators.similarity import (
@@ -617,19 +619,31 @@ def semantic_decontam(
     if planes is None:
         planes = auto_planes(train_emb.count())
 
+    # HOF (dot_hof/norm_hof over a dim-sliced array), not the unrolled
+    # twins: at dim=64 the unrolled cosine inside the probe-join span
+    # blew janino's 64 KB method limit, so the WHOLE span silently ran
+    # interpreted (observed "Code grows beyond 64 KB" on every run of
+    # the registered query — the same failure mode that moved
+    # multi_semantic_decontam to HOF at registration). The HOF sums
+    # are index-ascending and left-associated exactly like the
+    # unrolled forms, so the doubles are bit-identical (verified:
+    # full-value snapshot of q_semantic_decontam equal at all 3 SFs
+    # across the switch) and the codegen span stays compiled.
     def prep(df, id_alias, v_alias, n_alias):
-        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        v = F.slice(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")), 1, dim
+        )
         return df.select(
             F.col(id_col).alias(id_alias),
             v.alias(v_alias),
-            norm_unrolled(v, dim).alias(n_alias),
+            norm_hof(v).alias(n_alias),
             lsh_bucket_expr(F.col(vec_col), dim, planes).alias("_bucket"),
         )
 
     t = prep(train_emb, "train_id", "vt", "nt")
     bm = prep(bench_emb, "bench_id", "vb", "nb")
     cos = safe_cosine(
-        dot_unrolled(F.col("vt"), F.col("vb"), dim), F.col("nt"), F.col("nb")
+        dot_hof(F.col("vt"), F.col("vb")), F.col("nt"), F.col("nb")
     )
     # The benchmark side is broadcast EXPLICITLY: an eval set is small
     # by definition (thousands of vectors), but its wide rows (a

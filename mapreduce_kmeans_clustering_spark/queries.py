@@ -584,9 +584,19 @@ DRIVER_ROTATION: list[str] = [
     "q_copurchase_triangles", "q_bpe_train", "q_events_cusum",
     "q_sample_neyman", "q_zorder_locality", "q_events_trending",
     "q_psi_drift", "q_linkage_scores", "q_basket_triples",
-    "q_events_seasonal", "q_session_paths",
-    # -- rule-2 displacement slot (bucket_digests overflow fix) --
+    "q_events_seasonal",
+    # -- rule-2 displacement slots (pre-driver-run, per the ADVICE r10
+    #    precedent; each displaced the then-newest r6 refresher) --
+    # bucket_digests overflow fix (displaced q_fd_profile):
     "q_snapshot_diff",
+    # semantic_decontam unrolled->HOF cosine switch (displaced
+    # q_session_paths): the registered query's probe-join span blew
+    # janino's 64 KB limit and silently ran interpreted; the HOF form
+    # compiles (measured 2.24 s -> 1.23 s steady-state at sf0.1) and
+    # is bit-identical (full-value snapshot equal at all 3 SFs), but
+    # it is an engine-side expression change after the key's r9 driver
+    # pass, so per rule 2 it rides this window:
+    "q_semantic_decontam",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
