@@ -103,6 +103,114 @@ def contamination_report(
     )
 
 
+def contamination_spans(
+    docs: DataFrame,
+    bench_pred: Column,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level contamination audit — the "WHERE and HOW LONG" twin
+    of ``contamination_report``'s boolean verdict: for every
+    contaminated training document, merge its benchmark-matching
+    word-``n``-gram positions into MAXIMAL token spans (two matches
+    whose covered token ranges touch or overlap — start gap ≤ n —
+    fuse; the ExactSubstr-style audit of Lee et al. 2022, at n-gram
+    rather than suffix granularity). Output one row per contaminated
+    doc: (id, n_spans, max_span_tokens, covered_tokens, n_tokens,
+    coverage), positions 0-based over the regexp tokenizer; clean
+    docs emit nothing.
+
+    Plan shape: ONE positioned shingle explosion over the train side
+    (posexplode once per doc + lead() window — exploded_shingles'
+    physical form, minus the distinct: positions must survive), one
+    DISTINCT benchmark shingle set, one equi-join on the shingle
+    string, then the gaps-and-islands merge as two window passes over
+    (doc, pos) — lag() to flag span breaks, running sum() to number
+    spans — and two hash aggregates. The windows and the final
+    aggregate all share the doc-id partitioning, so the merge costs
+    one shuffle; nothing is ever pairwise doc×doc, and matched
+    positions (the window input) are orders of magnitude fewer than
+    corpus shingles."""
+    from pyspark.sql.window import Window
+
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        exploded_shingles,
+    )
+    from mapreduce_kmeans_clustering_spark.operators.text import tokens
+
+    train = docs.where(~bench_pred)
+    bench_sh = (
+        exploded_shingles(
+            docs.where(bench_pred), n=n, text_col=text_col, id_col=id_col
+        )
+        .select("sh")
+        .distinct()
+    )
+    toks = train.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
+    sh = F.concat_ws(" ", F.col("tok"), *leads)
+    pos_sh = (
+        toks.select(
+            F.col(id_col), "pos", sh.alias("sh"), leads[-1].alias("_last")
+        )
+        .where(F.col("_last").isNotNull())
+        .select(id_col, "pos", "sh")
+    )
+    matched = pos_sh.join(bench_sh, "sh").select(id_col, "pos")
+    # gaps-and-islands: a new span starts when this match's start is
+    # more than n past the previous one (start gap == n means the two
+    # covered ranges are exactly adjacent — still one contiguous span)
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) > n, F.lit(1)
+    ).otherwise(F.lit(0))
+    numbered = matched.withColumn("_brk", brk).withColumn(
+        "_span",
+        F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = numbered.groupBy(id_col, "_span").agg(
+        F.min("pos").alias("_s"),
+        (F.max("pos") + F.lit(n - 1)).alias("_e"),
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.max(F.col("_e") - F.col("_s") + 1).cast("long").alias(
+            "max_span_tokens"
+        ),
+        F.sum(F.col("_e") - F.col("_s") + 1).cast("long").alias(
+            "covered_tokens"
+        ),
+    )
+    ntok = train.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    # half-up 6-dp coverage (the engine-portable floor(x*1e6+0.5) form)
+    cov = (
+        F.floor(
+            F.col("covered_tokens").cast("double")
+            / F.col("n_tokens")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0)
+    )
+    return per_doc.join(ntok, id_col).select(
+        id_col,
+        "n_spans",
+        "max_span_tokens",
+        "covered_tokens",
+        "n_tokens",
+        cov.alias("coverage"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bigram LM quality scoring (CCNet-style perplexity filter)
 # ---------------------------------------------------------------------------

@@ -10602,3 +10602,57 @@ out AS (
   FROM g WHERE doc_id <> keep_id)
 SELECT * FROM out ORDER BY doc_id"""
 PIPELINE_QUERIES.update({"q_web_curation": q_web_curation})
+
+
+# ---------------------------------------------------------------------------
+# Round 11 continuation: span-level contamination audit
+# ---------------------------------------------------------------------------
+
+
+def q_decontam_spans(spark, sf_dir):
+    """Span-level decontamination audit (curation.contamination_spans):
+    for every training doc sharing any word-3-gram with the held-out
+    benchmark partition, the matched positions merged into MAXIMAL
+    token spans — (n_spans, max_span_tokens, covered_tokens, n_tokens,
+    coverage). q_decontam says WHETHER a doc is contaminated; this
+    says WHERE and HOW MUCH (the audit a removal/redaction pass needs).
+    One positioned shingle explosion + one equi-join + two window
+    passes sharing the doc-id partitioning — never pairwise."""
+    docs = _docs(spark, sf_dir)
+    return CU.contamination_spans(docs, F.col("doc_id") % BENCH_MOD == 0)
+
+
+PIPELINE_ORACLES["q_decontam_spans"] = f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS w FROM documents),
+bsh AS (
+  SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks
+        WHERE doc_id % {BENCH_MOD} = 0)),
+tp AS (
+  SELECT doc_id, i - 1 AS pos,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks
+        WHERE doc_id % {BENCH_MOD} <> 0)),
+m AS (SELECT doc_id, pos FROM tp JOIN bsh USING (sh)),
+g AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) > 3
+                  THEN 1 ELSE 0 END AS brk
+      FROM m),
+s AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      FROM g),
+sp AS (SELECT doc_id, span_id, min(pos) AS st, max(pos) + 2 AS en
+       FROM s GROUP BY 1, 2),
+agg AS (SELECT doc_id,
+               count(*)::BIGINT AS n_spans,
+               max(en - st + 1)::BIGINT AS max_span_tokens,
+               sum(en - st + 1)::BIGINT AS covered_tokens
+        FROM sp GROUP BY 1),
+nt AS (SELECT doc_id, len(w)::BIGINT AS n_tokens FROM toks
+       WHERE doc_id % {BENCH_MOD} <> 0)
+SELECT agg.doc_id, n_spans, max_span_tokens, covered_tokens, n_tokens,
+       floor(covered_tokens::DOUBLE / n_tokens * 1000000.0 + 0.5)
+         / 1000000.0 AS coverage
+FROM agg JOIN nt USING (doc_id)"""
+PIPELINE_QUERIES.update({"q_decontam_spans": q_decontam_spans})

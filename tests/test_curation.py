@@ -438,3 +438,31 @@ def test_semantic_decontam_auto_planes_default(spark):
         t, b, threshold=0.9, dim=64, planes=AUTO_PLANES_BASE
     ).collect()
     assert sorted(map(tuple, auto)) == sorted(map(tuple, pinned))
+
+
+def test_contamination_spans_merges_overlapping_matches(spark):
+    """Overlapping/adjacent matched 3-grams fuse into one maximal span;
+    disjoint matches stay separate spans; clean docs emit nothing."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.operators.curation import (
+        contamination_spans,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps"),  # benchmark (id % 2 == 0)
+        # matches at pos 2,3 (overlap -> one span [2,5]) and pos 9
+        # (span [9,11]): 2 spans, covered 7 of 12 tokens
+        (1, "xx yy the quick brown fox aa bb cc brown fox jumps"),
+        (3, "nothing matches here at all"),  # clean -> absent
+        (5, "the quick brown fox jumps"),    # full copy -> 1 span, 5/5
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in contamination_spans(docs, F.col("doc_id") % 2 == 0).collect()
+    }
+    assert got == {
+        1: (2, 4, 7, 12, 0.583333),
+        5: (1, 5, 5, 5, 1.0),
+    }

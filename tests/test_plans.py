@@ -1171,3 +1171,18 @@ def test_multi_bench_decontam_plan(spark, monkeypatch):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     assert "SortAggregate" not in p
+
+
+def test_decontam_spans_plan(spark):
+    """Span audit: the benchmark shingle set joins as an equi-join
+    (hash or broadcast-hash — never a cartesian product), the
+    gaps-and-islands merge is window passes (no per-row Python), and
+    aggregates hash (the span/doc groupings are primitive-typed)."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_decontam_spans,
+    )
+
+    p = _plan(q_decontam_spans(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "HashJoin" in p  # shingle equi-join (shuffled or broadcast)

@@ -103,6 +103,8 @@ SWEEP_QUERIES = [
     "q_domain_stats",
     "q_multi_bench_decontam",
     "q_web_curation",
+    # round-11 continuation: span-level contamination audit
+    "q_decontam_spans",
 ]
 
 
@@ -152,6 +154,7 @@ QUERY_TABLES = {
     "q_domain_stats": {"documents"},
     "q_multi_bench_decontam": {"embeddings"},
     "q_web_curation": {"documents"},
+    "q_decontam_spans": {"documents"},
 }
 
 
