@@ -215,3 +215,62 @@ def test_null_url_docs_are_kept_not_dropped(spark):
     # domain_stats: one NULL-domain dashboard row, n_hosts 0
     st = {r["domain"]: r for r in domain_stats(docs).collect()}
     assert st[None]["n_docs"] == 2 and st[None]["n_hosts"] == 0
+
+
+def test_url_normalize_idempotent_and_domain_stable(spark):
+    """Property batch (round 11): (1) url_normalize_expr is IDEMPOTENT
+    — its output ("host/path", scheme-less) re-normalizes to itself,
+    so re-crawl keys never drift through repeated pipeline passes;
+    (2) the registrable domain of a URL equals the registrable domain
+    of its own normalized form unless normalization stripped a
+    leading "www." (the one host-mutating rewrite); (3) the domain is
+    always a suffix of the parsed host. One DataFrame of adversarial
+    shapes, three expression-level assertions — no per-example Spark
+    jobs."""
+    from pyspark.sql import functions as F
+
+    shapes = [
+        "https://sub1.shop.co.uk:8443/p/4?sid=9",
+        "HTTP://USER:pw@WWW.Mixed.Case.COM/A/B/#frag",
+        "ftp+x.y://odd.scheme.net/path//",
+        "no-scheme.example.com.au/x?q=1",
+        "https://www.co.uk/",          # registrable domain IS a suffix
+        "https://localhost",           # single label, no path
+        "http://a.b.c.d.e.org.uk///",  # deep labels + slash pile
+        "www.only-www.com",            # scheme-less www
+        "https://trailing.dot.com./p", # trailing-dot host label
+        "x://@weird.com/p",            # empty userinfo
+        "https://:8080/odd",           # empty host + port-ish path
+        "",                            # empty string
+    ]
+    df = spark.createDataFrame([(s,) for s in shapes], "url STRING")
+    from mapreduce_kmeans_clustering_spark.operators.web import (
+        host_expr,
+        registrable_domain_expr,
+        url_normalize_expr,
+    )
+
+    u1 = url_normalize_expr(F.col("url"))
+    rows = df.select(
+        "url",
+        u1.alias("n1"),
+        url_normalize_expr(u1).alias("n2"),
+        host_expr(F.col("url")).alias("host"),
+        registrable_domain_expr(F.col("url")).alias("dom"),
+        registrable_domain_expr(u1).alias("dom_n"),
+        F.regexp_extract(F.lower(F.col("url")),
+                         r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?(www\.)",
+                         1).alias("had_www"),
+    ).collect()
+    for r in rows:
+        assert r["n2"] == r["n1"], f"not idempotent: {r['url']!r} -> {r['n1']!r} -> {r['n2']!r}"
+        if not r["had_www"]:
+            assert r["dom_n"] == r["dom"], (
+                f"domain drifted through normalization: {r['url']!r} "
+                f"{r['dom']!r} -> {r['dom_n']!r}"
+            )
+        if r["dom"] and r["host"]:
+            assert r["host"].endswith(r["dom"]), (
+                f"domain not a host suffix: {r['url']!r} host={r['host']!r} "
+                f"dom={r['dom']!r}"
+            )
