@@ -1186,3 +1186,28 @@ def test_decontam_spans_plan(spark):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     assert "HashJoin" in p  # shingle equi-join (shuffled or broadcast)
+
+
+def test_registry_wide_plan_hygiene(spark):
+    """Standing registry-wide gate (round 11, the plan twin of the
+    codegen audit in SCALE.md): EVERY registered query's executed plan
+    is free of CartesianProduct (nothing in the registry is pairwise
+    by plan — bounded all-pairs work like q_inter is an equi-join over
+    a keyed subset) and BatchEvalPython (row-at-a-time Python UDFs;
+    vectorized Arrow paths — MapInPandas / ArrowEvalPython / FlatMap*
+    — are the sanctioned Python escape hatch and are NOT flagged).
+    Plans are BUILT, not executed: construction-time driver jobs
+    (auto_planes count(), seed collects) run, full queries don't."""
+    from mapreduce_kmeans_clustering_spark.queries import ALL_QUERIES
+
+    offenders = {}
+    for name, fn in sorted(ALL_QUERIES.items()):
+        p = _plan(fn(spark, SF))
+        bad = [
+            marker
+            for marker in ("CartesianProduct", "BatchEvalPython")
+            if marker in p
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"plan hygiene violations: {offenders}"
