@@ -181,6 +181,78 @@ def lsh_candidate_pairs(
     )
 
 
+def cross_source_dup_flow(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    band_width: int = 2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Which feeds re-crawl each other: the LSH near-dup candidate
+    pairs rolled up to an UNORDERED source-pair flow matrix — one row
+    per (s1 ≤ s2) source pair with a duplicate candidate, carrying the
+    pair count, both corpus sizes, and the duplication rate
+    (candidates per possible pair; the diagonal s1 = s2 is
+    intra-source duplication with denominator n·(n−1)/2). The corpus-
+    composition verdict "feed B is mostly re-crawls of feed A" that
+    vocabulary overlap (q_source_overlap) can only hint at.
+
+    Scale shape: candidate generation is the banded equi-join
+    (lsh_candidate_pairs — never all-pairs); the source attach is two
+    id-keyed equi-joins against the (id, source) projection (corpus-
+    sized, so NOT broadcast — both joins shuffle on the id the pair
+    table already carries); the rollup is one hash aggregate on a
+    source-pair key whose cardinality is |sources|², tiny at any
+    corpus size. Output: (s1, s2, n_pairs, n_docs_s1, n_docs_s2,
+    dup_rate half-up 8-dp)."""
+    pairs = lsh_candidate_pairs(
+        docs, num_hashes, band_width, n, text_col, id_col
+    )
+    src = docs.select(F.col(id_col), F.col(source_col).alias("_src"))
+    p = pairs.join(
+        src.select(F.col(id_col).alias("a"), F.col("_src").alias("_sa")),
+        "a",
+    ).join(
+        src.select(F.col(id_col).alias("b"), F.col("_src").alias("_sb")),
+        "b",
+    )
+    flow = (
+        p.select(
+            F.least("_sa", "_sb").alias("s1"),
+            F.greatest("_sa", "_sb").alias("s2"),
+        )
+        .groupBy("s1", "s2")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+    sizes = docs.groupBy(F.col(source_col).alias("_s")).agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    out = flow.join(
+        sizes.select(F.col("_s").alias("s1"), F.col("_n").alias("n_docs_s1")),
+        "s1",
+    ).join(
+        sizes.select(F.col("_s").alias("s2"), F.col("_n").alias("n_docs_s2")),
+        "s2",
+    )
+    denom = F.when(
+        F.col("s1") == F.col("s2"),
+        F.col("n_docs_s1") * (F.col("n_docs_s1") - 1) / F.lit(2.0),
+    ).otherwise(F.col("n_docs_s1") * F.lit(1.0) * F.col("n_docs_s2"))
+    rate = F.when(
+        denom > 0,
+        F.floor(
+            F.col("n_pairs") / denom * F.lit(100000000.0) + F.lit(0.5)
+        )
+        / F.lit(100000000.0),
+    )
+    return out.select(
+        "s1", "s2", "n_pairs", "n_docs_s1", "n_docs_s2",
+        rate.alias("dup_rate"),
+    )
+
+
 # -- n-gram Jaccard ---------------------------------------------------------
 
 

@@ -10656,3 +10656,39 @@ SELECT agg.doc_id, n_spans, max_span_tokens, covered_tokens, n_tokens,
          / 1000000.0 AS coverage
 FROM agg JOIN nt USING (doc_id)"""
 PIPELINE_QUERIES.update({"q_decontam_spans": q_decontam_spans})
+
+
+def q_dedup_source_flow(spark, sf_dir):
+    """Cross-source duplicate flow (dedup.cross_source_dup_flow):
+    LSH near-dup candidate pairs rolled up to an unordered source-pair
+    matrix with per-pair duplication rates — "which feeds re-crawl
+    each other", the document-level verdict q_source_overlap's
+    vocabulary Jaccard can only hint at. Banded equi-join candidates,
+    two id-keyed source attaches, one |sources|²-key hash rollup."""
+    return D.cross_source_dup_flow(_docs(spark, sf_dir))
+
+
+PIPELINE_ORACLES["q_dedup_source_flow"] = f"""
+WITH {_SQL_SHINGLES},
+{_SQL_SIG},
+{_SQL_BANDS},
+cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_sig = b.band_sig
+          AND a.doc_id < b.doc_id),
+ps AS (SELECT least(da.source, db.source) AS s1,
+              greatest(da.source, db.source) AS s2
+       FROM cand JOIN documents da ON da.doc_id = cand.a
+                 JOIN documents db ON db.doc_id = cand.b),
+flow AS (SELECT s1, s2, count(*)::BIGINT AS n_pairs FROM ps GROUP BY 1, 2),
+sz AS (SELECT source AS s, count(*)::BIGINT AS n FROM documents GROUP BY 1)
+SELECT s1, s2, n_pairs, za.n AS n_docs_s1, zb.n AS n_docs_s2,
+       CASE WHEN (CASE WHEN s1 = s2 THEN za.n * (za.n - 1) / 2.0
+                       ELSE za.n * 1.0 * zb.n END) > 0
+            THEN floor(n_pairs
+                       / (CASE WHEN s1 = s2 THEN za.n * (za.n - 1) / 2.0
+                               ELSE za.n * 1.0 * zb.n END)
+                       * 100000000.0 + 0.5) / 100000000.0
+       END AS dup_rate
+FROM flow JOIN sz za ON za.s = flow.s1 JOIN sz zb ON zb.s = flow.s2"""
+PIPELINE_QUERIES.update({"q_dedup_source_flow": q_dedup_source_flow})

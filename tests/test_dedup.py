@@ -889,3 +889,29 @@ def test_fixture_k_stays_in_literal_argmin_regime():
             "query (and document the pin) or extend the oracle to "
             "replay the expanded-form distance before trusting parity."
         )
+
+
+def test_cross_source_dup_flow_matrix(spark):
+    """Near-identical docs across feeds A/B show up as one (A,B) flow
+    row; the unordered key folds both directions; the diagonal uses
+    the n·(n−1)/2 denominator; clean source pairs emit nothing."""
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        cross_source_dup_flow,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base, "feedA"),
+        (2, base + " tail", "feedB"),       # near-dup of 1, cross-source
+        (3, base + " other", "feedB"),      # near-dup of 1 and 2
+        (4, "completely different text with no shared shingles at all x y z", "feedC"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    got = {
+        (r["s1"], r["s2"]): (r["n_pairs"], r["n_docs_s1"], r["n_docs_s2"], r["dup_rate"])
+        for r in cross_source_dup_flow(docs).collect()
+    }
+    # pairs: (1,2) A-B, (1,3) A-B, (2,3) B-B
+    assert got[("feedA", "feedB")] == (2, 1, 2, 1.0)       # 2 / (1*2)
+    assert got[("feedB", "feedB")] == (1, 2, 2, 1.0)       # 1 / (2*1/2)
+    assert not any("feedC" in k for k in got)

@@ -1211,3 +1211,17 @@ def test_registry_wide_plan_hygiene(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"plan hygiene violations: {offenders}"
+
+
+def test_dedup_source_flow_plan(spark):
+    """Source-flow rollup: candidates come from the banded equi-join
+    (hash join, never cartesian), the source attaches are equi-joins,
+    and the rollup hash-aggregates; no per-row Python anywhere."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_dedup_source_flow,
+    )
+
+    p = _plan(q_dedup_source_flow(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "HashJoin" in p

@@ -103,8 +103,10 @@ SWEEP_QUERIES = [
     "q_domain_stats",
     "q_multi_bench_decontam",
     "q_web_curation",
-    # round-11 continuation: span-level contamination audit
+    # round-11 continuation: span-level contamination audit +
+    # cross-source duplicate flow
     "q_decontam_spans",
+    "q_dedup_source_flow",
 ]
 
 
@@ -155,6 +157,7 @@ QUERY_TABLES = {
     "q_multi_bench_decontam": {"embeddings"},
     "q_web_curation": {"documents"},
     "q_decontam_spans": {"documents"},
+    "q_dedup_source_flow": {"documents"},
 }
 
 
