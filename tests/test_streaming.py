@@ -1041,3 +1041,60 @@ def test_stream_near_dedup_validates_supplied_index_once(
     }
     assert batches == {1, 2}
     assert calls["n"] == 1
+
+
+def test_stream_url_dedup_ingest_verdicts(spark, tmp_path):
+    """Streaming URL-exact dedup (round 11): arriving docs are screened
+    against the ingested corpus's normalized-URL relation per
+    micro-batch — a re-crawl of an ingested page is 'url_dup_corpus',
+    the second in-batch claimant of one URL is 'url_dup_batch' pointing
+    at the first, fresh URLs and NULL-URL docs are 'keep', and every
+    arrival gets exactly one verdict row."""
+    import glob
+    import json
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.streaming.ingest import (
+        read_documents_stream,
+        stream_url_dedup_ingest,
+    )
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "recrawl of ingested page", "lang": "en", "source": "web", "n_chars": 24},
+        {"doc_id": 2, "text": "first claimant", "lang": "en", "source": "web", "n_chars": 14},
+        {"doc_id": 3, "text": "second claimant", "lang": "en", "source": "web", "n_chars": 15},
+        {"doc_id": 4, "text": "no url at all", "lang": "en", "source": "web", "n_chars": 13},
+    ]
+    (src / "a.jsonl").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    # planted URLs: doc 1 hits the corpus; docs 2+3 share one URL;
+    # doc 4 has none
+    url = (
+        F.when(F.col("doc_id") == 1, "https://www.seen.com/p/1")
+        .when(F.col("doc_id").isin(2, 3), "http://shared.com/x")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    stream = read_documents_stream(spark, str(src)).withColumn("url", url)
+    index_urls = spark.createDataFrame(
+        [("seen.com/p/1",), ("other.com/q",)], "norm_url STRING"
+    )
+    out = str(tmp_path / "out")
+    q = stream_url_dedup_ingest(
+        stream, index_urls, out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for p in glob.glob(f"{out}/ingest_batch=*")
+        for r in spark.read.parquet(p).collect()
+    }
+    assert got == {
+        1: ("url_dup_corpus", None),
+        2: ("keep", None),
+        3: ("url_dup_batch", 2),
+        4: ("keep", None),
+    }
