@@ -136,6 +136,7 @@ def contamination_spans(
 
     from mapreduce_kmeans_clustering_spark.operators.dedup import (
         exploded_shingles,
+        positioned_shingles,
     )
     from mapreduce_kmeans_clustering_spark.operators.text import tokens
 
@@ -147,20 +148,10 @@ def contamination_spans(
         .select("sh")
         .distinct()
     )
-    toks = train.select(
-        F.col(id_col),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
-    )
+    # the positioned core is SHARED with exploded_shingles (one copy
+    # of the shingle format — code-review r11)
+    pos_sh = positioned_shingles(train, n=n, text_col=text_col, id_col=id_col)
     w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
-    sh = F.concat_ws(" ", F.col("tok"), *leads)
-    pos_sh = (
-        toks.select(
-            F.col(id_col), "pos", sh.alias("sh"), leads[-1].alias("_last")
-        )
-        .where(F.col("_last").isNotNull())
-        .select(id_col, "pos", "sh")
-    )
     matched = pos_sh.join(bench_sh, "sh").select(id_col, "pos")
     # gaps-and-islands: a new span starts when this match's start is
     # more than n past the previous one (start gap == n means the two

@@ -72,10 +72,14 @@ def shingle_sets(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: st
     )
 
 
-def exploded_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, sh): DISTINCT word-n-gram rows per doc — the exploded twin
-    of shingle_sets (same set of (id, shingle) pairs; docs with < n
-    tokens contribute nothing).
+def positioned_shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pos, sh): every word-n-gram of every doc with its 0-based
+    start position — the positioned core both ``exploded_shingles``
+    (drop pos + distinct) and ``curation.contamination_spans`` (keep
+    pos for the span merge) consume; one copy so the shingle format
+    can never drift between them (code-review r11).
 
     Physical shape matters here: building shingles with a transform()
     lambda over element_at(tokens(...), i) re-evaluates the regexp
@@ -84,10 +88,11 @@ def exploded_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_co
     This version tokenizes ONCE per doc (posexplode evaluates its
     generator a single time), then forms n-grams with window lead()
     over (doc, pos) — everything stays in whole-stage codegen, and the
-    only shuffles are the window partition and the distinct, both keyed
-    well for scale."""
+    only shuffle is the window partition, keyed well for scale."""
     from pyspark.sql.window import Window
 
+    if n < 2:
+        raise ValueError(f"shingle n must be >= 2, got {n}")
     toks = docs.select(
         F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
     )
@@ -95,8 +100,22 @@ def exploded_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_co
     leads = [F.lead("tok", j).over(w) for j in range(1, n)]
     sh = F.concat_ws(" ", F.col("tok"), *leads)
     return (
-        toks.select(F.col(id_col), sh.alias("sh"), leads[-1].alias("_last"))
+        toks.select(
+            F.col(id_col), "pos", sh.alias("sh"), leads[-1].alias("_last")
+        )
         .where(F.col("_last").isNotNull())
+        .select(id_col, "pos", "sh")
+    )
+
+
+def exploded_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, sh): DISTINCT word-n-gram rows per doc — the exploded twin
+    of shingle_sets (same set of (id, shingle) pairs; docs with < n
+    tokens contribute nothing). Positions come from
+    ``positioned_shingles`` (the shared core); this adds the drop +
+    distinct."""
+    return (
+        positioned_shingles(docs, n, text_col, id_col)
         .select(id_col, "sh")
         .distinct()
     )
@@ -236,10 +255,17 @@ def cross_source_dup_flow(
         sizes.select(F.col("_s").alias("s2"), F.col("_n").alias("n_docs_s2")),
         "s2",
     )
+    # both branches force double BEFORE the multiply: at ~3e9 docs in
+    # one source (the 100 TB regime) n*(n-1) overflows long and ANSI
+    # mode throws — the bucket_digests overflow class (code-review r11)
     denom = F.when(
         F.col("s1") == F.col("s2"),
-        F.col("n_docs_s1") * (F.col("n_docs_s1") - 1) / F.lit(2.0),
-    ).otherwise(F.col("n_docs_s1") * F.lit(1.0) * F.col("n_docs_s2"))
+        F.col("n_docs_s1").cast("double")
+        * (F.col("n_docs_s1") - 1)
+        / F.lit(2.0),
+    ).otherwise(
+        F.col("n_docs_s1").cast("double") * F.col("n_docs_s2")
+    )
     rate = F.when(
         denom > 0,
         F.floor(

@@ -10683,11 +10683,13 @@ ps AS (SELECT least(da.source, db.source) AS s1,
 flow AS (SELECT s1, s2, count(*)::BIGINT AS n_pairs FROM ps GROUP BY 1, 2),
 sz AS (SELECT source AS s, count(*)::BIGINT AS n FROM documents GROUP BY 1)
 SELECT s1, s2, n_pairs, za.n AS n_docs_s1, zb.n AS n_docs_s2,
-       CASE WHEN (CASE WHEN s1 = s2 THEN za.n * (za.n - 1) / 2.0
-                       ELSE za.n * 1.0 * zb.n END) > 0
+       -- double BEFORE the multiply, mirroring the engine's
+       -- overflow-safe denominator (n*(n-1) overflows BIGINT at ~3e9)
+       CASE WHEN (CASE WHEN s1 = s2 THEN za.n::DOUBLE * (za.n - 1) / 2.0
+                       ELSE za.n::DOUBLE * zb.n END) > 0
             THEN floor(n_pairs
-                       / (CASE WHEN s1 = s2 THEN za.n * (za.n - 1) / 2.0
-                               ELSE za.n * 1.0 * zb.n END)
+                       / (CASE WHEN s1 = s2 THEN za.n::DOUBLE * (za.n - 1) / 2.0
+                               ELSE za.n::DOUBLE * zb.n END)
                        * 100000000.0 + 0.5) / 100000000.0
        END AS dup_rate
 FROM flow JOIN sz za ON za.s = flow.s1 JOIN sz zb ON zb.s = flow.s2"""

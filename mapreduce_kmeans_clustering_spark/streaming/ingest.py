@@ -226,32 +226,29 @@ def stream_url_dedup_ingest(
                 ),
             ).alias("__k"),
         )
-        hit = base.join(
-            idx, base["__k"] == idx["__inu"], "left_semi"
-        ).select(id_col)
+        # ONE probe of the corpus index per batch (code-review r11: a
+        # semi-join + anti-join pair embedded the probe twice in the
+        # plan — the dominant per-batch cost, doubled). idx is
+        # distinct, so the left join cannot multiply rows; a key
+        # either hits the corpus (every batch claimant is a corpus
+        # dup) or its lowest id wins the in-batch claim.
+        flagged = base.join(
+            idx, base["__k"] == idx["__inu"], "left"
+        ).withColumn("__corpus", F.col("__inu").isNotNull())
         w = Window.partitionBy("__k").orderBy(id_col)
-        claimed = base.join(hit, id_col, "left_anti").withColumn(
+        verdicts = flagged.withColumn(
             "__first", F.min(id_col).over(w)
-        )
-        verdicts = (
-            base.select(id_col, "norm_url")
-            .join(hit.withColumn("__corpus", F.lit(True)), id_col, "left")
-            .join(
-                claimed.select(id_col, "__first"), id_col, "left"
-            )
-            .select(
-                id_col,
-                "norm_url",
-                F.when(F.col("__corpus"), "url_dup_corpus")
-                .when(F.col(id_col) != F.col("__first"), "url_dup_batch")
-                .otherwise("keep")
-                .alias("status"),
-                F.when(
-                    F.col("__corpus").isNull()
-                    & (F.col(id_col) != F.col("__first")),
-                    F.col("__first"),
-                ).alias("dup_of"),
-            )
+        ).select(
+            id_col,
+            "norm_url",
+            F.when(F.col("__corpus"), "url_dup_corpus")
+            .when(F.col(id_col) != F.col("__first"), "url_dup_batch")
+            .otherwise("keep")
+            .alias("status"),
+            F.when(
+                ~F.col("__corpus") & (F.col(id_col) != F.col("__first")),
+                F.col("__first"),
+            ).alias("dup_of"),
         )
         verdicts.write.mode("overwrite").parquet(
             f"{out_path}/ingest_batch={epoch_id}"
