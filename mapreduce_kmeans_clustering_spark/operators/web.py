@@ -294,3 +294,21 @@ def domain_stats(
             F.round(F.avg("_s"), 4).alias("avg_score"),
         )
     )
+
+
+def extend_url_index(index_urls: DataFrame, verdicts: DataFrame) -> DataFrame:
+    """Index maintenance for the streaming URL-dedup loop — the URL
+    twin of ``dedup.extend_band_index``: append a batch's KEPT
+    normalized URLs to the stored relation, dropping NULLs (NULL-URL
+    docs have no URL identity to index) and deduplicating. The caller
+    persists the result and passes it as the next run's
+    ``index_urls`` — daily cost is O(batch), never O(index), because
+    the union is lazy and the distinct's shuffle carries only the
+    (tiny) kept-URL column."""
+    kept = (
+        verdicts.where(
+            (F.col("status") == "keep") & F.col("norm_url").isNotNull()
+        )
+        .select("norm_url")
+    )
+    return index_urls.select("norm_url").unionByName(kept).distinct()

@@ -274,3 +274,27 @@ def test_url_normalize_idempotent_and_domain_stable(spark):
                 f"domain not a host suffix: {r['url']!r} host={r['host']!r} "
                 f"dom={r['dom']!r}"
             )
+
+
+def test_extend_url_index_closes_the_ingest_loop(spark):
+    """Index maintenance: kept norm_urls from one batch's verdicts join
+    the stored relation (NULLs dropped, duplicates collapsed), so the
+    same URL arriving in the NEXT batch is a corpus dup."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.operators.web import (
+        extend_url_index,
+        url_dedup,
+    )
+
+    idx = spark.createDataFrame([("seen.com/p",)], "norm_url STRING")
+    batch1 = spark.createDataFrame(
+        [(1, "https://www.new.com/a", ), (2, None,)],
+        "doc_id LONG, url STRING",
+    )
+    v1 = url_dedup(batch1)
+    idx2 = extend_url_index(idx, v1)
+    got = {r["norm_url"] for r in idx2.collect()}
+    assert got == {"seen.com/p", "new.com/a"}  # NULL never indexed
+    # extending again with the same verdicts is idempotent
+    assert extend_url_index(idx2, v1).count() == 2
