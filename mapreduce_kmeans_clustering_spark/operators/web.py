@@ -151,6 +151,7 @@ def domain_quality_caps(
     cap: int = 3,
     id_col: str = "doc_id",
     extra_suffixes: tuple[str, ...] = (),
+    salt: int | None = None,
 ) -> DataFrame:
     """Per-domain document budget (the RefinedWeb-style cap that stops
     one mega-domain from dominating the corpus): within each
@@ -161,11 +162,17 @@ def domain_quality_caps(
     Scale shape: one rank window partitioned by the registrable
     domain — embarrassingly parallel across domains. The known hazard
     is mega-domain skew (one domain holding 1% of a 100 TB crawl makes
-    one giant partition): the mitigation at that scale is a two-pass
-    cap — pre-aggregate per-domain counts, broadcast the tiny
-    over-cap domain list, and run the full sort-rank ONLY for those
-    domains while small domains pass through a cheap count check.
-    At registered-query scale the single window is the right plan.
+    one giant window partition). ``salt=S`` ships the mitigation
+    (round 11 — previously only described): a SALTED TWO-STAGE top-cap
+    that is EXACTLY equivalent — stage 1 ranks within
+    (domain, id mod S) and keeps each salt's top ``cap`` (the global
+    top ``cap`` is a subset of the union of per-salt top ``cap``s, so
+    nothing that matters is dropped); stage 2 re-ranks within the
+    domain over at most S·cap survivors per domain. Every stage-1
+    partition is ~1/S of the domain; every stage-2 partition is ≤
+    S·cap rows — no partition is ever corpus-scale, at the price of
+    one extra (tiny) shuffle. Default ``salt=None`` keeps the single
+    window — the right plan at registered-query scale.
 
     NULL handling: a document whose URL is NULL (or unparseable to a
     domain) has no domain budget to compete for — it is kept with
@@ -181,8 +188,20 @@ def domain_quality_caps(
     w = Window.partitionBy("domain").orderBy(
         F.col("_s").desc(), F.col(id_col)
     )
+    domained = scored.where(F.col("domain").isNotNull())
+    if salt is not None:
+        if salt < 1:
+            raise ValueError(f"salt must be >= 1, got {salt}")
+        ws = Window.partitionBy(
+            "domain", F.col(id_col) % F.lit(salt)
+        ).orderBy(F.col("_s").desc(), F.col(id_col))
+        domained = (
+            domained.withColumn("_r1", F.row_number().over(ws))
+            .where(F.col("_r1") <= cap)
+            .drop("_r1")
+        )
     ranked = (
-        scored.where(F.col("domain").isNotNull())
+        domained
         .withColumn("domain_rank", F.row_number().over(w).cast("int"))
         .where(F.col("domain_rank") <= cap)
         .select(id_col, "domain", "domain_rank")

@@ -298,3 +298,31 @@ def test_extend_url_index_closes_the_ingest_loop(spark):
     assert got == {"seen.com/p", "new.com/a"}  # NULL never indexed
     # extending again with the same verdicts is idempotent
     assert extend_url_index(idx2, v1).count() == 2
+
+
+def test_domain_caps_salted_two_stage_is_exact(spark):
+    """The salt=S mega-domain mitigation is EXACTLY equivalent to the
+    single window: per-salt top-cap is a superset of the global
+    top-cap, so stage 2 reproduces identical (id, domain, rank) rows —
+    checked over a skewed corpus (one domain with 60 docs, several
+    small domains, NULL urls) for several salts including S > n."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, "https://big.com/p/%d" % i, (i * 37) % 100) for i in range(60)
+    ] + [
+        (100 + i, "https://small%d.org/x" % i, 50 + i) for i in range(5)
+    ] + [(200, None, 99), (201, None, 1)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, url STRING, n_chars LONG")
+
+    def rowset(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    base = rowset(domain_quality_caps(docs, cap=3))
+    for s in (1, 2, 7, 1000):
+        assert rowset(domain_quality_caps(docs, cap=3, salt=s)) == base, s
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="salt"):
+        domain_quality_caps(docs, cap=3, salt=0)
