@@ -235,7 +235,12 @@ def web_curation(
     ``domain_quality_caps``'s window restricted to URL-survivors —
     the cap never ranks rows a cheaper stage already rejected, which
     is also the at-scale execution order (each stage shrinks the next
-    stage's input).
+    stage's input). Note the salted mega-domain mitigation
+    (``domain_quality_caps(salt=S)``) does NOT apply here: this
+    verdict table reports the losing rank for over-cap rows, and
+    stage-1 salt pruning discards exactly those ranks — at mega-domain
+    scale, run ``url_dedup`` + ``domain_quality_caps(salt=S)`` when
+    keep-verdicts alone suffice.
 
     NULL handling mirrors the component operators: a NULL-URL doc is
     its own URL group (never url_dup) and has no domain budget, so its
