@@ -586,11 +586,16 @@ DRIVER_ROTATION: list[str] = [
     "q_psi_drift", "q_linkage_scores", "q_basket_triples",
     "q_events_seasonal",
     # -- rule-2 displacement slots (pre-driver-run, per the ADVICE r10
-    #    precedent; each displaced the then-newest r6 refresher) --
-    # bucket_digests overflow fix (displaced q_fd_profile):
+    #    precedent) --
+    # bucket_digests overflow fix. CORRECTED round 11: q_snapshot_diff
+    # was already among the in-window oldest-18 r6 refreshers (registry
+    # position 17 of the cohort), so this slot is a RE-LABEL, not a
+    # displacement — q_fd_profile (cohort position 19) was never in the
+    # window; see QUERIES.md round-12 pre-plan:
     "q_snapshot_diff",
-    # semantic_decontam unrolled->HOF cosine switch (displaced
-    # q_session_paths): the registered query's probe-join span blew
+    # semantic_decontam unrolled->HOF cosine switch (displaced the
+    # genuinely-in-window q_session_paths): the registered query's
+    # probe-join span blew
     # janino's 64 KB limit and silently ran interpreted; the HOF form
     # compiles (measured 2.24 s -> 1.23 s steady-state at sf0.1) and
     # is bit-identical (full-value snapshot equal at all 3 SFs), but
