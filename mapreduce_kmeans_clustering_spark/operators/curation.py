@@ -103,42 +103,24 @@ def contamination_report(
     )
 
 
-def contamination_spans(
+def _matched_spans(
     docs: DataFrame,
     bench_pred: Column,
-    n: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Span-level contamination audit — the "WHERE and HOW LONG" twin
-    of ``contamination_report``'s boolean verdict: for every
-    contaminated training document, merge its benchmark-matching
-    word-``n``-gram positions into MAXIMAL token spans (two matches
-    whose covered token ranges touch or overlap — start gap ≤ n —
-    fuse; the ExactSubstr-style audit of Lee et al. 2022, at n-gram
-    rather than suffix granularity). Output one row per contaminated
-    doc: (id, n_spans, max_span_tokens, covered_tokens, n_tokens,
-    coverage), positions 0-based over the regexp tokenizer; clean
-    docs emit nothing.
-
-    Plan shape: ONE positioned shingle explosion over the train side
-    (posexplode once per doc + lead() window — exploded_shingles'
-    physical form, minus the distinct: positions must survive), one
-    DISTINCT benchmark shingle set, one equi-join on the shingle
-    string, then the gaps-and-islands merge as two window passes over
-    (doc, pos) — lag() to flag span breaks, running sum() to number
-    spans — and two hash aggregates. The windows and the final
-    aggregate all share the doc-id partitioning, so the merge costs
-    one shuffle; nothing is ever pairwise doc×doc, and matched
-    positions (the window input) are orders of magnitude fewer than
-    corpus shingles."""
+    n: int,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of ``contamination_spans`` (audit) and
+    ``scrub_contaminated_spans`` (removal): (train docs, maximal
+    matched spans (id, _s, _e) — 0-based inclusive token ranges after
+    the gaps-and-islands merge). One copy so the span semantics can
+    never drift between the audit and the scrub."""
     from pyspark.sql.window import Window
 
     from mapreduce_kmeans_clustering_spark.operators.dedup import (
         exploded_shingles,
         positioned_shingles,
     )
-    from mapreduce_kmeans_clustering_spark.operators.text import tokens
 
     train = docs.where(~bench_pred)
     bench_sh = (
@@ -169,6 +151,41 @@ def contamination_spans(
         F.min("pos").alias("_s"),
         (F.max("pos") + F.lit(n - 1)).alias("_e"),
     )
+    return train, spans
+
+
+def contamination_spans(
+    docs: DataFrame,
+    bench_pred: Column,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level contamination audit — the "WHERE and HOW LONG" twin
+    of ``contamination_report``'s boolean verdict: for every
+    contaminated training document, merge its benchmark-matching
+    word-``n``-gram positions into MAXIMAL token spans (two matches
+    whose covered token ranges touch or overlap — start gap ≤ n —
+    fuse; the ExactSubstr-style audit of Lee et al. 2022, at n-gram
+    rather than suffix granularity). Output one row per contaminated
+    doc: (id, n_spans, max_span_tokens, covered_tokens, n_tokens,
+    coverage), positions 0-based over the regexp tokenizer; clean
+    docs emit nothing.
+
+    Plan shape: ONE positioned shingle explosion over the train side
+    (posexplode once per doc + lead() window — exploded_shingles'
+    physical form, minus the distinct: positions must survive), one
+    DISTINCT benchmark shingle set, one equi-join on the shingle
+    string, then the gaps-and-islands merge as two window passes over
+    (doc, pos) — lag() to flag span breaks, running sum() to number
+    spans — and two hash aggregates. The windows and the final
+    aggregate all share the doc-id partitioning, so the merge costs
+    one shuffle; nothing is ever pairwise doc×doc, and matched
+    positions (the window input) are orders of magnitude fewer than
+    corpus shingles."""
+    from mapreduce_kmeans_clustering_spark.operators.text import tokens
+
+    train, spans = _matched_spans(docs, bench_pred, n, text_col, id_col)
     per_doc = spans.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_spans"),
         F.max(F.col("_e") - F.col("_s") + 1).cast("long").alias(
@@ -199,6 +216,74 @@ def contamination_spans(
         "covered_tokens",
         "n_tokens",
         cov.alias("coverage"),
+    )
+
+
+def scrub_contaminated_spans(
+    docs: DataFrame,
+    bench_pred: Column,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contamination REMOVAL — the consumer of the span audit: every
+    training document is re-emitted as its token stream with the
+    benchmark-matching maximal spans EXCISED (the surgical alternative
+    to dropping whole docs that share one boilerplate n-gram; the
+    removal step of Lee et al. 2022 at n-gram granularity). Output one
+    row per training doc: (id, scrubbed_text, n_kept, n_removed) —
+    clean docs pass through with n_removed = 0.
+
+    SEMANTICS NOTE: scrubbed_text is the cleaned TOKEN stream
+    (lowercased alphanumeric tokens space-joined — the same regexp
+    tokenizer every shingle consumer uses), NOT the original text
+    minus character ranges. For LLM training data the token stream is
+    what downstream tokenization consumes anyway; callers needing
+    original formatting should treat this as the mask and cut
+    character spans themselves.
+
+    Plan shape: the shared ``_matched_spans`` core (shingle equi-join
+    + gaps-and-islands, never pairwise), spans exploded to covered
+    positions (sequence() — total size is covered_tokens ≤ corpus
+    tokens), one equi-ANTI-join on (doc, pos) — never a range-predicate
+    join, which would plan as a nested loop — and one
+    sort_array(collect_list(struct(pos, tok))) rebuild per doc. All
+    window/aggregate stages share the doc-id partitioning."""
+    from mapreduce_kmeans_clustering_spark.operators.text import tokens
+
+    train, spans = _matched_spans(docs, bench_pred, n, text_col, id_col)
+    covered = spans.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("_s"), F.col("_e"))).alias("pos"),
+    )
+    toks = train.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("scrubbed_text"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    base = train.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("_n_tokens"),
+    )
+    # left join: a FULLY-covered doc keeps zero tokens and must still
+    # emit a row (empty scrubbed_text), as must a doc with no tokens
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("_n_tokens") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
     )
 
 

@@ -10622,8 +10622,11 @@ def q_decontam_spans(spark, sf_dir):
     return CU.contamination_spans(docs, F.col("doc_id") % BENCH_MOD == 0)
 
 
-PIPELINE_ORACLES["q_decontam_spans"] = f"""
-WITH toks AS (SELECT doc_id, {_TOK} AS w FROM documents),
+# Shared span-CTE chain (toks -> maximal matched spans `sp`): used by
+# BOTH q_decontam_spans (audit) and q_decontam_scrub (removal) so the
+# two oracles replay identical span semantics — the SQL twin of the
+# engine's _matched_spans helper.
+_SQL_SPAN_CTES = f"""toks AS (SELECT doc_id, {_TOK} AS w FROM documents),
 bsh AS (
   SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
   FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks
@@ -10643,7 +10646,10 @@ s AS (SELECT doc_id, pos,
              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
       FROM g),
 sp AS (SELECT doc_id, span_id, min(pos) AS st, max(pos) + 2 AS en
-       FROM s GROUP BY 1, 2),
+       FROM s GROUP BY 1, 2)"""
+
+PIPELINE_ORACLES["q_decontam_spans"] = f"""
+WITH {_SQL_SPAN_CTES},
 agg AS (SELECT doc_id,
                count(*)::BIGINT AS n_spans,
                max(en - st + 1)::BIGINT AS max_span_tokens,
@@ -10694,3 +10700,40 @@ SELECT s1, s2, n_pairs, za.n AS n_docs_s1, zb.n AS n_docs_s2,
        END AS dup_rate
 FROM flow JOIN sz za ON za.s = flow.s1 JOIN sz zb ON zb.s = flow.s2"""
 PIPELINE_QUERIES.update({"q_dedup_source_flow": q_dedup_source_flow})
+
+
+def q_decontam_scrub(spark, sf_dir):
+    """Contamination removal (curation.scrub_contaminated_spans): every
+    training doc re-emitted as its token stream with the
+    benchmark-matching maximal spans excised — the surgical consumer
+    of q_decontam_spans' audit (drop the span, not the doc). One row
+    per training doc: (scrubbed_text, n_kept, n_removed); clean docs
+    pass through with n_removed = 0. Shared _matched_spans core +
+    covered-position explode + (doc, pos) equi-anti-join + one
+    sort_array(collect_list) rebuild — never a range-predicate join."""
+    docs = _docs(spark, sf_dir)
+    return CU.scrub_contaminated_spans(docs, F.col("doc_id") % BENCH_MOD == 0)
+
+
+PIPELINE_ORACLES["q_decontam_scrub"] = f"""
+WITH {_SQL_SPAN_CTES},
+cov AS (SELECT doc_id, unnest(range(st, en + 1)) AS pos FROM sp),
+tokpos AS (
+  SELECT doc_id, i - 1 AS pos, w[i] AS tok
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM toks
+        WHERE doc_id % {BENCH_MOD} <> 0)),
+keptt AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tokpos t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL),
+reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS scrubbed_text,
+               count(*)::BIGINT AS n_kept
+        FROM keptt GROUP BY 1),
+nt AS (SELECT doc_id, len(w)::BIGINT AS n FROM toks
+       WHERE doc_id % {BENCH_MOD} <> 0)
+SELECT nt.doc_id,
+       coalesce(reb.scrubbed_text, '') AS scrubbed_text,
+       coalesce(reb.n_kept, 0)::BIGINT AS n_kept,
+       (nt.n - coalesce(reb.n_kept, 0))::BIGINT AS n_removed
+FROM nt LEFT JOIN reb USING (doc_id)"""
+PIPELINE_QUERIES.update({"q_decontam_scrub": q_decontam_scrub})

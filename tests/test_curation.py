@@ -466,3 +466,32 @@ def test_contamination_spans_merges_overlapping_matches(spark):
         1: (2, 4, 7, 12, 0.583333),
         5: (1, 5, 5, 5, 1.0),
     }
+
+
+def test_scrub_contaminated_spans_excises_exact_spans(spark):
+    """The scrub removes exactly the merged spans the audit reports:
+    partially-contaminated docs lose only covered tokens, clean docs
+    pass through verbatim (as token stream), fully-covered docs emit
+    an empty scrubbed_text — one row per training doc always."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.operators.curation import (
+        scrub_contaminated_spans,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps"),  # benchmark
+        (1, "xx yy the quick brown fox aa bb cc brown fox jumps"),
+        (3, "nothing matches here at all"),
+        (5, "the quick brown fox jumps"),  # full copy
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (r["scrubbed_text"], r["n_kept"], r["n_removed"])
+        for r in scrub_contaminated_spans(docs, F.col("doc_id") % 2 == 0).collect()
+    }
+    assert got == {
+        1: ("xx yy aa bb cc", 5, 7),
+        3: ("nothing matches here at all", 5, 0),
+        5: ("", 0, 5),
+    }

@@ -1225,3 +1225,18 @@ def test_dedup_source_flow_plan(spark):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     assert "HashJoin" in p
+
+
+def test_decontam_scrub_plan(spark):
+    """Scrub: covered positions anti-join tokens as an EQUI-join on
+    (doc, pos) — a BETWEEN range join would plan a nested loop; no
+    cartesian, no per-row Python; the rebuild is an object hash
+    aggregate over (pos, tok) structs."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_decontam_scrub,
+    )
+
+    p = _plan(q_decontam_scrub(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p

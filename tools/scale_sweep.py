@@ -107,6 +107,7 @@ SWEEP_QUERIES = [
     # cross-source duplicate flow
     "q_decontam_spans",
     "q_dedup_source_flow",
+    "q_decontam_scrub",
 ]
 
 
@@ -158,6 +159,7 @@ QUERY_TABLES = {
     "q_web_curation": {"documents"},
     "q_decontam_spans": {"documents"},
     "q_dedup_source_flow": {"documents"},
+    "q_decontam_scrub": {"documents"},
 }
 
 
