@@ -43,6 +43,7 @@ from pyspark.sql.window import Window
 from mapreduce_kmeans_clustering_spark.operators.dedup import (
     exact_dup_drops,
     exploded_shingles,
+    positioned_shingles,
 )
 from mapreduce_kmeans_clustering_spark.operators.sampling import (
     BUCKETS,
@@ -115,13 +116,6 @@ def _matched_spans(
     matched spans (id, _s, _e) — 0-based inclusive token ranges after
     the gaps-and-islands merge). One copy so the span semantics can
     never drift between the audit and the scrub."""
-    from pyspark.sql.window import Window
-
-    from mapreduce_kmeans_clustering_spark.operators.dedup import (
-        exploded_shingles,
-        positioned_shingles,
-    )
-
     train = docs.where(~bench_pred)
     bench_sh = (
         exploded_shingles(
@@ -183,8 +177,6 @@ def contamination_spans(
     one shuffle; nothing is ever pairwise doc×doc, and matched
     positions (the window input) are orders of magnitude fewer than
     corpus shingles."""
-    from mapreduce_kmeans_clustering_spark.operators.text import tokens
-
     train, spans = _matched_spans(docs, bench_pred, n, text_col, id_col)
     per_doc = spans.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_spans"),
@@ -248,9 +240,18 @@ def scrub_contaminated_spans(
     tokens), one equi-ANTI-join on (doc, pos) — never a range-predicate
     join, which would plan as a nested loop — and one
     sort_array(collect_list(struct(pos, tok))) rebuild per doc. All
-    window/aggregate stages share the doc-id partitioning."""
-    from mapreduce_kmeans_clustering_spark.operators.text import tokens
+    window/aggregate stages share the doc-id partitioning.
 
+    The corpus is TOKENIZED exactly twice (once inside the span
+    core's shingling, once for the rebuild) and deliberately NOT
+    materialized between consumers: the exploded token table is
+    larger than the corpus itself, so checkpointing it would cost
+    more than the second codegen'd regexp pass (the inverse of the
+    decontam hits-checkpoint trade, where the shared frame is tiny).
+    The doc-list pass reads only the id column (pruned scan, no
+    tokenize): n_removed is the per-doc covered-position count —
+    kept + covered = total by construction — so no third token
+    count is needed (code-review r11)."""
     train, spans = _matched_spans(docs, bench_pred, n, text_col, id_col)
     covered = spans.select(
         F.col(id_col),
@@ -271,19 +272,24 @@ def scrub_contaminated_spans(
         ).alias("scrubbed_text"),
         F.count("*").cast("long").alias("n_kept"),
     )
-    base = train.select(
-        F.col(id_col),
-        F.size(tokens(F.col(text_col))).cast("long").alias("_n_tokens"),
+    covcnt = covered.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("_n_removed")
     )
-    # left join: a FULLY-covered doc keeps zero tokens and must still
-    # emit a row (empty scrubbed_text), as must a doc with no tokens
-    return base.join(rebuilt, id_col, "left").select(
-        id_col,
-        F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
-        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-        (F.col("_n_tokens") - F.coalesce("n_kept", F.lit(0)))
-        .cast("long")
-        .alias("n_removed"),
+    # left joins from the bare doc list: a FULLY-covered doc keeps zero
+    # tokens and must still emit a row (empty scrubbed_text), as must a
+    # doc with no tokens at all
+    return (
+        train.select(F.col(id_col))
+        .join(rebuilt, id_col, "left")
+        .join(covcnt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("_n_removed", F.lit(0)).cast("long").alias(
+                "n_removed"
+            ),
+        )
     )
 
 

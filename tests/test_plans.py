@@ -1240,3 +1240,8 @@ def test_decontam_scrub_plan(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p
+    # positive pins (code-review r11): the (doc,pos) anti-join and the
+    # shingle probe are hash joins; the collect_list rebuild is an
+    # object hash aggregate, never a sort aggregate over the tokens
+    assert "HashJoin" in p
+    assert "ObjectHashAggregate" in p
