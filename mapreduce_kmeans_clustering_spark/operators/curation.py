@@ -234,6 +234,14 @@ def scrub_contaminated_spans(
     original formatting should treat this as the mask and cut
     character spans themselves.
 
+    SEAM CAVEAT (honest limit, pinned by test): one pass removes every
+    PRE-EXISTING match, but excising a span joins its neighbors, and
+    the joined seam can itself form a NEW benchmark n-gram ("a b
+    [SPAN] c d" → "a b c d", which may match). ExactSubstr-style
+    removal shares this property. Each pass strictly shrinks affected
+    docs, so iterating converges — use ``scrub_until_clean`` when the
+    output must be guaranteed match-free.
+
     Plan shape: the shared ``_matched_spans`` core (shingle equi-join
     + gaps-and-islands, never pairwise), spans exploded to covered
     positions (sequence() — total size is covered_tokens ≤ corpus
@@ -290,6 +298,45 @@ def scrub_contaminated_spans(
                 "n_removed"
             ),
         )
+    )
+
+
+def scrub_until_clean(
+    docs: DataFrame,
+    bench_pred: Column,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_passes: int = 5,
+) -> DataFrame:
+    """Iterate ``scrub_contaminated_spans`` until the training side
+    contains NO benchmark n-gram — the guaranteed-clean form (the
+    single pass can leave seam-created matches; see the scrub's SEAM
+    CAVEAT). Returns (id, text) for every training doc, text being the
+    final clean token stream.
+
+    Convergence is structural: a pass that removes anything strictly
+    shrinks those docs' token streams, so the loop terminates; in
+    practice seams are rare and 2 passes suffice. Each pass costs one
+    boolean driver job (did anything get removed?) on top of the scrub
+    itself; ``max_passes`` exhaustion with matches still present
+    raises loudly (the dup-groups max_iter pattern) rather than
+    returning contaminated data as clean."""
+    bench = docs.where(bench_pred).select(F.col(id_col), F.col(text_col))
+    train = docs.where(~bench_pred).select(F.col(id_col), F.col(text_col))
+    for _ in range(max_passes):
+        out = scrub_contaminated_spans(
+            bench.unionByName(train), bench_pred, n, text_col, id_col
+        ).localCheckpoint(eager=False)
+        if out.where(F.col("n_removed") > 0).limit(1).count() == 0:
+            return train
+        train = out.select(
+            F.col(id_col), F.col("scrubbed_text").alias(text_col)
+        )
+    raise ValueError(
+        f"scrub_until_clean: matches remain after {max_passes} passes — "
+        "raise max_passes (seam chains longer than expected) or inspect "
+        "the benchmark set for degenerate (near-universal) n-grams"
     )
 
 

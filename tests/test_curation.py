@@ -495,3 +495,40 @@ def test_scrub_contaminated_spans_excises_exact_spans(spark):
         3: ("nothing matches here at all", 5, 0),
         5: ("", 0, 5),
     }
+
+
+def test_scrub_seam_caveat_and_until_clean_convergence(spark):
+    """The pinned honest limit: excising a span can join its neighbors
+    into a NEW benchmark n-gram (one pass leaves it), and
+    scrub_until_clean iterates to a guaranteed-clean fixpoint."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.operators.curation import (
+        contamination_report,
+        scrub_contaminated_spans,
+        scrub_until_clean,
+    )
+
+    # benchmark holds "x1 x2 x3" and "b c d"; the train doc's span
+    # removal creates "b c d" at the seam
+    rows = [(0, "x1 x2 x3 q q q b c d"), (1, "a b x1 x2 x3 c d")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    pred = F.col("doc_id") % 2 == 0
+
+    one = scrub_contaminated_spans(docs, pred).collect()[0]
+    assert one["scrubbed_text"] == "a b c d"  # seam match present
+
+    clean = scrub_until_clean(docs, pred).collect()
+    assert [(r["doc_id"], r["text"]) for r in clean] == [(1, "a")]
+    # and the result really is match-free
+    re_docs = spark.createDataFrame(
+        [(0, "x1 x2 x3 q q q b c d"), (1, "a")], "doc_id LONG, text STRING"
+    )
+    rep = contamination_report(re_docs, pred).collect()
+    assert all(not r["contaminated"] for r in rep)
+
+    # loud failure when the pass budget can't reach the fixpoint
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_passes"):
+        scrub_until_clean(docs, pred, max_passes=1)
