@@ -1216,3 +1216,110 @@ def contamination_source_report(
         "max_hits",
         worst.alias("worst_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (round 11 continuation)
+# ---------------------------------------------------------------------------
+
+def dsir_logweights(
+    docs: DataFrame,
+    target_pred: Column,
+    *,
+    n_buckets: int = 8192,
+    bigrams: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    DSIR): score every RAW document by how target-like its hashed
+    n-gram profile is — the published recipe for "select the 5% of
+    the crawl that looks like my high-quality target set" without
+    training a classifier.
+
+    Features are word unigrams (+ bigrams by default), hashed to
+    ``n_buckets`` buckets (``text.hash_dim``'s engine-portable md5
+    bucket). Bag-of-ngrams models with add-one smoothing are fit on
+    the target partition (``target_pred`` rows) and the raw remainder;
+    a raw doc's importance log-weight is
+
+        sum over its feature OCCURRENCES of
+            ln p_target(bucket) - ln p_raw(bucket)
+
+    Output, one row per raw doc: (id, n_feats, logweight) — rank by
+    logweight descending and keep the head (or Gumbel-resample) to
+    select. Cross-engine determinism: each bucket's log-ratio is
+    pinned to integer MICRO-units (floor(lr*1e6 + 0.5), the repo's
+    half-up contract) and the per-doc sum runs over those integers —
+    exact and summation-order-free on both engines, unlike a double
+    sum (SCALE.md §5's .5-tie class).
+
+    Scale shape (100 TB): one token/bigram explode (scan-local), one
+    bucket-keyed count per side (map-side partial; at most
+    ``n_buckets`` rows survive each), one broadcast of the ≤
+    ``n_buckets``-row ratio table back onto the exploded stream, one
+    id-keyed sum. Zipf skew on hot buckets lives entirely inside the
+    partial aggregates; nothing driver-side. The ratio table is built
+    from the RAW side's occupied buckets (a raw doc's features always
+    hit one), with target counts left-joined."""
+    w = tokens(F.col(text_col))
+    feats = w
+    if bigrams:
+        bi = F.when(
+            F.size(w) >= 2,
+            F.zip_with(
+                F.slice(w, 1, F.size(w) - 1),
+                F.slice(w, 2, F.size(w) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        feats = F.concat(w, bi)
+    from mapreduce_kmeans_clustering_spark.operators.text import hash_dim
+
+    fb = docs.select(
+        F.col(id_col),
+        target_pred.alias("_tgt"),
+        F.explode(feats).alias("_feat"),
+    ).select(
+        id_col, "_tgt", hash_dim(F.col("_feat"), n_buckets).alias("_bkt")
+    )
+    cr = (
+        fb.where(~F.col("_tgt"))
+        .groupBy("_bkt")
+        .agg(F.count("*").cast("long").alias("_cr"))
+    )
+    ct = (
+        fb.where(F.col("_tgt"))
+        .groupBy("_bkt")
+        .agg(F.count("*").cast("long").alias("_ct"))
+    )
+    totals = cr.agg(
+        F.sum("_cr").cast("long").alias("_r")
+    ).crossJoin(
+        F.broadcast(
+            ct.agg(
+                F.coalesce(F.sum("_ct"), F.lit(0)).cast("long").alias("_t")
+            )
+        )
+    )
+    B = int(n_buckets)
+    lr = F.log(
+        (F.coalesce(F.col("_ct"), F.lit(0)) + 1) / (F.col("_t") + B)
+    ) - F.log((F.col("_cr") + 1) / (F.col("_r") + B))
+    ratio = (
+        cr.join(ct, "_bkt", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_bkt",
+            F.floor(lr * 1e6 + F.lit(0.5)).cast("long").alias("_micro"),
+        )
+    )
+    return (
+        fb.where(~F.col("_tgt"))
+        .join(F.broadcast(ratio), "_bkt")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            (F.sum("_micro") / F.lit(1e6)).alias("logweight"),
+        )
+    )

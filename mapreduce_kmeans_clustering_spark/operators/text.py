@@ -569,3 +569,82 @@ def bpe_encode(
         n_tokens.alias("n_tokens"),
         F.md5("r").alias("enc_md5"),
     )
+
+
+def ngram_diversity(
+    docs: DataFrame,
+    ns: tuple[int, ...] = (1, 2, 3),
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct-n corpus diversity — the self-repetition health metric
+    (distinct n-grams / total n-grams per group, the corpus-level
+    twin of Li et al.'s distinct-1/2 generation metric): a feed whose
+    distinct-3 collapses is re-crawling templated pages no matter what
+    its per-doc quality scores say. One row per (group, n):
+    (group, n, total_ngrams, distinct_ngrams, diversity).
+
+    Scale shape: per n, one scan-local n-gram projection (higher-order
+    transform over the token array — no self-join) exploded into one
+    (group, gram)-keyed two-phase distinct-count. The n passes union;
+    grams are Zipf-skewed but the key space is (group, gram), so hot
+    grams stay inside partial aggregates. Diversity is rounded with
+    the repo's half-up 6-dp chain.
+
+    The distinct count runs on the gram's 60-bit md5 prefix (the
+    simhash/shingle hash convention), NOT the raw string: a fresh
+    corpus has almost no repeated 3-grams, so the partial aggregate
+    collapses nothing and a raw-string distinct shuffles the entire
+    exploded text — hashing first cuts the shuffle to 8-byte keys
+    (measured: the raw-string form went super-linear at ×10 from
+    exactly that shuffle). Exactness: a collision under-counts by 1
+    in 2^60 key space (~n²/2^61 expected — zero in any real corpus),
+    and BOTH engines hash identically, so oracle parity is exact
+    either way."""
+    w = tokens(F.col(text_col))
+    parts = []
+    for n in ns:
+        n = int(n)
+        if n < 1:
+            raise ValueError(f"ngram sizes must be >= 1, got {n}")
+        if n == 1:
+            grams = w
+        else:
+            grams = F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                    lambda i: F.array_join(F.slice(w, i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        gh = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast(
+            "long"
+        )
+        parts.append(
+            docs.select(F.col(by).alias("grp"), F.explode(grams).alias("g"))
+            .select("grp", gh.alias("gh"))
+            .groupBy("grp")
+            .agg(
+                F.count("*").cast("long").alias("total_ngrams"),
+                F.countDistinct("gh").cast("long").alias("distinct_ngrams"),
+            )
+            .select(
+                F.col("grp").alias(by),
+                F.lit(n).cast("int").alias("n"),
+                "total_ngrams",
+                "distinct_ngrams",
+                (
+                    F.floor(
+                        F.col("distinct_ngrams")
+                        / F.col("total_ngrams")
+                        * 1e6
+                        + F.lit(0.5)
+                    )
+                    / 1e6
+                ).alias("diversity"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

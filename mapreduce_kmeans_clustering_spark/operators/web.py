@@ -336,3 +336,228 @@ def extend_url_index(index_urls: DataFrame, verdicts: DataFrame) -> DataFrame:
         .select("norm_url")
     )
     return index_urls.select("norm_url").unionByName(kept).distinct()
+
+# ---------------------------------------------------------------------------
+# Boilerplate line removal (round 11 continuation)
+# ---------------------------------------------------------------------------
+
+def _r6(col: Column) -> Column:
+    """Half-up 6-dp floor chain (the repo's cross-engine rounding
+    contract — Spark/DuckDB round(double) disagree near .5 ties)."""
+    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+
+
+def _doc_lines(
+    docs: DataFrame,
+    url_col: str,
+    text_col: str,
+    id_col: str,
+    tokens_per_line: int | None,
+    line_regex: str | None,
+    extra_suffixes: tuple[str, ...],
+) -> DataFrame:
+    """Shared explode: one row per (doc, line) with the registrable
+    domain attached — (id, domain, line_no, line).
+
+    Two line definitions, chosen by the caller:
+
+    - ``line_regex`` (real deployments): split the raw text on the
+      delimiter regex (newlines for web text), trim, drop empties —
+      positions preserved for the rebuild.
+    - ``tokens_per_line`` (delimiter-free corpora / this repo's
+      fixtures): consecutive non-overlapping L-token windows of the
+      canonical token stream, partial tail window included, so every
+      token belongs to exactly one pseudo-line.
+
+    Both are scan-local projections (one regexp pass inside
+    whole-stage codegen); the explode multiplies rows, never
+    shuffles. The pseudo-line chunker is ONE greedy regexp over the
+    canonical token string (``tok( tok){0,L-1}`` — left-to-right
+    matching takes exactly L tokens per match, partial tail
+    included), not a transform/slice higher-order chain: measured
+    10× cheaper per doc, and the per-doc work stays inside the
+    Generate input, evaluated once per document."""
+    from mapreduce_kmeans_clustering_spark.operators.text import (
+        TOKEN_RE,
+        tokens,
+    )
+
+    if (tokens_per_line is None) == (line_regex is None):
+        raise ValueError(
+            "exactly one of tokens_per_line / line_regex must be set"
+        )
+    dom = registrable_domain_expr(F.col(url_col), extra_suffixes)
+    if line_regex is not None:
+        lines = F.filter(
+            F.transform(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), line_regex),
+                lambda s: F.trim(s),
+            ),
+            lambda s: s != "",
+        )
+    else:
+        L = int(tokens_per_line)
+        if L < 1:
+            raise ValueError(f"tokens_per_line must be >= 1, got {L}")
+        canon = F.array_join(tokens(F.col(text_col)), " ")
+        pat = f"{TOKEN_RE}( {TOKEN_RE}){{0,{L - 1}}}"
+        lines = F.regexp_extract_all(canon, F.lit(pat), 0)
+    return docs.select(
+        F.col(id_col), dom.alias("domain"), lines.alias("_lines")
+    ).select(
+        id_col,
+        "domain",
+        F.posexplode("_lines").alias("line_no", "line"),
+    )
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    url_col: str = "url",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_per_line: int | None = 3,
+    line_regex: str | None = None,
+    min_frac: float = 0.3,
+    min_df: int = 2,
+    extra_suffixes: tuple[str, ...] = (),
+) -> DataFrame:
+    """Boilerplate-line AUDIT — the CCNet/RefinedWeb curation stage the
+    URL layer feeds: a line that recurs across a large fraction of one
+    registrable domain's documents is navigation/footer chrome, not
+    content (reference: Mandar-1007/MapReduce-KMeans-Clustering has no
+    text-curation surface; this extends SURVEY §7 M6's web stage).
+
+    A line is flagged when it appears in
+    ``>= max(min_df, ceil(min_frac * domain_docs))`` DISTINCT documents
+    of its domain — the fraction scales the bar with crawl depth (what
+    a fixed absolute threshold gets wrong: at 100 TB a popular 3-gram
+    recurs thousands of times by chance; 30% of a domain does not).
+    Output, flagged lines only:
+    (domain, line, n_docs, domain_docs, df_frac).
+
+    Scale shape: one (domain, line)-keyed two-phase distinct-count —
+    the key space is lines, so a mega-domain does NOT make a mega
+    partition (contrast ``domain_quality_caps``'s window) — plus one
+    domain-keyed doc count (one row per domain) joined back. NULL
+    domains are excluded: URL-less docs have no site identity, and
+    pooling them would both skew one NULL partition and flag lines
+    across unrelated sites. A 100 TB deployment would count on the
+    128-bit line hash and join the text back for the report; raw lines
+    keep the oracle replayable here and change no plan shape."""
+    lines = _doc_lines(
+        docs, url_col, text_col, id_col,
+        tokens_per_line, line_regex, extra_suffixes,
+    ).where(F.col("domain").isNotNull())
+    dsz = (
+        docs.select(
+            registrable_domain_expr(
+                F.col(url_col), extra_suffixes
+            ).alias("domain")
+        )
+        .where(F.col("domain").isNotNull())
+        .groupBy("domain")
+        .agg(F.count("*").cast("long").alias("domain_docs"))
+    )
+    cnt = lines.groupBy("domain", "line").agg(
+        F.countDistinct(id_col).cast("long").alias("n_docs")
+    )
+    thr = F.greatest(
+        F.lit(int(min_df)).cast("long"),
+        F.ceil(F.lit(float(min_frac)) * F.col("domain_docs")),
+    )
+    return (
+        cnt.join(F.broadcast(dsz), "domain")
+        .where(F.col("n_docs") >= thr)
+        .select(
+            "domain",
+            "line",
+            "n_docs",
+            "domain_docs",
+            _r6(F.col("n_docs") / F.col("domain_docs")).alias("df_frac"),
+        )
+    )
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    url_col: str = "url",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_per_line: int | None = 3,
+    line_regex: str | None = None,
+    min_frac: float = 0.3,
+    min_df: int = 2,
+    joiner: str = " ",
+    extra_suffixes: tuple[str, ...] = (),
+) -> DataFrame:
+    """Boilerplate-line REMOVAL — the consumer of
+    ``boilerplate_lines``'s audit: every document re-emitted with its
+    domain's flagged lines excised. One row per input doc:
+    (id, clean_text, n_lines, n_removed); clean docs pass through with
+    n_removed = 0, and a fully-boilerplate doc emits clean_text ''
+    (the caller's min-length filter then drops it — this operator
+    never silently deletes rows).
+
+    SEMANTICS NOTE (same contract as
+    ``curation.scrub_contaminated_spans``): in pseudo-line mode
+    clean_text is the cleaned TOKEN stream, not original formatting;
+    in ``line_regex`` mode it is the kept lines re-joined with
+    ``joiner``.
+
+    Plan shape: the audit's aggregates (built once, inline) + ONE
+    broadcast LEFT join tagging each exploded line against the flagged
+    set — boilerplate is few distinct lines by definition, so the
+    flagged frame is broadcast and the explode is never shuffled —
+    then ONE doc-keyed aggregate producing rebuild, line count, and
+    removed count together (collect_list skips the NULL the flag
+    condition leaves on removed lines — the fused form of the scrub
+    idiom; the first cut ran rebuild + count as separate doc-keyed
+    shuffles and measured super-linear at ×10 from exactly that).
+    NULL-domain docs ride the same path: a NULL join key matches
+    nothing, so they pass through untouched."""
+    lines = _doc_lines(
+        docs, url_col, text_col, id_col,
+        tokens_per_line, line_regex, extra_suffixes,
+    )
+    flagged = boilerplate_lines(
+        docs, url_col,
+        text_col=text_col, id_col=id_col,
+        tokens_per_line=tokens_per_line, line_regex=line_regex,
+        min_frac=min_frac, min_df=min_df, extra_suffixes=extra_suffixes,
+    ).select("domain", "line", F.lit(True).alias("_flag"))
+    tagged = lines.join(F.broadcast(flagged), ["domain", "line"], "left")
+    perdoc = tagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("_flag").isNull(),
+                            F.struct("line_no", "line"),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            joiner,
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(
+            F.when(F.col("_flag"), F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_removed"),
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(perdoc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias(
+                "n_removed"
+            ),
+        )
+    )

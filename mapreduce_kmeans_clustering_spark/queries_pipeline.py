@@ -10737,3 +10737,215 @@ SELECT nt.doc_id,
        (nt.n - coalesce(reb.n_kept, 0))::BIGINT AS n_removed
 FROM nt LEFT JOIN reb USING (doc_id)"""
 PIPELINE_QUERIES.update({"q_decontam_scrub": q_decontam_scrub})
+
+
+# ---------------------------------------------------------------------------
+# Round 11 continuation: boilerplate removal, DSIR selection, distinct-n
+# ---------------------------------------------------------------------------
+
+# Planted boilerplate (the fixture corpus has no real site chrome, so
+# the queries plant it deterministically — the planted-URL /
+# planted-near-dup precedent): every doc gets a domain-consistent
+# 3-token nav line prepended ("nav <doc_id%4> home" — each registrable
+# domain of _url_col maps to exactly one doc_id%4 residue class, so
+# the line recurs in 100% of its domain's docs), and every 7th doc a
+# rarer 3-token promo line (~14% of a domain — BELOW the 30% bar, the
+# in-data negative case). Both plants are whole pseudo-lines
+# (tokens_per_line = 3), so chunk alignment of the original text is
+# preserved.
+BOILER_LINE_TOKENS = 3
+BOILER_MIN_FRAC = 0.3
+BOILER_MIN_DF = 2
+
+
+def _boiler_docs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    planted = F.concat_ws(
+        " ",
+        F.concat(
+            F.lit("nav "), (F.col("doc_id") % 4).cast("string"),
+            F.lit(" home"),
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("promo footer link")),
+        F.col("text"),
+    )
+    return d.select(
+        "doc_id", _url_col().alias("url"), planted.alias("text")
+    )
+
+
+_SQL_BOILER_BASE = f"""bd AS (
+  SELECT doc_id, {_SQL_URL} AS url,
+         'nav ' || (doc_id % 4) || ' home'
+           || CASE WHEN doc_id % 7 = 0 THEN ' promo footer link'
+                   ELSE '' END
+           || ' ' || coalesce(text, '') AS text
+  FROM documents),
+bh AS (SELECT doc_id, text, {_SQL_HOST} AS host FROM bd),
+bg AS (SELECT doc_id, text, {_SQL_DOMAIN} AS domain FROM bh),
+btok AS (SELECT doc_id, domain,
+                regexp_extract_all(lower(coalesce(text, '')),
+                                   '[a-z0-9]+') AS w
+         FROM bg),
+bln AS (
+  SELECT doc_id, domain, i AS line_no,
+         array_to_string(w[i*{BOILER_LINE_TOKENS}+1
+                          : i*{BOILER_LINE_TOKENS}+{BOILER_LINE_TOKENS}],
+                         ' ') AS line
+  FROM (SELECT doc_id, domain, w,
+               unnest(range(0, (len(w) + {BOILER_LINE_TOKENS} - 1)
+                               // {BOILER_LINE_TOKENS})) AS i
+        FROM btok)),
+bsz AS (SELECT domain, count(*)::BIGINT AS domain_docs
+        FROM bg GROUP BY 1),
+bcnt AS (SELECT domain, line, count(DISTINCT doc_id)::BIGINT AS n_docs
+         FROM bln GROUP BY 1, 2),
+bflag AS (
+  SELECT bcnt.domain, line, n_docs, domain_docs
+  FROM bcnt JOIN bsz USING (domain)
+  WHERE n_docs >= greatest({BOILER_MIN_DF},
+                           ceil({BOILER_MIN_FRAC} * domain_docs)))"""
+
+
+def q_boilerplate_audit(spark, sf_dir):
+    """Boilerplate-line audit (web.boilerplate_lines): lines recurring
+    in >= max(2, ceil(30% of domain docs)) distinct documents of one
+    registrable domain, over the planted nav/promo chrome — the
+    CCNet/RefinedWeb site-chrome detector. (domain, line)-keyed
+    two-phase distinct count + a broadcast domain-size attach; the
+    planted nav line (100% of every domain) is flagged at every SF,
+    the planted promo line (~14%) never is."""
+    return W.boilerplate_lines(
+        _boiler_docs(spark, sf_dir),
+        tokens_per_line=BOILER_LINE_TOKENS,
+        min_frac=BOILER_MIN_FRAC,
+        min_df=BOILER_MIN_DF,
+    ).orderBy("domain", "line")
+
+
+PIPELINE_ORACLES["q_boilerplate_audit"] = f"""
+WITH {_SQL_BOILER_BASE}
+SELECT domain, line, n_docs, domain_docs,
+       floor(n_docs::DOUBLE / domain_docs * 1000000.0 + 0.5) / 1000000.0
+         AS df_frac
+FROM bflag ORDER BY domain, line"""
+PIPELINE_QUERIES.update({"q_boilerplate_audit": q_boilerplate_audit})
+
+
+def q_boilerplate_scrub(spark, sf_dir):
+    """Boilerplate-line removal (web.remove_boilerplate): every doc
+    re-emitted with its domain's flagged lines excised — one broadcast
+    anti-join on (domain, line) + one sorted-collect rebuild per doc.
+    Every doc loses exactly its planted nav line (n_removed >= 1);
+    promo and content lines survive (except coincidental
+    over-threshold repeats, which the oracle mirrors)."""
+    return W.remove_boilerplate(
+        _boiler_docs(spark, sf_dir),
+        tokens_per_line=BOILER_LINE_TOKENS,
+        min_frac=BOILER_MIN_FRAC,
+        min_df=BOILER_MIN_DF,
+    ).orderBy("doc_id")
+
+
+PIPELINE_ORACLES["q_boilerplate_scrub"] = f"""
+WITH {_SQL_BOILER_BASE},
+bkept AS (
+  SELECT l.doc_id, l.line_no, l.line
+  FROM bln l LEFT JOIN bflag f
+    ON l.domain = f.domain AND l.line = f.line
+  WHERE f.line IS NULL),
+breb AS (SELECT doc_id,
+                string_agg(line, ' ' ORDER BY line_no) AS clean_text,
+                count(*)::BIGINT AS n_kept
+         FROM bkept GROUP BY 1),
+bnl AS (SELECT doc_id, count(*)::BIGINT AS n_lines FROM bln GROUP BY 1)
+SELECT bg.doc_id,
+       coalesce(breb.clean_text, '') AS clean_text,
+       coalesce(bnl.n_lines, 0)::BIGINT AS n_lines,
+       (coalesce(bnl.n_lines, 0) - coalesce(breb.n_kept, 0))::BIGINT
+         AS n_removed
+FROM bg LEFT JOIN breb USING (doc_id) LEFT JOIN bnl USING (doc_id)
+ORDER BY bg.doc_id"""
+PIPELINE_QUERIES.update({"q_boilerplate_scrub": q_boilerplate_scrub})
+
+
+DSIR_BUCKETS = 8192
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (curation.dsir_logweights, Xie et
+    al. 2023): raw docs scored by hashed unigram+bigram log-ratio
+    against the doc_id % BENCH_MOD == 0 target partition. Two
+    bucket-keyed counts + one broadcast ratio attach + one id-keyed
+    integer-microunit sum (summation-order-free by construction)."""
+    return (
+        CU.dsir_logweights(
+            _docs(spark, sf_dir),
+            F.col("doc_id") % BENCH_MOD == 0,
+            n_buckets=DSIR_BUCKETS,
+        )
+        .orderBy("doc_id")
+    )
+
+
+PIPELINE_ORACLES["q_dsir_weights"] = f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS w FROM documents),
+f AS (
+  SELECT doc_id, unnest(w) AS feat FROM toks
+  UNION ALL
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS feat
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks)),
+b AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(feat), 1, 8)) AS BIGINT)
+               % {DSIR_BUCKETS} AS bkt,
+             doc_id % {BENCH_MOD} = 0 AS tgt
+      FROM f),
+cr AS (SELECT bkt, count(*)::BIGINT AS c FROM b WHERE NOT tgt GROUP BY 1),
+ct AS (SELECT bkt, count(*)::BIGINT AS c FROM b WHERE tgt GROUP BY 1),
+tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM ct) AS t,
+               (SELECT coalesce(sum(c), 0) FROM cr) AS r),
+ratio AS (
+  SELECT cr.bkt,
+         CAST(floor((ln((coalesce(ct.c, 0) + 1)::DOUBLE
+                        / (tot.t + {DSIR_BUCKETS}))
+                     - ln((cr.c + 1)::DOUBLE / (tot.r + {DSIR_BUCKETS})))
+                    * 1000000.0 + 0.5) AS BIGINT) AS micro
+  FROM cr LEFT JOIN ct USING (bkt), tot)
+SELECT doc_id, count(*)::BIGINT AS n_feats,
+       sum(micro)::BIGINT / 1000000.0 AS logweight
+FROM b JOIN ratio USING (bkt)
+WHERE NOT tgt
+GROUP BY doc_id ORDER BY doc_id"""
+PIPELINE_QUERIES.update({"q_dsir_weights": q_dsir_weights})
+
+
+def q_ngram_diversity(spark, sf_dir):
+    """Distinct-n corpus diversity per source (text.ngram_diversity):
+    unique/total n-gram ratio for n = 1, 2, 3 — the template-collapse
+    health metric. Three scan-local n-gram projections unioned into
+    (source, gram)-keyed two-phase distinct counts."""
+    return TX.ngram_diversity(_docs(spark, sf_dir)).orderBy("source", "n")
+
+
+PIPELINE_ORACLES["q_ngram_diversity"] = f"""
+WITH toks AS (SELECT source, {_TOK} AS w FROM documents),
+g1 AS (SELECT source, unnest(w) AS g FROM toks),
+g2 AS (SELECT source, w[i] || ' ' || w[i+1] AS g
+       FROM (SELECT source, w, unnest(range(1, len(w))) AS i FROM toks)),
+g3 AS (SELECT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+       FROM (SELECT source, w, unnest(range(1, len(w) - 1)) AS i
+             FROM toks)),
+u AS (
+  SELECT source, 1 AS n, g FROM g1
+  UNION ALL SELECT source, 2 AS n, g FROM g2
+  UNION ALL SELECT source, 3 AS n, g FROM g3),
+h AS (SELECT source, n,
+             CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gh
+      FROM u)
+SELECT source, n::INT AS n,
+       count(*)::BIGINT AS total_ngrams,
+       count(DISTINCT gh)::BIGINT AS distinct_ngrams,
+       floor(count(DISTINCT gh)::DOUBLE / count(*) * 1000000.0 + 0.5)
+         / 1000000.0 AS diversity
+FROM h GROUP BY source, n ORDER BY source, n"""
+PIPELINE_QUERIES.update({"q_ngram_diversity": q_ngram_diversity})

@@ -552,3 +552,68 @@ def test_scrub_seam_caveat_and_until_clean_convergence(spark):
 
     with _pytest.raises(ValueError, match="max_passes"):
         scrub_until_clean(docs, pred, max_passes=1)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    from mapreduce_kmeans_clustering_spark.operators.curation import (
+        dsir_logweights,
+    )
+
+    rows = [
+        # target partition (is_tgt): the "wiki-like" distribution
+        (1, 1, "cat sat mat cat sat mat"),
+        (2, 1, "cat mat sat cat"),
+        # raw: one target-like, one alien
+        (10, 0, "cat sat mat sat"),
+        (11, 0, "zebra quark flux zebra quark"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, tgt INT, text STRING")
+    got = {
+        r["doc_id"]: r
+        for r in dsir_logweights(docs, F.col("tgt") == 1).collect()
+    }
+    assert set(got) == {10, 11}  # raw docs only
+    assert got[10]["logweight"] > got[11]["logweight"]
+    # unigrams + bigrams: 4 tokens -> 4 + 3 feature occurrences
+    assert got[10]["n_feats"] == 7
+    assert got[11]["n_feats"] == 9
+
+
+def test_dsir_unigram_only_and_single_token_doc(spark):
+    from mapreduce_kmeans_clustering_spark.operators.curation import (
+        dsir_logweights,
+    )
+
+    rows = [
+        (1, 1, "cat sat"),
+        (10, 0, "cat"),  # one token: no bigram, still scored
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, tgt INT, text STRING")
+    uni = dsir_logweights(docs, F.col("tgt") == 1, bigrams=False).collect()
+    assert len(uni) == 1 and uni[0]["n_feats"] == 1
+    both = dsir_logweights(docs, F.col("tgt") == 1).collect()
+    assert both[0]["n_feats"] == 1  # bigram list empty, not null
+
+
+def test_dsir_logweight_is_summation_order_free(spark):
+    """The micro-unit contract: repartitioning the corpus (different
+    partial-sum order) must not move the weight by even 1e-6."""
+    from mapreduce_kmeans_clustering_spark.operators.curation import (
+        dsir_logweights,
+    )
+
+    rows = [(i, 1 if i % 5 == 0 else 0,
+             f"tok{i % 7} tok{(i * 3) % 11} tok{(i * 5) % 13} common word")
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, tgt INT, text STRING")
+    a = {r["doc_id"]: r["logweight"]
+         for r in dsir_logweights(docs, F.col("tgt") == 1).collect()}
+    b = {r["doc_id"]: r["logweight"]
+         for r in dsir_logweights(
+             docs.repartition(13), F.col("tgt") == 1).collect()}
+    assert a == b

@@ -1245,3 +1245,54 @@ def test_decontam_scrub_plan(spark):
     # object hash aggregate, never a sort aggregate over the tokens
     assert "HashJoin" in p
     assert "ObjectHashAggregate" in p
+
+
+def test_boilerplate_scrub_plan(spark):
+    """Boilerplate removal: the flagged-lines set joins the exploded
+    line stream as a BROADCAST anti-join (site chrome is few distinct
+    lines; the explode is never shuffled for it), the distinct-doc
+    line counts are two-phase hash aggregates, and the rebuild is the
+    sorted-collect object hash aggregate — no cartesian, no per-row
+    Python."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_boilerplate_scrub,
+    )
+
+    p = _plan(q_boilerplate_scrub(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    assert "ObjectHashAggregate" in p
+
+
+def test_dsir_weights_plan(spark):
+    """DSIR: the <= n_buckets-row log-ratio table attaches to the
+    exploded feature stream as a broadcast hash join (never shuffling
+    the explode), the bucket counts are map-side-partial hash
+    aggregates, and the per-doc micro-unit sum is a primitive hash
+    aggregate — no sort aggregate anywhere on the pair-explosive
+    stream (SCALE.md's SortAggregate lesson)."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_dsir_weights,
+    )
+
+    p = _plan(q_dsir_weights(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortAggregate" not in p
+
+
+def test_ngram_diversity_plan(spark):
+    """Distinct-n: three scan-local gram projections, each a
+    two-phase (group, gram) distinct hash aggregate; union only —
+    no joins at all, no per-row Python."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_ngram_diversity,
+    )
+
+    p = _plan(q_ngram_diversity(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "Join" not in p
+    assert "HashAggregate" in p

@@ -313,3 +313,52 @@ def test_bpe_encode_merge_cannot_cross_word_boundary(spark):
     row = bpe_encode(docs, n_merges=1).collect()[0]
     # |ab| |ab| |b| |a| -> 4 tokens (not 3: 'b a' must stay split)
     assert row["n_tokens"] == 4
+
+
+def test_ngram_diversity_detects_template_collapse(spark):
+    from mapreduce_kmeans_clustering_spark.operators.text import (
+        ngram_diversity,
+    )
+
+    rows = [
+        (1, "fresh", "alpha beta gamma delta epsilon"),
+        (2, "fresh", "zeta eta theta iota kappa"),
+        (3, "temply", "same old line same old line"),
+        (4, "temply", "same old line same old line"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    got = {
+        (r["source"], r["n"]): r
+        for r in ngram_diversity(docs).collect()
+    }
+    assert set(got) == {(s, n) for s in ("fresh", "temply") for n in (1, 2, 3)}
+    # fresh: every token unique -> diversity 1.0 at every n
+    assert got[("fresh", 1)]["diversity"] == 1.0
+    assert got[("fresh", 3)]["diversity"] == 1.0
+    # temply: 12 tokens, 3 distinct
+    r = got[("temply", 1)]
+    assert (r["total_ngrams"], r["distinct_ngrams"]) == (12, 3)
+    assert r["diversity"] == 0.25
+    # trigrams: 2 docs x 4 windows = 8 total, 3 distinct cyclic shifts
+    r3 = got[("temply", 3)]
+    assert (r3["total_ngrams"], r3["distinct_ngrams"]) == (8, 3)
+    # collapse visible: temply far below fresh at n=3
+    assert r3["diversity"] < 0.5
+
+
+def test_ngram_diversity_short_docs_and_args(spark):
+    from mapreduce_kmeans_clustering_spark.operators.text import (
+        ngram_diversity,
+    )
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, "s", "one two"), (2, "s", "")],
+        "doc_id LONG, source STRING, text STRING",
+    )
+    got = {(r["source"], r["n"]): r for r in ngram_diversity(docs).collect()}
+    # n=3 has no windows anywhere -> no row for that (group, n)
+    assert ("s", 3) not in got
+    assert got[("s", 2)]["total_ngrams"] == 1
+    with _pytest.raises(ValueError):
+        ngram_diversity(docs, ns=(0,))

@@ -326,3 +326,136 @@ def test_domain_caps_salted_two_stage_is_exact(spark):
 
     with _pytest.raises(ValueError, match="salt"):
         domain_quality_caps(docs, cap=3, salt=0)
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate line removal
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def chrome_docs(spark):
+    """Two domains; 'nav home menu' chrome in every a.com doc, one
+    coincidental repeat below the bar, b.org clean; doc 6 URL-less."""
+    rows = [
+        (1, "https://a.com/1", "nav home menu alpha beta gamma one two"),
+        (2, "https://www.a.com/2", "nav home menu delta epsilon zeta"),
+        (3, "https://a.com/3", "nav home menu alpha beta gamma"),
+        (4, "https://b.org/1", "totally organic content here folks"),
+        (5, "https://b.org/2", "other words entirely different text"),
+        (6, None, "nav home menu null url doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, url STRING, text STRING")
+
+
+def test_boilerplate_audit_flags_domain_chrome(chrome_docs):
+    from mapreduce_kmeans_clustering_spark.operators.web import (
+        boilerplate_lines,
+    )
+
+    got = {
+        (r["domain"], r["line"]): (r["n_docs"], r["domain_docs"])
+        for r in boilerplate_lines(
+            chrome_docs, tokens_per_line=3, min_frac=0.5, min_df=2
+        ).collect()
+    }
+    # nav chrome: 3/3 a.com docs (www host folds into the domain)
+    assert got[("a.com", "nav home menu")] == (3, 3)
+    # 'alpha beta gamma' repeats in 2/3 a.com docs = 67% >= 50% bar
+    assert got[("a.com", "alpha beta gamma")] == (2, 3)
+    # b.org has no repeats; the NULL-URL doc's chrome is NOT pooled
+    assert all(d == "a.com" for d, _ in got)
+
+
+def test_boilerplate_fraction_bar_scales(chrome_docs):
+    from mapreduce_kmeans_clustering_spark.operators.web import (
+        boilerplate_lines,
+    )
+
+    # raising min_frac above 2/3 keeps the 100% nav line only
+    got = boilerplate_lines(
+        chrome_docs, tokens_per_line=3, min_frac=0.8, min_df=2
+    ).collect()
+    assert [(r["domain"], r["line"]) for r in got] == [
+        ("a.com", "nav home menu")
+    ]
+
+
+def test_remove_boilerplate_scrubs_and_passes_through(chrome_docs):
+    from mapreduce_kmeans_clustering_spark.operators.web import (
+        remove_boilerplate,
+    )
+
+    got = {
+        r["doc_id"]: r
+        for r in remove_boilerplate(
+            chrome_docs, tokens_per_line=3, min_frac=0.8, min_df=2
+        ).collect()
+    }
+    assert len(got) == 6  # every doc emits a row
+    # chrome excised, content intact, order preserved
+    assert got[1]["clean_text"] == "alpha beta gamma one two"
+    assert (got[1]["n_lines"], got[1]["n_removed"]) == (3, 1)
+    assert got[2]["clean_text"] == "delta epsilon zeta"
+    # clean domain passes through untouched (token-stream form)
+    assert got[4]["clean_text"] == "totally organic content here folks"
+    assert got[4]["n_removed"] == 0
+    # NULL-URL doc: no domain, chrome kept (never pooled cross-site)
+    assert got[6]["clean_text"] == "nav home menu null url doc"
+    assert got[6]["n_removed"] == 0
+
+
+def test_remove_boilerplate_fully_covered_doc_emits_empty(spark):
+    from mapreduce_kmeans_clustering_spark.operators.web import (
+        remove_boilerplate,
+    )
+
+    rows = [
+        (1, "https://a.com/1", "nav home menu"),
+        (2, "https://a.com/2", "nav home menu"),
+        (3, "https://a.com/3", "nav home menu real content words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, url STRING, text STRING")
+    got = {
+        r["doc_id"]: r
+        for r in remove_boilerplate(
+            docs, tokens_per_line=3, min_frac=0.5, min_df=2
+        ).collect()
+    }
+    assert got[1]["clean_text"] == "" and got[1]["n_removed"] == 1
+    assert got[3]["clean_text"] == "real content words"
+
+
+def test_boilerplate_line_regex_mode(spark):
+    from mapreduce_kmeans_clustering_spark.operators.web import (
+        remove_boilerplate,
+    )
+
+    rows = [
+        (1, "https://a.com/1", "Subscribe now!\nReal article text.\n"),
+        (2, "https://a.com/2", "Subscribe now!\nAnother story."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, url STRING, text STRING")
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate(
+            docs, tokens_per_line=None, line_regex="\n",
+            min_frac=0.5, min_df=2, joiner="\n",
+        ).collect()
+    }
+    # raw lines preserved verbatim (trimmed), only the repeated one cut
+    assert got[1] == "Real article text."
+    assert got[2] == "Another story."
+
+
+def test_boilerplate_mode_args_validated(chrome_docs):
+    from mapreduce_kmeans_clustering_spark.operators.web import (
+        boilerplate_lines,
+    )
+
+    with pytest.raises(ValueError):
+        boilerplate_lines(chrome_docs, tokens_per_line=None, line_regex=None)
+    with pytest.raises(ValueError):
+        boilerplate_lines(chrome_docs, tokens_per_line=3, line_regex="\n")
+    with pytest.raises(ValueError):
+        boilerplate_lines(chrome_docs, tokens_per_line=0)

@@ -108,6 +108,12 @@ SWEEP_QUERIES = [
     "q_decontam_spans",
     "q_dedup_source_flow",
     "q_decontam_scrub",
+    # round-11 continuation: boilerplate removal, DSIR selection,
+    # distinct-n diversity
+    "q_boilerplate_audit",
+    "q_boilerplate_scrub",
+    "q_dsir_weights",
+    "q_ngram_diversity",
 ]
 
 
@@ -160,6 +166,10 @@ QUERY_TABLES = {
     "q_decontam_spans": {"documents"},
     "q_dedup_source_flow": {"documents"},
     "q_decontam_scrub": {"documents"},
+    "q_boilerplate_audit": {"documents"},
+    "q_boilerplate_scrub": {"documents"},
+    "q_dsir_weights": {"documents"},
+    "q_ngram_diversity": {"documents"},
 }
 
 
