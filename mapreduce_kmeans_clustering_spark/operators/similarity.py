@@ -417,10 +417,90 @@ def ivf_write_index(
     ``path/list_id=<n>/*.parquet``. Probing then reads only the probed
     lists' files — partition pruning does the candidate restriction at
     the FILE level, before any row is deserialized (verified in tests
-    via the scan's PartitionFilters)."""
+    via the scan's PartitionFilters).
+
+    The coarse-quantizer centroids are ALSO persisted, under
+    ``path/_centroids`` — the underscore prefix hides the directory
+    from the index's own parquet read (Spark skips ``_``/``.`` paths),
+    so probes are unaffected, while ``ivf_extend_index`` can append
+    new vectors against the SAME quantizer without touching the
+    corpus that built it."""
     ivf_assign(embeddings, nlist, id_col, vec_col).withColumnRenamed(
         "v", vec_col
     ).write.mode("overwrite").partitionBy("list_id").parquet(path)
+    (
+        embeddings.where(F.col(id_col) < nlist)
+        .select(
+            F.col(id_col).cast("long").alias("list_id"),
+            _as_double(F.col(vec_col)).alias("centroid"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/_centroids")
+    )
+
+
+def ivf_extend_index(
+    spark,
+    path: str,
+    new_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append-time maintenance for the on-disk IVF index — the ANN
+    member of the streaming index family (``dedup.extend_band_index``,
+    ``web.extend_url_index``): assign a batch of NEW vectors to the
+    STORED coarse centroids (read from ``path/_centroids`` — never
+    recomputed, so existing list membership and probe routing stay
+    stable) and append them into the same hive layout. Daily cost is
+    O(batch): the assignment is the scan-local literal-argmin
+    projection over the batch only, and ``mode('append')`` adds new
+    files to the touched ``list_id=`` directories without rewriting
+    any existing file.
+
+    Drift caveat (the honest limit every append-only IVF shares):
+    appended mass shifts each cell's TRUE centroid away from the
+    stored quantizer; recall degrades gradually, not correctness
+    (probes still search real cells). Gate with ``recall_vs_exact``
+    on a query sample and rebuild via ``ivf_write_index`` when the
+    extended fraction gets large."""
+    from mapreduce_kmeans_clustering_spark.functions.literals import const_vec
+
+    try:
+        seed_rows = (
+            spark.read.parquet(f"{path}/_centroids")
+            .orderBy("list_id")
+            .collect()
+        )
+    except Exception as exc:  # pragma: no cover - exact error varies
+        raise ValueError(
+            f"ivf_extend_index needs {path}/_centroids (written by "
+            "ivf_write_index since round 11); rebuild the index once "
+            "with ivf_write_index to migrate"
+        ) from exc
+    if not seed_rows:
+        raise ValueError(f"{path}/_centroids is empty — corrupt index")
+    vecs = new_embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    )
+    entries = [
+        F.struct(
+            (
+                -cosine_similarity(F.col("v"), const_vec(r["centroid"]))
+            ).alias("nc"),
+            F.lit(int(r["list_id"])).cast("long").alias("lid"),
+        )
+        for r in seed_rows
+    ]
+    (
+        vecs.select(
+            F.col(id_col),
+            F.col("v").alias(vec_col),
+            F.array_min(F.array(*entries))["lid"].alias("list_id"),
+        )
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
 
 
 def ivf_probe_index(

@@ -492,6 +492,7 @@ def remove_boilerplate(
     min_df: int = 2,
     joiner: str = " ",
     extra_suffixes: tuple[str, ...] = (),
+    flagged: DataFrame | None = None,
 ) -> DataFrame:
     """Boilerplate-line REMOVAL — the consumer of
     ``boilerplate_lines``'s audit: every document re-emitted with its
@@ -522,12 +523,20 @@ def remove_boilerplate(
         docs, url_col, text_col, id_col,
         tokens_per_line, line_regex, extra_suffixes,
     )
-    flagged = boilerplate_lines(
-        docs, url_col,
-        text_col=text_col, id_col=id_col,
-        tokens_per_line=tokens_per_line, line_regex=line_regex,
-        min_frac=min_frac, min_df=min_df, extra_suffixes=extra_suffixes,
-    ).select("domain", "line", F.lit(True).alias("_flag"))
+    # ``flagged=`` lets the streaming path scrub from a stored index
+    # (flag_boilerplate_index) instead of re-auditing the corpus; any
+    # frame with (domain, line) works
+    if flagged is None:
+        flagged = boilerplate_lines(
+            docs, url_col,
+            text_col=text_col, id_col=id_col,
+            tokens_per_line=tokens_per_line, line_regex=line_regex,
+            min_frac=min_frac, min_df=min_df,
+            extra_suffixes=extra_suffixes,
+        )
+    flagged = flagged.select(
+        "domain", "line", F.lit(True).alias("_flag")
+    )
     tagged = lines.join(F.broadcast(flagged), ["domain", "line"], "left")
     perdoc = tagged.groupBy(id_col).agg(
         F.array_join(
@@ -559,5 +568,106 @@ def remove_boilerplate(
             F.coalesce("n_removed", F.lit(0)).cast("long").alias(
                 "n_removed"
             ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming maintenance: mergeable boilerplate index
+# ---------------------------------------------------------------------------
+
+def boilerplate_index(
+    docs: DataFrame,
+    url_col: str = "url",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_per_line: int | None = 3,
+    line_regex: str | None = None,
+    extra_suffixes: tuple[str, ...] = (),
+) -> DataFrame:
+    """The MERGEABLE state of the boilerplate detector — the third
+    member of the streaming index-maintenance family
+    (``dedup.extend_band_index``, ``web.extend_url_index``): one row
+    per (domain, line) with its distinct-doc count, plus one
+    (domain, NULL-line) row holding the domain's total doc count.
+    Because every micro-batch holds DISJOINT documents, distinct-doc
+    counts ADD across batches — so the index merges by summing, and
+    flagging from the merged index equals flagging the union corpus
+    (pinned by test). NULL-domain docs are excluded, as in the audit."""
+    lines = _doc_lines(
+        docs, url_col, text_col, id_col,
+        tokens_per_line, line_regex, extra_suffixes,
+    ).where(F.col("domain").isNotNull())
+    cnt = lines.groupBy("domain", "line").agg(
+        F.countDistinct(id_col).cast("long").alias("n_docs")
+    )
+    dsz = (
+        docs.select(
+            registrable_domain_expr(
+                F.col(url_col), extra_suffixes
+            ).alias("domain")
+        )
+        .where(F.col("domain").isNotNull())
+        .groupBy("domain")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select("domain", F.lit(None).cast("string").alias("line"), "n_docs")
+    )
+    return cnt.select("domain", "line", "n_docs").unionByName(dsz)
+
+
+def extend_boilerplate_index(
+    index: DataFrame, batch_index: DataFrame
+) -> DataFrame:
+    """Merge a batch's ``boilerplate_index`` into the stored one: one
+    null-safe (domain, line)-keyed sum (the NULL line is the domain
+    total row and must group with itself, hence the coalesce
+    sentinel). Valid because batches hold disjoint documents —
+    distinct-doc counts are additive. The shuffle carries only
+    (domain, line, count); daily cost is O(batch lines +
+    index distinct lines), the same class as the band/URL index
+    maintenance ops."""
+    u = index.select("domain", "line", "n_docs").unionByName(
+        batch_index.select("domain", "line", "n_docs")
+    )
+    return (
+        u.groupBy(
+            "domain", F.coalesce(F.col("line"), F.lit("\x00")).alias("_lk")
+        )
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+        .select(
+            "domain",
+            F.when(F.col("_lk") != "\x00", F.col("_lk")).alias("line"),
+            "n_docs",
+        )
+    )
+
+
+def flag_boilerplate_index(
+    index: DataFrame, min_frac: float = 0.3, min_df: int = 2
+) -> DataFrame:
+    """The audit, replayed from the STORED index instead of the
+    corpus: identical output contract to ``boilerplate_lines``
+    (domain, line, n_docs, domain_docs, df_frac) — so a streaming
+    deployment flags (and scrubs, via ``remove_boilerplate``'s
+    ``flagged=`` override) without re-reading history."""
+    totals = (
+        index.where(F.col("line").isNull())
+        .select("domain", F.col("n_docs").alias("domain_docs"))
+    )
+    thr = F.greatest(
+        F.lit(int(min_df)).cast("long"),
+        F.ceil(F.lit(float(min_frac)) * F.col("domain_docs")),
+    )
+    return (
+        index.where(F.col("line").isNotNull())
+        .join(F.broadcast(totals), "domain")
+        .where(F.col("n_docs") >= thr)
+        .select(
+            "domain",
+            "line",
+            "n_docs",
+            "domain_docs",
+            _r6(F.col("n_docs") / F.col("domain_docs")).alias("df_frac"),
         )
     )

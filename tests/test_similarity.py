@@ -585,3 +585,67 @@ def test_safe_cosine_nanvl_form_is_the_same_function(spark):
         safe_cosine(F.col("dot"), F.col("na"), F.col("nb")).alias("n")
     ).collect()
     assert [r["n"] for r in vals] == [0.0]
+
+
+def test_ivf_extend_index_appends_against_stored_quantizer(spark, tmp_path):
+    """Index maintenance: a delta batch lands in exactly the lists the
+    STORED centroids dictate (identical to assigning the union corpus,
+    since the quantizer is fixed by construction), existing rows are
+    untouched, probes see old + new, and the hidden _centroids dir
+    never leaks into the index read."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.operators.similarity import (
+        ivf_assign,
+        ivf_extend_index,
+        ivf_probe_index,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.where("vec_id < 150")
+    delta = emb.where("vec_id >= 150 and vec_id < 200")
+    path = str(tmp_path / "ivf_idx")
+    ivf_write_index(base, path, nlist=8)
+
+    ivf_extend_index(spark, path, delta)
+    stored = spark.read.parquet(path)
+    # _centroids stays hidden from the data read
+    assert set(stored.columns) == {"vec_id", "embedding", "list_id"}
+    assert stored.count() == 200
+
+    # the union corpus assigned against the same (id<8) seeds is the
+    # ground truth for BOTH cohorts — extension changed nothing for
+    # the base rows and routed the delta identically
+    expected = {
+        r["vec_id"]: r["list_id"] for r in ivf_assign(emb.where("vec_id < 200"), nlist=8).collect()
+    }
+    got = {r["vec_id"]: r["list_id"] for r in stored.collect()}
+    assert got == expected
+
+    # probes read the merged lists (partition-pruned, old + new rows)
+    some_list = got[199]
+    probed_ids = {
+        r["vec_id"] for r in ivf_probe_index(spark, path, [some_list]).collect()
+    }
+    assert 199 in probed_ids
+    assert probed_ids == {v for v, l in got.items() if l == some_list}
+
+
+def test_ivf_extend_index_requires_centroids(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.operators.similarity import (
+        ivf_extend_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # a bare partitioned parquet dir without _centroids: pre-round-11
+    # layout — must fail loudly with the migration hint, not mis-route
+    legacy = str(tmp_path / "legacy_idx")
+    emb.where("vec_id < 50").withColumn("list_id", F.lit(0)).write.partitionBy(
+        "list_id"
+    ).parquet(legacy)
+    with _pytest.raises(ValueError, match="_centroids"):
+        ivf_extend_index(spark, legacy, emb.where("vec_id >= 50"))

@@ -459,3 +459,65 @@ def test_boilerplate_mode_args_validated(chrome_docs):
         boilerplate_lines(chrome_docs, tokens_per_line=3, line_regex="\n")
     with pytest.raises(ValueError):
         boilerplate_lines(chrome_docs, tokens_per_line=0)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable boilerplate index (streaming maintenance)
+# ---------------------------------------------------------------------------
+
+
+def _rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+
+
+def test_boilerplate_index_merge_equals_batch_build(spark, chrome_docs):
+    """The additivity contract: index(batch1) merged with index(batch2)
+    equals index(union) exactly — so a streaming deployment's stored
+    counts are always the counts a full rebuild would produce."""
+    from mapreduce_kmeans_clustering_spark.operators.web import (
+        boilerplate_index,
+        extend_boilerplate_index,
+    )
+
+    b1 = chrome_docs.where("doc_id <= 3")
+    b2 = chrome_docs.where("doc_id > 3")
+    merged = extend_boilerplate_index(
+        boilerplate_index(b1), boilerplate_index(b2)
+    )
+    full = boilerplate_index(chrome_docs)
+    assert _rows(merged) == _rows(full)
+
+
+def test_flag_from_index_matches_corpus_audit(spark, chrome_docs):
+    from mapreduce_kmeans_clustering_spark.operators.web import (
+        boilerplate_index,
+        boilerplate_lines,
+        flag_boilerplate_index,
+    )
+
+    idx = boilerplate_index(chrome_docs)
+    assert _rows(
+        flag_boilerplate_index(idx, min_frac=0.5, min_df=2)
+    ) == _rows(boilerplate_lines(chrome_docs, min_frac=0.5, min_df=2))
+
+
+def test_remove_boilerplate_with_precomputed_flags(spark, chrome_docs):
+    """The streaming scrub path: flags replayed from the stored index
+    drive remove_boilerplate identically to the inline audit."""
+    from mapreduce_kmeans_clustering_spark.operators.web import (
+        boilerplate_index,
+        flag_boilerplate_index,
+        remove_boilerplate,
+    )
+
+    flags = flag_boilerplate_index(
+        boilerplate_index(chrome_docs), min_frac=0.8, min_df=2
+    )
+    got = remove_boilerplate(
+        chrome_docs, min_frac=0.8, min_df=2, flagged=flags
+    )
+    inline = remove_boilerplate(chrome_docs, min_frac=0.8, min_df=2)
+    assert _rows(got) == _rows(inline)
