@@ -260,3 +260,87 @@ def stream_url_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_boilerplate_ingest(
+    docs_stream: DataFrame,
+    boiler_index: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_per_line: int | None = 3,
+    line_regex: str | None = None,
+    min_frac: float = 0.3,
+    min_df: int = 2,
+    joiner: str = " ",
+) -> StreamingQuery:
+    """Boilerplate scrubbing of an arriving crawl stream against the
+    STORED detector state — the streaming leg of the web family's
+    third index (``web.boilerplate_index``), same contract as
+    ``stream_url_dedup_ingest`` and the MinHash band path. Per
+    micro-batch:
+
+    - every arriving doc is scrubbed with the flags REPLAYED from the
+      caller's stored index (``flag_boilerplate_index`` — computed
+      once here, eager localCheckpoint; the per-batch cost is one
+      broadcast join + one doc-keyed aggregate over the batch), and
+      written as (id, clean_text, n_lines, n_removed) parquet under
+      ``ingest_batch=<epoch>`` (idempotent per-epoch overwrite,
+      replay-safe like the other ingest sinks);
+    - the batch's OWN mergeable index is written under
+      ``out_path/_batch_index/ingest_batch=<epoch>`` (the underscore
+      keeps it invisible to parquet reads of ``out_path``). The
+      caller folds each epoch's batch index into the stored relation
+      between runs via ``extend_boilerplate_index`` — detector state
+      is maintained outside the stream, the right place at 100 TB,
+      exactly the extend_band_index / extend_url_index contract.
+
+    Honest limit (also in DEPLOY.md): flags reflect history as of the
+    stored index, so a NEW domain's chrome is not flagged until its
+    cumulative doc count clears the bar — early arrivals of a young
+    domain pass through unscrubbed. That is the correct streaming
+    semantics for a frequency-defined property; re-scrub history
+    after an index rebuild when it matters."""
+    from mapreduce_kmeans_clustering_spark.operators.web import (
+        boilerplate_index,
+        flag_boilerplate_index,
+        remove_boilerplate,
+    )
+
+    flags = flag_boilerplate_index(
+        boiler_index, min_frac=min_frac, min_df=min_df
+    ).select("domain", "line").localCheckpoint(eager=True)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        scrubbed = remove_boilerplate(
+            batch_df,
+            url_col,
+            text_col=text_col,
+            id_col=id_col,
+            tokens_per_line=tokens_per_line,
+            line_regex=line_regex,
+            joiner=joiner,
+            flagged=flags,
+        )
+        scrubbed.write.mode("overwrite").parquet(
+            f"{out_path}/ingest_batch={epoch_id}"
+        )
+        boilerplate_index(
+            batch_df,
+            url_col,
+            text_col=text_col,
+            id_col=id_col,
+            tokens_per_line=tokens_per_line,
+            line_regex=line_regex,
+        ).write.mode("overwrite").parquet(
+            f"{out_path}/_batch_index/ingest_batch={epoch_id}"
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1098,3 +1098,77 @@ def test_stream_url_dedup_ingest_verdicts(spark, tmp_path):
         3: ("url_dup_batch", 2),
         4: ("keep", None),
     }
+
+
+def test_stream_boilerplate_ingest_scrubs_and_emits_batch_index(spark, tmp_path):
+    """Streaming boilerplate scrub (round 11 continuation): arriving
+    docs are cleaned with flags replayed from the STORED index (known
+    chrome cut; a young domain's chrome passes through — the
+    cumulative-frequency semantics), the per-epoch batch index lands
+    under the underscore-hidden side path, and folding it into the
+    stored index raises the young domain over the bar for the next
+    run."""
+    import glob
+    import json
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.operators.web import (
+        extend_boilerplate_index,
+        flag_boilerplate_index,
+    )
+    from mapreduce_kmeans_clustering_spark.streaming.ingest import (
+        read_documents_stream,
+        stream_boilerplate_ingest,
+    )
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "nav home menu real article words", "lang": "en", "source": "web", "n_chars": 32},
+        {"doc_id": 2, "text": "nav home menu other stuff here", "lang": "en", "source": "web", "n_chars": 30},
+        {"doc_id": 3, "text": "promo buy now young domain words", "lang": "en", "source": "web", "n_chars": 32},
+        {"doc_id": 4, "text": "promo buy now different body text", "lang": "en", "source": "web", "n_chars": 33},
+    ]
+    (src / "a.jsonl").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    url = (
+        F.when(F.col("doc_id").isin(1, 2), F.concat(F.lit("https://old.com/p/"), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("https://young.org/p/"), F.col("doc_id")))
+    )
+    stream = read_documents_stream(spark, str(src)).withColumn("url", url)
+    # stored index: old.com has 10 docs, all carrying 'nav home menu';
+    # young.org has never been seen
+    stored = spark.createDataFrame(
+        [("old.com", "nav home menu", 10), ("old.com", None, 10)],
+        "domain STRING, line STRING, n_docs LONG",
+    )
+    out = str(tmp_path / "out")
+    q = stream_boilerplate_ingest(stream, stored, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for p in glob.glob(f"{out}/ingest_batch=*")
+        for r in spark.read.parquet(p).collect()
+    }
+    # known chrome scrubbed; young domain untouched this epoch
+    assert got[1] == "real article words"
+    assert got[2] == "other stuff here"
+    assert got[3] == "promo buy now young domain words"
+    # the hidden batch-index path never leaks into the main read
+    main_cols = set(spark.read.parquet(glob.glob(f"{out}/ingest_batch=*")[0]).columns)
+    assert main_cols == {"doc_id", "clean_text", "n_lines", "n_removed"}
+
+    # fold the epoch's index into the stored one: young.org's chrome
+    # (2/2 docs) now clears the 30% bar for the next run
+    batch_idx = spark.read.parquet(
+        glob.glob(f"{out}/_batch_index/ingest_batch=*")[0]
+    )
+    merged = extend_boilerplate_index(stored, batch_idx)
+    flagged = {
+        (r["domain"], r["line"])
+        for r in flag_boilerplate_index(merged).collect()
+    }
+    assert ("young.org", "promo buy now") in flagged
+    assert ("old.com", "nav home menu") in flagged
