@@ -1261,7 +1261,14 @@ def dsir_logweights(
     id-keyed sum. Zipf skew on hot buckets lives entirely inside the
     partial aggregates; nothing driver-side. The ratio table is built
     from the RAW side's occupied buckets (a raw doc's features always
-    hit one), with target counts left-joined."""
+    hit one), with target counts left-joined.
+
+    Edge contract (code-review r11): a NULL ``target_pred`` row is
+    RAW (three-valued logic would otherwise drop it from both models
+    and the output); a raw doc with zero features (NULL/token-free
+    text) still emits its row as (id, 0, 0.0) — nothing vanishes."""
+    if int(n_buckets) < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     w = tokens(F.col(text_col))
     feats = w
     if bigrams:
@@ -1276,9 +1283,10 @@ def dsir_logweights(
         feats = F.concat(w, bi)
     from mapreduce_kmeans_clustering_spark.operators.text import hash_dim
 
+    tgt = F.coalesce(target_pred, F.lit(False))
     fb = docs.select(
         F.col(id_col),
-        target_pred.alias("_tgt"),
+        tgt.alias("_tgt"),
         F.explode(feats).alias("_feat"),
     ).select(
         id_col, "_tgt", hash_dim(F.col("_feat"), n_buckets).alias("_bkt")
@@ -1306,15 +1314,16 @@ def dsir_logweights(
     lr = F.log(
         (F.coalesce(F.col("_ct"), F.lit(0)) + 1) / (F.col("_t") + B)
     ) - F.log((F.col("_cr") + 1) / (F.col("_r") + B))
+    from mapreduce_kmeans_clustering_spark.functions.rounding import (
+        half_up6_micro,
+    )
+
     ratio = (
         cr.join(ct, "_bkt", "left")
         .crossJoin(F.broadcast(totals))
-        .select(
-            "_bkt",
-            F.floor(lr * 1e6 + F.lit(0.5)).cast("long").alias("_micro"),
-        )
+        .select("_bkt", half_up6_micro(lr).alias("_micro"))
     )
-    return (
+    scored = (
         fb.where(~F.col("_tgt"))
         .join(F.broadcast(ratio), "_bkt")
         .groupBy(id_col)
@@ -1322,4 +1331,13 @@ def dsir_logweights(
             F.count("*").cast("long").alias("n_feats"),
             (F.sum("_micro") / F.lit(1e6)).alias("logweight"),
         )
+    )
+    # one row per raw doc even with zero features (the remove_
+    # boilerplate pass-through posture): the left join rides the raw
+    # doc ids, coalescing absentees to the neutral weight
+    raw_ids = docs.where(~tgt).select(F.col(id_col))
+    return raw_ids.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce("logweight", F.lit(0.0)).alias("logweight"),
     )

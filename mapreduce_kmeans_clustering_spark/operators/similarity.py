@@ -213,8 +213,15 @@ def ivf_assign(
     literals route through ``const_vec`` (the ``-0.0`` codegen
     guard, SCALE.md §7). At scale the output is written
     ``partitionBy(list_id)`` so probes prune entire files."""
-    from mapreduce_kmeans_clustering_spark.functions.literals import const_vec
+    seeds = _ivf_seed_list(embeddings, nlist, id_col, vec_col)
+    return _ivf_assign_with_seeds(embeddings, seeds, id_col, vec_col)
 
+
+def _ivf_seed_list(
+    embeddings: DataFrame, nlist: int, id_col: str, vec_col: str
+) -> list[tuple[int, list[float]]]:
+    """Collect the coarse-quantizer seeds (the first nlist vectors by
+    id) as (list_id, vector) pairs — ONE filtered, pushed-down scan."""
     # Literal-form ceiling: the plan carries nlist×dim literal doubles
     # through codegen — fine to a few hundred lists (nlist=256, dim=64
     # is ~16k constants, well under janino's 64 KB method limit after
@@ -240,13 +247,27 @@ def ivf_assign(
             "the coarse quantizer seeds are the first nlist vectors by "
             "id — pass a relation whose ids start at 0 or lower nlist"
         )
+    return [(int(r["lid"]), [float(x) for x in r["sv"]]) for r in seed_rows]
+
+
+def _ivf_assign_with_seeds(
+    embeddings: DataFrame,
+    seeds: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The scan-local literal-argmin assignment against given seeds —
+    shared by ivf_assign (seeds from the corpus) and ivf_extend_index
+    (seeds from the stored ``_centroids``)."""
+    from mapreduce_kmeans_clustering_spark.functions.literals import const_vec
+
     vecs = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     entries = [
         F.struct(
-            (-cosine_similarity(F.col("v"), const_vec(r["sv"]))).alias("nc"),
-            F.lit(int(r["lid"])).cast("long").alias("lid"),
+            (-cosine_similarity(F.col("v"), const_vec(sv))).alias("nc"),
+            F.lit(lid).cast("long").alias("lid"),
         )
-        for r in seed_rows
+        for lid, sv in seeds
     ]
     return vecs.select(
         F.col(id_col),
@@ -424,19 +445,20 @@ def ivf_write_index(
     from the index's own parquet read (Spark skips ``_``/``.`` paths),
     so probes are unaffected, while ``ivf_extend_index`` can append
     new vectors against the SAME quantizer without touching the
-    corpus that built it."""
-    ivf_assign(embeddings, nlist, id_col, vec_col).withColumnRenamed(
-        "v", vec_col
-    ).write.mode("overwrite").partitionBy("list_id").parquet(path)
-    (
-        embeddings.where(F.col(id_col) < nlist)
-        .select(
-            F.col(id_col).cast("long").alias("list_id"),
-            _as_double(F.col(vec_col)).alias("centroid"),
-        )
-        .write.mode("overwrite")
-        .parquet(f"{path}/_centroids")
-    )
+    corpus that built it. The centroids are materialized from the ONE
+    driver-side seed collect the assignment itself uses (not a second
+    corpus scan — code-review r11), which also guarantees the
+    persisted quantizer is bit-identical to the one that routed the
+    stored rows even over a nondeterministic input lineage."""
+    seeds = _ivf_seed_list(embeddings, nlist, id_col, vec_col)
+    _ivf_assign_with_seeds(
+        embeddings, seeds, id_col, vec_col
+    ).withColumnRenamed("v", vec_col).write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(path)
+    embeddings.sparkSession.createDataFrame(
+        seeds, "list_id LONG, centroid ARRAY<DOUBLE>"
+    ).write.mode("overwrite").parquet(f"{path}/_centroids")
 
 
 def ivf_extend_index(
@@ -463,7 +485,7 @@ def ivf_extend_index(
     (probes still search real cells). Gate with ``recall_vs_exact``
     on a query sample and rebuild via ``ivf_write_index`` when the
     extended fraction gets large."""
-    from mapreduce_kmeans_clustering_spark.functions.literals import const_vec
+    from pyspark.errors import AnalysisException
 
     try:
         seed_rows = (
@@ -471,7 +493,11 @@ def ivf_extend_index(
             .orderBy("list_id")
             .collect()
         )
-    except Exception as exc:  # pragma: no cover - exact error varies
+    except AnalysisException as exc:
+        # ONLY the missing-path analysis error maps to the migration
+        # hint; IO/permission/corruption failures propagate untouched
+        # so the user fixes the real fault instead of rebuilding a
+        # healthy index (code-review r11)
         raise ValueError(
             f"ivf_extend_index needs {path}/_centroids (written by "
             "ivf_write_index since round 11); rebuild the index once "
@@ -479,23 +505,16 @@ def ivf_extend_index(
         ) from exc
     if not seed_rows:
         raise ValueError(f"{path}/_centroids is empty — corrupt index")
-    vecs = new_embeddings.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
-    )
-    entries = [
-        F.struct(
-            (
-                -cosine_similarity(F.col("v"), const_vec(r["centroid"]))
-            ).alias("nc"),
-            F.lit(int(r["list_id"])).cast("long").alias("lid"),
-        )
+    seeds = [
+        (int(r["list_id"]), [float(x) for x in r["centroid"]])
         for r in seed_rows
     ]
+    assigned = _ivf_assign_with_seeds(new_embeddings, seeds, id_col, vec_col)
     (
-        vecs.select(
+        assigned.select(
             F.col(id_col),
             F.col("v").alias(vec_col),
-            F.array_min(F.array(*entries))["lid"].alias("list_id"),
+            "list_id",
         )
         .write.mode("append")
         .partitionBy("list_id")
@@ -619,11 +638,13 @@ def hard_negatives(
 
 
 def _q6_int(x: Column) -> Column:
-    """floor(x * 1e6 + 0.5) as a long — the half-up 6-dp integer grid
-    used so per-query metric terms SUM order-independently (the PSI /
-    isotonic recipe: integer addition is associative, double addition
-    is not)."""
-    return F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    """Half-up 6-dp integer micro-unit grid (shared contract —
+    functions/rounding.py; integer sums are order-independent)."""
+    from mapreduce_kmeans_clustering_spark.functions.rounding import (
+        half_up6_micro,
+    )
+
+    return half_up6_micro(x)
 
 
 def ranking_term_tables(k: int) -> tuple[list[int], list[int], int]:

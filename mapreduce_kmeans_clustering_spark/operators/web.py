@@ -342,9 +342,11 @@ def extend_url_index(index_urls: DataFrame, verdicts: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _r6(col: Column) -> Column:
-    """Half-up 6-dp floor chain (the repo's cross-engine rounding
-    contract — Spark/DuckDB round(double) disagree near .5 ties)."""
-    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+    """Half-up 6-dp rounding (shared contract —
+    functions/rounding.py)."""
+    from mapreduce_kmeans_clustering_spark.functions.rounding import half_up6
+
+    return half_up6(col)
 
 
 def _doc_lines(
@@ -467,8 +469,13 @@ def boilerplate_lines(
         F.lit(int(min_df)).cast("long"),
         F.ceil(F.lit(float(min_frac)) * F.col("domain_docs")),
     )
+    # no broadcast hint on the domain-size side: one row PER DOMAIN is
+    # unbounded at crawl scale (tens of millions of registrable
+    # domains) — let AQE pick broadcast vs shuffle by measured size
+    # (code-review r11); the flagged-LINES broadcast elsewhere stays,
+    # because boilerplate is few distinct lines by definition
     return (
-        cnt.join(F.broadcast(dsz), "domain")
+        cnt.join(dsz, "domain")
         .where(F.col("n_docs") >= thr)
         .select(
             "domain",
@@ -534,9 +541,13 @@ def remove_boilerplate(
             min_frac=min_frac, min_df=min_df,
             extra_suffixes=extra_suffixes,
         )
+    # distinct enforces the "any frame with (domain, line)" contract:
+    # a caller-supplied flag table with duplicate rows would otherwise
+    # multiply exploded lines through the left join, corrupting every
+    # count downstream (code-review r11)
     flagged = flagged.select(
         "domain", "line", F.lit(True).alias("_flag")
-    )
+    ).distinct()
     tagged = lines.join(F.broadcast(flagged), ["domain", "line"], "left")
     perdoc = tagged.groupBy(id_col).agg(
         F.array_join(
@@ -620,26 +631,22 @@ def extend_boilerplate_index(
     index: DataFrame, batch_index: DataFrame
 ) -> DataFrame:
     """Merge a batch's ``boilerplate_index`` into the stored one: one
-    null-safe (domain, line)-keyed sum (the NULL line is the domain
-    total row and must group with itself, hence the coalesce
-    sentinel). Valid because batches hold disjoint documents —
-    distinct-doc counts are additive. The shuffle carries only
-    (domain, line, count); daily cost is O(batch lines +
+    (domain, line)-keyed sum. groupBy treats NULL keys as one group
+    (SQL GROUP BY semantics), so the NULL-line domain-total rows merge
+    with each other natively — no sentinel, and no way for any real
+    line's content to collide with the total row (an earlier cut used
+    a ``\\x00`` coalesce sentinel, which a crawl line consisting of a
+    NUL byte could forge in line_regex mode, silently corrupting the
+    domain totals — code-review r11). Valid because batches hold
+    disjoint documents — distinct-doc counts are additive. The shuffle
+    carries only (domain, line, count); daily cost is O(batch lines +
     index distinct lines), the same class as the band/URL index
     maintenance ops."""
     u = index.select("domain", "line", "n_docs").unionByName(
         batch_index.select("domain", "line", "n_docs")
     )
-    return (
-        u.groupBy(
-            "domain", F.coalesce(F.col("line"), F.lit("\x00")).alias("_lk")
-        )
-        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
-        .select(
-            "domain",
-            F.when(F.col("_lk") != "\x00", F.col("_lk")).alias("line"),
-            "n_docs",
-        )
+    return u.groupBy("domain", "line").agg(
+        F.sum("n_docs").cast("long").alias("n_docs")
     )
 
 
@@ -659,9 +666,11 @@ def flag_boilerplate_index(
         F.lit(int(min_df)).cast("long"),
         F.ceil(F.lit(float(min_frac)) * F.col("domain_docs")),
     )
+    # domain-total side unhinted for the same reason as the audit's
+    # dsz join: one row per domain is unbounded at crawl scale
     return (
         index.where(F.col("line").isNotNull())
-        .join(F.broadcast(totals), "domain")
+        .join(totals, "domain")
         .where(F.col("n_docs") >= thr)
         .select(
             "domain",

@@ -81,11 +81,12 @@ MAX_HAMMING = 3
 
 
 def _h6(col):
-    """Half-up 6-dp rounding of a computed double: identical
-    floor(x*1e6 + 0.5)/1e6 chain both engines — Spark and DuckDB
-    round(double, n) DISAGREE near .5 ties (SCALE.md §5; proven by
-    the sf0.1 parity sweep on q_min_cost_supplier/q_text_quality)."""
-    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+    """Half-up 6-dp rounding — the shared cross-engine contract
+    (functions/rounding.py holds the rationale; this alias keeps the
+    ~100 existing call sites short)."""
+    from mapreduce_kmeans_clustering_spark.functions.rounding import half_up6
+
+    return half_up6(col)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10812,7 +10813,7 @@ def q_boilerplate_audit(spark, sf_dir):
     in >= max(2, ceil(30% of domain docs)) distinct documents of one
     registrable domain, over the planted nav/promo chrome — the
     CCNet/RefinedWeb site-chrome detector. (domain, line)-keyed
-    two-phase distinct count + a broadcast domain-size attach; the
+    two-phase distinct count + an AQE-sized domain-size attach; the
     planted nav line (100% of every domain) is flagged at every SF,
     the planted promo line (~14%) never is."""
     return W.boilerplate_lines(
@@ -10910,12 +10911,19 @@ ratio AS (
                         / (tot.t + {DSIR_BUCKETS}))
                      - ln((cr.c + 1)::DOUBLE / (tot.r + {DSIR_BUCKETS})))
                     * 1000000.0 + 0.5) AS BIGINT) AS micro
-  FROM cr LEFT JOIN ct USING (bkt), tot)
-SELECT doc_id, count(*)::BIGINT AS n_feats,
-       sum(micro)::BIGINT / 1000000.0 AS logweight
-FROM b JOIN ratio USING (bkt)
-WHERE NOT tgt
-GROUP BY doc_id ORDER BY doc_id"""
+  FROM cr LEFT JOIN ct USING (bkt), tot),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_feats,
+         sum(micro)::BIGINT / 1000000.0 AS logweight
+  FROM b JOIN ratio USING (bkt)
+  WHERE NOT tgt
+  GROUP BY doc_id)
+-- one row per raw doc even with zero features (engine contract):
+SELECT d.doc_id,
+       coalesce(agg.n_feats, 0)::BIGINT AS n_feats,
+       coalesce(agg.logweight, 0.0) AS logweight
+FROM (SELECT doc_id FROM documents WHERE doc_id % {BENCH_MOD} <> 0) d
+LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id"""
 PIPELINE_QUERIES.update({"q_dsir_weights": q_dsir_weights})
 
 

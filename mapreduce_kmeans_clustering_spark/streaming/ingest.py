@@ -314,29 +314,39 @@ def stream_boilerplate_ingest(
     ).select("domain", "line").localCheckpoint(eager=True)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        scrubbed = remove_boilerplate(
-            batch_df,
-            url_col,
-            text_col=text_col,
-            id_col=id_col,
-            tokens_per_line=tokens_per_line,
-            line_regex=line_regex,
-            joiner=joiner,
-            flagged=flags,
-        )
-        scrubbed.write.mode("overwrite").parquet(
-            f"{out_path}/ingest_batch={epoch_id}"
-        )
-        boilerplate_index(
-            batch_df,
-            url_col,
-            text_col=text_col,
-            id_col=id_col,
-            tokens_per_line=tokens_per_line,
-            line_regex=line_regex,
-        ).write.mode("overwrite").parquet(
-            f"{out_path}/_batch_index/ingest_batch={epoch_id}"
-        )
+        # two actions share one source read via persist (code-review
+        # r11 — the stream_url_dedup_ingest doubled-probe lesson); the
+        # tokenize/explode itself deliberately runs once per action,
+        # NOT materialized: the exploded line table is larger than the
+        # batch, so caching it costs more than the second codegen'd
+        # regexp pass (the decontam-scrub trade, QUERIES.md §3)
+        batch_df.persist()
+        try:
+            scrubbed = remove_boilerplate(
+                batch_df,
+                url_col,
+                text_col=text_col,
+                id_col=id_col,
+                tokens_per_line=tokens_per_line,
+                line_regex=line_regex,
+                joiner=joiner,
+                flagged=flags,
+            )
+            scrubbed.write.mode("overwrite").parquet(
+                f"{out_path}/ingest_batch={epoch_id}"
+            )
+            boilerplate_index(
+                batch_df,
+                url_col,
+                text_col=text_col,
+                id_col=id_col,
+                tokens_per_line=tokens_per_line,
+                line_regex=line_regex,
+            ).write.mode("overwrite").parquet(
+                f"{out_path}/_batch_index/ingest_batch={epoch_id}"
+            )
+        finally:
+            batch_df.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(process)

@@ -617,3 +617,30 @@ def test_dsir_logweight_is_summation_order_free(spark):
          for r in dsir_logweights(
              docs.repartition(13), F.col("tgt") == 1).collect()}
     assert a == b
+
+
+def test_dsir_edge_contract(spark):
+    """Regression (code-review r11): NULL target_pred rows are RAW,
+    zero-feature raw docs still emit (id, 0, 0.0), n_buckets validated."""
+    import pytest as _pytest
+
+    from mapreduce_kmeans_clustering_spark.operators.curation import (
+        dsir_logweights,
+    )
+
+    rows = [
+        (1, "en", "cat sat mat"),
+        (10, "de", "cat sat"),
+        (11, None, "zebra flux"),   # NULL lang -> NULL pred -> raw
+        (12, "de", ""),             # raw, zero features
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, lang STRING, text STRING")
+    got = {
+        r["doc_id"]: (r["n_feats"], r["logweight"])
+        for r in dsir_logweights(docs, F.col("lang") == "en").collect()
+    }
+    assert set(got) == {10, 11, 12}
+    assert got[12] == (0, 0.0)
+    assert got[11][0] == 3  # 2 unigrams + 1 bigram, scored not dropped
+    with _pytest.raises(ValueError, match="n_buckets"):
+        dsir_logweights(docs, F.col("lang") == "en", n_buckets=0)

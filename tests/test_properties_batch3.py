@@ -154,9 +154,9 @@ def test_dsir_matches_brute_force_replay(spark, docs):
         for b, c in cr.items()
     }
     expect = {
-        i: (len(fs), sum(micro[_bkt(f_)] for f_ in fs) / 1e6)
+        i: (len(fs), sum(micro[_bkt(f_)] for f_ in fs) / 1e6 if fs else 0.0)
         for i, fs in feats.items()
-        if i not in tgt and fs
+        if i not in tgt
     }
     got = {
         r["doc_id"]: (r["n_feats"], r["logweight"])

@@ -521,3 +521,45 @@ def test_remove_boilerplate_with_precomputed_flags(spark, chrome_docs):
     )
     inline = remove_boilerplate(chrome_docs, min_frac=0.8, min_df=2)
     assert _rows(got) == _rows(inline)
+
+
+def test_index_merge_immune_to_nul_byte_line(spark):
+    """Regression (code-review r11): a real crawl line consisting of a
+    NUL byte must NOT merge into the domain-total row — the first cut's
+    coalesce sentinel made exactly that forgeable in line_regex mode."""
+    from mapreduce_kmeans_clustering_spark.operators.web import (
+        boilerplate_index,
+        extend_boilerplate_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "https://a.com/1", "\x00\nreal line"),
+         (2, "https://a.com/2", "\x00\nother line")],
+        "doc_id LONG, url STRING, text STRING",
+    )
+    idx = boilerplate_index(docs, tokens_per_line=None, line_regex="\n")
+    merged = extend_boilerplate_index(idx, idx.limit(0))
+    rows = {(r["domain"], r["line"]): r["n_docs"] for r in merged.collect()}
+    # the NUL line is an ordinary line row; the domain total stays 2
+    assert rows[("a.com", None)] == 2
+    assert rows[("a.com", "\x00")] == 2
+
+
+def test_remove_boilerplate_tolerates_duplicate_flag_rows(spark, chrome_docs):
+    """Regression (code-review r11): a caller-supplied flag table with
+    duplicate (domain, line) rows must not multiply exploded lines."""
+    from mapreduce_kmeans_clustering_spark.operators.web import (
+        boilerplate_lines,
+        remove_boilerplate,
+    )
+
+    flags = boilerplate_lines(chrome_docs, min_frac=0.8, min_df=2)
+    doubled = flags.unionByName(flags)  # no distinct
+    got = {
+        r["doc_id"]: r
+        for r in remove_boilerplate(
+            chrome_docs, min_frac=0.8, min_df=2, flagged=doubled
+        ).collect()
+    }
+    assert (got[1]["n_lines"], got[1]["n_removed"]) == (3, 1)
+    assert got[1]["clean_text"] == "alpha beta gamma one two"
