@@ -1254,14 +1254,15 @@ def dsir_logweights(
     exact and summation-order-free on both engines, unlike a double
     sum (SCALE.md §5's .5-tie class).
 
-    Scale shape (100 TB): one token/bigram explode (scan-local), one
-    bucket-keyed count per side (map-side partial; at most
-    ``n_buckets`` rows survive each), one broadcast of the ≤
-    ``n_buckets``-row ratio table back onto the exploded stream, one
-    id-keyed sum. Zipf skew on hot buckets lives entirely inside the
-    partial aggregates; nothing driver-side. The ratio table is built
-    from the RAW side's occupied buckets (a raw doc's features always
-    hit one), with target counts left-joined.
+    Scale shape (100 TB): one token/bigram explode (scan-local), ONE
+    bucket-keyed conditional-count aggregate carrying both sides
+    (map-side partial; at most ``n_buckets`` rows survive — the
+    two-frame per-side form cost a second full tokenize+md5 pass),
+    one broadcast of the ≤ ``n_buckets``-row ratio table back onto
+    the exploded stream, one id-keyed sum. Zipf skew on hot buckets
+    lives entirely inside the partial aggregates; nothing
+    driver-side. The ratio table is the RAW-occupied buckets (a raw
+    doc's features always hit one) with target counts attached.
 
     Edge contract (code-review r11): a NULL ``target_pred`` row is
     RAW (three-valued logic would otherwise drop it from both models
@@ -1291,35 +1292,36 @@ def dsir_logweights(
     ).select(
         id_col, "_tgt", hash_dim(F.col("_feat"), n_buckets).alias("_bkt")
     )
-    cr = (
-        fb.where(~F.col("_tgt"))
-        .groupBy("_bkt")
-        .agg(F.count("*").cast("long").alias("_cr"))
+    # BOTH sides' bucket counts in ONE aggregate over one explode —
+    # the two-frame form (separate cr/ct groupBys) tokenized and
+    # md5-hashed the corpus once per side; conditional sums read the
+    # stream once and still combine map-side. Ratio rows are the
+    # raw-occupied buckets exactly as before (_cr > 0), with the
+    # target count already attached (0 when absent — same value the
+    # old left join's coalesce produced), so the output is
+    # bit-identical.
+    counts = fb.groupBy("_bkt").agg(
+        F.sum(F.when(~F.col("_tgt"), 1).otherwise(0))
+        .cast("long")
+        .alias("_cr"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0))
+        .cast("long")
+        .alias("_ct"),
     )
-    ct = (
-        fb.where(F.col("_tgt"))
-        .groupBy("_bkt")
-        .agg(F.count("*").cast("long").alias("_ct"))
-    )
-    totals = cr.agg(
-        F.sum("_cr").cast("long").alias("_r")
-    ).crossJoin(
-        F.broadcast(
-            ct.agg(
-                F.coalesce(F.sum("_ct"), F.lit(0)).cast("long").alias("_t")
-            )
-        )
+    totals = counts.agg(
+        F.sum("_cr").cast("long").alias("_r"),
+        F.sum("_ct").cast("long").alias("_t"),
     )
     B = int(n_buckets)
-    lr = F.log(
-        (F.coalesce(F.col("_ct"), F.lit(0)) + 1) / (F.col("_t") + B)
-    ) - F.log((F.col("_cr") + 1) / (F.col("_r") + B))
+    lr = F.log((F.col("_ct") + 1) / (F.col("_t") + B)) - F.log(
+        (F.col("_cr") + 1) / (F.col("_r") + B)
+    )
     from mapreduce_kmeans_clustering_spark.functions.rounding import (
         half_up6_micro,
     )
 
     ratio = (
-        cr.join(ct, "_bkt", "left")
+        counts.where(F.col("_cr") > 0)
         .crossJoin(F.broadcast(totals))
         .select("_bkt", half_up6_micro(lr).alias("_micro"))
     )
