@@ -597,6 +597,76 @@ def index_delta_sweep(spark, scales=(1, 10, 100)) -> None:
     )
 
 
+def ivf_extend_sweep(spark, scales=(1, 10, 100)) -> None:
+    """Measure the O(batch) claim of similarity.ivf_extend_index
+    (round 11): FIXED 500-vector delta, stored index grown x1/x10/x100
+    from rotated replicas of the sf0.1 embeddings (build_sf1's
+    norm-preserving rule), timing ONLY the extension call. The only
+    index-proportional inputs the extension reads are the <= nlist
+    _centroids rows, so the exponent in index size should be ~0 —
+    append files never rewrite existing ones."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.operators.similarity import (
+        ivf_extend_index,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    delta = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + BIG * 1000).alias("vec_id"), "embedding"
+    ).localCheckpoint(eager=True)
+    root = "/tmp/sweep_ivf_extend"
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    rows = []
+    for s in scales:
+        parts = []
+        for i in range(s):
+            # rotate each replica's vectors by i positions (the
+            # build_sf1 embeddings rule: norm- and distribution-
+            # preserving, decorrelates copies)
+            v = F.col("embedding")
+            if i:
+                rot = F.concat(
+                    F.slice(v, i % 64 + 1, 64 - i % 64), F.slice(v, 1, i % 64)
+                )
+                v = rot
+            parts.append(
+                emb.select(
+                    (F.col("vec_id") + F.lit(i * BIG)).alias("vec_id"),
+                    v.alias("embedding"),
+                )
+            )
+        path = f"{root}/x{s}/idx"
+        ivf_write_index(_union(parts), path, nlist=16)
+
+        # time the extension directly (it performs its own write)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            ivf_extend_index(spark, path, delta)
+            best = min(best, time.perf_counter() - t0)
+        rows.append({"index_scale": s, "t_sec": round(best, 3)})
+        print(json.dumps(rows[-1]), flush=True)
+    e = math.log10(
+        max(rows[-1]["t_sec"], 1e-3) / max(rows[0]["t_sec"], 1e-3)
+    ) / math.log10(scales[-1] / scales[0])
+    print(
+        json.dumps(
+            {
+                "sweep": "ivf_extend_fixed_batch",
+                "batch_vectors": delta.count(),
+                "rows": rows,
+                "exponent_in_index_size": round(e, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
@@ -611,6 +681,12 @@ def main() -> None:
         action="store_true",
         help="run the fixed-delta / growing-index O(delta) "
         "measurement instead of the standard sweep",
+    )
+    ap.add_argument(
+        "--ivf-extend",
+        action="store_true",
+        help="run the fixed-batch / growing-index ivf_extend_index "
+        "O(batch) measurement instead of the standard sweep",
     )
     args = ap.parse_args()
     targets = args.only.split(",") if args.only else SWEEP_QUERIES
@@ -629,6 +705,10 @@ def main() -> None:
     if args.index_delta:
         spark.read.parquet(f"{SRC}/documents.parquet").limit(1).count()
         index_delta_sweep(spark)
+        return
+    if args.ivf_extend:
+        spark.read.parquet(f"{SRC}/embeddings.parquet").limit(1).count()
+        ivf_extend_sweep(spark)
         return
     tables = set()
     for q in targets:
