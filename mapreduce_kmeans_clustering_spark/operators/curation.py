@@ -1343,3 +1343,61 @@ def dsir_logweights(
         F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
         F.coalesce("logweight", F.lit(0.0)).alias("logweight"),
     )
+
+
+def dsir_gumbel_select(
+    weights: DataFrame,
+    k: int,
+    temperature: float = 1.0,
+    id_col: str = "doc_id",
+    weight_col: str = "logweight",
+    salt: str = "dsir:",
+) -> DataFrame:
+    """The SELECT step of DSIR (Xie et al. 2023): Gumbel-top-k
+    resampling over the importance log-weights — sampling k docs
+    WITHOUT replacement with probability proportional to
+    exp(logweight / temperature) is exactly "take the k largest
+    logweight/T + Gumbel noise" (the Gumbel-max trick), and replacing
+    the random draw with a hashed uniform makes the sample
+    reproducible across engines, retries, and partitionings (the
+    ``sampling.weight_priority`` determinism recipe).
+
+    The uniform is (hash52(salt || id) + 0.5) / 2^52 — 52 bits are
+    exact in a double, the +0.5 keeps u strictly inside (0,1) so both
+    logs are finite, and IEEE division is correctly rounded, so u is
+    bit-identical in Spark and the DuckDB oracle. gumbel =
+    -ln(-ln(u)). Output: (id, logweight, sel_key), the k largest
+    sel_keys (ties to the lowest id).
+
+    Plan shape: one scan-local projection + TakeOrderedAndProject
+    (each partition keeps its local top-k, the driver merges k rows —
+    never a global sort). temperature → 0 approaches deterministic
+    top-k by weight; higher temperatures flatten toward uniform."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    c = F.col(id_col)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 13),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(4503599627370496.0)
+    key = F.col(weight_col) / F.lit(float(temperature)) + -F.log(-F.log(u))
+    return (
+        weights.select(
+            c,
+            F.col(weight_col),
+            key.alias("_key"),
+        )
+        .orderBy(F.col("_key").desc(), c)
+        .limit(int(k))
+        .select(
+            id_col,
+            weight_col,
+            (F.floor(F.col("_key") * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "sel_key"
+            ),
+        )
+    )

@@ -10889,8 +10889,10 @@ def q_dsir_weights(spark, sf_dir):
     )
 
 
-PIPELINE_ORACLES["q_dsir_weights"] = f"""
-WITH toks AS (SELECT doc_id, {_TOK} AS w FROM documents),
+# Shared DSIR CTE chain ending in `wts` (one row per raw doc with
+# n_feats/logweight) — used by BOTH q_dsir_weights and q_dsir_select
+# so weight semantics can never drift between scoring and selection.
+_SQL_DSIR_CORE = f"""toks AS (SELECT doc_id, {_TOK} AS w FROM documents),
 f AS (
   SELECT doc_id, unnest(w) AS feat FROM toks
   UNION ALL
@@ -10917,14 +10919,55 @@ agg AS (
          sum(micro)::BIGINT / 1000000.0 AS logweight
   FROM b JOIN ratio USING (bkt)
   WHERE NOT tgt
-  GROUP BY doc_id)
+  GROUP BY doc_id),
 -- one row per raw doc even with zero features (engine contract):
-SELECT d.doc_id,
-       coalesce(agg.n_feats, 0)::BIGINT AS n_feats,
-       coalesce(agg.logweight, 0.0) AS logweight
-FROM (SELECT doc_id FROM documents WHERE doc_id % {BENCH_MOD} <> 0) d
-LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id"""
+wts AS (
+  SELECT d.doc_id,
+         coalesce(agg.n_feats, 0)::BIGINT AS n_feats,
+         coalesce(agg.logweight, 0.0) AS logweight
+  FROM (SELECT doc_id FROM documents WHERE doc_id % {BENCH_MOD} <> 0) d
+  LEFT JOIN agg USING (doc_id))"""
+
+PIPELINE_ORACLES["q_dsir_weights"] = f"""
+WITH {_SQL_DSIR_CORE}
+SELECT doc_id, n_feats, logweight FROM wts ORDER BY doc_id"""
 PIPELINE_QUERIES.update({"q_dsir_weights": q_dsir_weights})
+
+
+DSIR_SELECT_K = 50
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR selection (curation.dsir_gumbel_select): the top-50 raw
+    docs by Gumbel-top-k over the importance log-weights — sampling
+    without replacement proportional to exp(logweight), with the
+    Gumbel noise derived from a 52-bit hashed uniform so the selected
+    SET is reproducible across engines and retries. One scan-local
+    key projection + TakeOrderedAndProject; the weights chain is
+    q_dsir_weights' verbatim."""
+    w = CU.dsir_logweights(
+        _docs(spark, sf_dir),
+        F.col("doc_id") % BENCH_MOD == 0,
+        n_buckets=DSIR_BUCKETS,
+    )
+    return CU.dsir_gumbel_select(w, k=DSIR_SELECT_K).orderBy(
+        F.col("sel_key").desc(), "doc_id"
+    )
+
+
+PIPELINE_ORACLES["q_dsir_select"] = f"""
+WITH {_SQL_DSIR_CORE},
+g AS (
+  SELECT doc_id, logweight,
+         logweight / 1.0
+           + -ln(-ln((CAST(('0x' || substr(md5('dsir:' || doc_id), 1, 13))
+                           AS BIGINT)::DOUBLE + 0.5)
+                     / 4503599627370496.0)) AS key
+  FROM wts)
+SELECT doc_id, logweight,
+       floor(key * 1000000.0 + 0.5) / 1000000.0 AS sel_key
+FROM g ORDER BY key DESC, doc_id LIMIT {DSIR_SELECT_K}"""
+PIPELINE_QUERIES.update({"q_dsir_select": q_dsir_select})
 
 
 def q_ngram_diversity(spark, sf_dir):

@@ -644,3 +644,34 @@ def test_dsir_edge_contract(spark):
     assert got[11][0] == 3  # 2 unigrams + 1 bigram, scored not dropped
     with _pytest.raises(ValueError, match="n_buckets"):
         dsir_logweights(docs, F.col("lang") == "en", n_buckets=0)
+
+
+def test_dsir_gumbel_select_is_deterministic_and_weight_sensitive(spark):
+    from mapreduce_kmeans_clustering_spark.operators.curation import (
+        dsir_gumbel_select,
+    )
+    import pytest as _pytest
+
+    rows = [(i, float(w)) for i, w in enumerate(
+        [5.0] * 10 + [-5.0] * 10
+    )]
+    wdf = spark.createDataFrame(rows, "doc_id LONG, logweight DOUBLE")
+    got = dsir_gumbel_select(wdf, k=8).collect()
+    ids = [r["doc_id"] for r in got]
+    # deterministic: same call, same set and order
+    again = [r["doc_id"] for r in dsir_gumbel_select(wdf, k=8).collect()]
+    assert ids == again
+    # weight-sensitive: a +10 log-odds gap dwarfs Gumbel noise
+    # (P(pick a -5 doc over a +5 doc) ~ e^-10), so all 8 come from
+    # the high-weight half
+    assert all(i < 10 for i in ids)
+    # flattening: extreme temperature washes the weights out of the
+    # key, so selection reduces to the hash order — which must then
+    # pick SOME low-weight docs (the uniform limit)
+    flat = {r["doc_id"] for r in dsir_gumbel_select(
+        wdf, k=8, temperature=1e9).collect()}
+    assert any(i >= 10 for i in flat)
+    with _pytest.raises(ValueError):
+        dsir_gumbel_select(wdf, k=0)
+    with _pytest.raises(ValueError):
+        dsir_gumbel_select(wdf, k=5, temperature=0.0)

@@ -1296,3 +1296,18 @@ def test_ngram_diversity_plan(spark):
     assert "BatchEvalPython" not in p
     assert "Join" not in p
     assert "HashAggregate" in p
+
+
+def test_dsir_select_plan(spark):
+    """Gumbel-top-k selection: the global top-k must plan as
+    TakeOrderedAndProject (per-partition local top-k, driver merges k
+    rows), never a global Sort + Window over the corpus."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_dsir_select,
+    )
+
+    p = _plan(q_dsir_select(spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "Window" not in p

@@ -114,6 +114,7 @@ SWEEP_QUERIES = [
     "q_boilerplate_scrub",
     "q_dsir_weights",
     "q_ngram_diversity",
+    "q_dsir_select",
 ]
 
 
@@ -170,6 +171,7 @@ QUERY_TABLES = {
     "q_boilerplate_scrub": {"documents"},
     "q_dsir_weights": {"documents"},
     "q_ngram_diversity": {"documents"},
+    "q_dsir_select": {"documents"},
 }
 
 
