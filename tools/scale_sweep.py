@@ -495,11 +495,14 @@ def time_query(fn, spark, sf_dir: str) -> float:
 
     best = float("inf")
     for run in range(2):
-        # min-of-2 is noise control for short measurements; a >60 s
-        # run's relative noise is already small and a repeat doubles
-        # sweep cost for nothing (the bench.py RERUN_CUTOFF rationale
-        # at sweep scale)
-        if run and best > 60:
+        # min-of-2 is noise control AND first-run-cost control: the
+        # big-scale run often recompiles (AQE picks a different final
+        # plan at 100x input, re-triggering codegen + broadcast
+        # builds), so even a >60 s first reading can be mostly
+        # one-time cost — q_dsir_select measured 177 s cold vs 17.5 s
+        # steady at x100 under the old >60s single-run rule. Only a
+        # genuinely huge first run (>300 s) skips the repeat.
+        if run and best > 300:
             break
         # the derived-relation memos (IVF assignment, IVFPQ index, dup
         # groups) would otherwise make run 2 — and every later scale —
