@@ -115,6 +115,9 @@ SWEEP_QUERIES = [
     "q_dsir_weights",
     "q_ngram_diversity",
     "q_dsir_select",
+    # round-11 continuation: the last two >2.9s keys without a row
+    "q_source_quality_drift",
+    "q_profile_lineitem",
 ]
 
 
@@ -172,6 +175,8 @@ QUERY_TABLES = {
     "q_dsir_weights": {"documents"},
     "q_ngram_diversity": {"documents"},
     "q_dsir_select": {"documents"},
+    "q_source_quality_drift": {"documents"},
+    "q_profile_lineitem": {"lineitem"},
 }
 
 
