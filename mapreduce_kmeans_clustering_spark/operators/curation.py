@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mapreduce_kmeans_clustering_spark.functions.rounding import half_up6
 from mapreduce_kmeans_clustering_spark.operators.dedup import (
     exact_dup_drops,
     exploded_shingles,
@@ -1396,8 +1397,6 @@ def dsir_gumbel_select(
         .select(
             id_col,
             weight_col,
-            (F.floor(F.col("_key") * 1e6 + F.lit(0.5)) / 1e6).alias(
-                "sel_key"
-            ),
+            half_up6(F.col("_key")).alias("sel_key"),
         )
     )

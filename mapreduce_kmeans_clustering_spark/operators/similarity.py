@@ -497,7 +497,26 @@ def ivf_extend_index(
         # ONLY the missing-path analysis error maps to the migration
         # hint; IO/permission/corruption failures propagate untouched
         # so the user fixes the real fault instead of rebuilding a
-        # healthy index (code-review r11)
+        # healthy index (code-review r11; ADVICE r11 — a blanket
+        # except mislabeled a corrupt _centroids parquet as a
+        # pre-round-11 index). getCondition() is the PySpark 4 error
+        # class; the message check is the fallback for builds where
+        # the condition is absent.
+        cond = None
+        for attr in ("getCondition", "getErrorClass"):
+            fn = getattr(exc, attr, None)
+            if fn is not None:
+                try:
+                    cond = fn()
+                except Exception:
+                    cond = None
+                if cond:
+                    break
+        is_missing_path = (cond == "PATH_NOT_FOUND") or (
+            cond is None and "PATH_NOT_FOUND" in str(exc)
+        )
+        if not is_missing_path:
+            raise
         raise ValueError(
             f"ivf_extend_index needs {path}/_centroids (written by "
             "ivf_write_index since round 11); rebuild the index once "

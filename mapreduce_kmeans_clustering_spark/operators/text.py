@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mapreduce_kmeans_clustering_spark.functions.rounding import half_up6
+
 TOKEN_RE = "[a-z0-9]+"
 
 # Marker-based n-gram language heuristic: per-language function-word
@@ -601,10 +603,14 @@ def ngram_diversity(
     in 2^60 key space (~n²/2^61 expected — zero in any real corpus),
     and BOTH engines hash identically, so oracle parity is exact
     either way."""
+    sizes = [int(n) for n in ns]
+    if not sizes:
+        raise ValueError("ns must name at least one n-gram size")
+    if len(set(sizes)) != len(sizes):
+        raise ValueError(f"duplicate n-gram sizes in ns: {tuple(ns)}")
     w = tokens(F.col(text_col))
     parts = []
-    for n in ns:
-        n = int(n)
+    for n in sizes:
         if n < 1:
             raise ValueError(f"ngram sizes must be >= 1, got {n}")
         if n == 1:
@@ -633,14 +639,8 @@ def ngram_diversity(
                 F.lit(n).cast("int").alias("n"),
                 "total_ngrams",
                 "distinct_ngrams",
-                (
-                    F.floor(
-                        F.col("distinct_ngrams")
-                        / F.col("total_ngrams")
-                        * 1e6
-                        + F.lit(0.5)
-                    )
-                    / 1e6
+                half_up6(
+                    F.col("distinct_ngrams") / F.col("total_ngrams")
                 ).alias("diversity"),
             )
         )

@@ -523,85 +523,50 @@ from mapreduce_kmeans_clustering_spark.queries_pipeline import (  # noqa: E402
 # tests/test_oracle_parity.py (the local mirror of the driver's DuckDB
 # gate).
 #
-# Round-11 rotation (executes VERDICT r10 items 1 and 5 with the
-# judge's corrected census). Correction of the round-10 record: the
-# r10 rotation comment and QUERIES.md claimed q_dedup_semantic /
-# q_knn_graph had been re-pinned to the corpus-aware defaults before
-# the r10 driver ran — that was FALSE (queries_pipeline.py was not
-# touched in round 10); the r10 greens certified the fixed k=8 /
-# planes=8 forms. The re-pin (k=None → suggested_semantic_k ~ sqrt(n);
-# planes=None → auto_planes) is actually applied THIS round, in the
-# same commit that freezes this rotation, with both oracles rewritten
-# to compute k / planes from count(*) and mirror-verified at all 3
-# SFs. Slot budget (38 = 50-row driver window minus the 12 pins):
-#   * 2 rule-2 slots: q_dedup_semantic and q_knn_graph, whose
-#     registered semantics change this round (the re-pin changes
-#     their outputs: k = 22/22/45 and planes = 4 at the test SFs,
-#     vs the old fixed 8/8) — their r11 greens certify the
-#     scale-safe forms;
-#   * 18 round-5-stale keys (the full r5 cohort per the recomputed
-#     census: 18, not the 25 the r10 QUERIES.md note overstated —
-#     7 of the r10 rule-2 cosine keys were themselves r5-stale).
-#     This block includes q_embed_outliers, which is ALSO a rule-2
-#     ride: it consumes safe_cosine (changed in round 9 after its
-#     last pass in round 5) and was wrongly omitted from the r10
-#     rule-2 block (ADVICE r10) — the r10 comment's "every
-#     cosine-family key" claim was wrong by this one key;
-#   * 17 oldest round-6-stale refreshers in registry order, plus ONE
-#     mid-round rule-2 displacement (the ADVICE r10 precedent): the
-#     round-11 ×100 sweep threw ARITHMETIC_OVERFLOW in
-#     diff.bucket_digests' long digest sum (a real sf10 bug), and the
-#     fix (DECIMAL-accumulated sum folded mod 2^48) changes
-#     q_snapshot_diff's internal digest semantics — so q_snapshot_diff
-#     rides THIS window as a rule-2 slot, displacing the newest r6
-#     refresher q_fd_profile to round 12 (outputs verified identical
-#     at all 3 SFs; the displacement happened before any driver run,
-#     in the same commit as the fix). The r6 remainder carried to
-#     round 12 is therefore 19 keys including q_fd_profile.
-# q_hard_negatives does NOT ride: its round-11 oracle change (the
-# NULL-cos exclusion mirror, ADVICE r9) is vacuous on the test
-# fixtures — verified identical oracle rows at all 3 SFs before and
-# after the edit (zero degenerate vectors in the embeddings tables),
-# and the engine side is unchanged since its r10 green.
+# Round-12 rotation (executes the committed round-12 pre-plan —
+# QUERIES.md / VERDICT r11 item 1 — with ONE rule-2 adjustment made
+# at round start, before any driver run). Slot budget (38 = 50-row
+# driver window minus the 12 pins):
+#   * 14 debt slots: the never-driver-verified round-11 registrations
+#     (the web/curation/DSIR surface), in registry order — every key
+#     below is mirror-green at 3 SFs and plan-gated since its
+#     registering commit but has no CORRECTNESS row yet;
+#   * 19 round-6-stale refreshers (the full r6 remainder, including
+#     q_fd_profile — displaced from the r11 window — and
+#     q_session_paths);
+#   * 4 oldest round-7 refreshers in registry order (the pre-plan
+#     said 5; the 5th, q_text_winnow, is displaced to round 13 by
+#     the rule-2 slot below — slot priority is never-verified >
+#     semantics-changed > oldest-verified);
+#   * 1 rule-2 slot: q_dedup_embed, re-pinned THIS round (same
+#     commit as this freeze) from the fixed planes=8 to the
+#     corpus-aware planes=None → similarity.auto_planes form — the
+#     LAST registered pair generator on a fixed blocking granularity
+#     (VERDICT r11 item 2); the oracle now derives the plane count
+#     from count(*) over its planted union exactly as q_knn_graph's
+#     r11 re-pin did. The output changes (planes 8 → 4/4/5 at the
+#     test SFs, so more in-bucket pairs), hence the ride.
 # Rotation policy: set ONCE at round start, never mid-round (see
-# QUERIES.md "Driver coverage cap + rotation"); the single exception
-# above is a pre-driver-run semantics-changed displacement, the move
-# the rule-2 policy exists to force.
+# QUERIES.md "Driver coverage cap + rotation").
 DRIVER_ROTATION: list[str] = [
-    # -- rule-2: re-pinned to corpus-aware defaults this round --
-    "q_dedup_semantic", "q_knn_graph",
-    # -- round-5-stale cohort (registry order; q_embed_outliers is
-    #    also the deferred rule-2 safe_cosine ride, ADVICE r10) --
-    "q_embed_outliers", "q_user_segments", "q_priority_distinct",
-    "q_approx_distinct", "q_basket_pairs", "q_corpus_temperature",
-    "q_length_buckets", "q_length_buckets_approx", "q_source_kl",
-    "q_length_ks", "q_events_anomaly", "q_events_ffill",
-    "q_cdc_user_state", "q_user_state_periods", "q_token_pmi",
-    "q_bpe_merge_pairs", "q_vocab_coverage", "q_incremental_join_view",
-    # -- oldest round-6 refreshers (registry order) --
-    "q_minhash_pr", "q_pagerank_nations", "q_event_transitions",
-    "q_revenue_pareto", "q_gopher_quality", "q_bm25_search",
-    "q_copurchase_triangles", "q_bpe_train", "q_events_cusum",
-    "q_sample_neyman", "q_zorder_locality", "q_events_trending",
-    "q_psi_drift", "q_linkage_scores", "q_basket_triples",
-    "q_events_seasonal",
-    # -- rule-2 displacement slots (pre-driver-run, per the ADVICE r10
-    #    precedent) --
-    # bucket_digests overflow fix. CORRECTED round 11: q_snapshot_diff
-    # was already among the in-window oldest-18 r6 refreshers (registry
-    # position 17 of the cohort), so this slot is a RE-LABEL, not a
-    # displacement — q_fd_profile (cohort position 19) was never in the
-    # window; see QUERIES.md round-12 pre-plan:
-    "q_snapshot_diff",
-    # semantic_decontam unrolled->HOF cosine switch (displaced the
-    # genuinely-in-window q_session_paths): the registered query's
-    # probe-join span blew
-    # janino's 64 KB limit and silently ran interpreted; the HOF form
-    # compiles (measured 2.24 s -> 1.23 s steady-state at sf0.1) and
-    # is bit-identical (full-value snapshot equal at all 3 SFs), but
-    # it is an engine-side expression change after the key's r9 driver
-    # pass, so per rule 2 it rides this window:
-    "q_semantic_decontam",
+    # -- debt: never-driver-verified round-11 registrations --
+    "q_url_host_parse", "q_url_dedup", "q_domain_quality_caps",
+    "q_domain_stats", "q_multi_bench_decontam", "q_web_curation",
+    "q_decontam_spans", "q_dedup_source_flow", "q_decontam_scrub",
+    "q_boilerplate_audit", "q_boilerplate_scrub", "q_dsir_weights",
+    "q_dsir_select", "q_ngram_diversity",
+    # -- round-6-stale remainder (registry order) --
+    "q_session_paths", "q_fd_profile", "q_benford", "q_balance_gini",
+    "q_basket_rules", "q_survival_km", "q_skyline_parts",
+    "q_budget_allocation", "q_fifo_match", "q_ab_lift",
+    "q_quantile_normalize", "q_embed_cov", "q_nation_hops",
+    "q_hybrid_rrf", "q_revenue_trend", "q_kmv_setops",
+    "q_conversion_isotonic", "q_user_streaks", "q_cohort_ltv",
+    # -- oldest round-7 refreshers (registry order) --
+    "q_text_stats", "q_text_quality", "q_text_lang",
+    "q_text_fingerprint",
+    # -- rule-2: planes=None re-pin this round (see block comment) --
+    "q_dedup_embed",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

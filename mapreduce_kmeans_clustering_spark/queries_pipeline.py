@@ -401,7 +401,9 @@ def q_dedup_embed(spark, sf_dir):
     cos ~0.97 with its source; the ones whose +0.25 shift flips a
     hyperplane sign drop out in BOTH engines identically (the
     recall < 1 semantics under test). Non-vacuous at every SF:
-    9 pairs at sf0.001/sf0.01, 34 at sf0.1."""
+    14/12/46 pairs at sf0.001/sf0.01/sf0.1 under the round-12
+    corpus-aware bucketing (4/4/5 planes; the retired fixed planes=8
+    form found 9/9/34)."""
     e = _emb(spark, sf_dir).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
@@ -415,12 +417,16 @@ def q_dedup_embed(spark, sf_dir):
             F.slice("embedding", 2, EMBED_PLANT_DIM - 1),
         ).alias("embedding"),
     )
-    # planes pinned at the operator's historical fixed default: the
-    # registered query's bucketing must stay byte-stable against its
-    # oracle across rounds (the operator default is now corpus-aware —
-    # similarity.auto_planes)
+    # planes=None → similarity.auto_planes(count of corpus + plants):
+    # the corpus-aware blocking rule, re-pinned in round 12 (VERDICT
+    # r11 item 2 — this was the LAST registered pair generator on a
+    # fixed granularity; fixed plane counts are the measured SCALE.md
+    # §8 quadratic cliff). The oracle derives the same plane count
+    # from count(*) over its planted union, so parity stays exact:
+    # 4 planes at sf0.001/sf0.01 (corpus+plants ≤ 2000), 5 at sf0.1
+    # (2080 vectors).
     p = D.embedding_near_dup_pairs(
-        e.unionByName(planted), threshold=EMBED_DUP_THRESHOLD, planes=8
+        e.unionByName(planted), threshold=EMBED_DUP_THRESHOLD, planes=None
     )
     return p.select("a", "b", F.round("cos", 6).alias("cos"))
 
@@ -5072,7 +5078,9 @@ ve AS (
                      v[2:{EMBED_PLANT_DIM}]) AS v
   FROM ve0 WHERE vec_id % {EMBED_PLANT_MOD} = 0
 ),
-vb AS (SELECT vec_id, v, {_PLANE_BUCKET} AS bucket FROM ve),
+pl AS (SELECT {_AUTO_PLANES_SQL} AS npl FROM ve),
+vb AS (SELECT vec_id, v, {_PLANE_BUCKET_AUTO} AS bucket
+       FROM ve CROSS JOIN pl),
 p AS (SELECT a.vec_id AS a, b.vec_id AS b, a.v AS va, b.v AS vb
       FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT a, b, round({_COS}, 6) AS cos FROM p WHERE {_COS} >= {EMBED_DUP_THRESHOLD}""",
@@ -10955,6 +10963,12 @@ def q_dsir_select(spark, sf_dir):
     )
 
 
+# Selection (which k rows) is by the RAW Gumbel key — exactly the
+# engine's orderBy(_key desc).limit(k) — but the presented order is
+# the ROUNDED sel_key + doc_id, matching q_dsir_select's final
+# orderBy: two selected rows whose raw keys differ by <1e-6 round to
+# the same sel_key, and ordering the two sides by different key forms
+# made the parity hash flakeable on such a near-tie (ADVICE r11).
 PIPELINE_ORACLES["q_dsir_select"] = f"""
 WITH {_SQL_DSIR_CORE},
 g AS (
@@ -10964,9 +10978,11 @@ g AS (
                            AS BIGINT)::DOUBLE + 0.5)
                      / 4503599627370496.0)) AS key
   FROM wts)
-SELECT doc_id, logweight,
-       floor(key * 1000000.0 + 0.5) / 1000000.0 AS sel_key
-FROM g ORDER BY key DESC, doc_id LIMIT {DSIR_SELECT_K}"""
+SELECT doc_id, logweight, sel_key FROM (
+  SELECT doc_id, logweight,
+         floor(key * 1000000.0 + 0.5) / 1000000.0 AS sel_key
+  FROM g ORDER BY key DESC, doc_id LIMIT {DSIR_SELECT_K})
+ORDER BY sel_key DESC, doc_id"""
 PIPELINE_QUERIES.update({"q_dsir_select": q_dsir_select})
 
 

@@ -649,3 +649,18 @@ def test_ivf_extend_index_requires_centroids(spark, tmp_path):
     ).parquet(legacy)
     with _pytest.raises(ValueError, match="_centroids"):
         ivf_extend_index(spark, legacy, emb.where("vec_id >= 50"))
+
+    # ... but a PRESENT-yet-unreadable _centroids is NOT a migration
+    # case (ADVICE r11): a corrupt store must propagate the real
+    # AnalysisException, not steer the user into rebuilding a healthy
+    # index
+    from pyspark.errors import AnalysisException
+
+    corrupt = str(tmp_path / "corrupt_idx")
+    emb.where("vec_id < 50").withColumn("list_id", F.lit(0)).write.partitionBy(
+        "list_id"
+    ).parquet(corrupt)
+    with open(f"{corrupt}/_centroids", "w") as fh:
+        fh.write("not parquet")
+    with _pytest.raises(AnalysisException):
+        ivf_extend_index(spark, corrupt, emb.where("vec_id >= 50"))

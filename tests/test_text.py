@@ -362,3 +362,9 @@ def test_ngram_diversity_short_docs_and_args(spark):
     assert got[("s", 2)]["total_ngrams"] == 1
     with _pytest.raises(ValueError):
         ngram_diversity(docs, ns=(0,))
+    # empty ns raised a bare IndexError, and a duplicate n silently
+    # emitted duplicate rows (ADVICE r11) — both are ValueErrors now
+    with _pytest.raises(ValueError, match="at least one"):
+        ngram_diversity(docs, ns=())
+    with _pytest.raises(ValueError, match="duplicate"):
+        ngram_diversity(docs, ns=(1, 2, 1))

@@ -653,12 +653,19 @@ def ivf_extend_sweep(spark, scales=(1, 10, 100)) -> None:
         path = f"{root}/x{s}/idx"
         ivf_write_index(_union(parts), path, nlist=16)
 
-        # time the extension directly (it performs its own write)
+        # time the extension directly (it performs its own write).
+        # Each timed run extends a FRESH COPY of the stored index —
+        # extending the same path twice appended the delta a second
+        # time, so run 2 measured an already-extended index with
+        # duplicate vec_ids (ADVICE r11). The copy is not timed.
         best = float("inf")
-        for _ in range(2):
+        for r in range(2):
+            run_path = f"{root}/x{s}/run{r}"
+            shutil.copytree(path, run_path)
             t0 = time.perf_counter()
-            ivf_extend_index(spark, path, delta)
+            ivf_extend_index(spark, run_path, delta)
             best = min(best, time.perf_counter() - t0)
+            shutil.rmtree(run_path)
         rows.append({"index_scale": s, "t_sec": round(best, 3)})
         print(json.dumps(rows[-1]), flush=True)
     e = math.log10(
