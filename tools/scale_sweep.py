@@ -116,6 +116,7 @@ SWEEP_QUERIES = [
     "q_ngram_diversity",
     "q_dsir_select",
     # round-11 continuation: the last two >2.9s keys without a row
+    # (swept round 12 — e = 0.30/0.44 and 0.20/0.48 at ×10/×100)
     "q_source_quality_drift",
     "q_profile_lineitem",
 ]
@@ -390,8 +391,9 @@ def _embed_near_dup_auto():
     """embedding_near_dup_pairs with planes=None — the SHIPPED
     corpus-aware default (similarity.auto_planes). This row measures
     what a caller who keeps the default actually gets at ×10/×100;
-    the registered q_dedup_embed pins planes=8 for oracle
-    continuity."""
+    since round 12 the registered q_dedup_embed resolves planes the
+    same way (the fixed planes=8 pin is retired), so this row IS the
+    registered key's scale evidence."""
     from mapreduce_kmeans_clustering_spark.operators import dedup as D
     from mapreduce_kmeans_clustering_spark.queries_pipeline import (
         EMBED_DUP_THRESHOLD,
