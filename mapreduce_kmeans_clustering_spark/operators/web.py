@@ -680,3 +680,191 @@ def flag_boilerplate_index(
             _r6(F.col("n_docs") / F.col("domain_docs")).alias("df_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Capstone: the whole web-corpus curation DAG in one call
+# ---------------------------------------------------------------------------
+
+def web_corpus_pipeline(
+    docs: DataFrame,
+    bench_pred: Column,
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+    cap: int = 3,
+    quality_min: float = 0.35,
+    tokens_per_line: int | None = 3,
+    line_regex: str | None = None,
+    min_frac: float = 0.3,
+    min_df: int = 2,
+    n: int = 3,
+    n_buckets: int = 8192,
+    select_k: int = 5,
+    temperature: float = 1.0,
+    extra_suffixes: tuple[str, ...] = (),
+) -> DataFrame:
+    """The full web-corpus → training-data decision chain, composed
+    from the per-stage operators in the at-scale execution order —
+    each stage runs ONLY on the previous stage's survivors, so the
+    expensive text stages never touch docs a cheap URL verdict
+    already rejected (the composition VERDICT r11 item 7 asked the
+    registry to certify: stage ORDERING, column contracts, and
+    no-double-counting are exactly what per-stage oracles can't see):
+
+    1. ``benchmark``       — the held-out partition (``bench_pred``;
+       NULL rows are training, the ``dsir_logweights`` convention) —
+       excluded from training, used as BOTH the contamination
+       reference and the DSIR target;
+    2. ``url_dup``         — ``web_curation``: a lower-id doc owns
+       this normalized URL;
+    3. ``over_domain_cap`` — the registrable domain's top-``cap``
+       budget (by ``score_col``) is already filled;
+    4. ``low_quality``     — ``text.quality_score`` of the
+       boilerplate-SCRUBBED text below ``quality_min`` (threshold on
+       the 6-dp-rounded score, the ``curation_pipeline`` contract);
+       boilerplate is detected over the URL-curation keeps only —
+       duplicate URLs would otherwise inflate line frequencies;
+    5. survivors have benchmark n-gram spans EXCISED
+       (``curation.scrub_contaminated_spans`` — removal, not a drop
+       verdict) and are DSIR-scored on the final clean text;
+    6. ``selected`` / ``passed`` — Gumbel-top-``select_k`` resampling
+       over the DSIR log-weights (``curation.dsir_gumbel_select``).
+
+    One row per input doc: (id, status, n_boiler_removed, quality,
+    n_contam_removed, clean_tokens, logweight) — audit columns are
+    NULL for docs that never reached the stage that computes them.
+    Every stage is the already-shipped operator, so the plan is their
+    composition: no new shuffle classes, no pairwise stages, no
+    driver-side loops; the only frames ever broadcast are the flagged
+    boilerplate lines and the ≤ ``n_buckets``-row DSIR ratio table.
+    """
+    from mapreduce_kmeans_clustering_spark.functions.rounding import (
+        half_up6,
+    )
+    from mapreduce_kmeans_clustering_spark.operators.curation import (
+        dsir_gumbel_select,
+        dsir_logweights,
+        scrub_contaminated_spans,
+    )
+    from mapreduce_kmeans_clustering_spark.operators.text import (
+        quality_score,
+    )
+
+    is_bench = F.coalesce(bench_pred, F.lit(False))
+    bench = docs.where(is_bench)
+    train = docs.where(~is_bench)
+
+    wc = web_curation(
+        train, url_col, score_col, cap, id_col, extra_suffixes
+    )
+    keeps = wc.where(F.col("status") == "keep").select(id_col)
+    kept_docs = train.join(keeps, id_col)
+
+    rb = remove_boilerplate(
+        kept_docs, url_col,
+        text_col=text_col, id_col=id_col,
+        tokens_per_line=tokens_per_line, line_regex=line_regex,
+        min_frac=min_frac, min_df=min_df,
+        extra_suffixes=extra_suffixes,
+    )
+    # Lineage truncation at the stage boundaries (the
+    # embedding_near_dup_pairs localCheckpoint idiom): every later
+    # stage references its input plan SEVERAL times (the span scrub
+    # reads its corpus three ways, DSIR twice more, the final verdict
+    # assembly re-joins survivors to quality and weights), so without
+    # a cut the composed logical plan grows multiplicatively — at
+    # five chained stages the plan STRING alone exhausts driver
+    # memory before a single task runs. Checkpointing the three
+    # shrinking survivor frames bounds the tree and re-anchors each
+    # stage on materialized columns.
+    q = rb.select(
+        F.col(id_col),
+        "clean_text",
+        F.col("n_removed").alias("n_boiler_removed"),
+        half_up6(quality_score(F.col("clean_text"))).alias("quality"),
+        (
+            F.round(quality_score(F.col("clean_text")), 6)
+            < F.lit(float(quality_min))
+        ).alias("_lowq"),
+    ).localCheckpoint(eager=False)
+
+    qual = q.where(~F.col("_lowq"))
+    scrub_in = bench.select(
+        F.col(id_col), F.col(text_col).alias("_t"), F.lit(True).alias("_b")
+    ).unionByName(
+        qual.select(
+            F.col(id_col), F.col("clean_text").alias("_t"),
+            F.lit(False).alias("_b"),
+        )
+    )
+    sc = scrub_contaminated_spans(
+        scrub_in, F.col("_b"), n=n, text_col="_t", id_col=id_col
+    ).localCheckpoint(eager=False)
+
+    dsir_in = bench.select(
+        F.col(id_col), F.col(text_col).alias("_t"), F.lit(True).alias("_b")
+    ).unionByName(
+        sc.select(
+            F.col(id_col), F.col("scrubbed_text").alias("_t"),
+            F.lit(False).alias("_b"),
+        )
+    )
+    wts = dsir_logweights(
+        dsir_in, F.col("_b"), n_buckets=n_buckets,
+        text_col="_t", id_col=id_col,
+    ).localCheckpoint(eager=False)
+    sel = dsir_gumbel_select(
+        wts, k=select_k, temperature=temperature, id_col=id_col
+    ).select(F.col(id_col), F.lit(1).alias("_sel"))
+
+    nl = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+
+    def row(frame, status_col, nbr=None, qual_c=None, ncr=None,
+            ctk=None, lw=None):
+        return frame.select(
+            F.col(id_col),
+            status_col.alias("status"),
+            (nbr if nbr is not None else nl).cast("long")
+            .alias("n_boiler_removed"),
+            (qual_c if qual_c is not None else nd).cast("double")
+            .alias("quality"),
+            (ncr if ncr is not None else nl).cast("long")
+            .alias("n_contam_removed"),
+            (ctk if ctk is not None else nl).cast("long")
+            .alias("clean_tokens"),
+            (lw if lw is not None else nd).cast("double")
+            .alias("logweight"),
+        )
+
+    out_bench = row(bench, F.lit("benchmark"))
+    out_url = row(
+        wc.where(F.col("status") != "keep"), F.col("status")
+    )
+    out_lowq = row(
+        q.where(F.col("_lowq")), F.lit("low_quality"),
+        nbr=F.col("n_boiler_removed"), qual_c=F.col("quality"),
+    )
+    surv = (
+        sc.join(
+            qual.select(id_col, "n_boiler_removed", "quality"), id_col
+        )
+        .join(wts.select(id_col, "logweight"), id_col)
+        .join(sel, id_col, "left")
+    )
+    out_surv = row(
+        surv,
+        F.when(F.col("_sel").isNotNull(), F.lit("selected"))
+        .otherwise(F.lit("passed")),
+        nbr=F.col("n_boiler_removed"), qual_c=F.col("quality"),
+        ncr=F.col("n_removed"), ctk=F.col("n_kept"),
+        lw=F.col("logweight"),
+    )
+    return (
+        out_bench.unionByName(out_url)
+        .unionByName(out_lowq)
+        .unionByName(out_surv)
+    )

@@ -11016,3 +11016,236 @@ SELECT source, n::INT AS n,
          / 1000000.0 AS diversity
 FROM h GROUP BY source, n ORDER BY source, n"""
 PIPELINE_QUERIES.update({"q_ngram_diversity": q_ngram_diversity})
+
+
+# ---------------------------------------------------------------------------
+# Round 12: the full web-corpus curation DAG as ONE registered query
+# ---------------------------------------------------------------------------
+
+# quality bar for the capstone: the post-boilerplate survivor quality
+# distribution spans 0.41-0.76 (median ~0.64) at every SF, so 0.5
+# splits it non-trivially (5-7 low_quality docs) where the corpus-wide
+# CURATION_QUALITY_MIN = 0.35 would be vacuous on this cleaner subset
+WEB_PIPE_QUALITY_MIN = 0.5
+WEB_PIPE_SELECT_K = 5
+
+
+def q_web_pipeline(spark, sf_dir):
+    """The capstone composition (web.web_corpus_pipeline, VERDICT r11
+    item 7): URL dedup → domain caps → boilerplate scrub → quality
+    gate → benchmark-span scrub → DSIR Gumbel-top-k selection, every
+    stage running only on the previous stage's survivors, ONE verdict
+    row per input doc. Certifies what the per-stage oracles cannot:
+    stage ORDERING (boilerplate frequencies counted over URL-keeps
+    only; quality scored on the scrubbed text; DSIR scored on the
+    final clean text), column contracts across the joins, and that no
+    doc is double-counted or dropped between stages. Inputs are the
+    planted-URL + planted-boilerplate corpus (_boiler_docs), so every
+    stage is non-vacuous at every SF."""
+    d = _boiler_docs(spark, sf_dir).join(
+        _docs(spark, sf_dir).select("doc_id", "n_chars"), "doc_id"
+    )
+    out = W.web_corpus_pipeline(
+        d,
+        F.col("doc_id") % BENCH_MOD == 0,
+        cap=URL_CAP,
+        quality_min=WEB_PIPE_QUALITY_MIN,
+        tokens_per_line=BOILER_LINE_TOKENS,
+        min_frac=BOILER_MIN_FRAC,
+        min_df=BOILER_MIN_DF,
+        n_buckets=DSIR_BUCKETS,
+        select_k=WEB_PIPE_SELECT_K,
+    )
+    return out.orderBy("doc_id")
+
+
+PIPELINE_ORACLES["q_web_pipeline"] = f"""
+WITH bd AS (
+  SELECT doc_id, n_chars, {_SQL_URL} AS url,
+         'nav ' || (doc_id % 4) || ' home'
+           || CASE WHEN doc_id % 7 = 0 THEN ' promo footer link'
+                   ELSE '' END
+           || ' ' || coalesce(text, '') AS text
+  FROM documents),
+bench AS (SELECT doc_id, text FROM bd WHERE doc_id % {BENCH_MOD} = 0),
+tr AS (SELECT * FROM bd WHERE doc_id % {BENCH_MOD} <> 0),
+-- stage 1+2: URL dedup then domain caps on URL survivors
+nu AS (SELECT doc_id, n_chars, url, {_SQL_NORM_URL} AS norm_url FROM tr),
+w AS (SELECT norm_url, min(doc_id) AS keep_id FROM nu GROUP BY 1),
+v AS (SELECT nu.doc_id, nu.n_chars, nu.url, w.keep_id FROM nu
+      JOIN w USING (norm_url)),
+h AS (SELECT doc_id, n_chars, url, keep_id, {_SQL_HOST} AS host FROM v),
+g AS (SELECT doc_id, n_chars, url, keep_id, {_SQL_DOMAIN} AS domain
+      FROM h),
+surv0 AS (SELECT doc_id, domain,
+                 row_number() OVER (PARTITION BY domain
+                                    ORDER BY n_chars DESC, doc_id) AS rnk
+          FROM g WHERE doc_id = keep_id),
+urldup AS (SELECT doc_id FROM g WHERE doc_id <> keep_id),
+overcap AS (SELECT doc_id FROM surv0 WHERE rnk > {URL_CAP}),
+keeps AS (SELECT doc_id FROM surv0 WHERE rnk <= {URL_CAP}),
+-- stage 3: boilerplate detect + scrub over the keeps only
+kd AS (SELECT tr.doc_id, tr.url, tr.text FROM tr JOIN keeps USING (doc_id)),
+kh AS (SELECT doc_id, text, {_SQL_HOST} AS host FROM kd),
+kg AS (SELECT doc_id, text, {_SQL_DOMAIN} AS domain FROM kh),
+ktok AS (SELECT doc_id, domain, {_TOK} AS w FROM kg),
+kln AS (
+  SELECT doc_id, domain, i AS line_no,
+         array_to_string(w[i*{BOILER_LINE_TOKENS}+1
+                          : i*{BOILER_LINE_TOKENS}+{BOILER_LINE_TOKENS}],
+                         ' ') AS line
+  FROM (SELECT doc_id, domain, w,
+               unnest(range(0, (len(w) + {BOILER_LINE_TOKENS} - 1)
+                               // {BOILER_LINE_TOKENS})) AS i
+        FROM ktok)),
+ksz AS (SELECT domain, count(*)::BIGINT AS domain_docs FROM kg GROUP BY 1),
+kcnt AS (SELECT domain, line, count(DISTINCT doc_id)::BIGINT AS n_docs
+         FROM kln GROUP BY 1, 2),
+kflag AS (
+  SELECT kcnt.domain, line
+  FROM kcnt JOIN ksz USING (domain)
+  WHERE n_docs >= greatest({BOILER_MIN_DF},
+                           ceil({BOILER_MIN_FRAC} * domain_docs))),
+kkept AS (
+  SELECT l.doc_id, l.line_no, l.line
+  FROM kln l LEFT JOIN kflag f
+    ON l.domain = f.domain AND l.line = f.line
+  WHERE f.line IS NULL),
+kreb AS (SELECT doc_id,
+                string_agg(line, ' ' ORDER BY line_no) AS clean_text,
+                count(*)::BIGINT AS n_kept_lines
+         FROM kkept GROUP BY 1),
+kbn AS (SELECT doc_id, count(*)::BIGINT AS n_lines FROM kln GROUP BY 1),
+rb AS (SELECT kd.doc_id,
+              coalesce(kreb.clean_text, '') AS text,
+              (coalesce(kbn.n_lines, 0)
+               - coalesce(kreb.n_kept_lines, 0))::BIGINT
+                AS n_boiler_removed
+       FROM kd LEFT JOIN kreb USING (doc_id) LEFT JOIN kbn USING (doc_id)),
+-- stage 4: quality over the SCRUBBED text (fragments bind to `text`)
+qt AS (
+  SELECT doc_id, text, n_boiler_removed, len({_TOK}) AS ntok,
+         length(regexp_replace(lower(coalesce(text, '')), '[^a-z]', '',
+                               'g')) * 1.0
+           / greatest(length(coalesce(text, '')), 1) AS alpha,
+         ({_STOP_CNT}) / greatest(len({_TOK}), 1) AS stop
+  FROM rb),
+qs AS (SELECT doc_id, text, n_boiler_removed,
+              floor(({_QUALITY}) * 1000000.0 + 0.5) / 1000000.0
+                AS quality,
+              round(({_QUALITY}), 6) < {WEB_PIPE_QUALITY_MIN} AS lowq
+       FROM qt),
+lowq AS (SELECT doc_id, n_boiler_removed, quality FROM qs WHERE lowq),
+qual AS (SELECT doc_id, text, n_boiler_removed, quality
+         FROM qs WHERE NOT lowq),
+-- stage 5: benchmark word-3-gram span scrub of the qualified docs
+btk AS (SELECT doc_id, {_TOK} AS w FROM bench),
+bsh AS (SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        FROM (SELECT w, unnest(range(1, len(w) - 1)) AS i FROM btk)),
+ttk AS (SELECT doc_id, {_TOK} AS w FROM qual),
+tp AS (SELECT doc_id, i - 1 AS pos,
+              w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+       FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+             FROM ttk)),
+m AS (SELECT doc_id, pos FROM tp JOIN bsh USING (sh)),
+gg AS (SELECT doc_id, pos,
+              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                             ORDER BY pos) > 3
+                   THEN 1 ELSE 0 END AS brk
+       FROM m),
+ss AS (SELECT doc_id, pos,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+       FROM gg),
+sp AS (SELECT doc_id, span_id, min(pos) AS st, max(pos) + 2 AS en
+       FROM ss GROUP BY 1, 2),
+cov AS (SELECT doc_id, unnest(range(st, en + 1)) AS pos FROM sp),
+ptok AS (SELECT doc_id, i - 1 AS pos, w[i] AS tok
+         FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+               FROM ttk)),
+keptt AS (SELECT p.doc_id, p.pos, p.tok
+          FROM ptok p LEFT JOIN cov c
+            ON p.doc_id = c.doc_id AND p.pos = c.pos
+          WHERE c.pos IS NULL),
+scr AS (SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY pos) AS text,
+               count(*)::BIGINT AS n_kept
+        FROM keptt GROUP BY 1),
+covn AS (SELECT doc_id, count(*)::BIGINT AS n_cov FROM cov GROUP BY 1),
+sc AS (SELECT q.doc_id,
+              coalesce(scr.text, '') AS text,
+              coalesce(scr.n_kept, 0)::BIGINT AS clean_tokens,
+              coalesce(covn.n_cov, 0)::BIGINT AS n_contam_removed,
+              q.n_boiler_removed, q.quality
+       FROM qual q LEFT JOIN scr USING (doc_id)
+       LEFT JOIN covn USING (doc_id)),
+-- stage 6: DSIR weights (target = bench) + Gumbel-top-k selection
+du AS (SELECT doc_id, text, TRUE AS tgt FROM bench
+       UNION ALL SELECT doc_id, text, FALSE AS tgt FROM sc),
+dtk AS (SELECT doc_id, tgt, {_TOK} AS w FROM du),
+df AS (
+  SELECT doc_id, tgt, unnest(w) AS feat FROM dtk
+  UNION ALL
+  SELECT doc_id, tgt, w[i] || ' ' || w[i+1] AS feat
+  FROM (SELECT doc_id, tgt, w, unnest(range(1, len(w))) AS i FROM dtk)),
+db AS (SELECT doc_id, tgt,
+              CAST(('0x' || substr(md5(feat), 1, 8)) AS BIGINT)
+                % {DSIR_BUCKETS} AS bkt
+       FROM df),
+dcr AS (SELECT bkt, count(*)::BIGINT AS c FROM db WHERE NOT tgt
+        GROUP BY 1),
+dct AS (SELECT bkt, count(*)::BIGINT AS c FROM db WHERE tgt GROUP BY 1),
+dtot AS (SELECT (SELECT coalesce(sum(c), 0) FROM dct) AS t,
+                (SELECT coalesce(sum(c), 0) FROM dcr) AS r),
+dratio AS (
+  SELECT dcr.bkt,
+         CAST(floor((ln((coalesce(dct.c, 0) + 1)::DOUBLE
+                        / (dtot.t + {DSIR_BUCKETS}))
+                     - ln((dcr.c + 1)::DOUBLE
+                          / (dtot.r + {DSIR_BUCKETS})))
+                    * 1000000.0 + 0.5) AS BIGINT) AS micro
+  FROM dcr LEFT JOIN dct USING (bkt), dtot),
+dagg AS (
+  SELECT doc_id, sum(micro)::BIGINT / 1000000.0 AS logweight
+  FROM db JOIN dratio USING (bkt)
+  WHERE NOT tgt
+  GROUP BY doc_id),
+wts AS (
+  SELECT s.doc_id, coalesce(dagg.logweight, 0.0) AS logweight
+  FROM sc s LEFT JOIN dagg ON s.doc_id = dagg.doc_id),
+gk AS (
+  SELECT doc_id,
+         logweight / 1.0
+           + -ln(-ln((CAST(('0x' || substr(md5('dsir:' || doc_id), 1, 13))
+                           AS BIGINT)::DOUBLE + 0.5)
+                     / 4503599627370496.0)) AS key
+  FROM wts),
+selk AS (SELECT doc_id FROM gk ORDER BY key DESC, doc_id
+         LIMIT {WEB_PIPE_SELECT_K}),
+-- verdict assembly: one row per input doc
+out AS (
+  SELECT doc_id, 'benchmark' AS status,
+         CAST(NULL AS BIGINT) AS n_boiler_removed,
+         CAST(NULL AS DOUBLE) AS quality,
+         CAST(NULL AS BIGINT) AS n_contam_removed,
+         CAST(NULL AS BIGINT) AS clean_tokens,
+         CAST(NULL AS DOUBLE) AS logweight
+  FROM bench
+  UNION ALL
+  SELECT doc_id, 'url_dup', NULL, NULL, NULL, NULL, NULL FROM urldup
+  UNION ALL
+  SELECT doc_id, 'over_domain_cap', NULL, NULL, NULL, NULL, NULL
+  FROM overcap
+  UNION ALL
+  SELECT doc_id, 'low_quality', n_boiler_removed, quality,
+         NULL, NULL, NULL
+  FROM lowq
+  UNION ALL
+  SELECT s.doc_id,
+         CASE WHEN k.doc_id IS NOT NULL THEN 'selected'
+              ELSE 'passed' END,
+         s.n_boiler_removed, s.quality, s.n_contam_removed,
+         s.clean_tokens, w2.logweight
+  FROM sc s JOIN wts w2 ON s.doc_id = w2.doc_id
+  LEFT JOIN selk k ON s.doc_id = k.doc_id)
+SELECT * FROM out ORDER BY doc_id"""
+PIPELINE_QUERIES.update({"q_web_pipeline": q_web_pipeline})

@@ -1311,3 +1311,23 @@ def test_dsir_select_plan(spark):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     assert "Window" not in p
+
+
+def test_web_pipeline_plan(spark):
+    """The capstone composition: localCheckpoint truncates lineage at
+    the three stage boundaries (the composed logical plan otherwise
+    grows multiplicatively — five chained stages each re-reading their
+    input several ways), so the FINAL visible plan certifies the
+    verdict-assembly unions/joins while each stage's interior plan is
+    gated by its own per-stage test (test_url_family_plans,
+    test_boilerplate_scrub_plan, test_decontam_scrub_plan,
+    test_dsir_weights_plan). No cartesian, no per-row Python, and the
+    assembly's survivor joins are equi-joins."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_web_pipeline,
+    )
+
+    p = _plan(q_web_pipeline(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -563,3 +563,71 @@ def test_remove_boilerplate_tolerates_duplicate_flag_rows(spark, chrome_docs):
     }
     assert (got[1]["n_lines"], got[1]["n_removed"]) == (3, 1)
     assert got[1]["clean_text"] == "alpha beta gamma one two"
+
+
+def test_web_corpus_pipeline_stage_precedence(spark):
+    """The capstone DAG (web.web_corpus_pipeline): one verdict row per
+    input doc, fixed stage precedence, and each audit column computed
+    exactly at its stage — benchmark > url_dup > over_domain_cap >
+    low_quality > (scrub) > selected/passed, with contamination spans
+    EXCISED from survivors rather than dropping them."""
+    from mapreduce_kmeans_clustering_spark.operators.web import (
+        web_corpus_pipeline,
+    )
+
+    # every aligned 3-token pseudo-line of body(i) contains a
+    # doc-specific token, so domain-mates share NO aligned window and
+    # the boilerplate stage flags ONLY the deliberately shared nav
+    # line (any shared aligned chunk across 2 domain docs would
+    # legitimately be flagged at min_df=2)
+    def body(i):
+        return " ".join(f"word{i}x{j} the and" for j in range(8))
+
+    rows = [
+        # benchmark reference (never trained on)
+        (100, "https://bench.org/eval", 10,
+         "the held out benchmark asks secret eval answer in context"),
+        # a.com: three URL-unique docs; cap=2 drops the lowest-ranked
+        (1, "https://a.com/x", 100, body(1) + " secret eval answer"),
+        (3, "https://a.com/y", 50, body(3)),
+        (7, "https://a.com/z", 10, body(7)),
+        # url_dup of doc 1 (same normalized URL: query dropped)
+        (2, "https://a.com/x?utm=1", 60, "never reaches text stages"),
+        # b.com: junk text below the quality bar
+        (4, "https://b.com/z", 40, "zzz 123"),
+        # c.com: two kept docs sharing a leading 3-token nav line
+        (5, "https://c.com/w", 40, "nav bar home " + body(5)),
+        (6, "https://c.com/v", 30, "nav bar home " + body(6)),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, url STRING, n_chars INT, text STRING"
+    )
+    out = web_corpus_pipeline(
+        docs, F.col("doc_id") == 100,
+        cap=2, quality_min=0.3, select_k=1,
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == len(rows)  # nothing dropped or double-counted
+    assert got[100]["status"] == "benchmark"
+    assert got[2]["status"] == "url_dup"
+    assert got[7]["status"] == "over_domain_cap"
+    assert got[4]["status"] == "low_quality"
+    # low_quality rows carry quality + boilerplate audit, nothing later
+    assert got[4]["quality"] is not None
+    assert got[4]["clean_tokens"] is None
+    # survivors: 1, 3, 5, 6 — exactly one selected at k=1
+    surv = [got[i]["status"] for i in (1, 3, 5, 6)]
+    assert sorted(surv) == ["passed", "passed", "passed", "selected"]
+    # doc 1 shares the 3-gram 'secret eval answer' with the benchmark:
+    # exactly that span (3 tokens) is excised, the doc survives
+    assert got[1]["n_contam_removed"] == 3
+    assert got[3]["n_contam_removed"] == 0
+    # the shared c.com nav line is flagged (2/2 docs) and removed once
+    # from each; a.com's distinct texts flag nothing
+    assert got[5]["n_boiler_removed"] == 1
+    assert got[6]["n_boiler_removed"] == 1
+    assert got[1]["n_boiler_removed"] == 0
+    # clean token accounting: survivors keep kept-line tokens minus
+    # contamination
+    assert got[1]["clean_tokens"] > 0
+    assert all(got[i]["logweight"] is not None for i in (1, 3, 5, 6))

@@ -119,6 +119,8 @@ SWEEP_QUERIES = [
     # (swept round 12 — e = 0.30/0.44 and 0.20/0.48 at ×10/×100)
     "q_source_quality_drift",
     "q_profile_lineitem",
+    # round-12 registration: the full web-corpus curation DAG
+    "q_web_pipeline",
 ]
 
 
@@ -178,6 +180,7 @@ QUERY_TABLES = {
     "q_dsir_select": {"documents"},
     "q_source_quality_drift": {"documents"},
     "q_profile_lineitem": {"lineitem"},
+    "q_web_pipeline": {"documents"},
 }
 
 
