@@ -367,3 +367,60 @@ def oversample_to_parity(
         )
         .drop("n_copies")
     )
+
+
+def epoch_allocation(
+    group_mass: DataFrame,
+    budget_epochs: float,
+    mass_col: str = "mass",
+    alpha: float = 0.3,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """The pretraining data-mixture table: given per-group token mass,
+    a total token budget, and a temperature-``alpha`` target mixture
+    (``temperature_weights``), how many tokens does each group
+    contribute and how many EPOCHS of it does that imply — with
+    over-repeated groups capped at ``max_epochs`` (repeating a small
+    source dozens of times hurts; the published LLaMA/Gopher-style
+    mixture tables report exactly this epochs column and cap it).
+
+    ``budget_epochs`` states the budget as a multiple of the TOTAL
+    corpus mass (budget = budget_epochs × Σmass) so the knob is
+    scale-free: the same call is meaningful on a 60 k-token fixture
+    and a 100 TB crawl. Per group:
+
+    - ``requested_tokens`` = budget × sample_weight (the mixture ask)
+    - ``epochs``           = requested / mass
+    - ``allocated_tokens`` = min(requested, max_epochs × mass)
+    - ``capped``           = the ask exceeded the repeat ceiling
+    - ``realized_share``   = allocated / Σallocated — what the mixture
+      ACTUALLY becomes after capping (the shortfall is the caller's
+      policy decision: redistribute, raise the cap, or shrink the
+      budget; this table is the audit those decisions read)
+
+    Scale shape: the input is one row per group (aggregate BEFORE
+    calling — the normalization windows only ever see G rows); every
+    added column is window-over-G arithmetic, nothing touches corpus
+    rows. Determinism: mass is BIGINT, every derived double is the
+    same expression tree on both engines, outputs are reported at the
+    repo's 6-dp contract by the registered query."""
+    if budget_epochs <= 0:
+        raise ValueError(f"budget_epochs must be > 0, got {budget_epochs}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    w = Window.partitionBy()
+    t = temperature_weights(group_mass, mass_col=mass_col, alpha=alpha)
+    m = F.col(mass_col).cast("double")
+    budget = F.lit(float(budget_epochs)) * F.sum(m).over(w)
+    req = budget * F.col("sample_weight")
+    alloc = F.least(req, F.lit(float(max_epochs)) * m)
+    out = (
+        t.withColumn("requested_tokens", req)
+        .withColumn("epochs", F.col("requested_tokens") / m)
+        .withColumn("allocated_tokens", alloc)
+        .withColumn("capped", req > F.lit(float(max_epochs)) * m)
+    )
+    return out.withColumn(
+        "realized_share",
+        F.col("allocated_tokens") / F.sum("allocated_tokens").over(w),
+    )

@@ -11249,3 +11249,78 @@ out AS (
   LEFT JOIN selk k ON s.doc_id = k.doc_id)
 SELECT * FROM out ORDER BY doc_id"""
 PIPELINE_QUERIES.update({"q_web_pipeline": q_web_pipeline})
+
+
+# ---------------------------------------------------------------------------
+# Round 12: token-budget epoch allocation (the pretraining mixture table)
+# ---------------------------------------------------------------------------
+
+MIX_BUDGET_EPOCHS = 3.0  # budget = 3x total corpus mass (scale-free)
+MIX_MAX_EPOCHS = 4.0
+
+
+def q_mix_epochs(spark, sf_dir):
+    """Token-budget epoch allocation per language
+    (sampling.epoch_allocation): the q_corpus_temperature mixture
+    extended to the table a pretraining run actually reads — at a
+    budget of MIX_BUDGET_EPOCHS x the corpus, how many tokens each
+    language contributes, the epochs that implies, the max-epochs cap
+    on over-repeated low-resource groups, and the realized mixture
+    after capping. Corpus-scale work is the same ONE hash aggregate;
+    every derived column is window arithmetic over the G language
+    rows."""
+    stats = (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(TX.token_count(F.col("text")).cast("long")).alias("mass"),
+        )
+    )
+    t = S.epoch_allocation(
+        stats,
+        MIX_BUDGET_EPOCHS,
+        mass_col="mass",
+        alpha=TEMP_ALPHA,
+        max_epochs=MIX_MAX_EPOCHS,
+    )
+    return t.select(
+        "lang",
+        "mass",
+        F.round("sample_weight", 6).alias("sample_weight"),
+        F.round("requested_tokens", 2).alias("requested_tokens"),
+        F.round("epochs", 6).alias("epochs"),
+        F.round("allocated_tokens", 2).alias("allocated_tokens"),
+        "capped",
+        F.round("realized_share", 6).alias("realized_share"),
+    ).orderBy("lang")
+
+
+PIPELINE_ORACLES["q_mix_epochs"] = f"""
+WITH t AS (SELECT lang, count(*)::BIGINT AS n_docs,
+                  sum(len({_TOK}))::BIGINT AS mass
+           FROM documents GROUP BY lang),
+s AS (SELECT lang, n_docs, mass,
+             mass::DOUBLE / sum(mass::DOUBLE) OVER () AS share FROM t),
+p AS (SELECT lang, n_docs, mass, share,
+             pow(share, {TEMP_ALPHA}) AS pw FROM s),
+sw AS (SELECT lang, n_docs, mass, share,
+              pw / sum(pw) OVER () AS sample_weight FROM p),
+a AS (SELECT lang, mass, sample_weight,
+             ({MIX_BUDGET_EPOCHS} * sum(mass::DOUBLE) OVER ())
+               * sample_weight AS requested_tokens
+      FROM sw),
+b AS (SELECT lang, mass, sample_weight, requested_tokens,
+             requested_tokens / mass::DOUBLE AS epochs,
+             least(requested_tokens,
+                   {MIX_MAX_EPOCHS} * mass::DOUBLE) AS allocated_tokens,
+             requested_tokens > {MIX_MAX_EPOCHS} * mass::DOUBLE AS capped
+      FROM a)
+SELECT lang, mass, round(sample_weight, 6) AS sample_weight,
+       round(requested_tokens, 2) AS requested_tokens,
+       round(epochs, 6) AS epochs,
+       round(allocated_tokens, 2) AS allocated_tokens, capped,
+       round(allocated_tokens / sum(allocated_tokens) OVER (), 6)
+         AS realized_share
+FROM b ORDER BY lang"""
+PIPELINE_QUERIES.update({"q_mix_epochs": q_mix_epochs})

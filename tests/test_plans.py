@@ -1331,3 +1331,18 @@ def test_web_pipeline_plan(spark):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_mix_epochs_plan(spark):
+    """Epoch allocation: corpus-scale work is ONE hash aggregate
+    (map-side partial count+sum per language); every mixture column
+    is unpartitioned-window arithmetic over the G language rows only.
+    No joins, no cartesian, no per-row Python."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_mix_epochs,
+    )
+
+    p = _plan(q_mix_epochs(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "HashAggregate" in p

@@ -378,3 +378,39 @@ def test_oversample_to_parity_materializes_balanced_epoch(spark):
     assert per == {"maj": 8, "min": 8}
     # replicas are distinguishable: (vec_id, copy_idx) unique
     assert out.select("vec_id", "copy_idx").distinct().count() == out.count()
+
+
+def test_epoch_allocation_cap_math_and_shares(spark):
+    """epoch_allocation: requested = budget x weight, epochs =
+    requested/mass, the cap binds exactly when epochs > max_epochs,
+    and realized_share renormalizes over the post-cap allocation."""
+    import pytest as _pytest
+    from mapreduce_kmeans_clustering_spark.operators.sampling import (
+        epoch_allocation,
+    )
+
+    stats = spark.createDataFrame(
+        [("big", 9000), ("small", 1000)], "grp STRING, mass LONG"
+    )
+    # alpha=0 -> uniform mixture: each group asked for half the
+    # 2x-corpus budget (10000 tokens each); 'small' needs 10 epochs,
+    # capped at 3 -> 3000 tokens; 'big' uncapped at ~1.11 epochs
+    got = {
+        r["grp"]: r
+        for r in epoch_allocation(
+            stats, 2.0, alpha=0.0, max_epochs=3.0
+        ).collect()
+    }
+    assert got["small"]["capped"] and not got["big"]["capped"]
+    assert got["small"]["allocated_tokens"] == 3000.0
+    assert abs(got["small"]["epochs"] - 10.0) < 1e-9
+    assert abs(got["big"]["requested_tokens"] - 10000.0) < 1e-6
+    assert abs(got["big"]["allocated_tokens"] - 10000.0) < 1e-6
+    total = sum(r["realized_share"] for r in got.values())
+    assert abs(total - 1.0) < 1e-9
+    # shortfall is visible: realized share of 'small' < its target 0.5
+    assert got["small"]["realized_share"] < 0.5
+    with _pytest.raises(ValueError):
+        epoch_allocation(stats, 0.0)
+    with _pytest.raises(ValueError):
+        epoch_allocation(stats, 1.0, max_epochs=0.0)

@@ -119,8 +119,10 @@ SWEEP_QUERIES = [
     # (swept round 12 — e = 0.30/0.44 and 0.20/0.48 at ×10/×100)
     "q_source_quality_drift",
     "q_profile_lineitem",
-    # round-12 registration: the full web-corpus curation DAG
+    # round-12 registrations: the full web-corpus curation DAG and
+    # the token-budget mixture table
     "q_web_pipeline",
+    "q_mix_epochs",
 ]
 
 
@@ -181,6 +183,7 @@ QUERY_TABLES = {
     "q_source_quality_drift": {"documents"},
     "q_profile_lineitem": {"lineitem"},
     "q_web_pipeline": {"documents"},
+    "q_mix_epochs": {"documents"},
 }
 
 
