@@ -1495,3 +1495,149 @@ def minhash_accuracy(
             (est - jac).alias("err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter exact-dup screen (memory-bounded batch-vs-corpus)
+# ---------------------------------------------------------------------------
+
+def bloom_filter_words(
+    corpus: DataFrame,
+    *,
+    m_bits: int | None = None,
+    k: int = 3,
+    bits_per_key: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, int]:
+    """Build the packed Bloom filter of a corpus's exact-content keys:
+    (word, bits) rows where word = bit_position // 63 and bits is the
+    OR of every key's bits in that word (63 payload bits per word —
+    the sign bit is never set, so the packing is portable across
+    signed-64 SQL engines) — the memory-bounded
+    membership state a 100 TB ingest keeps when even the banded
+    MinHash table is too large to co-locate (RefinedWeb's screen
+    shape). Returns (filter_df, m_bits).
+
+    ``m_bits=None`` (the default) sizes the filter from the corpus:
+    the next power of two >= bits_per_key x count() — the corpus-aware
+    sizing rule (a FIXED m saturates as the corpus grows, exactly the
+    fixed-granularity cliff SCALE.md §8 retired for LSH planes; at 16
+    bits/key and k=3 the false-positive rate stays ~0.1-1% at any
+    scale). Pass an explicit m_bits to pin it (tests do, to force
+    saturation deterministically).
+
+    The k bit positions per key are md5-derived
+    (``conv(substr(md5(j || ':' || text), 1, 15), 16, 10) % m_bits``)
+    so any SQL engine replays the filter bit-for-bit; bit_or is
+    order-free, so the build is one (word)-keyed hash aggregate over
+    k rows per doc — map-side partial, never corpus-pairwise."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if bits_per_key < 1:
+        raise ValueError(f"bits_per_key must be >= 1, got {bits_per_key}")
+    if m_bits is None:
+        import math
+
+        n = corpus.count()
+        m_bits = 1 << max(6, math.ceil(math.log2(max(1, n * bits_per_key))))
+    elif m_bits < 64 or (m_bits & (m_bits - 1)) != 0:
+        raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
+    pos = _bloom_positions(F.col(text_col), k, m_bits)
+    # 63 payload bits per word (never the sign bit): shifting into
+    # bit 63 of a signed BIGINT is engine-divergent territory — Spark
+    # wraps negative, DuckDB raises Out of Range — so the packing
+    # simply never touches it
+    filt = (
+        corpus.select(F.explode(pos).alias("_pos"))
+        .select(
+            (F.col("_pos") / 63).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 63 AS INT))")
+            .alias("_mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("_mask").alias("bits"))
+    )
+    return filt, m_bits
+
+
+def _bloom_positions(text: Column, k: int, m_bits: int) -> Column:
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{j}:"), text)), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.lit(int(m_bits))
+            )
+            for j in range(k)
+        ]
+    )
+
+
+def bloom_screen(
+    corpus: DataFrame,
+    batch: DataFrame,
+    *,
+    m_bits: int | None = None,
+    k: int = 3,
+    bits_per_key: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Screen an arriving batch against the corpus Bloom filter: one
+    row per batch doc, verdict 'maybe_dup' (all k bits set — a true
+    exact dup OR a false positive at the filter's designed rate) or
+    'new' (guaranteed not in the corpus — a Bloom filter has NO false
+    negatives, the property that makes the screen safe: 'new' docs
+    ingest directly, only 'maybe_dup' docs pay the exact-verification
+    lookup). The no-false-negative guarantee and the corpus-aware
+    sizing are pinned by test; the registered query additionally
+    carries the exact truth column so the oracle certifies the
+    guarantee row-by-row.
+
+    Plan shape: filter build as in ``bloom_filter_words``; the probe
+    explodes k (doc, word, mask) rows per batch doc and equi-joins the
+    filter on word — the filter is ~bits_per_key x corpus/63 rows, so
+    it is deliberately NOT broadcast-hinted (it grows with the corpus;
+    AQE decides), and the verdict is one doc-keyed aggregate counting
+    hit positions. Nothing pairwise, nothing driver-side but the one
+    sizing count()."""
+    filt, m_bits = bloom_filter_words(
+        corpus, m_bits=m_bits, k=k, bits_per_key=bits_per_key,
+        text_col=text_col, id_col=id_col,
+    )
+    pos = _bloom_positions(F.col(text_col), k, m_bits)
+    probes = batch.select(
+        F.col(id_col), F.posexplode(pos).alias("_j", "_pos")
+    ).select(
+        id_col,
+        (F.col("_pos") / 63).cast("long").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 63 AS INT))")
+        .alias("_mask"),
+    )
+    hits = (
+        probes.join(filt, "word", "left")
+        .select(
+            id_col,
+            (
+                F.coalesce(F.col("bits"), F.lit(0))
+                .bitwiseAND(F.col("_mask"))
+                != 0
+            ).cast("int").alias("_hit"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("_hit").alias("_nhit"), F.count("*").alias("_k")
+        )
+    )
+    return hits.select(
+        id_col,
+        F.when(F.col("_nhit") == F.col("_k"), F.lit("maybe_dup"))
+        .otherwise(F.lit("new"))
+        .alias("verdict"),
+    )

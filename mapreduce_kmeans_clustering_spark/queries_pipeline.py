@@ -11324,3 +11324,106 @@ SELECT lang, mass, round(sample_weight, 6) AS sample_weight,
          AS realized_share
 FROM b ORDER BY lang"""
 PIPELINE_QUERIES.update({"q_mix_epochs": q_mix_epochs})
+
+
+# ---------------------------------------------------------------------------
+# Round 12: Bloom-filter exact-dup screen (memory-bounded ingest gate)
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 3
+BLOOM_BITS_PER_KEY = 16
+BLOOM_PLANT_OFFSET = 1_000_000
+
+
+def q_dedup_bloom(spark, sf_dir):
+    """Memory-bounded batch-vs-corpus exact-dup screen
+    (dedup.bloom_screen): the arriving doc_id % 5 == 0 shard probed
+    against the packed Bloom filter of the rest of the corpus —
+    'maybe_dup' (all k md5-derived bits set: a true dup or a designed
+    -rate false positive) or 'new' (GUARANTEED absent — Bloom filters
+    have no false negatives, which is what lets 'new' docs skip the
+    exact-verification lookup at ingest). The filter is sized from
+    the corpus (next power of two >= 16 bits/key — a fixed m is the
+    same saturation cliff as fixed LSH planes), and the query carries
+    the exact-truth column so the oracle certifies the
+    no-false-negative guarantee row-by-row: is_true_dup => maybe_dup
+    on every row, at every SF. The %5 split alone yields no exact
+    cross-split dup at the small SFs, so the batch additionally
+    carries planted clones of every corpus doc_id % 25 == 1 doc (the
+    q_dedup_embed plant recipe, offset BLOOM_PLANT_OFFSET) — the
+    guaranteed-caught rows; sf0.1 also shows the designed-rate false
+    positives (3 of 1000 probes at 16 bits/key)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = d.where(F.col("doc_id") % 5 != 0)
+    planted = corpus.where(F.col("doc_id") % 25 == 1).select(
+        (F.col("doc_id") + F.lit(BLOOM_PLANT_OFFSET)).alias("doc_id"),
+        "text",
+    )
+    batch = d.where(F.col("doc_id") % 5 == 0).unionByName(planted)
+    v = D.bloom_screen(
+        corpus, batch, k=BLOOM_K, bits_per_key=BLOOM_BITS_PER_KEY
+    )
+    ch = (
+        corpus.select(F.md5("text").alias("_h"))
+        .distinct()
+        .withColumn("_t", F.lit(True))
+    )
+    flag = (
+        batch.select("doc_id", F.md5("text").alias("_h"))
+        .join(ch, "_h", "left")
+        .select(
+            "doc_id", F.coalesce("_t", F.lit(False)).alias("is_true_dup")
+        )
+    )
+    return v.join(flag, "doc_id").select(
+        "doc_id", "verdict", "is_true_dup"
+    ).orderBy("doc_id")
+
+
+# m is bracket-corrected after the float ceil(log2()): pow/log in
+# doubles can land one step off on exact powers of two, and the CASE
+# re-anchors m to the true smallest power of two >= x — so the oracle
+# and the engine's exact integer sizing can never disagree.
+PIPELINE_ORACLES["q_dedup_bloom"] = f"""
+WITH c AS (SELECT text FROM documents WHERE doc_id % 5 <> 0),
+nn AS (SELECT greatest(1, count(*) * {BLOOM_BITS_PER_KEY}) AS x FROM c),
+m0 AS (SELECT x,
+              greatest(64, CAST(pow(2, CAST(ceil(log2(x::DOUBLE)) AS INT))
+                               AS BIGINT)) AS m0
+       FROM nn),
+mm AS (SELECT CAST(CASE WHEN m0 < x THEN m0 * 2
+                        WHEN m0 >= 128 AND m0 // 2 >= x THEN m0 // 2
+                        ELSE m0 END AS BIGINT) AS m
+       FROM m0),
+js AS (SELECT unnest([{", ".join(str(j) for j in range(BLOOM_K))}]) AS j),
+cp AS (SELECT (('0x' || substr(md5(j || ':' || text), 1, 15))::BIGINT)
+               % m AS pos
+       FROM c CROSS JOIN mm CROSS JOIN js),
+cw AS (SELECT pos // 63 AS word,
+              (1::BIGINT << CAST(pos % 63 AS INT)) AS mask
+       FROM cp),
+filt AS (SELECT word, bit_or(mask) AS bits FROM cw GROUP BY 1),
+b AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 5 <> 0 AND doc_id % 25 = 1),
+bp AS (SELECT doc_id,
+              (('0x' || substr(md5(j || ':' || text), 1, 15))::BIGINT)
+               % m AS pos
+       FROM b CROSS JOIN mm CROSS JOIN js),
+bw AS (SELECT doc_id, pos // 63 AS word,
+              (1::BIGINT << CAST(pos % 63 AS INT)) AS mask
+       FROM bp),
+hits AS (SELECT bw.doc_id,
+                sum(CASE WHEN (coalesce(f.bits, 0) & bw.mask) <> 0
+                         THEN 1 ELSE 0 END) AS nhit,
+                count(*) AS kk
+         FROM bw LEFT JOIN filt f USING (word)
+         GROUP BY 1),
+truth AS (SELECT DISTINCT md5(text) AS h FROM c)
+SELECT b.doc_id,
+       CASE WHEN h.nhit = h.kk THEN 'maybe_dup' ELSE 'new' END AS verdict,
+       md5(b.text) IN (SELECT h FROM truth) AS is_true_dup
+FROM b JOIN hits h USING (doc_id)
+ORDER BY b.doc_id"""
+PIPELINE_QUERIES.update({"q_dedup_bloom": q_dedup_bloom})

@@ -915,3 +915,49 @@ def test_cross_source_dup_flow_matrix(spark):
     assert got[("feedA", "feedB")] == (2, 1, 2, 1.0)       # 2 / (1*2)
     assert got[("feedB", "feedB")] == (1, 2, 2, 1.0)       # 1 / (2*1/2)
     assert not any("feedC" in k for k in got)
+
+
+def test_bloom_screen_no_false_negatives_and_sizing(spark):
+    """Bloom screen: a batch doc whose exact text is in the corpus is
+    ALWAYS maybe_dup (no false negatives — the property that lets
+    'new' docs skip exact verification); a saturated filter (tiny
+    pinned m) flags everything (false positives by design, never
+    missed dups); auto-sizing picks the next power of two >=
+    bits_per_key x corpus docs; args are validated."""
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        bloom_filter_words,
+        bloom_screen,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} body") for i in range(40)],
+        "doc_id LONG, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [(100, "corpus document number 7 body"),   # exact dup
+         (101, "a genuinely unseen document"),
+         (102, "another unseen document entirely")],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r["verdict"]
+           for r in bloom_screen(corpus, batch).collect()}
+    assert got[100] == "maybe_dup"  # never a false negative
+    # auto-sized filter (40*16 -> m=1024): unseen docs pass as new
+    assert got[101] == "new" and got[102] == "new"
+
+    # saturate: m pinned to the 64-bit floor -> ~every bit set ->
+    # unseen docs become maybe_dup (the honest FP mode), dups still
+    # caught — demonstrating WHY m must scale with the corpus
+    sat = {r["doc_id"]: r["verdict"]
+           for r in bloom_screen(corpus, batch, m_bits=64).collect()}
+    assert sat[100] == "maybe_dup"
+    assert sat[101] == "maybe_dup" and sat[102] == "maybe_dup"
+
+    _, m = bloom_filter_words(corpus)
+    assert m == 1024  # next pow2 >= 40 * 16
+    with pytest.raises(ValueError):
+        bloom_screen(corpus, batch, k=0)
+    with pytest.raises(ValueError):
+        bloom_screen(corpus, batch, bits_per_key=0)
+    with pytest.raises(ValueError):
+        bloom_screen(corpus, batch, m_bits=100)  # not a power of two

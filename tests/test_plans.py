@@ -1346,3 +1346,19 @@ def test_mix_epochs_plan(spark):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     assert "HashAggregate" in p
+
+
+def test_dedup_bloom_plan(spark):
+    """Bloom screen: filter build is a (word)-keyed hash aggregate
+    with map-side partial bit_or; the probe equi-joins the filter on
+    word with NO broadcast hint (the filter grows with the corpus —
+    ~bits_per_key x n / 63 rows — so AQE decides); verdict is one
+    doc-keyed aggregate. No cartesian, no per-row Python."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_dedup_bloom,
+    )
+
+    p = _plan(q_dedup_bloom(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "HashAggregate" in p

@@ -123,6 +123,7 @@ SWEEP_QUERIES = [
     # the token-budget mixture table
     "q_web_pipeline",
     "q_mix_epochs",
+    "q_dedup_bloom",
 ]
 
 
@@ -184,6 +185,7 @@ QUERY_TABLES = {
     "q_profile_lineitem": {"lineitem"},
     "q_web_pipeline": {"documents"},
     "q_mix_epochs": {"documents"},
+    "q_dedup_bloom": {"documents"},
 }
 
 
