@@ -11427,3 +11427,81 @@ SELECT b.doc_id,
 FROM b JOIN hits h USING (doc_id)
 ORDER BY b.doc_id"""
 PIPELINE_QUERIES.update({"q_dedup_bloom": q_dedup_bloom})
+
+
+# ---------------------------------------------------------------------------
+# Round 12: tokenizer fertility by language
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility per language: tokens-per-word and
+    chars-per-token under the corpus-trained BPE (text.bpe_encode at
+    BPE_TRAIN_MERGES) — the number multilingual tokenizer evaluations
+    report first (a language whose fertility is 2x another's pays 2x
+    the context window for the same text; the standard evidence for
+    vocab-size / merge-budget decisions). Character counts come from
+    the raw token stream (merges never change characters), so the
+    extra work over q_bpe_encode is one scan-local length projection
+    + one G-row hash aggregate."""
+    enc = TX.bpe_encode(_docs(spark, sf_dir), n_merges=BPE_TRAIN_MERGES)
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.length(F.concat_ws("", TX.tokens(F.col("text"))))
+        .cast("long")
+        .alias("_chars"),
+    )
+    g = (
+        enc.join(base, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_pretokens").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("_chars").cast("long").alias("n_chars"),
+        )
+    )
+    from mapreduce_kmeans_clustering_spark.functions.rounding import (
+        half_up6,
+    )
+
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        half_up6(F.col("n_tokens") / F.col("n_words")).alias(
+            "tokens_per_word"
+        ),
+        half_up6(F.col("n_chars") / F.col("n_tokens")).alias(
+            "chars_per_token"
+        ),
+    ).orderBy("lang")
+
+
+def _bpe_fertility_oracle(k: int) -> str:
+    enc = _bpe_encode_oracle(k)
+    return f"""
+WITH enc AS ({enc}),
+base AS (SELECT doc_id, lang,
+                length(array_to_string({_TOK}, ''))::BIGINT AS n_chars
+         FROM documents),
+g AS (SELECT lang, count(*)::BIGINT AS n_docs,
+             sum(n_pretokens)::BIGINT AS n_words,
+             sum(n_tokens)::BIGINT AS n_tokens,
+             sum(n_chars)::BIGINT AS n_chars
+      FROM enc JOIN base USING (doc_id) GROUP BY lang)
+SELECT lang, n_docs, n_words, n_tokens, n_chars,
+       floor(n_tokens::DOUBLE / n_words * 1000000.0 + 0.5) / 1000000.0
+         AS tokens_per_word,
+       floor(n_chars::DOUBLE / n_tokens * 1000000.0 + 0.5) / 1000000.0
+         AS chars_per_token
+FROM g ORDER BY lang"""
+
+
+PIPELINE_ORACLES["q_bpe_fertility"] = _bpe_fertility_oracle(
+    BPE_TRAIN_MERGES
+)
+PIPELINE_QUERIES.update({"q_bpe_fertility": q_bpe_fertility})

@@ -1362,3 +1362,18 @@ def test_dedup_bloom_plan(spark):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     assert "HashAggregate" in p
+
+
+def test_bpe_fertility_plan(spark):
+    """Fertility: the encode side is k scan-local replaces riding
+    1-row broadcast merge anchors (q_bpe_encode's shape); the only
+    additions are a doc-keyed equi-join to the lang/char projection
+    and one G-row hash aggregate. No cartesian beyond the 1-row
+    anchor crossJoins, no per-row Python."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_bpe_fertility,
+    )
+
+    p = _plan(q_bpe_fertility(spark, SF))
+    assert "BatchEvalPython" not in p
+    assert "HashAggregate" in p

@@ -124,6 +124,7 @@ SWEEP_QUERIES = [
     "q_web_pipeline",
     "q_mix_epochs",
     "q_dedup_bloom",
+    "q_bpe_fertility",
 ]
 
 
@@ -186,6 +187,7 @@ QUERY_TABLES = {
     "q_web_pipeline": {"documents"},
     "q_mix_epochs": {"documents"},
     "q_dedup_bloom": {"documents"},
+    "q_bpe_fertility": {"documents"},
 }
 
 
