@@ -1558,7 +1558,83 @@ def bloom_filter_words(
         .groupBy("word")
         .agg(F.bit_or("_mask").alias("bits"))
     )
-    return filt, m_bits
+    # self-describing state: a (word = -1, bits = m_bits) sentinel
+    # rides the filter (no real word is negative; no probe position
+    # is, so joins never see it). Extension and probe replay read m
+    # from it — a mismatched m would remap every position and
+    # silently break the NO-FALSE-NEGATIVE guarantee, the one failure
+    # a screen must never have, so the state carries its own geometry
+    # (the ivf_write_index _centroids precedent).
+    spark = corpus.sparkSession
+    sentinel = spark.createDataFrame(
+        [(-1, int(m_bits))], "word LONG, bits LONG"
+    )
+    return filt.unionByName(sentinel), m_bits
+
+
+def bloom_filter_m_bits(filter_df: DataFrame) -> int:
+    """Read the geometry sentinel from a stored Bloom filter; raises
+    loudly on filters that lack one (pre-sentinel or foreign state —
+    extending or probing those at the wrong modulus silently breaks
+    the no-false-negative guarantee, so refusal is the only safe
+    answer)."""
+    rows = filter_df.where(F.col("word") == -1).select("bits").collect()
+    if len(rows) != 1:
+        raise ValueError(
+            "stored Bloom filter carries no (word = -1, bits = m) "
+            "geometry sentinel — rebuild it with bloom_filter_words "
+            "before extending or probing"
+        )
+    return int(rows[0]["bits"])
+
+
+def extend_bloom_filter(
+    filter_df: DataFrame,
+    batch: DataFrame,
+    *,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fold an arriving batch into a stored Bloom filter — the fourth
+    member of the streaming index-maintenance family
+    (``extend_band_index``, ``web.extend_url_index``,
+    ``web.extend_boilerplate_index``): the batch's bits OR into the
+    stored words. bit_or is associative, commutative, AND idempotent,
+    so the merge is exact under any batch order and even under batch
+    REPLAY (strictly stronger than the additive count indexes, whose
+    correctness needs disjoint batches). m is read from the filter's
+    own geometry sentinel, so a caller can never extend at the wrong
+    modulus; the sentinel survives the merge (bit_or(m, m) = m).
+    Daily cost is O(batch keys + touched words)."""
+    m_bits = bloom_filter_m_bits(filter_df)
+    pos = _bloom_positions(F.col(text_col), k, m_bits)
+    batch_bits = batch.select(F.explode(pos).alias("_pos")).select(
+        (F.col("_pos") / 63).cast("long").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 63 AS INT))")
+        .alias("bits"),
+    )
+    return (
+        filter_df.select("word", "bits")
+        .unionByName(batch_bits)
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+
+
+def bloom_screen_from_filter(
+    filter_df: DataFrame,
+    batch: DataFrame,
+    *,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Probe a batch against a STORED Bloom filter (the streaming
+    replay of ``bloom_screen``'s probe half): same verdict contract —
+    'maybe_dup' / 'new', no false negatives against everything the
+    filter has absorbed. m comes from the filter's sentinel."""
+    m_bits = bloom_filter_m_bits(filter_df)
+    return _bloom_probe(filter_df, batch, m_bits, k, text_col, id_col)
 
 
 def _bloom_positions(text: Column, k: int, m_bits: int) -> Column:
@@ -1611,6 +1687,17 @@ def bloom_screen(
         corpus, m_bits=m_bits, k=k, bits_per_key=bits_per_key,
         text_col=text_col, id_col=id_col,
     )
+    return _bloom_probe(filt, batch, m_bits, k, text_col, id_col)
+
+
+def _bloom_probe(
+    filt: DataFrame,
+    batch: DataFrame,
+    m_bits: int,
+    k: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
     pos = _bloom_positions(F.col(text_col), k, m_bits)
     probes = batch.select(
         F.col(id_col), F.posexplode(pos).alias("_j", "_pos")

@@ -354,3 +354,87 @@ def stream_boilerplate_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_bloom_ingest(
+    docs_stream: DataFrame,
+    bloom_filter: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> StreamingQuery:
+    """Bloom-screen an arriving document stream against the STORED
+    filter — the streaming leg of the memory-bounded exact-dup screen
+    (``dedup.bloom_screen_from_filter``), fourth member of the ingest
+    index family (band index, URL index, boilerplate index). Per
+    micro-batch:
+
+    - every arriving doc gets its verdict against the stored filter
+      ('new' is GUARANTEED absent from everything the filter has
+      absorbed; 'maybe_dup' pays the exact-verification lookup), and
+      (id, verdict) lands as parquet under ``ingest_batch=<epoch>``
+      (idempotent per-epoch overwrite, replay-safe);
+    - the batch's OWN filter words are written under
+      ``out_path/_batch_filter/ingest_batch=<epoch>`` (underscore =
+      hidden from data reads, the family convention). The caller
+      folds epochs into the stored filter between runs via
+      ``dedup.extend_bloom_filter`` — and because bit_or is
+      IDEMPOTENT, folding a replayed epoch twice is harmless, a
+      strictly stronger replay story than the additive count indexes.
+
+    Honest limit (the family's): verdicts reflect the filter as the
+    caller last folded it — two copies arriving in the SAME epoch are
+    both 'new' (neither is in the stored state yet); the fold makes
+    the second copy's next appearance 'maybe_dup'. m is read from the
+    stored filter's geometry sentinel, so a wrong-modulus probe is
+    impossible by construction."""
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        _bloom_positions,
+        bloom_filter_m_bits,
+        bloom_screen_from_filter,
+    )
+    from pyspark.sql import functions as F
+
+    m_bits = bloom_filter_m_bits(bloom_filter)
+    filt = bloom_filter.localCheckpoint(eager=True)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            bloom_screen_from_filter(
+                filt, batch_df, k=k, text_col=text_col, id_col=id_col
+            ).write.mode("overwrite").parquet(
+                f"{out_path}/ingest_batch={epoch_id}"
+            )
+            pos = _bloom_positions(F.col(text_col), k, m_bits)
+            batch_words = (
+                batch_df.select(F.explode(pos).alias("_pos"))
+                .select(
+                    (F.col("_pos") / 63).cast("long").alias("word"),
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), "
+                        "CAST(_pos % 63 AS INT))"
+                    ).alias("bits"),
+                )
+                .groupBy("word")
+                .agg(F.bit_or("bits").alias("bits"))
+                .unionByName(
+                    batch_df.sparkSession.createDataFrame(
+                        [(-1, int(m_bits))], "word LONG, bits LONG"
+                    )
+                )
+            )
+            batch_words.write.mode("overwrite").parquet(
+                f"{out_path}/_batch_filter/ingest_batch={epoch_id}"
+            )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1172,3 +1172,96 @@ def test_stream_boilerplate_ingest_scrubs_and_emits_batch_index(spark, tmp_path)
     }
     assert ("young.org", "promo buy now") in flagged
     assert ("old.com", "nav home menu") in flagged
+
+
+def test_stream_bloom_ingest_screens_and_folds(spark, tmp_path):
+    """Streaming Bloom screen (round 12): arriving docs are screened
+    against the STORED filter (known text -> maybe_dup, unseen ->
+    new; two copies in one epoch are both 'new' — the family's
+    index-as-of-last-fold semantics), the per-epoch batch filter
+    lands under the hidden side path with its geometry sentinel, and
+    folding it makes a replay of the same docs 'maybe_dup'. bit_or
+    idempotence also makes double-folding an epoch harmless —
+    merged-then-remerged equals merged, pinned here."""
+    import glob
+    import json
+
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        bloom_filter_words,
+        bloom_screen_from_filter,
+        extend_bloom_filter,
+    )
+    from mapreduce_kmeans_clustering_spark.streaming.ingest import (
+        read_documents_stream,
+        stream_bloom_ingest,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"stored corpus document {i}") for i in range(30)],
+        "doc_id LONG, text STRING",
+    )
+    stored, _m = bloom_filter_words(corpus)
+    stored = stored.localCheckpoint(eager=True)
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    rows = [
+        {"doc_id": 100, "text": "stored corpus document 7", "lang": "en", "source": "web", "n_chars": 24},
+        {"doc_id": 101, "text": "a brand new arrival", "lang": "en", "source": "web", "n_chars": 19},
+        {"doc_id": 102, "text": "a brand new arrival", "lang": "en", "source": "web", "n_chars": 19},
+    ]
+    (src / "a.jsonl").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = str(tmp_path / "out")
+    q = stream_bloom_ingest(
+        read_documents_stream(spark, str(src)), stored, out,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: r["verdict"]
+        for p in glob.glob(f"{out}/ingest_batch=*")
+        for r in spark.read.parquet(p).collect()
+    }
+    assert got[100] == "maybe_dup"          # no false negative
+    assert got[101] == "new" and got[102] == "new"  # same-epoch copies
+
+    # fold the epoch filter: the replayed arrival is now maybe_dup
+    batch_filter = spark.read.parquet(
+        glob.glob(f"{out}/_batch_filter/ingest_batch=*")[0]
+    )
+    merged = extend_bloom_filter(
+        stored, spark.createDataFrame(
+            [(101, "a brand new arrival")], "doc_id LONG, text STRING"
+        )
+    )
+    replay = spark.createDataFrame(
+        [(200, "a brand new arrival"), (201, "still unseen text")],
+        "doc_id LONG, text STRING",
+    )
+    v = {r["doc_id"]: r["verdict"]
+         for r in bloom_screen_from_filter(merged, replay).collect()}
+    assert v[200] == "maybe_dup" and v[201] == "new"
+
+    # idempotent fold: OR-ing the same batch filter in twice changes
+    # nothing (batch_filter rows carry (word, bits) + sentinel)
+    once = extend_bloom_filter(
+        stored, spark.createDataFrame(
+            [(300, "a brand new arrival")], "doc_id LONG, text STRING"
+        )
+    )
+    again = once.unionByName(batch_filter).groupBy("word").agg(
+        F.bit_or("bits").alias("bits")
+    )
+    a = {(r["word"], r["bits"]) for r in again.collect()}
+    # folding the epoch's own filter (same doc text) on top of the
+    # manual fold is a no-op on every word
+    b = {(r["word"], r["bits"]) for r in once.collect()}
+    assert a == b
+
+    # a filter without the geometry sentinel is refused loudly
+    import pytest as _pytest
+
+    bare = stored.where(F.col("word") >= 0)
+    with _pytest.raises(ValueError, match="sentinel"):
+        bloom_screen_from_filter(bare, replay)

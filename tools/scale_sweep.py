@@ -696,6 +696,78 @@ def ivf_extend_sweep(spark, scales=(1, 10, 100)) -> None:
     )
 
 
+def bloom_extend_sweep(spark, scales=(1, 10, 100)) -> None:
+    """Measure the O(batch) claim of dedup.extend_bloom_filter
+    (round 12): FIXED 500-doc batch folded into a stored Bloom filter
+    built from x1/x10/x100 perturbed replicas of the sf0.1 documents
+    (auto-sized m grows with the corpus, so the filter table grows
+    too), timing the fold's full materialization. The fold reads the
+    stored (word, bits) table once and the batch once; the exponent
+    in FILTER size should stay well under 1 (the filter table is
+    ~bits_per_key x corpus / 63 rows but the fold is one hash
+    aggregate over it, scan-bound)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        bloom_filter_words,
+        extend_bloom_filter,
+    )
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    batch = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + BIG * 1000).alias("doc_id"), "text"
+    ).localCheckpoint(eager=True)
+    root = "/tmp/sweep_bloom_extend"
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    rows = []
+    for sidx in scales:
+        parts = []
+        for i in range(sidx):
+            txt = (
+                F.col("text")
+                if i == 0
+                else F.regexp_replace("text", " ", f"{i} ")
+            )
+            parts.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(i * BIG)).alias("doc_id"),
+                    txt.alias("text"),
+                )
+            )
+        path = f"{root}/x{sidx}/filter"
+        filt, m = bloom_filter_words(_union(parts))
+        filt.write.parquet(path)
+        stored = spark.read.parquet(path)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            extend_bloom_filter(stored, batch).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        rows.append(
+            {"filter_scale": sidx, "m_bits": m, "t_sec": round(best, 3)}
+        )
+        print(json.dumps(rows[-1]), flush=True)
+    e = math.log10(
+        max(rows[-1]["t_sec"], 1e-3) / max(rows[0]["t_sec"], 1e-3)
+    ) / math.log10(scales[-1] / scales[0])
+    print(
+        json.dumps(
+            {
+                "sweep": "bloom_extend_fixed_batch",
+                "batch_docs": batch.count(),
+                "rows": rows,
+                "exponent_in_filter_size": round(e, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
@@ -715,6 +787,12 @@ def main() -> None:
         "--ivf-extend",
         action="store_true",
         help="run the fixed-batch / growing-index ivf_extend_index "
+        "O(batch) measurement instead of the standard sweep",
+    )
+    ap.add_argument(
+        "--bloom-extend",
+        action="store_true",
+        help="run the fixed-batch / growing-filter extend_bloom_filter "
         "O(batch) measurement instead of the standard sweep",
     )
     args = ap.parse_args()
@@ -738,6 +816,10 @@ def main() -> None:
     if args.ivf_extend:
         spark.read.parquet(f"{SRC}/embeddings.parquet").limit(1).count()
         ivf_extend_sweep(spark)
+        return
+    if args.bloom_extend:
+        spark.read.parquet(f"{SRC}/documents.parquet").limit(1).count()
+        bloom_extend_sweep(spark)
         return
     tables = set()
     for q in targets:
