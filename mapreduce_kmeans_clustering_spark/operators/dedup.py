@@ -1621,6 +1621,28 @@ def extend_bloom_filter(
     )
 
 
+def merge_bloom_filters(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two stored Bloom filters (e.g. the stream's per-epoch
+    ``_batch_filter`` side outputs into the main filter): word-keyed
+    bit_or. Both inputs must carry the SAME geometry sentinel — bits
+    set at different moduli are meaningless together, so a mismatch
+    raises instead of silently corrupting the screen. The sentinels
+    themselves merge as bit_or(m, m) = m."""
+    ma, mb = bloom_filter_m_bits(a), bloom_filter_m_bits(b)
+    if ma != mb:
+        raise ValueError(
+            f"Bloom filter geometry mismatch: m_bits {ma} vs {mb} — "
+            "filters built at different moduli cannot be merged; "
+            "rebuild one side"
+        )
+    return (
+        a.select("word", "bits")
+        .unionByName(b.select("word", "bits"))
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+
+
 def bloom_screen_from_filter(
     filter_df: DataFrame,
     batch: DataFrame,

@@ -380,9 +380,11 @@ def stream_bloom_ingest(
       ``out_path/_batch_filter/ingest_batch=<epoch>`` (underscore =
       hidden from data reads, the family convention). The caller
       folds epochs into the stored filter between runs via
-      ``dedup.extend_bloom_filter`` — and because bit_or is
-      IDEMPOTENT, folding a replayed epoch twice is harmless, a
-      strictly stronger replay story than the additive count indexes.
+      ``dedup.merge_bloom_filters`` (word tables merge by bit_or;
+      ``extend_bloom_filter`` is the twin that takes raw docs) — and
+      because bit_or is IDEMPOTENT, folding a replayed epoch twice is
+      harmless, a strictly stronger replay story than the additive
+      count indexes.
 
     Honest limit (the family's): verdicts reflect the filter as the
     caller last folded it — two copies arriving in the SAME epoch are

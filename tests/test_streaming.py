@@ -1226,15 +1226,17 @@ def test_stream_bloom_ingest_screens_and_folds(spark, tmp_path):
     assert got[100] == "maybe_dup"          # no false negative
     assert got[101] == "new" and got[102] == "new"  # same-epoch copies
 
-    # fold the epoch filter: the replayed arrival is now maybe_dup
+    # fold the epoch's side-output filter (the documented contract:
+    # word tables merge via merge_bloom_filters): the replayed
+    # arrival is now maybe_dup
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        merge_bloom_filters,
+    )
+
     batch_filter = spark.read.parquet(
         glob.glob(f"{out}/_batch_filter/ingest_batch=*")[0]
     )
-    merged = extend_bloom_filter(
-        stored, spark.createDataFrame(
-            [(101, "a brand new arrival")], "doc_id LONG, text STRING"
-        )
-    )
+    merged = merge_bloom_filters(stored, batch_filter)
     replay = spark.createDataFrame(
         [(200, "a brand new arrival"), (201, "still unseen text")],
         "doc_id LONG, text STRING",
@@ -1243,21 +1245,32 @@ def test_stream_bloom_ingest_screens_and_folds(spark, tmp_path):
          for r in bloom_screen_from_filter(merged, replay).collect()}
     assert v[200] == "maybe_dup" and v[201] == "new"
 
-    # idempotent fold: OR-ing the same batch filter in twice changes
-    # nothing (batch_filter rows carry (word, bits) + sentinel)
-    once = extend_bloom_filter(
+    # the docs-taking twin reaches the identical state (same texts ->
+    # same bits), and re-folding the epoch's filter on top is a no-op
+    # on every word (bit_or idempotence — the replay-safety claim)
+    twin = extend_bloom_filter(
         stored, spark.createDataFrame(
-            [(300, "a brand new arrival")], "doc_id LONG, text STRING"
+            [(300, "stored corpus document 7"),
+             (301, "a brand new arrival"),
+             (302, "a brand new arrival")],
+            "doc_id LONG, text STRING",
         )
     )
-    again = once.unionByName(batch_filter).groupBy("word").agg(
-        F.bit_or("bits").alias("bits")
-    )
-    a = {(r["word"], r["bits"]) for r in again.collect()}
-    # folding the epoch's own filter (same doc text) on top of the
-    # manual fold is a no-op on every word
-    b = {(r["word"], r["bits"]) for r in once.collect()}
+    b = {(r["word"], r["bits"]) for r in merged.collect()}
+    assert {(r["word"], r["bits"]) for r in twin.collect()} == b
+    a = {(r["word"], r["bits"])
+         for r in merge_bloom_filters(merged, batch_filter).collect()}
     assert a == b
+
+    # mismatched geometry is refused loudly
+    import pytest as _pytest
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        bloom_filter_words as _bfw,
+    )
+
+    other, _ = _bfw(corpus, m_bits=256)
+    with _pytest.raises(ValueError, match="geometry mismatch"):
+        merge_bloom_filters(stored, other)
 
     # a filter without the geometry sentinel is refused loudly
     import pytest as _pytest
