@@ -868,3 +868,98 @@ def web_corpus_pipeline(
         .unionByName(out_lowq)
         .unionByName(out_surv)
     )
+
+
+# ---------------------------------------------------------------------------
+# URL blocklist filter
+# ---------------------------------------------------------------------------
+
+def url_blocklist_filter(
+    docs: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    extra_suffixes: tuple[str, ...] = (),
+) -> DataFrame:
+    """Blocklist verdict per document — the first gate of every crawl
+    pipeline (domain blocklists, path-pattern bans). ``rules`` is a
+    (kind, pattern) relation with kind ∈ {'domain', 'path_prefix'}:
+
+    - a ``domain`` rule blocks every doc whose REGISTRABLE domain
+      equals the pattern exactly (equi-join);
+    - a ``path_prefix`` rule is SEGMENT-ALIGNED: it blocks a doc whose
+      normalized path (port/query/fragment stripped, trailing slash
+      dropped) equals the pattern or extends it at a '/' boundary —
+      '/p/1' blocks '/p/1' and '/p/1/sub' but never '/p/10' (raw
+      character prefixes punish innocent neighbours; URL bans are
+      written in segments).
+
+    Output one row per doc: (id, domain, path, status, rule) with
+    status in fixed precedence blocked_domain > blocked_path > pass
+    and ``rule`` the matched pattern (ties to the lexicographically
+    smallest, so overlapping rules can't make the verdict
+    nondeterministic); NULL-URL docs pass (no URL identity — the
+    family convention).
+
+    Scale shape: rules are deduped and equi-joined — the domain rule
+    on the registrable domain, the path rule on the path's FIRST
+    SEGMENT with the segment-aligned comparison as a residual
+    predicate on the hash join (never a nested-loop theta join; a
+    pattern's first segment is a plan-time projection of the rules
+    side). Neither rules side is broadcast-hinted: real blocklists
+    run to millions of entries, so AQE sizes the join. One doc-keyed
+    aggregate resolves overlapping path rules."""
+    first_seg = lambda c: F.regexp_extract(c, r"^/([^/]*)", 1)  # noqa: E731
+    host_re = _HOST_RE + r"(?::[0-9]+)?([^?#]*)"
+    path = F.regexp_replace(
+        F.regexp_extract(F.col(url_col), host_re, 2), r"/+$", ""
+    )
+    base = docs.select(
+        F.col(id_col),
+        registrable_domain_expr(
+            F.col(url_col), extra_suffixes
+        ).alias("domain"),
+        path.alias("path"),
+    )
+    drules = (
+        rules.where(F.col("kind") == "domain")
+        .select(F.col("pattern").alias("_dpat"))
+        .distinct()
+    )
+    prules = (
+        rules.where(F.col("kind") == "path_prefix")
+        .select(F.col("pattern").alias("_ppat"))
+        .distinct()
+        .withColumn("_pseg", first_seg(F.col("_ppat")))
+    )
+    dmatch = base.join(
+        drules, F.col("domain") == F.col("_dpat"), "left"
+    ).select(id_col, "domain", "path", F.col("_dpat").alias("_drule"))
+    pmatch = (
+        base.withColumn("_seg", first_seg(F.col("path")))
+        .join(
+            prules,
+            (F.col("_seg") == F.col("_pseg"))
+            & (
+                (F.col("path") == F.col("_ppat"))
+                | F.col("path").startswith(
+                    F.concat(F.col("_ppat"), F.lit("/"))
+                )
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.min("_ppat").alias("_prule"))
+    )
+    return (
+        dmatch.join(pmatch, id_col, "left")
+        .select(
+            F.col(id_col),
+            "domain",
+            "path",
+            F.when(F.col("_drule").isNotNull(), F.lit("blocked_domain"))
+            .when(F.col("_prule").isNotNull(), F.lit("blocked_path"))
+            .otherwise(F.lit("pass"))
+            .alias("status"),
+            F.coalesce("_drule", "_prule").alias("rule"),
+        )
+    )

@@ -11505,3 +11505,62 @@ PIPELINE_ORACLES["q_bpe_fertility"] = _bpe_fertility_oracle(
     BPE_TRAIN_MERGES
 )
 PIPELINE_QUERIES.update({"q_bpe_fertility": q_bpe_fertility})
+
+
+# ---------------------------------------------------------------------------
+# Round 12: URL blocklist filter
+# ---------------------------------------------------------------------------
+
+BLOCK_DOMAINS = ("src0.co.uk", "example.com")
+BLOCK_PREFIXES = ("/p/7", "/x/1")
+
+
+def q_url_blocklist(spark, sf_dir):
+    """Blocklist verdicts over the planted URL column
+    (web.url_blocklist_filter) — the first gate of a crawl pipeline:
+    two domain bans (a source's co.uk site and the shared
+    example.com) and two SEGMENT-ALIGNED path bans ('/p/7' blocks
+    path /p/7 and /p/7/sub but never /p/70). Precedence
+    blocked_domain > blocked_path > pass; the matched rule travels in
+    the row; ties resolve to the smallest pattern. Rules are deduped
+    and equi-joined (domain exact; path on its first segment with the
+    aligned comparison as the hash join's residual predicate — never
+    a nested loop), unhinted so AQE sizes real million-row
+    blocklists."""
+    rules = spark.createDataFrame(
+        [("domain", d) for d in BLOCK_DOMAINS]
+        + [("path_prefix", p) for p in BLOCK_PREFIXES],
+        "kind STRING, pattern STRING",
+    )
+    d = _docs(spark, sf_dir).select("doc_id", _url_col().alias("url"))
+    return W.url_blocklist_filter(d, rules).orderBy("doc_id")
+
+
+_SQL_PATH = (
+    f"regexp_replace(regexp_extract(url, "
+    f"'{_SQL_HOST_RE}(?::[0-9]+)?([^?#]*)', 2), '/+$', '')"
+)
+
+PIPELINE_ORACLES["q_url_blocklist"] = f"""
+WITH d AS (SELECT doc_id, {_SQL_URL} AS url FROM documents),
+h AS (SELECT doc_id, url, {_SQL_HOST} AS host FROM d),
+g AS (SELECT doc_id, url, {_SQL_DOMAIN} AS domain FROM h),
+p AS (SELECT doc_id, domain, {_SQL_PATH} AS path FROM g),
+dr AS (SELECT unnest([{", ".join(f"'{x}'" for x in BLOCK_DOMAINS)}])
+         AS dpat),
+pr AS (SELECT unnest([{", ".join(f"'{x}'" for x in BLOCK_PREFIXES)}])
+         AS ppat),
+dm AS (SELECT doc_id, min(dpat) AS drule
+       FROM p JOIN dr ON p.domain = dr.dpat GROUP BY 1),
+pm AS (SELECT doc_id, min(ppat) AS prule
+       FROM p JOIN pr
+         ON p.path = pr.ppat OR starts_with(p.path, pr.ppat || '/')
+       GROUP BY 1)
+SELECT p.doc_id, p.domain, p.path,
+       CASE WHEN dm.drule IS NOT NULL THEN 'blocked_domain'
+            WHEN pm.prule IS NOT NULL THEN 'blocked_path'
+            ELSE 'pass' END AS status,
+       coalesce(dm.drule, pm.prule) AS rule
+FROM p LEFT JOIN dm USING (doc_id) LEFT JOIN pm USING (doc_id)
+ORDER BY p.doc_id"""
+PIPELINE_QUERIES.update({"q_url_blocklist": q_url_blocklist})

@@ -1377,3 +1377,19 @@ def test_bpe_fertility_plan(spark):
     p = _plan(q_bpe_fertility(spark, SF))
     assert "BatchEvalPython" not in p
     assert "HashAggregate" in p
+
+
+def test_url_blocklist_plan(spark):
+    """Blocklist: domain ban is an equi-join on the registrable
+    domain; the segment-aligned path ban joins on the path's first
+    segment with the alignment comparison as a residual predicate on
+    the HASH join — never a nested-loop theta join over docs x rules.
+    No cartesian, no per-row Python."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_url_blocklist,
+    )
+
+    p = _plan(q_url_blocklist(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p

@@ -631,3 +631,43 @@ def test_web_corpus_pipeline_stage_precedence(spark):
     # contamination
     assert got[1]["clean_tokens"] > 0
     assert all(got[i]["logweight"] is not None for i in (1, 3, 5, 6))
+
+
+def test_url_blocklist_filter_semantics(spark):
+    """Blocklist: segment-aligned path prefixes ('/p/1' never blocks
+    '/p/10'), domain bans on the registrable domain, fixed precedence
+    blocked_domain > blocked_path > pass, smallest-pattern
+    tie-breaking, duplicate rules harmless, NULL-URL docs pass."""
+    from mapreduce_kmeans_clustering_spark.operators.web import (
+        url_blocklist_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://bad.com/p/1"),        # domain AND path hit
+            (2, "https://ok.org/p/1"),         # path exact
+            (3, "https://ok.org/p/1/deep"),    # path extends at '/'
+            (4, "https://ok.org/p/10"),        # NOT '/p/1' (aligned)
+            (5, "https://sub.bad.com/other"),  # registrable domain ban
+            (6, "https://fine.net/x"),         # pass
+            (7, None),                         # NULL URL passes
+            (8, "https://ok.org/p/1"),         # two path rules match
+        ],
+        "doc_id LONG, url STRING",
+    )
+    rules = spark.createDataFrame(
+        [("domain", "bad.com"), ("domain", "bad.com"),  # dup rule
+         ("path_prefix", "/p/1"), ("path_prefix", "/p")],
+        "kind STRING, pattern STRING",
+    )
+    got = {r["doc_id"]: (r["status"], r["rule"])
+           for r in url_blocklist_filter(docs, rules).collect()}
+    assert got[1] == ("blocked_domain", "bad.com")  # precedence
+    assert got[2] == ("blocked_path", "/p")         # smallest pattern
+    assert got[3][0] == "blocked_path"
+    assert got[4] == ("blocked_path", "/p")         # '/p' yes, '/p/1' no
+    assert got[5] == ("blocked_domain", "bad.com")
+    assert got[6] == ("pass", None)
+    assert got[7] == ("pass", None)
+    assert got[8][0] == "blocked_path"
+    assert len(got) == 8  # one row per doc, dup rules fan nothing out

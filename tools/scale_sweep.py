@@ -125,6 +125,7 @@ SWEEP_QUERIES = [
     "q_mix_epochs",
     "q_dedup_bloom",
     "q_bpe_fertility",
+    "q_url_blocklist",
 ]
 
 
@@ -188,6 +189,7 @@ QUERY_TABLES = {
     "q_mix_epochs": {"documents"},
     "q_dedup_bloom": {"documents"},
     "q_bpe_fertility": {"documents"},
+    "q_url_blocklist": {"documents"},
 }
 
 
