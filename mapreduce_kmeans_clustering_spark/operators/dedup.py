@@ -1531,7 +1531,17 @@ def bloom_filter_words(
     (``conv(substr(md5(j || ':' || text), 1, 15), 16, 10) % m_bits``)
     so any SQL engine replays the filter bit-for-bit; bit_or is
     order-free, so the build is one (word)-keyed hash aggregate over
-    k rows per doc — map-side partial, never corpus-pairwise."""
+    k rows per doc — map-side partial, never corpus-pairwise.
+
+    Relationship to ``functions/bloom.py``: that module is the
+    DRIVER-LITERAL twin — its filter collects to an m/64-word array
+    probed as a scan-local literal expression, the right shape for a
+    BOUNDED pre-shuffle semi-join reducer (m ~ 2^20, 128 KiB). This
+    one keeps the filter DISTRIBUTED as a (word, bits) relation so m
+    scales with the corpus (16 bits/key at 10^11 docs is ~200 GB of
+    state — never a literal), merges/extends across batches, and
+    persists as parquet; the probe is an equi-join instead of an
+    in-expression test."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if bits_per_key < 1:
