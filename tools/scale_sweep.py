@@ -126,6 +126,13 @@ SWEEP_QUERIES = [
     "q_dedup_bloom",
     "q_bpe_fertility",
     "q_url_blocklist",
+    # round-12 continuation: the remaining >1.8s keys without a row
+    "q_bpe_encode",
+    "q_retrieval_metrics",
+    "q_dedup_minhash",
+    "q_lineitem_expectations",
+    "q_embed_quantize",
+    "q_sole_return_supplier",
 ]
 
 
@@ -190,6 +197,13 @@ QUERY_TABLES = {
     "q_dedup_bloom": {"documents"},
     "q_bpe_fertility": {"documents"},
     "q_url_blocklist": {"documents"},
+    "q_bpe_encode": {"documents"},
+    "q_retrieval_metrics": {"documents"},
+    "q_dedup_minhash": {"documents"},
+    "q_lineitem_expectations": {"lineitem"},
+    "q_embed_quantize": {"embeddings"},
+    "q_sole_return_supplier": {"lineitem"},
+
 }
 
 
