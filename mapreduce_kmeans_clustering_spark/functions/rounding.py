@@ -23,9 +23,17 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def half_up(col: Column, digits: int) -> Column:
+    """Half-up rounding of a computed double at ``digits`` decimals —
+    the same floor chain at any grid (round 12: q_mix_epochs needed
+    the 2-dp token grid alongside the 6-dp ratio grid)."""
+    scale = F.lit(float(10 ** int(digits)))
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
 def half_up6(col: Column) -> Column:
     """Half-up 6-dp rounding of a computed double."""
-    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    return half_up(col, 6)
 
 
 def half_up6_micro(col: Column) -> Column:

@@ -909,8 +909,9 @@ def embedding_near_dup_pairs(
     ``similarity.auto_planes`` (one count() job): fixed plane counts
     are the measured SCALE.md §8 quadratic cliff — bucket occupancy
     grows linearly with the corpus, candidate pairs quadratically.
-    Pass explicit ``planes`` to pin the bucketing (the registered
-    queries do, for oracle continuity)."""
+    Pass explicit ``planes`` to pin the bucketing and own the knob
+    (no registered query does since the round-12 q_dedup_embed
+    re-pin; the oracles derive planes from count(*))."""
     from mapreduce_kmeans_clustering_spark.operators.similarity import (
         auto_planes,
         lsh_bucket_expr,
@@ -1297,8 +1298,9 @@ def semantic_dedup(
     shape at e = 1.10 (in-cluster pairs go quadratic once occupancy
     grows with the corpus, the same cliff as fixed LSH planes;
     SCALE.md §8). Ignored when explicit ``centroids`` are passed
-    (they define the blocking); registered queries pin k for oracle
-    continuity."""
+    (they define the blocking); the registered q_dedup_semantic uses
+    this default since round 11 (its oracle derives k from
+    count(*))."""
     from mapreduce_kmeans_clustering_spark.functions.distance import dot_hof
 
     if k is None and centroids is None:
@@ -1508,7 +1510,6 @@ def bloom_filter_words(
     k: int = 3,
     bits_per_key: int = 16,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> tuple[DataFrame, int]:
     """Build the packed Bloom filter of a corpus's exact-content keys:
     (word, bits) rows where word = bit_position // 63 and bits is the
@@ -1547,27 +1548,16 @@ def bloom_filter_words(
     if bits_per_key < 1:
         raise ValueError(f"bits_per_key must be >= 1, got {bits_per_key}")
     if m_bits is None:
-        import math
-
-        n = corpus.count()
-        m_bits = 1 << max(6, math.ceil(math.log2(max(1, n * bits_per_key))))
+        # EXACT integer next-pow2 (bit_length, never float log2 —
+        # math.ceil(math.log2(x)) rounds DOWN for x just above a
+        # power of two once x exceeds ~2^53, breaking the documented
+        # >= bits_per_key x count invariant and disagreeing with the
+        # oracle's bracket-corrected m; code-review r12)
+        x = max(1, corpus.count() * int(bits_per_key))
+        m_bits = 1 << max(6, (x - 1).bit_length())
     elif m_bits < 64 or (m_bits & (m_bits - 1)) != 0:
         raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
-    pos = _bloom_positions(F.col(text_col), k, m_bits)
-    # 63 payload bits per word (never the sign bit): shifting into
-    # bit 63 of a signed BIGINT is engine-divergent territory — Spark
-    # wraps negative, DuckDB raises Out of Range — so the packing
-    # simply never touches it
-    filt = (
-        corpus.select(F.explode(pos).alias("_pos"))
-        .select(
-            (F.col("_pos") / 63).cast("long").alias("word"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 63 AS INT))")
-            .alias("_mask"),
-        )
-        .groupBy("word")
-        .agg(F.bit_or("_mask").alias("bits"))
-    )
+    filt = _bloom_word_bits(corpus, k, m_bits, text_col)
     # self-describing state: a (word = -1, bits = m_bits) sentinel
     # rides the filter (no real word is negative; no probe position
     # is, so joins never see it). Extension and probe replay read m
@@ -1575,11 +1565,35 @@ def bloom_filter_words(
     # silently break the NO-FALSE-NEGATIVE guarantee, the one failure
     # a screen must never have, so the state carries its own geometry
     # (the ivf_write_index _centroids precedent).
-    spark = corpus.sparkSession
-    sentinel = spark.createDataFrame(
+    return filt.unionByName(_bloom_sentinel(corpus, m_bits)), m_bits
+
+
+def _bloom_word_bits(
+    docs: DataFrame, k: int, m_bits: int, text_col: str
+) -> DataFrame:
+    """The ONE home of the persisted state's binary format: k
+    md5-derived positions per key packed into (word, bits) rows at 63
+    payload bits per word — the sign bit is never shifted into (Spark
+    wraps a bit-63 shift negative, DuckDB raises Out of Range). Build,
+    extension, and the streaming side output all call this, so the
+    layout can never silently fork between them (code-review r12)."""
+    pos = _bloom_positions(F.col(text_col), k, m_bits)
+    return (
+        docs.select(F.explode(pos).alias("_pos"))
+        .select(
+            (F.col("_pos") / 63).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 63 AS INT))")
+            .alias("bits"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+
+
+def _bloom_sentinel(like: DataFrame, m_bits: int) -> DataFrame:
+    return like.sparkSession.createDataFrame(
         [(-1, int(m_bits))], "word LONG, bits LONG"
     )
-    return filt.unionByName(sentinel), m_bits
 
 
 def bloom_filter_m_bits(filter_df: DataFrame) -> int:
@@ -1617,15 +1631,9 @@ def extend_bloom_filter(
     modulus; the sentinel survives the merge (bit_or(m, m) = m).
     Daily cost is O(batch keys + touched words)."""
     m_bits = bloom_filter_m_bits(filter_df)
-    pos = _bloom_positions(F.col(text_col), k, m_bits)
-    batch_bits = batch.select(F.explode(pos).alias("_pos")).select(
-        (F.col("_pos") / 63).cast("long").alias("word"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 63 AS INT))")
-        .alias("bits"),
-    )
     return (
         filter_df.select("word", "bits")
-        .unionByName(batch_bits)
+        .unionByName(_bloom_word_bits(batch, k, m_bits, text_col))
         .groupBy("word")
         .agg(F.bit_or("bits").alias("bits"))
     )
@@ -1717,7 +1725,7 @@ def bloom_screen(
     sizing count()."""
     filt, m_bits = bloom_filter_words(
         corpus, m_bits=m_bits, k=k, bits_per_key=bits_per_key,
-        text_col=text_col, id_col=id_col,
+        text_col=text_col,
     )
     return _bloom_probe(filt, batch, m_bits, k, text_col, id_col)
 

@@ -53,8 +53,11 @@ def auto_planes(
     capped at AUTO_PLANES_MAX. This is the measured SCALE.md §8
     blocking rule — per-bucket occupancy stays ~constant as the corpus
     grows, keeping every hyperplane-bucket operator sub-linear. A
-    caller who pins ``planes`` explicitly (the registered queries do,
-    for oracle continuity) opts out and owns the knob."""
+    caller who pins ``planes`` explicitly opts out and owns the knob.
+    (Since round 12 NO registered query pins it: q_knn_graph and
+    q_dedup_embed use this default with count(*)-derived oracle
+    twins — "oracle continuity" now means both engines derive the
+    granularity from the same corpus count.)"""
     import math
 
     if n_rows <= ref_n:
@@ -599,8 +602,9 @@ def hard_negatives(
     ``auto_planes`` (one count() job) — at a FIXED plane count bucket
     occupancy grows linearly with the corpus and the candidate stream
     goes quadratic, the measured SCALE.md §8 cliff. Pass an explicit
-    ``planes`` to pin the bucketing (registered queries do, for oracle
-    continuity)."""
+    ``planes`` to pin the bucketing and own the knob (no registered
+    query does since round 12 — their oracles derive planes from
+    count(*))."""
     if planes is None:
         planes = auto_planes(embeddings.count())
     vecs = embeddings.select(
@@ -861,7 +865,8 @@ def knn_graph(
     in-bucket self-join, so fixed planes make it the third member of
     the fixed-blocking cliff family (occupancy grows linearly, pair
     space quadratically — SCALE.md §8). Pass explicit ``planes`` to
-    pin (the registered query does, for oracle continuity).
+    pin and own the knob (the registered q_knn_graph uses this
+    default since round 11; its oracle derives planes from count(*)).
     """
     if planes is None:
         planes = auto_planes(embeddings.count())

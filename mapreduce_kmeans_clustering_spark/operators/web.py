@@ -780,15 +780,18 @@ def web_corpus_pipeline(
     # memory before a single task runs. Checkpointing the three
     # shrinking survivor frames bounds the tree and re-anchors each
     # stage on materialized columns.
+    # the gate compares the SAME half-up-6 value the row reports:
+    # gating on a second rounding rule (F.round's BigDecimal HALF_UP
+    # vs DuckDB round) is the cross-engine .5-tie divergence the
+    # rounding contract bans, and it could emit a row whose status
+    # contradicts its own quality column (code-review r12)
     q = rb.select(
         F.col(id_col),
         "clean_text",
         F.col("n_removed").alias("n_boiler_removed"),
         half_up6(quality_score(F.col("clean_text"))).alias("quality"),
-        (
-            F.round(quality_score(F.col("clean_text")), 6)
-            < F.lit(float(quality_min))
-        ).alias("_lowq"),
+    ).withColumn(
+        "_lowq", F.col("quality") < F.lit(float(quality_min))
     ).localCheckpoint(eager=False)
 
     qual = q.where(~F.col("_lowq"))
@@ -896,10 +899,13 @@ def url_blocklist_filter(
 
     Output one row per doc: (id, domain, path, status, rule) with
     status in fixed precedence blocked_domain > blocked_path > pass
-    and ``rule`` the matched pattern (ties to the lexicographically
-    smallest, so overlapping rules can't make the verdict
-    nondeterministic); NULL-URL docs pass (no URL identity — the
-    family convention).
+    and ``rule`` the matched (normalized) pattern (ties to the
+    lexicographically smallest, so overlapping rules can't make the
+    verdict nondeterministic); NULL-URL docs pass (no URL identity —
+    the family convention). Patterns receive the same normalization
+    the document side gets — domain rules are lowercased, path rules
+    lose trailing slashes — so 'Bad.com' and '/p/1/' ban what their
+    authors meant instead of silently matching nothing.
 
     Scale shape: rules are deduped and equi-joined — the domain rule
     on the registrable domain, the path rule on the path's FIRST
@@ -921,14 +927,21 @@ def url_blocklist_filter(
         ).alias("domain"),
         path.alias("path"),
     )
+    # patterns get the SAME normalization the document side gets —
+    # a rule written 'Bad.com' or '/p/1/' (the trailing-slash
+    # spelling real blocklists commonly use) must match the
+    # lowercased domain / slash-trimmed path, not silently no-op
+    # (code-review r12)
     drules = (
         rules.where(F.col("kind") == "domain")
-        .select(F.col("pattern").alias("_dpat"))
+        .select(F.lower(F.col("pattern")).alias("_dpat"))
         .distinct()
     )
     prules = (
         rules.where(F.col("kind") == "path_prefix")
-        .select(F.col("pattern").alias("_ppat"))
+        .select(
+            F.regexp_replace(F.col("pattern"), r"/+$", "").alias("_ppat")
+        )
         .distinct()
         .withColumn("_pseg", first_seg(F.col("_ppat")))
     )

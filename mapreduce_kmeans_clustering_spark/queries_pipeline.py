@@ -11132,12 +11132,12 @@ qt AS (
   FROM rb),
 qs AS (SELECT doc_id, text, n_boiler_removed,
               floor(({_QUALITY}) * 1000000.0 + 0.5) / 1000000.0
-                AS quality,
-              round(({_QUALITY}), 6) < {WEB_PIPE_QUALITY_MIN} AS lowq
+                AS quality
        FROM qt),
-lowq AS (SELECT doc_id, n_boiler_removed, quality FROM qs WHERE lowq),
+qs2 AS (SELECT *, quality < {WEB_PIPE_QUALITY_MIN} AS lowq FROM qs),
+lowq AS (SELECT doc_id, n_boiler_removed, quality FROM qs2 WHERE lowq),
 qual AS (SELECT doc_id, text, n_boiler_removed, quality
-         FROM qs WHERE NOT lowq),
+         FROM qs2 WHERE NOT lowq),
 -- stage 5: benchmark word-3-gram span scrub of the qualified docs
 btk AS (SELECT doc_id, {_TOK} AS w FROM bench),
 bsh AS (SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
@@ -11284,15 +11284,23 @@ def q_mix_epochs(spark, sf_dir):
         alpha=TEMP_ALPHA,
         max_epochs=MIX_MAX_EPOCHS,
     )
+    # half-up floor chain, not round(double, n): the engines'
+    # BigDecimal-vs-DuckDB round disagree on .5 ties at the grid
+    # digit — the rounding-contract class (code-review r12)
+    from mapreduce_kmeans_clustering_spark.functions.rounding import (
+        half_up,
+        half_up6,
+    )
+
     return t.select(
         "lang",
         "mass",
-        F.round("sample_weight", 6).alias("sample_weight"),
-        F.round("requested_tokens", 2).alias("requested_tokens"),
-        F.round("epochs", 6).alias("epochs"),
-        F.round("allocated_tokens", 2).alias("allocated_tokens"),
+        half_up6(F.col("sample_weight")).alias("sample_weight"),
+        half_up(F.col("requested_tokens"), 2).alias("requested_tokens"),
+        half_up6(F.col("epochs")).alias("epochs"),
+        half_up(F.col("allocated_tokens"), 2).alias("allocated_tokens"),
         "capped",
-        F.round("realized_share", 6).alias("realized_share"),
+        half_up6(F.col("realized_share")).alias("realized_share"),
     ).orderBy("lang")
 
 
@@ -11316,12 +11324,16 @@ b AS (SELECT lang, mass, sample_weight, requested_tokens,
                    {MIX_MAX_EPOCHS} * mass::DOUBLE) AS allocated_tokens,
              requested_tokens > {MIX_MAX_EPOCHS} * mass::DOUBLE AS capped
       FROM a)
-SELECT lang, mass, round(sample_weight, 6) AS sample_weight,
-       round(requested_tokens, 2) AS requested_tokens,
-       round(epochs, 6) AS epochs,
-       round(allocated_tokens, 2) AS allocated_tokens, capped,
-       round(allocated_tokens / sum(allocated_tokens) OVER (), 6)
-         AS realized_share
+SELECT lang, mass,
+       floor(sample_weight * 1000000.0 + 0.5) / 1000000.0
+         AS sample_weight,
+       floor(requested_tokens * 100.0 + 0.5) / 100.0
+         AS requested_tokens,
+       floor(epochs * 1000000.0 + 0.5) / 1000000.0 AS epochs,
+       floor(allocated_tokens * 100.0 + 0.5) / 100.0
+         AS allocated_tokens, capped,
+       floor(allocated_tokens / sum(allocated_tokens) OVER ()
+             * 1000000.0 + 0.5) / 1000000.0 AS realized_share
 FROM b ORDER BY lang"""
 PIPELINE_QUERIES.update({"q_mix_epochs": q_mix_epochs})
 

@@ -393,42 +393,32 @@ def stream_bloom_ingest(
     stored filter's geometry sentinel, so a wrong-modulus probe is
     impossible by construction."""
     from mapreduce_kmeans_clustering_spark.operators.dedup import (
-        _bloom_positions,
+        _bloom_probe,
+        _bloom_sentinel,
+        _bloom_word_bits,
         bloom_filter_m_bits,
-        bloom_screen_from_filter,
     )
-    from pyspark.sql import functions as F
 
+    # m is read from the sentinel ONCE here — the filter is immutable
+    # for the stream's lifetime, so the per-batch probe goes through
+    # _bloom_probe directly instead of re-collecting the sentinel
+    # every epoch (code-review r12); the packing itself lives in the
+    # shared _bloom_word_bits so the side output's binary format can
+    # never fork from the build's
     m_bits = bloom_filter_m_bits(bloom_filter)
     filt = bloom_filter.localCheckpoint(eager=True)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.persist()
         try:
-            bloom_screen_from_filter(
-                filt, batch_df, k=k, text_col=text_col, id_col=id_col
+            _bloom_probe(
+                filt, batch_df, m_bits, k, text_col, id_col
             ).write.mode("overwrite").parquet(
                 f"{out_path}/ingest_batch={epoch_id}"
             )
-            pos = _bloom_positions(F.col(text_col), k, m_bits)
-            batch_words = (
-                batch_df.select(F.explode(pos).alias("_pos"))
-                .select(
-                    (F.col("_pos") / 63).cast("long").alias("word"),
-                    F.expr(
-                        "shiftleft(CAST(1 AS BIGINT), "
-                        "CAST(_pos % 63 AS INT))"
-                    ).alias("bits"),
-                )
-                .groupBy("word")
-                .agg(F.bit_or("bits").alias("bits"))
-                .unionByName(
-                    batch_df.sparkSession.createDataFrame(
-                        [(-1, int(m_bits))], "word LONG, bits LONG"
-                    )
-                )
-            )
-            batch_words.write.mode("overwrite").parquet(
+            _bloom_word_bits(batch_df, k, m_bits, text_col).unionByName(
+                _bloom_sentinel(batch_df, m_bits)
+            ).write.mode("overwrite").parquet(
                 f"{out_path}/_batch_filter/ingest_batch={epoch_id}"
             )
         finally:

@@ -671,3 +671,15 @@ def test_url_blocklist_filter_semantics(spark):
     assert got[7] == ("pass", None)
     assert got[8][0] == "blocked_path"
     assert len(got) == 8  # one row per doc, dup rules fan nothing out
+
+    # patterns get the document side's normalization: a trailing
+    # slash or uppercase domain must not silently no-op the ban
+    # (code-review r12)
+    sloppy = spark.createDataFrame(
+        [("domain", "Bad.COM"), ("path_prefix", "/p/1/")],
+        "kind STRING, pattern STRING",
+    )
+    got2 = {r["doc_id"]: r["status"]
+            for r in url_blocklist_filter(docs, sloppy).collect()}
+    assert got2[5] == "blocked_domain"
+    assert got2[2] == "blocked_path" and got2[4] == "pass"
