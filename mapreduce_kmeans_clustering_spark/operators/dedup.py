@@ -1768,3 +1768,41 @@ def _bloom_probe(
         .otherwise(F.lit("new"))
         .alias("verdict"),
     )
+
+
+def bloom_fill_stats(filter_df: DataFrame, k: int = 3) -> DataFrame:
+    """The Bloom screen's sizing dashboard — the one-row audit
+    DEPLOY.md tells an operator to watch: (m_bits, words, set_bits,
+    fill_ratio, est_fp_rate). fill_ratio is set-bits / m; the
+    expected false-positive rate of a k-probe filter at that fill is
+    fill^k (computed as k explicit multiplications of the same raw
+    double, not pow() — libm pow is not correctly rounded and can
+    differ across engines). Rebuild at the next power of two when
+    fill passes ~50% — a saturating filter degrades gracefully (more
+    false positives paying the exact-verification lookup) but never
+    produces a false negative.
+
+    One aggregate over the filter relation (bit_count per word,
+    summed map-side); m comes from the geometry sentinel."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from mapreduce_kmeans_clustering_spark.functions.rounding import (
+        half_up6,
+    )
+
+    m_bits = bloom_filter_m_bits(filter_df)
+    agg = filter_df.where(F.col("word") >= 0).agg(
+        F.count("*").cast("long").alias("words"),
+        F.sum(F.bit_count("bits")).cast("long").alias("set_bits"),
+    )
+    fill = F.col("set_bits").cast("double") / F.lit(float(m_bits))
+    fp = fill
+    for _ in range(k - 1):
+        fp = fp * fill
+    return agg.select(
+        F.lit(int(m_bits)).cast("long").alias("m_bits"),
+        "words",
+        "set_bits",
+        half_up6(fill).alias("fill_ratio"),
+        half_up6(fp).alias("est_fp_rate"),
+    )

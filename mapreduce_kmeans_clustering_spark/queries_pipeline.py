@@ -11576,3 +11576,54 @@ SELECT p.doc_id, p.domain, p.path,
 FROM p LEFT JOIN dm USING (doc_id) LEFT JOIN pm USING (doc_id)
 ORDER BY p.doc_id"""
 PIPELINE_QUERIES.update({"q_url_blocklist": q_url_blocklist})
+
+
+def q_bloom_fill(spark, sf_dir):
+    """The Bloom screen's sizing dashboard (dedup.bloom_fill_stats):
+    one row of (m_bits, words, set_bits, fill_ratio, est_fp_rate)
+    over the q_dedup_bloom corpus filter — the number DEPLOY.md tells
+    an operator to watch (rebuild at the next power of two when fill
+    passes ~50%). est_fp is fill^k computed as k explicit
+    multiplications, never libm pow (cross-engine determinism)."""
+    corpus = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 5 != 0)
+    )
+    filt, _ = D.bloom_filter_words(
+        corpus, k=BLOOM_K, bits_per_key=BLOOM_BITS_PER_KEY
+    )
+    return D.bloom_fill_stats(filt, k=BLOOM_K)
+
+
+PIPELINE_ORACLES["q_bloom_fill"] = f"""
+WITH c AS (SELECT text FROM documents WHERE doc_id % 5 <> 0),
+nn AS (SELECT greatest(1, count(*) * {BLOOM_BITS_PER_KEY}) AS x FROM c),
+m0 AS (SELECT x,
+              greatest(64, CAST(pow(2, CAST(ceil(log2(x::DOUBLE)) AS INT))
+                               AS BIGINT)) AS m0
+       FROM nn),
+mm AS (SELECT CAST(CASE WHEN m0 < x THEN m0 * 2
+                        WHEN m0 >= 128 AND m0 // 2 >= x THEN m0 // 2
+                        ELSE m0 END AS BIGINT) AS m
+       FROM m0),
+js AS (SELECT unnest([{", ".join(str(j) for j in range(BLOOM_K))}]) AS j),
+cp AS (SELECT (('0x' || substr(md5(j || ':' || text), 1, 15))::BIGINT)
+               % m AS pos
+       FROM c CROSS JOIN mm CROSS JOIN js),
+cw AS (SELECT pos // 63 AS word,
+              (1::BIGINT << CAST(pos % 63 AS INT)) AS mask
+       FROM cp),
+filt AS (SELECT word, bit_or(mask) AS bits FROM cw GROUP BY 1),
+agg AS (SELECT count(*)::BIGINT AS words,
+               sum(bit_count(bits))::BIGINT AS set_bits
+        FROM filt),
+r AS (SELECT m::BIGINT AS m_bits, words, set_bits,
+             set_bits::DOUBLE / m AS fill
+      FROM agg CROSS JOIN mm)
+SELECT m_bits, words, set_bits,
+       floor(fill * 1000000.0 + 0.5) / 1000000.0 AS fill_ratio,
+       floor(fill * fill * fill * 1000000.0 + 0.5) / 1000000.0
+         AS est_fp_rate
+FROM r"""
+PIPELINE_QUERIES.update({"q_bloom_fill": q_bloom_fill})

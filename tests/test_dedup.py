@@ -961,3 +961,34 @@ def test_bloom_screen_no_false_negatives_and_sizing(spark):
         bloom_screen(corpus, batch, bits_per_key=0)
     with pytest.raises(ValueError):
         bloom_screen(corpus, batch, m_bits=100)  # not a power of two
+
+
+def test_bloom_fill_stats_saturation_dashboard(spark):
+    """bloom_fill_stats: the sizing dashboard DEPLOY.md points at —
+    fill = set_bits/m, est_fp = fill^k; a deliberately tiny pinned m
+    reads as saturated (fill -> 1, est_fp -> 1) while the auto-sized
+    filter stays in the designed sub-percent band."""
+    import pytest as _pytest
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        bloom_fill_stats,
+        bloom_filter_words,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(200)],
+        "doc_id LONG, text STRING",
+    )
+    filt, m = bloom_filter_words(corpus)
+    row = bloom_fill_stats(filt).collect()[0]
+    assert row["m_bits"] == m == 4096  # next pow2 >= 200*16
+    assert 0 < row["set_bits"] <= 600  # <= 3 bits per key
+    assert row["fill_ratio"] < 0.2
+    assert row["est_fp_rate"] < 0.005  # fill^3
+    assert abs(row["est_fp_rate"] - round(row["fill_ratio"] ** 3, 6)) < 2e-6
+
+    sat, _ = bloom_filter_words(corpus, m_bits=64)
+    srow = bloom_fill_stats(sat).collect()[0]
+    assert srow["fill_ratio"] > 0.9 and srow["est_fp_rate"] > 0.7
+
+    with _pytest.raises(ValueError):
+        bloom_fill_stats(filt, k=0)

@@ -1393,3 +1393,17 @@ def test_url_blocklist_plan(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_bloom_fill_plan(spark):
+    """Fill dashboard: one aggregate over the filter relation
+    (bit_count per word summed map-side) — no joins beyond the build,
+    no cartesian, no per-row Python."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_bloom_fill,
+    )
+
+    p = _plan(q_bloom_fill(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "HashAggregate" in p

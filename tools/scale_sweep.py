@@ -126,6 +126,7 @@ SWEEP_QUERIES = [
     "q_dedup_bloom",
     "q_bpe_fertility",
     "q_url_blocklist",
+    "q_bloom_fill",
     # round-12 continuation: the remaining >1.8s keys without a row
     "q_bpe_encode",
     "q_retrieval_metrics",
@@ -197,6 +198,7 @@ QUERY_TABLES = {
     "q_dedup_bloom": {"documents"},
     "q_bpe_fertility": {"documents"},
     "q_url_blocklist": {"documents"},
+    "q_bloom_fill": {"documents"},
     "q_bpe_encode": {"documents"},
     "q_retrieval_metrics": {"documents"},
     "q_dedup_minhash": {"documents"},
