@@ -43,7 +43,9 @@ from pyspark.sql.window import Window
 from mapreduce_kmeans_clustering_spark.functions.rounding import half_up6
 from mapreduce_kmeans_clustering_spark.operators.dedup import (
     exact_dup_drops,
+    excise_spans,
     exploded_shingles,
+    merge_positions_to_spans,
     positioned_shingles,
 )
 from mapreduce_kmeans_clustering_spark.operators.sampling import (
@@ -105,6 +107,78 @@ def contamination_report(
     )
 
 
+def split_leakage(
+    docs: DataFrame,
+    split_col: str = "split",
+    train_value: str = "train",
+    n: int = 3,
+    leak_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train→eval SPLIT-leakage audit — the measurement companion of
+    ``leakage_safe_split``'s repair: for every NON-train document (by
+    ``split_col``), the fraction of its distinct word-``n``-grams that
+    also appear in ANY train-split document, and a ``leaked`` verdict
+    at ``leak_threshold``. An eval doc that is a near-copy of a train
+    doc scores ~1.0 — exactly the eval-set inflation that makes a
+    validation loss lie. ``docs`` must already carry the split
+    assignment (``split_assign`` or the caller's own); the operator
+    audits ANY assignment, which is what lets it certify a repair.
+
+    Output one row per eval doc: ``(id, split, n_shingles, n_shared,
+    leak_frac, leaked)``; docs too short to shingle report 0 / 0.0 /
+    false (the ``q_decontam`` totality convention). ``leak_frac`` is
+    the half-up 6-dp integer-division grid, and ``leaked`` compares
+    the SAME rounded value the row reports (the rounding contract —
+    one rounding rule per value).
+
+    Plan shape: two shingle explosions (scan-local + per-doc window),
+    one DISTINCT on the train shingle set, one equi-LEFT-join on the
+    shingle string, one per-doc aggregate, one left join back to the
+    eval doc spine. Never pairwise; the train side is corpus-sized so
+    it is deliberately NOT broadcast-hinted (AQE decides)."""
+    is_train = F.col(split_col) == train_value
+    ev = docs.where(~is_train)
+    train_sh = (
+        exploded_shingles(
+            docs.where(is_train), n=n, text_col=text_col, id_col=id_col
+        )
+        .select("sh")
+        .distinct()
+        .withColumn("_t", F.lit(1))
+    )
+    ev_sh = exploded_shingles(ev, n=n, text_col=text_col, id_col=id_col)
+    per = (
+        ev_sh.join(train_sh, "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.coalesce("_t", F.lit(0))).cast("long").alias("n_shared"),
+        )
+    )
+    frac = F.when(
+        F.coalesce("n_shingles", F.lit(0)) == 0, F.lit(0.0)
+    ).otherwise(
+        F.expr("(n_shared * 2000000 + n_shingles) div (2 * n_shingles)")
+        / F.lit(1e6)
+    )
+    return (
+        ev.select(id_col, split_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            split_col,
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias(
+                "n_shingles"
+            ),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            frac.alias("leak_frac"),
+        )
+        .withColumn("leaked", F.col("leak_frac") >= F.lit(leak_threshold))
+    )
+
+
 def _matched_spans(
     docs: DataFrame,
     bench_pred: Column,
@@ -126,26 +200,14 @@ def _matched_spans(
         .distinct()
     )
     # the positioned core is SHARED with exploded_shingles (one copy
-    # of the shingle format — code-review r11)
+    # of the shingle format — code-review r11), and the
+    # gaps-and-islands merge is SHARED with dedup.passage_scrub
+    # (one copy of the span semantics — round-12 continuation; the
+    # expressions are identical to the pre-refactor inline form, so
+    # plans and outputs are unchanged)
     pos_sh = positioned_shingles(train, n=n, text_col=text_col, id_col=id_col)
-    w = Window.partitionBy(id_col).orderBy("pos")
     matched = pos_sh.join(bench_sh, "sh").select(id_col, "pos")
-    # gaps-and-islands: a new span starts when this match's start is
-    # more than n past the previous one (start gap == n means the two
-    # covered ranges are exactly adjacent — still one contiguous span)
-    brk = F.when(
-        F.col("pos") - F.lag("pos").over(w) > n, F.lit(1)
-    ).otherwise(F.lit(0))
-    numbered = matched.withColumn("_brk", brk).withColumn(
-        "_span",
-        F.sum("_brk").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    spans = numbered.groupBy(id_col, "_span").agg(
-        F.min("pos").alias("_s"),
-        (F.max("pos") + F.lit(n - 1)).alias("_e"),
-    )
+    spans = merge_positions_to_spans(matched, n, id_col)
     return train, spans
 
 
@@ -261,45 +323,14 @@ def scrub_contaminated_spans(
     tokenize): n_removed is the per-doc covered-position count —
     kept + covered = total by construction — so no third token
     count is needed (code-review r11)."""
+    # the excision half is SHARED with dedup.passage_scrub (round-12
+    # continuation refactor; expressions identical to the pre-refactor
+    # inline form, so plans and outputs are unchanged): covered
+    # positions exploded, (doc, pos) equi-anti-join, one rebuild
+    # aggregate, and left joins from the bare doc list so a
+    # fully-covered or token-free doc still emits a row
     train, spans = _matched_spans(docs, bench_pred, n, text_col, id_col)
-    covered = spans.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.col("_s"), F.col("_e"))).alias("pos"),
-    )
-    toks = train.select(
-        F.col(id_col),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
-    )
-    kept = toks.join(covered, [id_col, "pos"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("scrubbed_text"),
-        F.count("*").cast("long").alias("n_kept"),
-    )
-    covcnt = covered.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("_n_removed")
-    )
-    # left joins from the bare doc list: a FULLY-covered doc keeps zero
-    # tokens and must still emit a row (empty scrubbed_text), as must a
-    # doc with no tokens at all
-    return (
-        train.select(F.col(id_col))
-        .join(rebuilt, id_col, "left")
-        .join(covcnt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            F.coalesce("_n_removed", F.lit(0)).cast("long").alias(
-                "n_removed"
-            ),
-        )
-    )
+    return excise_spans(train, spans, text_col, id_col)
 
 
 def scrub_until_clean(

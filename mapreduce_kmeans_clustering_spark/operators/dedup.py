@@ -1122,6 +1122,161 @@ def repeated_passages(
     return agg.where(F.col("n_docs") >= min_docs)
 
 
+def merge_positions_to_spans(
+    matched: DataFrame, n: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Gaps-and-islands merge of matched word-``n``-gram START
+    positions (``(id, pos)`` rows, pos unique per doc) into MAXIMAL
+    covered token spans ``(id, _s, _e)`` — 0-based inclusive ranges.
+    Two matches whose covered ranges touch or overlap (start gap <= n)
+    fuse into one span.
+
+    This is the ONE home of the span-merge semantics: both
+    ``curation._matched_spans`` (benchmark decontamination) and
+    ``passage_scrub`` (cross-document repetition removal) call it, so
+    an audit and a scrub can never disagree on span boundaries.
+
+    Plan shape: one lag() window to flag span breaks, one running
+    sum() to number spans, one hash aggregate — all three share the
+    doc-id partitioning, so the merge costs a single shuffle."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) > n, F.lit(1)
+    ).otherwise(F.lit(0))
+    numbered = matched.withColumn("_brk", brk).withColumn(
+        "_span",
+        F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return numbered.groupBy(id_col, "_span").agg(
+        F.min("pos").alias("_s"),
+        (F.max("pos") + F.lit(n - 1)).alias("_e"),
+    )
+
+
+def excise_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Re-emit every doc of ``docs`` as its token stream with the
+    ``(id, _s, _e)`` spans excised — one row per input doc:
+    ``(id, scrubbed_text, n_kept, n_removed)``; docs with no spans
+    pass through with n_removed = 0, fully-covered docs emit empty
+    text. The rebuild half shared by ``curation.
+    scrub_contaminated_spans`` and ``passage_scrub``.
+
+    Plan shape: spans exploded to covered positions (total size is
+    covered_tokens <= corpus tokens), one (doc, pos) equi-ANTI-join —
+    never a range-predicate join, which would plan a nested loop —
+    and one sort_array(collect_list(struct(pos, tok))) rebuild per
+    doc; the doc-list pass reads only the id column (pruned scan)."""
+    covered = spans.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("_s"), F.col("_e"))).alias("pos"),
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("scrubbed_text"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    covcnt = covered.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("_n_removed")
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(rebuilt, id_col, "left")
+        .join(covcnt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("_n_removed", F.lit(0)).cast("long").alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
+def passage_scrub(
+    docs: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated-passage REMOVAL — the scrub consumer of
+    ``repeated_passages``' audit signal (Lee et al. 2022, ExactSubstr:
+    repeated passages, not whole-doc copies, dominate web corpora, and
+    training on them measurably hurts — their remedy is removing the
+    repeated substring, not the document). Every word-``n``-gram that
+    occurs in >= ``min_docs`` DISTINCT documents is scrubbed from all
+    but one canonical copy: the doc with the MINIMUM id keeps its
+    occurrence (per gram), every other doc's covering positions merge
+    into maximal spans (``merge_positions_to_spans``) and are excised
+    (``excise_spans``). Output one row per input doc:
+    ``(id, scrubbed_text, n_kept, n_removed)``.
+
+    Within-doc repetition (a gram repeated in ONE doc only) is out of
+    scope by design — that is ``text.repetition_stats``' signal; this
+    operator removes CROSS-document duplication, so an exact clone of
+    a kept doc scrubs to empty while the canonical copy is untouched.
+
+    The same seam caveat as ``curation.scrub_contaminated_spans``
+    applies: excising a span can join its neighbors into a NEW
+    repeated n-gram; one pass removes every pre-existing repeat.
+
+    Scale shape: the shuffle key is the gram's 60-bit md5 prefix
+    (``ngram_diversity``'s convention — 8-byte keys, never the gram
+    text; a collision mis-flags ~n²/2⁶¹ grams, zero in any real
+    corpus, and both engines hash identically so oracle parity is
+    exact), a (gram, doc) pre-aggregate collapses in-doc repeats
+    map-side (the ``repeated_passages`` two-stacked-aggregates
+    pattern), and the keeper verdict joins back on the 8-byte hash —
+    inverted-index style, never doc x doc. Boilerplate grams are the
+    usual hot keys; they fan out matched POSITIONS (bounded by corpus
+    tokens), never pairs, so there is no quadratic mode to salt."""
+    if n < 2:
+        raise ValueError(f"passage gram length must be >= 2, got {n}")
+    if min_docs < 2:
+        raise ValueError(
+            f"min_docs < 2 would scrub unrepeated text, got {min_docs}"
+        )
+    ps = positioned_shingles(docs, n, text_col, id_col)
+    gh = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
+    pos_h = ps.select(F.col(id_col), "pos", gh.alias("gh"))
+    per_doc = pos_h.groupBy("gh", id_col).agg(F.count("*").alias("_c"))
+    stats = (
+        per_doc.groupBy("gh")
+        .agg(
+            F.count("*").cast("long").alias("_n_docs"),
+            F.min(id_col).alias("_keeper"),
+        )
+        .where(F.col("_n_docs") >= min_docs)
+    )
+    matched = (
+        pos_h.join(stats, "gh")
+        .where(F.col(id_col) != F.col("_keeper"))
+        .select(id_col, "pos")
+    )
+    spans = merge_positions_to_spans(matched, n, id_col)
+    return excise_spans(docs, spans, text_col, id_col)
+
+
 # Above this k, the literal-argmin expression (k*dim terms) stops
 # being a sensible plan and assignment routes through the broadcast
 # BLAS path (plans/kmeans_nd.assign_nd) instead.
@@ -1247,6 +1402,32 @@ def _semantic_asg(
             "_id", "cluster", "_v", norm_hof(F.col("_v")).alias("_n")
         )
     return asg.localCheckpoint(eager=False)
+
+
+def semantic_clusters(
+    embeddings: DataFrame,
+    k: int | None = None,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Just the cluster ASSIGNMENT of ``semantic_dedup`` — (id,
+    cluster) — for consumers that want the corpus partitioned into
+    semantic blocks without the pair-pruning stage: topic-mix
+    read-outs (``q_cluster_mix``), per-cluster sampling quotas,
+    cluster-stratified eval splits. Identical determinism contract
+    (k lowest-id seed vectors, argmin ties to the lowest cid,
+    ``k=None`` → ``suggested_semantic_k`` ~ √n) so a verdict from
+    ``semantic_dedup`` and a mix table from here can never disagree
+    on the blocking. Scan-local literal/BLAS argmin — no join, no
+    Exchange, no pair stage."""
+    if k is None and centroids is None:
+        k = suggested_semantic_k(embeddings.count())
+    asg = _semantic_asg(
+        embeddings, k, dim, id_col, vec_col, centroids, with_norm=False
+    )
+    return asg.select(F.col("_id").alias(id_col), "cluster")
 
 
 def semantic_dedup(

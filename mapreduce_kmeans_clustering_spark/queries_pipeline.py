@@ -11627,3 +11627,190 @@ SELECT m_bits, words, set_bits,
          AS est_fp_rate
 FROM r"""
 PIPELINE_QUERIES.update({"q_bloom_fill": q_bloom_fill})
+
+
+# ---------------------------------------------------------------------------
+# Round 12 continuation: cross-document repeated-passage removal
+# ---------------------------------------------------------------------------
+
+# Word-8-gram passages: long enough that shared grams are genuine
+# repeated passages, not common phrases (the fixture docs run 10-99
+# tokens, so 8 words is a substantial span), short enough to be
+# non-vacuous at every SF (24 affected docs at sf0.001).
+PASSAGE_N = 8
+
+
+def q_passage_scrub(spark, sf_dir):
+    """Cross-document repeated-passage removal (dedup.passage_scrub):
+    every word-8-gram occurring in >= 2 distinct docs is excised from
+    all but the minimum-id canonical copy — the ExactSubstr-style
+    scrub consumer of q_dedup_passages' audit (Lee et al. 2022:
+    repeated passages, not whole-doc copies, dominate web corpora).
+    One row per input doc: (scrubbed_text, n_kept, n_removed); an
+    exact clone of a kept doc scrubs to empty, the canonical copy is
+    untouched. Inverted-index shape keyed on the gram's 60-bit md5
+    prefix — 8-byte shuffle keys, never doc x doc pairs."""
+    return D.passage_scrub(_docs(spark, sf_dir), n=PASSAGE_N)
+
+
+PIPELINE_ORACLES["q_passage_scrub"] = f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS w FROM documents),
+tp AS (SELECT doc_id, i - 1 AS pos,
+              w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                   || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+                   || ' ' || w[i+7] AS sh
+       FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+             FROM toks)),
+h AS (SELECT doc_id, pos,
+             (('0x' || substr(md5(sh), 1, 15))::BIGINT) AS gh
+      FROM tp),
+ks AS (SELECT gh, min(doc_id) AS keeper
+       FROM (SELECT DISTINCT gh, doc_id FROM h)
+       GROUP BY gh HAVING count(*) >= 2),
+m AS (SELECT h.doc_id, h.pos FROM h JOIN ks USING (gh)
+      WHERE h.doc_id <> ks.keeper),
+g AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) > {PASSAGE_N}
+                  THEN 1 ELSE 0 END AS brk
+      FROM m),
+s AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      FROM g),
+sp AS (SELECT doc_id, span_id, min(pos) AS st,
+              max(pos) + {PASSAGE_N - 1} AS en
+       FROM s GROUP BY 1, 2),
+cov AS (SELECT doc_id, unnest(range(st, en + 1)) AS pos FROM sp),
+tokpos AS (SELECT doc_id, i - 1 AS pos, w[i] AS tok
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+                 FROM toks)),
+keptt AS (SELECT t.doc_id, t.pos, t.tok
+          FROM tokpos t
+          LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+          WHERE c.pos IS NULL),
+reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS scrubbed_text,
+               count(*)::BIGINT AS n_kept
+        FROM keptt GROUP BY 1),
+nt AS (SELECT doc_id, len(w)::BIGINT AS n FROM toks)
+SELECT nt.doc_id,
+       coalesce(reb.scrubbed_text, '') AS scrubbed_text,
+       coalesce(reb.n_kept, 0)::BIGINT AS n_kept,
+       (nt.n - coalesce(reb.n_kept, 0))::BIGINT AS n_removed
+FROM nt LEFT JOIN reb USING (doc_id)"""
+PIPELINE_QUERIES.update({"q_passage_scrub": q_passage_scrub})
+
+
+# 5-gram leakage audit: at word-3-grams the templated fixture corpus
+# shares SOME gram between almost every eval/train doc pair (measured:
+# every eval doc crossed leak_frac 0.5 at sf0.01+), so the audit runs
+# at n=5 where the measured distribution spans 0..1 with both verdicts
+# live at every SF (p90 ~0.04-0.12, max 0.875-1.0).
+SPLIT_LEAK_N = 5
+
+
+def q_split_leakage(spark, sf_dir):
+    """Train→eval split-leakage audit (curation.split_leakage): for
+    every val/test doc under the md5-bucket split, the fraction of its
+    distinct word-5-grams that appear in ANY train doc, leaked at
+    >= 0.5 — the eval-inflation measurement q_leakage_safe_split's
+    repair exists to fix (audit the naive split, repair, re-audit).
+    Two shingle explosions + one distinct + one shingle equi-join +
+    per-doc aggregate; never pairwise, train side AQE-sized."""
+    docs = CU.split_assign(_docs(spark, sf_dir))
+    return CU.split_leakage(docs, n=SPLIT_LEAK_N).orderBy("doc_id")
+
+
+PIPELINE_ORACLES["q_split_leakage"] = f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS w FROM documents),
+shf5 AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+              || ' ' || w[i+4] AS sh
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM toks)),
+spl AS (
+  SELECT doc_id,
+         CASE WHEN bucket < 980 THEN 'train'
+              WHEN bucket < 990 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 1000 AS bucket
+        FROM documents)),
+tsh AS (SELECT DISTINCT e.sh FROM shf5 e JOIN spl USING (doc_id)
+        WHERE spl.split = 'train'),
+ev AS (SELECT e.doc_id, e.sh FROM shf5 e JOIN spl USING (doc_id)
+       WHERE spl.split <> 'train'),
+per AS (SELECT ev.doc_id, count(*)::BIGINT AS n_shingles,
+               sum(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_shared
+        FROM ev LEFT JOIN tsh t ON ev.sh = t.sh GROUP BY 1),
+frac AS (
+  SELECT spl.doc_id, spl.split,
+         coalesce(per.n_shingles, 0)::BIGINT AS n_shingles,
+         coalesce(per.n_shared, 0)::BIGINT AS n_shared,
+         CASE WHEN coalesce(per.n_shingles, 0) = 0 THEN 0.0
+              ELSE ((n_shared * 2000000 + n_shingles)
+                    // (2 * n_shingles))::DOUBLE / 1000000.0
+         END AS leak_frac
+  FROM spl LEFT JOIN per USING (doc_id)
+  WHERE spl.split <> 'train')
+SELECT doc_id, split, n_shingles, n_shared, leak_frac,
+       leak_frac >= 0.5 AS leaked
+FROM frac ORDER BY doc_id"""
+PIPELINE_QUERIES.update({"q_split_leakage": q_split_leakage})
+
+
+def q_cluster_mix(spark, sf_dir):
+    """Semantic topic-mix per source (dedup.semantic_clusters × the
+    documents dim): the corpus partitioned into k ~ √n semantic
+    clusters (q_dedup_semantic's exact blocking — same seeds, same
+    argmin ties), rolled up to a (cluster, source) composition matrix
+    with each cell's share of its source — the read-out that shows a
+    feed collapsing onto one topic before any quality score does.
+    Scan-local literal argmin (no join for assignment), one id-keyed
+    equi-join to attach source, one k×S hash aggregate, one window
+    over the aggregated (bounded) table."""
+    from pyspark.sql.window import Window
+
+    cl = D.semantic_clusters(_emb(spark, sf_dir), k=None)
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    cell = (
+        cl.join(docs, cl["vec_id"] == docs["doc_id"])
+        .groupBy("cluster", "source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    tot = F.sum("n_docs").over(Window.partitionBy("source"))
+    return cell.select(
+        "cluster",
+        "source",
+        "n_docs",
+        _h6(F.col("n_docs") / tot).alias("source_share"),
+    ).orderBy("cluster", "source")
+
+
+PIPELINE_ORACLES["q_cluster_mix"] = f"""
+WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+kk AS (SELECT greatest(8, CAST(round(sqrt(count(*)), 0) AS INT)) AS k
+       FROM ve),
+sd AS (SELECT cid, c FROM (
+         SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid,
+                v AS c
+         FROM ve) seeds CROSS JOIN kk WHERE cid < k),
+asg AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT a.vec_id, s.cid,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_sum(list_transform(range(1, 65),
+                               i -> (a.v[i] - s.c[i]) * (a.v[i] - s.c[i]))),
+                      s.cid) AS rn
+    FROM ve a CROSS JOIN sd s) WHERE rn = 1),
+cell AS (SELECT cluster, source, count(*)::BIGINT AS n_docs
+         FROM asg JOIN documents ON vec_id = doc_id
+         GROUP BY 1, 2)
+SELECT cluster, source, n_docs,
+       floor(n_docs::DOUBLE
+             / sum(n_docs) OVER (PARTITION BY source)
+             * 1000000.0 + 0.5) / 1000000.0 AS source_share
+FROM cell ORDER BY cluster, source"""
+PIPELINE_QUERIES.update({"q_cluster_mix": q_cluster_mix})

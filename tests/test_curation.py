@@ -675,3 +675,62 @@ def test_dsir_gumbel_select_is_deterministic_and_weight_sensitive(spark):
         dsir_gumbel_select(wdf, k=0)
     with _pytest.raises(ValueError):
         dsir_gumbel_select(wdf, k=5, temperature=0.0)
+
+
+# ---------------------------------------------------------------------------
+# split_leakage: train→eval split-leakage audit (round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_split_leakage_flags_cross_split_clone(spark):
+    from mapreduce_kmeans_clustering_spark.operators.curation import (
+        split_leakage,
+    )
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, base, "train"),
+        (2, base, "test"),  # clone of a train doc -> leak_frac 1.0
+        (3, "entirely different words nothing shared here at all", "val"),
+        (4, "xx", "test"),  # too short to shingle -> 0 / 0.0 / false
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, split STRING")
+    out = {r["doc_id"]: r for r in split_leakage(df, n=3).collect()}
+    assert set(out) == {2, 3, 4}  # eval docs only; train never audited
+    assert out[2]["leak_frac"] == 1.0 and out[2]["leaked"]
+    assert out[3]["n_shared"] == 0 and not out[3]["leaked"]
+    assert out[4]["n_shingles"] == 0 and out[4]["leak_frac"] == 0.0
+    assert not out[4]["leaked"]
+
+
+def test_split_leakage_partial_overlap_fraction(spark):
+    from mapreduce_kmeans_clustering_spark.operators.curation import (
+        split_leakage,
+    )
+
+    # eval doc: 6 tokens -> 4 distinct 3-grams; exactly the first 3
+    # tokens' single gram ("a b c") also appears in train -> 1/4
+    rows = [
+        (1, "a b c zz yy xx", "train"),
+        (2, "a b c d e f", "test"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, split STRING")
+    out = split_leakage(df, n=3).collect()[0]
+    assert out["n_shingles"] == 4 and out["n_shared"] == 1
+    assert out["leak_frac"] == 0.25 and not out["leaked"]
+    # threshold compares the rounded column it reports
+    out2 = split_leakage(df, n=3, leak_threshold=0.25).collect()[0]
+    assert out2["leaked"]
+
+
+def test_split_leakage_custom_split_values(spark):
+    from mapreduce_kmeans_clustering_spark.operators.curation import (
+        split_leakage,
+    )
+
+    rows = [(1, "p q r s t u", "keep"), (2, "p q r s t u", "holdout")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, part STRING")
+    out = split_leakage(
+        df, split_col="part", train_value="keep", n=3
+    ).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 2 and out[0]["leaked"]

@@ -992,3 +992,105 @@ def test_bloom_fill_stats_saturation_dashboard(spark):
 
     with _pytest.raises(ValueError):
         bloom_fill_stats(filt, k=0)
+
+
+# ---------------------------------------------------------------------------
+# passage_scrub: cross-document repeated-passage removal (round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_passage_scrub_keeps_canonical_and_empties_clone(spark):
+    from mapreduce_kmeans_clustering_spark.operators.dedup import passage_scrub
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (10, base),            # canonical (min id among the clones)
+        (20, base),            # exact clone -> fully scrubbed
+        (30, "completely different words with no shared passages at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in passage_scrub(df, n=5).collect()}
+    assert len(out) == 3  # one row per input doc, always
+    assert out[10]["scrubbed_text"] == base
+    assert out[10]["n_removed"] == 0
+    assert out[20]["scrubbed_text"] == ""
+    assert out[20]["n_kept"] == 0 and out[20]["n_removed"] == 10
+    assert out[30]["n_removed"] == 0
+
+
+def test_passage_scrub_excises_shared_span_only(spark):
+    from mapreduce_kmeans_clustering_spark.operators.dedup import passage_scrub
+
+    shared = "one two three four five"
+    rows = [
+        (1, f"{shared} unique tail for the first document here"),
+        (2, f"totally different head before {shared} and then more"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in passage_scrub(df, n=5).collect()}
+    # doc 1 (min id) keeps the passage; doc 2 loses exactly those 5 tokens
+    assert out[1]["scrubbed_text"] == rows[0][1]
+    assert out[2]["n_removed"] == 5
+    assert out[2]["scrubbed_text"] == "totally different head before and then more"
+
+
+def test_passage_scrub_within_doc_repeats_out_of_scope(spark):
+    from mapreduce_kmeans_clustering_spark.operators.dedup import passage_scrub
+
+    block = "red green blue cyan magenta"
+    rows = [(1, f"{block} filler words {block}")]  # repeated INSIDE one doc
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = passage_scrub(df, n=5).collect()
+    assert out[0]["n_removed"] == 0  # cross-doc scope only
+
+
+def test_passage_scrub_adjacent_grams_fuse_into_one_span(spark):
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        merge_positions_to_spans,
+        passage_scrub,
+    )
+
+    # a 7-token shared run yields three overlapping 5-gram matches in
+    # the clone (positions 0,1,2) that must fuse into ONE span 0..6
+    run = "s1 s2 s3 s4 s5 s6 s7"
+    rows = [(1, f"{run} keeper tail"), (2, f"{run} other ending")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in passage_scrub(df, n=5).collect()}
+    assert out[2]["n_removed"] == 7
+    assert out[2]["scrubbed_text"] == "other ending"
+    # and the span helper itself: starts 0,1,2 at n=5 -> one 0..6 span
+    m = spark.createDataFrame([(2, 0), (2, 1), (2, 2)], "doc_id LONG, pos LONG")
+    sp = merge_positions_to_spans(m, 5).collect()
+    assert [(r["_s"], r["_e"]) for r in sp] == [(0, 6)]
+
+
+def test_passage_scrub_validates_args(spark):
+    from mapreduce_kmeans_clustering_spark.operators.dedup import passage_scrub
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="gram length"):
+        passage_scrub(df, n=1)
+    with pytest.raises(ValueError, match="min_docs"):
+        passage_scrub(df, min_docs=1)
+
+
+def test_semantic_clusters_matches_semantic_dedup_blocking(spark):
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        semantic_clusters,
+        semantic_dedup,
+    )
+
+    rows = [
+        (i, [float(i % 3), float((i * 7) % 5), 1.0, 0.0]) for i in range(12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cl = {
+        r["vec_id"]: r["cluster"]
+        for r in semantic_clusters(emb, k=3, dim=4).collect()
+    }
+    dd = {
+        r["vec_id"]: r["cluster"]
+        for r in semantic_dedup(emb, k=3, dim=4).collect()
+    }
+    assert cl == dd  # one blocking, two consumers
+    assert len(cl) == 12

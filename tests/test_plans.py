@@ -1407,3 +1407,54 @@ def test_bloom_fill_plan(spark):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     assert "HashAggregate" in p
+
+
+def test_passage_scrub_plan(spark):
+    """Passage scrub: keeper verdicts join matched positions back on
+    the 8-byte gram hash as a HASH join (the stats side is grouped,
+    but never broadcast-hinted — repeated grams grow with the corpus,
+    AQE decides); the (doc, pos) anti-join and sorted-collect rebuild
+    follow decontam_scrub's pinned shapes; no cartesian, no range
+    join, no per-row Python."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_passage_scrub,
+    )
+
+    p = _plan(q_passage_scrub(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+    assert "HashJoin" in p
+    assert "ObjectHashAggregate" in p
+
+
+def test_split_leakage_plan(spark):
+    """Split-leakage audit: the train shingle set joins the eval
+    shingle stream as a hash join (train side is corpus-sized —
+    deliberately not broadcast-hinted, AQE decides); no cartesian,
+    no per-row Python."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_split_leakage,
+    )
+
+    p = _plan(q_split_leakage(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+    assert "HashJoin" in p
+
+
+def test_cluster_mix_plan(spark):
+    """Topic-mix: cluster assignment is scan-local (literal argmin —
+    no join, no Exchange for it); source attaches via one hash join;
+    the share window runs over the k×S aggregated table. No
+    cartesian, no per-row Python."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_cluster_mix,
+    )
+
+    p = _plan(q_cluster_mix(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+    assert "HashJoin" in p

@@ -127,6 +127,11 @@ SWEEP_QUERIES = [
     "q_bpe_fertility",
     "q_url_blocklist",
     "q_bloom_fill",
+    # round-12 continuation: cross-document repeated-passage removal
+    # + the split-leakage audit
+    "q_passage_scrub",
+    "q_split_leakage",
+    "q_cluster_mix",
     # round-12 continuation: the remaining >1.8s keys without a row
     "q_bpe_encode",
     "q_retrieval_metrics",
@@ -199,6 +204,9 @@ QUERY_TABLES = {
     "q_bpe_fertility": {"documents"},
     "q_url_blocklist": {"documents"},
     "q_bloom_fill": {"documents"},
+    "q_passage_scrub": {"documents"},
+    "q_split_leakage": {"documents"},
+    "q_cluster_mix": {"documents", "embeddings"},
     "q_bpe_encode": {"documents"},
     "q_retrieval_metrics": {"documents"},
     "q_dedup_minhash": {"documents"},
