@@ -1254,6 +1254,46 @@ def contamination_source_report(
 # DSIR importance weighting (round 11 continuation)
 # ---------------------------------------------------------------------------
 
+def _dsir_features(
+    docs: DataFrame,
+    target_pred: Column,
+    n_buckets: int,
+    bigrams: bool,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared DSIR feature stream — (id, _tgt, _bkt): one hashed
+    bucket row per word unigram (+ bigram) OCCURRENCE. One home so
+    ``dsir_logweights`` (the batch scorer), ``dsir_profile`` (the
+    mergeable bucket-count state), and the from-profile scorer can
+    never drift on tokenization, bigram formation, or the md5 bucket
+    (the half_up6-centralization lesson, ADVICE r11). Expressions are
+    identical to the pre-extraction inline form — scan-local explode,
+    no shuffle."""
+    from mapreduce_kmeans_clustering_spark.operators.text import hash_dim
+
+    w = tokens(F.col(text_col))
+    feats = w
+    if bigrams:
+        bi = F.when(
+            F.size(w) >= 2,
+            F.zip_with(
+                F.slice(w, 1, F.size(w) - 1),
+                F.slice(w, 2, F.size(w) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        feats = F.concat(w, bi)
+    tgt = F.coalesce(target_pred, F.lit(False))
+    return docs.select(
+        F.col(id_col),
+        tgt.alias("_tgt"),
+        F.explode(feats).alias("_feat"),
+    ).select(
+        id_col, "_tgt", hash_dim(F.col("_feat"), n_buckets).alias("_bkt")
+    )
+
+
 def dsir_logweights(
     docs: DataFrame,
     target_pred: Column,
@@ -1302,27 +1342,9 @@ def dsir_logweights(
     text) still emits its row as (id, 0, 0.0) — nothing vanishes."""
     if int(n_buckets) < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    w = tokens(F.col(text_col))
-    feats = w
-    if bigrams:
-        bi = F.when(
-            F.size(w) >= 2,
-            F.zip_with(
-                F.slice(w, 1, F.size(w) - 1),
-                F.slice(w, 2, F.size(w) - 1),
-                lambda a, b: F.concat_ws(" ", a, b),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        feats = F.concat(w, bi)
-    from mapreduce_kmeans_clustering_spark.operators.text import hash_dim
-
     tgt = F.coalesce(target_pred, F.lit(False))
-    fb = docs.select(
-        F.col(id_col),
-        tgt.alias("_tgt"),
-        F.explode(feats).alias("_feat"),
-    ).select(
-        id_col, "_tgt", hash_dim(F.col("_feat"), n_buckets).alias("_bkt")
+    fb = _dsir_features(
+        docs, target_pred, n_buckets, bigrams, text_col, id_col
     )
     # BOTH sides' bucket counts in ONE aggregate over one explode —
     # the two-frame form (separate cr/ct groupBys) tokenized and
@@ -1371,6 +1393,221 @@ def dsir_logweights(
     # doc ids, coalescing absentees to the neutral weight
     raw_ids = docs.where(~tgt).select(F.col(id_col))
     return raw_ids.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce("logweight", F.lit(0.0)).alias("logweight"),
+    )
+
+
+# Geometry sentinel for stored DSIR profiles: bucket -1 never occurs
+# (hash_dim yields 0..n_buckets-1), n_raw carries n_buckets, n_target
+# carries the bigrams flag — the bloom-filter precedent: a profile
+# merged or probed under the WRONG geometry would silently score
+# garbage, so geometry travels inside the state and mismatches are
+# refused loudly.
+_DSIR_SENTINEL_BUCKET = -1
+
+
+def _dsir_sentinel(like: DataFrame, n_buckets: int, bigrams: bool) -> DataFrame:
+    return like.sparkSession.createDataFrame(
+        [(_DSIR_SENTINEL_BUCKET, int(n_buckets), 1 if bigrams else 0)],
+        "bucket INT, n_raw LONG, n_target LONG",
+    )
+
+
+def dsir_profile(
+    docs: DataFrame,
+    target_pred: Column,
+    *,
+    n_buckets: int = 8192,
+    bigrams: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The MERGEABLE state of the DSIR scorer — per-bucket hashed
+    n-gram occurrence counts for the raw and target sides:
+    (bucket, n_raw, n_target), plus the geometry sentinel row. Counts
+    are ADDITIVE across batches holding disjoint documents (the
+    boilerplate/URL index class), so a continuously-fed corpus can
+    maintain its importance model at O(batch) per day instead of
+    re-reading history: fold arrivals in with ``extend_dsir_profile``
+    (raw docs) or ``merge_dsir_profiles`` (stored side outputs), score
+    as-of the profile with ``dsir_logweights_from_profile``.
+
+    One scan-local feature explode + ONE bucket-keyed conditional
+    aggregate (map-side partial; at most n_buckets + 1 rows survive) —
+    exactly ``dsir_logweights``' count stage via the shared
+    ``_dsir_features``, so the stored model can never drift from the
+    batch scorer's."""
+    if int(n_buckets) < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    fb = _dsir_features(docs, target_pred, n_buckets, bigrams, text_col, id_col)
+    counts = fb.groupBy(F.col("_bkt").cast("int").alias("bucket")).agg(
+        F.sum(F.when(~F.col("_tgt"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_raw"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_target"),
+    )
+    return counts.unionByName(_dsir_sentinel(docs, n_buckets, bigrams))
+
+
+def dsir_profile_geometry(profile: DataFrame) -> tuple[int, bool]:
+    """(n_buckets, bigrams) from a stored profile's sentinel row; a
+    sentinel-less relation is refused loudly (it is not a profile this
+    module wrote, or it was built before the sentinel existed —
+    rebuild with ``dsir_profile``)."""
+    row = (
+        profile.where(F.col("bucket") == _DSIR_SENTINEL_BUCKET)
+        .select("n_raw", "n_target")
+        .collect()
+    )
+    if len(row) != 1:
+        raise ValueError(
+            "stored DSIR profile has no geometry sentinel (bucket = -1); "
+            "rebuild it with dsir_profile"
+        )
+    return int(row[0]["n_raw"]), bool(row[0]["n_target"])
+
+
+def extend_dsir_profile(
+    stored: DataFrame,
+    batch_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fold a batch of arriving RAW documents into a stored DSIR
+    profile — O(batch features) + O(n_buckets), never a history
+    rescan. Geometry (n_buckets, bigrams) is read from the stored
+    sentinel, so a wrong-modulus fold is impossible by construction.
+    Arrivals extend the RAW side only: the target partition is the
+    fixed reference set the model was built against (re-run
+    ``dsir_profile`` to change it).
+
+    Honest limit (the additive-index class, unlike the idempotent
+    Bloom fold): folding the same batch twice double-counts it —
+    the caller's epoch bookkeeping (the ``_batch_profile`` side
+    outputs are per-epoch directories) is what prevents replay."""
+    n_buckets, bigrams = dsir_profile_geometry(stored)
+    batch = dsir_profile(
+        batch_docs,
+        F.lit(False),
+        n_buckets=n_buckets,
+        bigrams=bigrams,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    return merge_dsir_profiles(stored, batch)
+
+
+def merge_dsir_profiles(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two stored DSIR profiles (e.g. the per-epoch
+    ``_batch_profile`` side outputs of ``stream_dsir_ingest``):
+    bucket counts sum, the sentinel is validated equal on both sides
+    and carried through exactly once. Counts are additive, so the
+    merge is exact for profiles built over disjoint document sets."""
+    ga, gb = dsir_profile_geometry(a), dsir_profile_geometry(b)
+    if ga != gb:
+        raise ValueError(
+            f"DSIR profile geometry mismatch: {ga} vs {gb} — profiles "
+            "built under different n_buckets/bigrams cannot be merged; "
+            "rebuild one side"
+        )
+    data = (
+        a.unionByName(b)
+        .where(F.col("bucket") != _DSIR_SENTINEL_BUCKET)
+        .groupBy("bucket")
+        .agg(
+            F.sum("n_raw").cast("long").alias("n_raw"),
+            F.sum("n_target").cast("long").alias("n_target"),
+        )
+    )
+    return data.unionByName(_dsir_sentinel(a, ga[0], ga[1]))
+
+
+def dsir_logweights_from_profile(
+    profile: DataFrame,
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score arriving documents against a STORED DSIR profile — the
+    index-vs-delta shape (``dedup.incremental_minhash_dedup``'s
+    contract): work scales with the batch, the model is the profile
+    as last folded. Output matches ``dsir_logweights``:
+    (id, n_feats, logweight), one row per input doc.
+
+    Scoring a doc whose features all land in raw-occupied buckets is
+    BIT-IDENTICAL to the batch scorer on the profile's own corpus
+    (pinned by test): the per-bucket micro-unit log-ratios are the
+    same expressions over the same counts. The from-profile form
+    additionally defines buckets the profile never saw on the raw
+    side (impossible in the batch form, where a raw doc's features
+    are in the raw model by construction): they score the SAME
+    add-one-smoothed formula with n_raw = 0 (and n_target = 0 when
+    fully unseen — a constant ln((R+B)/(T+B)) default attached via
+    one coalesce), so novel text is handled, not dropped.
+
+    Plan: one scan-local feature explode, one broadcast left join
+    against the ≤ n_buckets-row ratio table, one id-keyed sum —
+    O(batch features)."""
+    n_buckets, bigrams = dsir_profile_geometry(profile)
+    return _dsir_score_from_profile(
+        profile, docs, n_buckets, bigrams, text_col, id_col
+    )
+
+
+def _dsir_score_from_profile(
+    profile: DataFrame,
+    docs: DataFrame,
+    n_buckets: int,
+    bigrams: bool,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Scoring core of ``dsir_logweights_from_profile`` with the
+    geometry already in hand — the streaming leg reads the sentinel
+    ONCE per run and calls this per epoch instead of re-collecting it
+    every micro-batch (the bloom-stream code-review precedent)."""
+    from mapreduce_kmeans_clustering_spark.functions.rounding import (
+        half_up6_micro,
+    )
+
+    data = profile.where(F.col("bucket") != _DSIR_SENTINEL_BUCKET)
+    totals = data.agg(
+        F.sum("n_raw").cast("long").alias("_r"),
+        F.sum("n_target").cast("long").alias("_t"),
+    )
+    B = int(n_buckets)
+    lr = F.log((F.col("n_target") + 1) / (F.col("_t") + B)) - F.log(
+        (F.col("n_raw") + 1) / (F.col("_r") + B)
+    )
+    ratio = data.crossJoin(F.broadcast(totals)).select(
+        F.col("bucket").alias("_bkt"), half_up6_micro(lr).alias("_micro")
+    )
+    default_lr = F.log(F.lit(1.0) / (F.col("_t") + B)) - F.log(
+        F.lit(1.0) / (F.col("_r") + B)
+    )
+    default = totals.select(half_up6_micro(default_lr).alias("_dmicro"))
+    fb = _dsir_features(
+        docs, F.lit(False), n_buckets, bigrams, text_col, id_col
+    )
+    scored = (
+        fb.join(F.broadcast(ratio), "_bkt", "left")
+        .crossJoin(F.broadcast(default))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            (F.sum(F.coalesce("_micro", F.col("_dmicro"))) / F.lit(1e6)).alias(
+                "logweight"
+            ),
+        )
+    )
+    ids = docs.select(F.col(id_col))
+    return ids.join(scored, id_col, "left").select(
         id_col,
         F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
         F.coalesce("logweight", F.lit(0.0)).alias("logweight"),

@@ -430,3 +430,74 @@ def stream_bloom_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dsir_ingest(
+    docs_stream: DataFrame,
+    profile: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Score an arriving document stream against the STORED DSIR
+    profile — the streaming leg of the importance-resampling data
+    selector (``curation.dsir_logweights_from_profile``), fifth member
+    of the ingest index family (band index, URL index, boilerplate
+    index, Bloom filter). Per micro-batch:
+
+    - every arriving doc gets its (n_feats, logweight) as-of the
+      stored profile, landed as parquet under ``ingest_batch=<epoch>``
+      (idempotent per-epoch overwrite, replay-safe);
+    - the batch's OWN raw-side bucket counts are written under
+      ``out_path/_batch_profile/ingest_batch=<epoch>`` (underscore =
+      hidden from data reads, the family convention). The caller folds
+      epochs into the stored profile between runs via
+      ``curation.merge_dsir_profiles`` (``extend_dsir_profile`` is the
+      raw-docs twin). Counts are ADDITIVE — exact for disjoint epochs,
+      but NOT idempotent (the count-index class, unlike the Bloom
+      fold): the per-epoch directories are the replay bookkeeping.
+
+    Honest limit (the family's): weights reflect the profile as the
+    caller last folded it — arrivals do not shift the raw model
+    mid-run; the fold makes them count from the next run on. Geometry
+    (n_buckets, bigrams) is read from the profile's sentinel, so a
+    wrong-modulus score is impossible by construction."""
+    from mapreduce_kmeans_clustering_spark.operators.curation import (
+        _dsir_score_from_profile,
+        dsir_profile,
+        dsir_profile_geometry,
+    )
+
+    # geometry read ONCE; the profile is immutable for the stream's
+    # lifetime (the bloom-stream precedent)
+    n_buckets, bigrams = dsir_profile_geometry(profile)
+    prof = profile.localCheckpoint(eager=True)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            _dsir_score_from_profile(
+                prof, batch_df, n_buckets, bigrams, text_col, id_col
+            ).write.mode("overwrite").parquet(
+                f"{out_path}/ingest_batch={epoch_id}"
+            )
+            dsir_profile(
+                batch_df,
+                F.lit(False),
+                n_buckets=n_buckets,
+                bigrams=bigrams,
+                text_col=text_col,
+                id_col=id_col,
+            ).write.mode("overwrite").parquet(
+                f"{out_path}/_batch_profile/ingest_batch={epoch_id}"
+            )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

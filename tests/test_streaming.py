@@ -1278,3 +1278,81 @@ def test_stream_bloom_ingest_screens_and_folds(spark, tmp_path):
     bare = stored.where(F.col("word") >= 0)
     with _pytest.raises(ValueError, match="sentinel"):
         bloom_screen_from_filter(bare, replay)
+
+
+def test_stream_dsir_ingest_scores_and_folds(spark, tmp_path):
+    """Streaming DSIR scorer (round-12 continuation, fifth index
+    family member): arriving docs are scored as-of the STORED profile
+    (bit-identical to the batch from-profile scorer on the same
+    docs), the per-epoch raw-side bucket counts land under the hidden
+    side path with the geometry sentinel, and folding them via
+    merge_dsir_profiles reaches EXACTLY the state extend_dsir_profile
+    reaches from the raw docs (the additive-index contract)."""
+    import glob
+    import json
+
+    from mapreduce_kmeans_clustering_spark.operators.curation import (
+        dsir_logweights_from_profile,
+        dsir_profile,
+        extend_dsir_profile,
+        merge_dsir_profiles,
+    )
+    from mapreduce_kmeans_clustering_spark.streaming.ingest import (
+        read_documents_stream,
+        stream_dsir_ingest,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "quality prose about careful reasoning", True),
+            (1, "careful structured writing with clear reasoning", True),
+            (2, "cheap pills online casino bonus click now", False),
+            (3, "crawl noise about casino pills and bonus spam", False),
+        ],
+        "doc_id LONG, text STRING, tgt BOOLEAN",
+    )
+    prof = dsir_profile(corpus, F.col("tgt"), n_buckets=64).localCheckpoint(
+        eager=True
+    )
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    rows = [
+        {"doc_id": 100, "text": "careful reasoning and clear writing", "lang": "en", "source": "web", "n_chars": 35},
+        {"doc_id": 101, "text": "casino bonus pills spam click", "lang": "en", "source": "web", "n_chars": 29},
+    ]
+    (src / "a.jsonl").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = str(tmp_path / "out")
+    q = stream_dsir_ingest(
+        read_documents_stream(spark, str(src)), prof, out,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["n_feats"], r["logweight"])
+        for p in glob.glob(f"{out}/ingest_batch=*")
+        for r in spark.read.parquet(p).collect()
+    }
+    arrivals = spark.createDataFrame(
+        [(100, "careful reasoning and clear writing"),
+         (101, "casino bonus pills spam click")],
+        "doc_id LONG, text STRING",
+    )
+    want = {
+        r["doc_id"]: (r["n_feats"], r["logweight"])
+        for r in dsir_logweights_from_profile(prof, arrivals).collect()
+    }
+    assert got == want  # stream == batch twin, bit-identical
+    # target-like arrival outranks spam-like arrival under the model
+    assert got[100][1] > got[101][1]
+
+    # fold the epoch side output; it must equal the raw-docs twin
+    side = spark.read.parquet(
+        glob.glob(f"{out}/_batch_profile/ingest_batch=*")[0]
+    )
+    via_merge = sorted(map(tuple, merge_dsir_profiles(prof, side).collect()))
+    via_docs = sorted(
+        map(tuple, extend_dsir_profile(prof, arrivals).collect())
+    )
+    assert via_merge == via_docs
