@@ -171,6 +171,55 @@ def lsh_bands(sigs: DataFrame, band_width: int = 2, id_col: str = "doc_id") -> D
     )
 
 
+def lsh_occupancy(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    band_width: int = 2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band-bucket occupancy dashboard for the MinHash-LSH blocking —
+    the number to read BEFORE running the banded candidate join: per
+    band, the bucket count, the hottest bucket, and the implied
+    candidate-pair volume sum(c·(c−1)/2). A band whose max_bucket (or
+    candidate_pairs) runs away is the signal that a signature column
+    went degenerate (empty-text hash, boilerplate-dominated shingles)
+    and the join needs the max_df cap / AQE-skew treatment — the
+    dedup family's twin of q_key_skew. Output one row per band:
+    (band, n_buckets, n_docs, max_bucket, candidate_pairs).
+
+    Scale shape: one (band, band_sig)-keyed count (map-side partial —
+    the hot buckets this exists to find collapse INSIDE the partial
+    aggregate, so the dashboard itself never suffers the skew it
+    measures), then one B-row rollup. candidate_pairs is computed in
+    DECIMAL(38,0) with the even-factor halved BEFORE the multiply
+    (c·(c−1) overflows BIGINT once a bucket passes ~3e9 members —
+    exactly the catastrophic-bucket regime this dashboard detects, so
+    it must keep counting there instead of throwing; the
+    bucket_digests ANSI-overflow lesson)."""
+    sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    bands = lsh_bands(sigs, band_width, id_col)
+    bs = bands.groupBy("band", "band_sig").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    pairs = F.expr(
+        "CAST(CASE WHEN c % 2 = 0 THEN CAST(c DIV 2 AS DECIMAL(19,0)) * (c - 1) "
+        "ELSE CAST(c AS DECIMAL(19,0)) * ((c - 1) DIV 2) END AS DECIMAL(38,0))"
+    )
+    return (
+        bs.select("band", "c", pairs.alias("_p"))
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum("c").cast("long").alias("n_docs"),
+            F.max("c").cast("long").alias("max_bucket"),
+            F.sum("_p").cast("decimal(38,0)").alias("candidate_pairs"),
+        )
+        .orderBy("band")
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     num_hashes: int = 8,

@@ -11814,3 +11814,36 @@ SELECT cluster, source, n_docs,
              * 1000000.0 + 0.5) / 1000000.0 AS source_share
 FROM cell ORDER BY cluster, source"""
 PIPELINE_QUERIES.update({"q_cluster_mix": q_cluster_mix})
+
+
+def q_lsh_occupancy(spark, sf_dir):
+    """LSH band-bucket occupancy dashboard (dedup.lsh_occupancy): per
+    band, the bucket count, hottest bucket, and implied candidate-pair
+    volume sum(c·(c−1)/2) — the pre-flight skew read-out for the
+    banded near-dup join (q_key_skew's twin for the dedup family).
+    One (band, band_sig)-keyed map-side-combined count + one B-row
+    rollup; pair volume in DECIMAL(38,0) with the even factor halved
+    before the multiply so a catastrophic bucket is REPORTED, not an
+    ANSI overflow."""
+    return D.lsh_occupancy(_docs(spark, sf_dir))
+
+
+PIPELINE_ORACLES["q_lsh_occupancy"] = f"""
+WITH {_SQL_SHINGLES},
+{_SQL_SIG},
+{_SQL_BANDS},
+bs AS (SELECT band, band_sig, count(*)::BIGINT AS c
+       FROM bands GROUP BY 1, 2),
+pb AS (SELECT band, c,
+              CAST(CASE WHEN c % 2 = 0
+                        THEN CAST(c // 2 AS DECIMAL(19,0)) * (c - 1)
+                        ELSE CAST(c AS DECIMAL(19,0)) * ((c - 1) // 2)
+                   END AS DECIMAL(38,0)) AS pairs
+       FROM bs)
+SELECT CAST(band AS INT) AS band,
+       count(*)::BIGINT AS n_buckets,
+       sum(c)::BIGINT AS n_docs,
+       max(c)::BIGINT AS max_bucket,
+       CAST(sum(pairs) AS DECIMAL(38,0)) AS candidate_pairs
+FROM pb GROUP BY band ORDER BY band"""
+PIPELINE_QUERIES.update({"q_lsh_occupancy": q_lsh_occupancy})

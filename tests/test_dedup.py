@@ -1094,3 +1094,35 @@ def test_semantic_clusters_matches_semantic_dedup_blocking(spark):
     }
     assert cl == dd  # one blocking, two consumers
     assert len(cl) == 12
+
+
+def test_lsh_occupancy_hand_check(spark):
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        lsh_occupancy,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(0, base), (1, base), (2, base), (3, "entirely different words about spark engines and shuffles here")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["band"]: r for r in lsh_occupancy(df).collect()}
+    assert set(out) == {0, 1, 2, 3}  # 8 hashes / width 2 -> 4 bands
+    for band, r in out.items():
+        # three identical docs share every band bucket: 2 buckets,
+        # hottest 3, pairs = C(3,2) = 3
+        assert r["n_docs"] == 4
+        assert r["n_buckets"] == 2
+        assert r["max_bucket"] == 3
+        assert int(r["candidate_pairs"]) == 3
+
+
+def test_lsh_occupancy_pairs_even_odd_halving(spark):
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        lsh_occupancy,
+    )
+
+    base = "shared text that lands every clone in one bucket per band ok"
+    for copies, want in ((4, 6), (5, 10)):  # even and odd c
+        rows = [(i, base) for i in range(copies)]
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        out = lsh_occupancy(df).collect()
+        assert all(int(r["candidate_pairs"]) == want for r in out)

@@ -1458,3 +1458,17 @@ def test_cluster_mix_plan(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p
     assert "HashJoin" in p
+
+
+def test_lsh_occupancy_plan(spark):
+    """Occupancy dashboard: two stacked hash aggregates (the bucket
+    count combines map-side — the hot buckets it measures never skew
+    the dashboard itself); no joins at all, no per-row Python."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_lsh_occupancy,
+    )
+
+    p = _plan(q_lsh_occupancy(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "Join" not in p  # pure aggregate pipeline

@@ -132,6 +132,7 @@ SWEEP_QUERIES = [
     "q_passage_scrub",
     "q_split_leakage",
     "q_cluster_mix",
+    "q_lsh_occupancy",
     # round-12 continuation: the remaining >1.8s keys without a row
     "q_bpe_encode",
     "q_retrieval_metrics",
@@ -207,6 +208,7 @@ QUERY_TABLES = {
     "q_passage_scrub": {"documents"},
     "q_split_leakage": {"documents"},
     "q_cluster_mix": {"documents", "embeddings"},
+    "q_lsh_occupancy": {"documents"},
     "q_bpe_encode": {"documents"},
     "q_retrieval_metrics": {"documents"},
     "q_dedup_minhash": {"documents"},
