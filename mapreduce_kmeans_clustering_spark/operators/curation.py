@@ -134,23 +134,31 @@ def split_leakage(
     one rounding rule per value).
 
     Plan shape: two shingle explosions (scan-local + per-doc window),
-    one DISTINCT on the train shingle set, one equi-LEFT-join on the
-    shingle string, one per-doc aggregate, one left join back to the
-    eval doc spine. Never pairwise; the train side is corpus-sized so
-    it is deliberately NOT broadcast-hinted (AQE decides)."""
+    one DISTINCT on the train shingle set, one equi-LEFT-join, one
+    per-doc aggregate, one left join back to the eval doc spine.
+    Never pairwise; the train side is corpus-sized so it is
+    deliberately NOT broadcast-hinted (AQE decides). The distinct and
+    the join run on the gram's 60-bit md5 prefix, not the raw string
+    (the ``ngram_diversity`` shuffle discipline — 8-byte keys instead
+    of 30-60-byte gram text through every exchange; both engines hash
+    identically so oracle parity is exact, and a collision mis-counts
+    ~n²/2⁶¹ grams — zero in any real corpus)."""
     is_train = F.col(split_col) == train_value
     ev = docs.where(~is_train)
+    gh = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
     train_sh = (
         exploded_shingles(
             docs.where(is_train), n=n, text_col=text_col, id_col=id_col
         )
-        .select("sh")
+        .select(gh.alias("gh"))
         .distinct()
         .withColumn("_t", F.lit(1))
     )
-    ev_sh = exploded_shingles(ev, n=n, text_col=text_col, id_col=id_col)
+    ev_sh = exploded_shingles(ev, n=n, text_col=text_col, id_col=id_col).select(
+        F.col(id_col), gh.alias("gh")
+    )
     per = (
-        ev_sh.join(train_sh, "sh", "left")
+        ev_sh.join(train_sh, "gh", "left")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_shingles"),
@@ -1441,8 +1449,26 @@ def dsir_profile(
     batch scorer's."""
     if int(n_buckets) < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    counts = _dsir_counts(
+        docs, target_pred, n_buckets, bigrams, text_col, id_col
+    )
+    return counts.unionByName(_dsir_sentinel(docs, n_buckets, bigrams))
+
+
+def _dsir_counts(
+    docs: DataFrame,
+    target_pred: Column,
+    n_buckets: int,
+    bigrams: bool,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Sentinel-less bucket counts — the data half of ``dsir_profile``;
+    ``extend_dsir_profile`` folds these directly so a daily fold never
+    constructs (and re-reads the geometry of) an intermediate
+    sentinel-carrying profile."""
     fb = _dsir_features(docs, target_pred, n_buckets, bigrams, text_col, id_col)
-    counts = fb.groupBy(F.col("_bkt").cast("int").alias("bucket")).agg(
+    return fb.groupBy(F.col("_bkt").cast("int").alias("bucket")).agg(
         F.sum(F.when(~F.col("_tgt"), 1).otherwise(0))
         .cast("long")
         .alias("n_raw"),
@@ -1450,7 +1476,6 @@ def dsir_profile(
         .cast("long")
         .alias("n_target"),
     )
-    return counts.unionByName(_dsir_sentinel(docs, n_buckets, bigrams))
 
 
 def dsir_profile_geometry(profile: DataFrame) -> tuple[int, bool]:
@@ -1490,16 +1515,25 @@ def extend_dsir_profile(
     Bloom fold): folding the same batch twice double-counts it —
     the caller's epoch bookkeeping (the ``_batch_profile`` side
     outputs are per-epoch directories) is what prevents replay."""
+    # geometry read ONCE; the batch's counts fold in sentinel-less
+    # (code-review r12 continuation: going through merge_dsir_profiles
+    # re-collected the geometry of BOTH sides, forcing an extra
+    # feature-explode pass over the batch just to read the sentinel
+    # this function had itself chosen)
     n_buckets, bigrams = dsir_profile_geometry(stored)
-    batch = dsir_profile(
-        batch_docs,
-        F.lit(False),
-        n_buckets=n_buckets,
-        bigrams=bigrams,
-        text_col=text_col,
-        id_col=id_col,
+    batch = _dsir_counts(
+        batch_docs, F.lit(False), n_buckets, bigrams, text_col, id_col
     )
-    return merge_dsir_profiles(stored, batch)
+    data = (
+        stored.where(F.col("bucket") != _DSIR_SENTINEL_BUCKET)
+        .unionByName(batch)
+        .groupBy("bucket")
+        .agg(
+            F.sum("n_raw").cast("long").alias("n_raw"),
+            F.sum("n_target").cast("long").alias("n_target"),
+        )
+    )
+    return data.unionByName(_dsir_sentinel(stored, n_buckets, bigrams))
 
 
 def merge_dsir_profiles(a: DataFrame, b: DataFrame) -> DataFrame:

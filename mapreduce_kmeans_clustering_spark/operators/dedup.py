@@ -1413,7 +1413,7 @@ def semantic_assign_expr(cvecs: list[list[float]], vec: str = "_v"):
 
 def _semantic_asg(
     embeddings: DataFrame,
-    k: int,
+    k: int | None,
     dim: int,
     id_col: str,
     vec_col: str,
@@ -1435,6 +1435,12 @@ def _semantic_asg(
     iteration); pass ``centroids`` to keep construction job-free."""
     from mapreduce_kmeans_clustering_spark.functions.distance import norm_hof
 
+    # k=None -> suggested_semantic_k(~sqrt n): resolved HERE, the one
+    # home, so semantic_dedup, its BLAS twin, and semantic_clusters can
+    # never desynchronize their blocking (code-review r12 continuation);
+    # ignored when explicit centroids define the blocking
+    if k is None and centroids is None:
+        k = suggested_semantic_k(embeddings.count())
     v = F.slice(F.transform(F.col(vec_col), lambda x: x.cast("double")), 1, dim)
     base = embeddings.select(
         F.col(id_col).alias("_id"),
@@ -1486,8 +1492,6 @@ def semantic_clusters(
     ``semantic_dedup`` and a mix table from here can never disagree
     on the blocking. Scan-local literal/BLAS argmin — no join, no
     Exchange, no pair stage."""
-    if k is None and centroids is None:
-        k = suggested_semantic_k(embeddings.count())
     asg = _semantic_asg(
         embeddings, k, dim, id_col, vec_col, centroids, with_norm=False
     )
@@ -1548,8 +1552,6 @@ def semantic_dedup(
     count(*))."""
     from mapreduce_kmeans_clustering_spark.functions.distance import dot_hof
 
-    if k is None and centroids is None:
-        k = suggested_semantic_k(embeddings.count())
     asg = _semantic_asg(embeddings, k, dim, id_col, vec_col, centroids)
     a = asg.select(
         F.col("_id").alias("a"), F.col("_v").alias("va"), F.col("_n").alias("na"),
@@ -1625,8 +1627,6 @@ def semantic_dedup_blas(
     import numpy as np
     import pandas as pd
 
-    if k is None and centroids is None:
-        k = suggested_semantic_k(embeddings.count())
     thr = float(threshold)
 
     def verdicts(pdf: "pd.DataFrame") -> "pd.DataFrame":

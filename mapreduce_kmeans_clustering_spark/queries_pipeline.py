@@ -11736,14 +11736,18 @@ spl AS (
                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                  % 1000 AS bucket
         FROM documents)),
-tsh AS (SELECT DISTINCT e.sh FROM shf5 e JOIN spl USING (doc_id)
+tsh AS (SELECT DISTINCT
+               CAST(('0x' || substr(md5(e.sh), 1, 15)) AS BIGINT) AS gh
+        FROM shf5 e JOIN spl USING (doc_id)
         WHERE spl.split = 'train'),
-ev AS (SELECT e.doc_id, e.sh FROM shf5 e JOIN spl USING (doc_id)
+ev AS (SELECT e.doc_id,
+              CAST(('0x' || substr(md5(e.sh), 1, 15)) AS BIGINT) AS gh
+       FROM shf5 e JOIN spl USING (doc_id)
        WHERE spl.split <> 'train'),
 per AS (SELECT ev.doc_id, count(*)::BIGINT AS n_shingles,
-               sum(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               sum(CASE WHEN t.gh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
                  AS n_shared
-        FROM ev LEFT JOIN tsh t ON ev.sh = t.sh GROUP BY 1),
+        FROM ev LEFT JOIN tsh t ON ev.gh = t.gh GROUP BY 1),
 frac AS (
   SELECT spl.doc_id, spl.split,
          coalesce(per.n_shingles, 0)::BIGINT AS n_shingles,
