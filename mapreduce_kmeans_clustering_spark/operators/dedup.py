@@ -1282,6 +1282,7 @@ def passage_scrub(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Cross-document repeated-passage REMOVAL — the scrub consumer of
     ``repeated_passages``' audit signal (Lee et al. 2022, ExactSubstr:
@@ -1304,24 +1305,36 @@ def passage_scrub(
     applies: excising a span can join its neighbors into a NEW
     repeated n-gram; one pass removes every pre-existing repeat.
 
-    Scale shape: the shuffle key is the gram's 60-bit md5 prefix
-    (``ngram_diversity``'s convention — 8-byte keys, never the gram
-    text; a collision mis-flags ~n²/2⁶¹ grams, zero in any real
-    corpus, and both engines hash identically so oracle parity is
-    exact), a (gram, doc) pre-aggregate collapses in-doc repeats
-    map-side (the ``repeated_passages`` two-stacked-aggregates
-    pattern), and the keeper verdict joins back on the 8-byte hash —
-    inverted-index style, never doc x doc. Boilerplate grams are the
-    usual hot keys; they fan out matched POSITIONS (bounded by corpus
-    tokens), never pairs, so there is no quadratic mode to salt."""
+    Scale shape: the shuffle key is an 8-byte gram hash, never the
+    gram text (``ngram_diversity``'s convention; a collision mis-flags
+    ~n²/2⁶¹ grams, zero in any real corpus), a (gram, doc)
+    pre-aggregate collapses in-doc repeats map-side (the
+    ``repeated_passages`` two-stacked-aggregates pattern), and the
+    keeper verdict joins back on the 8-byte hash — inverted-index
+    style, never doc x doc. Boilerplate grams are the usual hot keys;
+    they fan out matched POSITIONS (bounded by corpus tokens), never
+    pairs, so there is no quadratic mode to salt.
+
+    ``hash_fn``: ``"md5"`` (default) is the 60-bit-prefix form the
+    DuckDB oracle replays; ``"xxhash64"`` is the PRODUCTION hash (the
+    ``repeated_passages`` dial — one hash per gram position dominates
+    this operator's scan cost, and Spark's xxhash64 is several times
+    cheaper per call). Same scrub verdicts either way modulo the
+    negligible collision class — pinned identical by test."""
     if n < 2:
         raise ValueError(f"passage gram length must be >= 2, got {n}")
     if min_docs < 2:
         raise ValueError(
             f"min_docs < 2 would scrub unrepeated text, got {min_docs}"
         )
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     ps = positioned_shingles(docs, n, text_col, id_col)
-    gh = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
+    gh = (
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
+        if hash_fn == "md5"
+        else F.xxhash64(F.col("sh"))
+    )
     pos_h = ps.select(F.col(id_col), "pos", gh.alias("gh"))
     per_doc = pos_h.groupBy("gh", id_col).agg(F.count("*").alias("_c"))
     stats = (

@@ -1126,3 +1126,25 @@ def test_lsh_occupancy_pairs_even_odd_halving(spark):
         df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
         out = lsh_occupancy(df).collect()
         assert all(int(r["candidate_pairs"]) == want for r in out)
+
+
+def test_passage_scrub_xxhash_production_twin(spark):
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        passage_scrub,
+    )
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (10, base),
+        (20, base),
+        (30, f"head words then {base} and a tail"),
+        (40, "completely different content with no shared passages at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    md5_out = sorted(map(tuple, passage_scrub(df, n=5).collect()))
+    xx_out = sorted(
+        map(tuple, passage_scrub(df, n=5, hash_fn="xxhash64").collect())
+    )
+    assert md5_out == xx_out  # same verdicts, cheaper hash
+    with pytest.raises(ValueError, match="hash_fn"):
+        passage_scrub(df, hash_fn="sha1")
