@@ -1276,6 +1276,22 @@ def excise_spans(
     )
 
 
+def _passage_gram_hash(hash_fn: str) -> Column:
+    """The 8-byte NON-NEGATIVE gram key over column ``sh`` — one home
+    shared by ``passage_scrub`` and the gram index so batch and
+    index-vs-delta forms can never disagree on a gram's identity.
+    md5 60-bit prefix (oracle-replayable) or xxhash64 with the sign
+    bit cleared (production; masking keeps the stored index's -1
+    geometry sentinel impossible as a data key — the bloom word >= 0
+    argument — at the cost of halving the keyspace to 2^63,
+    still a ~n²/2⁶⁴ collision budget)."""
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast(
+            "long"
+        )
+    return F.xxhash64(F.col("sh")).bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF))
+
+
 def passage_scrub(
     docs: DataFrame,
     n: int = 5,
@@ -1330,11 +1346,7 @@ def passage_scrub(
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     ps = positioned_shingles(docs, n, text_col, id_col)
-    gh = (
-        F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
-        if hash_fn == "md5"
-        else F.xxhash64(F.col("sh"))
-    )
+    gh = _passage_gram_hash(hash_fn)
     pos_h = ps.select(F.col(id_col), "pos", gh.alias("gh"))
     per_doc = pos_h.groupBy("gh", id_col).agg(F.count("*").alias("_c"))
     stats = (
@@ -1352,6 +1364,182 @@ def passage_scrub(
     )
     spans = merge_positions_to_spans(matched, n, id_col)
     return excise_spans(docs, spans, text_col, id_col)
+
+
+# Geometry sentinel for stored passage-gram indexes: gh = -1 never
+# occurs as a data key (_passage_gram_hash is non-negative by
+# construction for both hash functions), n_docs carries the gram
+# length n, keeper carries the hash function (0 = md5, 1 = xxhash64)
+# — the bloom/DSIR precedent: a wrong-n or wrong-hash probe would
+# silently scrub nothing (or the wrong spans), so geometry travels
+# inside the state and mismatches are refused loudly.
+_PASSAGE_SENTINEL_GH = -1
+_PASSAGE_HASH_CODES = {"md5": 0, "xxhash64": 1}
+
+
+def _passage_sentinel(like: DataFrame, n: int, hash_fn: str) -> DataFrame:
+    return like.sparkSession.createDataFrame(
+        [(_PASSAGE_SENTINEL_GH, int(n), _PASSAGE_HASH_CODES[hash_fn])],
+        "gh LONG, n_docs LONG, keeper LONG",
+    )
+
+
+def passage_gram_index(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """The MERGEABLE state of the repeated-passage scrub — SIXTH
+    member of the streaming index-maintenance family (band, URL,
+    boilerplate, Bloom, DSIR profile): one row per DISTINCT
+    word-``n``-gram of the corpus, ``(gh, n_docs, keeper)`` —
+    distinct-doc count and minimum containing doc id — plus the
+    geometry sentinel. Counts are additive and keepers min-combine
+    across batches holding disjoint documents, so a continuously-fed
+    corpus maintains its gram table at O(batch) per day
+    (``extend_passage_index`` / ``merge_passage_indexes``) and scrubs
+    arrivals against it with ``passage_scrub_delta`` — work scaling
+    with the delta, never the history.
+
+    State size is the distinct-gram count (corpus-proportional — the
+    band index precedent, not the fixed-size Bloom/DSIR states); the
+    8-byte hash key keeps it ~16-24 B/gram. One positioned-shingle
+    pass + two stacked hash aggregates (the (gh, doc) pre-aggregate
+    collapses in-doc repeats map-side)."""
+    if n < 2:
+        raise ValueError(f"passage gram length must be >= 2, got {n}")
+    if hash_fn not in _PASSAGE_HASH_CODES:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    counts = _passage_gram_counts(docs, n, text_col, id_col, hash_fn)
+    return counts.unionByName(_passage_sentinel(docs, n, hash_fn))
+
+
+def _passage_gram_counts(
+    docs: DataFrame, n: int, text_col: str, id_col: str, hash_fn: str
+) -> DataFrame:
+    """Sentinel-less (gh, n_docs, keeper) — the data half of
+    ``passage_gram_index``; extension folds these directly (the
+    ``_dsir_counts`` pattern)."""
+    ps = positioned_shingles(docs, n, text_col, id_col)
+    pos_h = ps.select(F.col(id_col), _passage_gram_hash(hash_fn).alias("gh"))
+    per_doc = pos_h.groupBy("gh", id_col).agg(F.count("*").alias("_c"))
+    return per_doc.groupBy("gh").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min(id_col).cast("long").alias("keeper"),
+    )
+
+
+def passage_index_geometry(index: DataFrame) -> tuple[int, str]:
+    """(n, hash_fn) from a stored gram index's sentinel row; a
+    sentinel-less relation is refused loudly (not an index this
+    module wrote — rebuild with ``passage_gram_index``)."""
+    rows = (
+        index.where(F.col("gh") == _PASSAGE_SENTINEL_GH)
+        .select("n_docs", "keeper")
+        .collect()
+    )
+    if len(rows) != 1:
+        raise ValueError(
+            "stored passage-gram index has no geometry sentinel (gh = -1); "
+            "rebuild it with passage_gram_index"
+        )
+    code = int(rows[0]["keeper"])
+    names = {v: k for k, v in _PASSAGE_HASH_CODES.items()}
+    if code not in names:
+        raise ValueError(f"unknown hash-function code {code} in sentinel")
+    return int(rows[0]["n_docs"]), names[code]
+
+
+def extend_passage_index(
+    stored: DataFrame,
+    batch_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fold a batch of arriving documents into a stored gram index —
+    O(batch grams) + one merge over the touched keys, never a history
+    rescan. Geometry (n, hash_fn) is read ONCE from the sentinel, and
+    the batch's counts fold in sentinel-less (the DSIR-extend
+    pattern). Additive counts + min-combining keepers are exact for
+    batches holding disjoint documents; like the other count indexes
+    (and unlike the idempotent Bloom fold) a replayed batch
+    double-counts — the per-epoch side-output directories are the
+    replay bookkeeping."""
+    n, hash_fn = passage_index_geometry(stored)
+    batch = _passage_gram_counts(batch_docs, n, text_col, id_col, hash_fn)
+    data = (
+        stored.where(F.col("gh") != _PASSAGE_SENTINEL_GH)
+        .unionByName(batch)
+        .groupBy("gh")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.min("keeper").cast("long").alias("keeper"),
+        )
+    )
+    return data.unionByName(_passage_sentinel(stored, n, hash_fn))
+
+
+def merge_passage_indexes(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two stored gram indexes (e.g. per-epoch ``_batch_index``
+    side outputs): counts sum, keepers min-combine, sentinels
+    validated equal and carried through exactly once."""
+    ga, gb = passage_index_geometry(a), passage_index_geometry(b)
+    if ga != gb:
+        raise ValueError(
+            f"passage-gram index geometry mismatch: {ga} vs {gb} — indexes "
+            "built under different n/hash_fn cannot be merged; rebuild one side"
+        )
+    data = (
+        a.unionByName(b)
+        .where(F.col("gh") != _PASSAGE_SENTINEL_GH)
+        .groupBy("gh")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.min("keeper").cast("long").alias("keeper"),
+        )
+    )
+    return data.unionByName(_passage_sentinel(a, ga[0], ga[1]))
+
+
+def passage_scrub_delta(
+    index: DataFrame,
+    batch_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scrub ARRIVING documents against the stored gram index — the
+    index-vs-delta leg of ``passage_scrub`` (the
+    ``incremental_minhash_dedup`` contract: work scales with the
+    delta, the corpus is represented by its index). Any arrival gram
+    PRESENT in the index is a passage the corpus already contains, so
+    its positions merge into maximal spans and are excised from the
+    arrival (the corpus copy is the canonical one by seniority —
+    arrivals never displace it). Output contract matches
+    ``passage_scrub``: one row per arriving doc,
+    ``(id, scrubbed_text, n_kept, n_removed)``.
+
+    SEMANTICS NOTE (vs the batch form): the batch scrub needs a gram
+    in >= min_docs documents of ONE corpus to call it repeated; here
+    index PRESENCE (>= 1 indexed doc) suffices — the arrival itself
+    is the second copy. Same-epoch duplicates among arrivals are NOT
+    cross-checked (index-as-of-last-fold, the family's documented
+    honest limit); the fold makes them count from the next epoch on.
+
+    Plan: one positioned-shingle pass over the BATCH only, one hash
+    semi-join against the index keys (AQE-sized — the index is
+    corpus-proportional, never broadcast-hinted), the shared span
+    merge + excision."""
+    n, hash_fn = passage_index_geometry(index)
+    keys = index.where(F.col("gh") != _PASSAGE_SENTINEL_GH).select("gh")
+    ps = positioned_shingles(batch_docs, n, text_col, id_col)
+    pos_h = ps.select(
+        F.col(id_col), "pos", _passage_gram_hash(hash_fn).alias("gh")
+    )
+    matched = pos_h.join(keys, "gh", "left_semi").select(id_col, "pos")
+    spans = merge_positions_to_spans(matched, n, id_col)
+    return excise_spans(batch_docs, spans, text_col, id_col)
 
 
 # Above this k, the literal-argmin expression (k*dim terms) stops

@@ -501,3 +501,65 @@ def stream_dsir_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_passage_ingest(
+    docs_stream: DataFrame,
+    gram_index: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Scrub an arriving document stream against the STORED passage
+    gram index — the streaming leg of cross-document repeated-passage
+    removal (``dedup.passage_scrub_delta``), sixth member of the
+    ingest index family. Per micro-batch:
+
+    - every arriving doc is re-emitted with the spans the corpus
+      already contains excised, landed as parquet under
+      ``ingest_batch=<epoch>`` (idempotent per-epoch overwrite);
+    - the batch's OWN gram counts (computed over the ORIGINAL arrival
+      text — the scrubbed text's seam grams are derived data) land
+      under ``out_path/_batch_index/ingest_batch=<epoch>``; the
+      caller folds epochs via ``dedup.merge_passage_indexes``
+      (``extend_passage_index`` is the raw-docs twin). Additive
+      counts + min keepers: exact for disjoint epochs, NOT
+      replay-idempotent — per-epoch directories are the bookkeeping.
+
+    Honest limit (the family's): scrub verdicts reflect the index as
+    last folded — two copies of a NOVEL passage arriving in the same
+    epoch both keep it; the fold excises the third copy onward.
+    Geometry (n, hash_fn) is read once from the sentinel."""
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        _passage_gram_counts,
+        _passage_sentinel,
+        passage_index_geometry,
+        passage_scrub_delta,
+    )
+
+    n, hash_fn = passage_index_geometry(gram_index)
+    idx = gram_index.localCheckpoint(eager=True)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            passage_scrub_delta(
+                idx, batch_df, text_col=text_col, id_col=id_col
+            ).write.mode("overwrite").parquet(
+                f"{out_path}/ingest_batch={epoch_id}"
+            )
+            _passage_gram_counts(
+                batch_df, n, text_col, id_col, hash_fn
+            ).unionByName(_passage_sentinel(batch_df, n, hash_fn)).write.mode(
+                "overwrite"
+            ).parquet(f"{out_path}/_batch_index/ingest_batch={epoch_id}")
+        finally:
+            batch_df.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

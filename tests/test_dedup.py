@@ -1148,3 +1148,87 @@ def test_passage_scrub_xxhash_production_twin(spark):
     assert md5_out == xx_out  # same verdicts, cheaper hash
     with pytest.raises(ValueError, match="hash_fn"):
         passage_scrub(df, hash_fn="sha1")
+
+
+# ---------------------------------------------------------------------------
+# passage gram index: index-vs-delta repeated-passage removal (round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_passage_index_additive_and_geometry(spark):
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        extend_passage_index,
+        merge_passage_indexes,
+        passage_gram_index,
+        passage_index_geometry,
+    )
+
+    rows_a = [(1, "one two three four five six"), (2, "seven eight nine ten eleven twelve")]
+    rows_b = [(3, "one two three four five six tail"), (4, "totally novel words here again now")]
+    a = spark.createDataFrame(rows_a, "doc_id LONG, text STRING")
+    b = spark.createDataFrame(rows_b, "doc_id LONG, text STRING")
+    idx_a = passage_gram_index(a, n=5)
+    assert passage_index_geometry(idx_a) == (5, "md5")
+    # extend(index(A), B) == index(A ∪ B), exactly
+    ext = sorted(map(tuple, extend_passage_index(idx_a, b).collect()))
+    full = sorted(map(tuple, passage_gram_index(a.unionByName(b), n=5).collect()))
+    assert ext == full
+    # merge of the two per-batch indexes reaches the same state
+    via_merge = sorted(
+        map(tuple, merge_passage_indexes(idx_a, passage_gram_index(b, n=5)).collect())
+    )
+    assert via_merge == full
+    # geometry guards
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        merge_passage_indexes(idx_a, passage_gram_index(b, n=6))
+    with pytest.raises(ValueError, match="sentinel"):
+        passage_index_geometry(idx_a.where(F.col("gh") != -1))
+
+
+def test_passage_scrub_delta_semantics(spark):
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        passage_gram_index,
+        passage_scrub_delta,
+    )
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "other corpus content entirely unrelated words here")],
+        "doc_id LONG, text STRING",
+    )
+    idx = passage_gram_index(corpus, n=5)
+    arrivals = spark.createDataFrame(
+        [
+            (100, base),  # clone of an indexed doc -> fully scrubbed
+            (101, f"fresh head then {base} trailing bits"),  # partial
+            (102, "entirely new text with no indexed passages at all"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in passage_scrub_delta(idx, arrivals).collect()}
+    assert out[100]["scrubbed_text"] == "" and out[100]["n_removed"] == 8
+    assert out[101]["n_removed"] == 8
+    assert out[101]["scrubbed_text"] == "fresh head then trailing bits"
+    assert out[102]["n_removed"] == 0  # novel text untouched
+    # index presence >= 1 suffices (the arrival IS the second copy):
+    # a gram unique in the corpus still scrubs from the arrival
+    assert len(out) == 3
+
+
+def test_passage_index_xxhash_geometry_roundtrip(spark):
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        passage_gram_index,
+        passage_index_geometry,
+        passage_scrub_delta,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "p q r s t u v w")], "doc_id LONG, text STRING"
+    )
+    idx = passage_gram_index(corpus, n=5, hash_fn="xxhash64")
+    assert passage_index_geometry(idx) == (5, "xxhash64")
+    # all data keys non-negative -> the -1 sentinel is impossible
+    assert all(r["gh"] >= 0 for r in idx.collect() if r["gh"] != -1)
+    arr = spark.createDataFrame([(9, "p q r s t u v w")], "doc_id LONG, text STRING")
+    out = passage_scrub_delta(idx, arr).collect()[0]
+    assert out["scrubbed_text"] == "" and out["n_removed"] == 8

@@ -1356,3 +1356,71 @@ def test_stream_dsir_ingest_scores_and_folds(spark, tmp_path):
         map(tuple, extend_dsir_profile(prof, arrivals).collect())
     )
     assert via_merge == via_docs
+
+
+def test_stream_passage_ingest_scrubs_and_folds(spark, tmp_path):
+    """Streaming passage scrub (round-12 continuation, sixth index
+    family member): arrivals are scrubbed against the STORED gram
+    index (clone -> empty, novel -> untouched; two same-epoch copies
+    of a NOVEL passage both keep it — index-as-of-last-fold), the
+    per-epoch gram counts land under the hidden side path, and
+    folding them equals the raw-docs extension exactly."""
+    import glob
+    import json
+
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        extend_passage_index,
+        merge_passage_indexes,
+        passage_gram_index,
+        passage_scrub_delta,
+    )
+    from mapreduce_kmeans_clustering_spark.streaming.ingest import (
+        read_documents_stream,
+        stream_passage_ingest,
+    )
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "some other corpus text entirely different here")],
+        "doc_id LONG, text STRING",
+    )
+    idx = passage_gram_index(corpus, n=5).localCheckpoint(eager=True)
+
+    novel = "brand new shared passage words seven eight nine ten"
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    rows = [
+        {"doc_id": 100, "text": base, "lang": "en", "source": "web", "n_chars": len(base)},
+        {"doc_id": 101, "text": novel, "lang": "en", "source": "web", "n_chars": len(novel)},
+        {"doc_id": 102, "text": novel, "lang": "en", "source": "web", "n_chars": len(novel)},
+    ]
+    (src / "a.jsonl").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = str(tmp_path / "out")
+    q = stream_passage_ingest(
+        read_documents_stream(spark, str(src)), idx, out,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: r
+        for p in glob.glob(f"{out}/ingest_batch=*")
+        for r in spark.read.parquet(p).collect()
+    }
+    assert got[100]["scrubbed_text"] == "" and got[100]["n_removed"] == 8
+    # same-epoch copies of a novel passage both pass (honest limit)
+    assert got[101]["n_removed"] == 0 and got[102]["n_removed"] == 0
+
+    # fold the epoch's side output == raw-docs extension, exactly
+    side = spark.read.parquet(glob.glob(f"{out}/_batch_index/ingest_batch=*")[0])
+    arrivals = spark.createDataFrame(
+        [(100, base), (101, novel), (102, novel)], "doc_id LONG, text STRING"
+    )
+    via_merge = sorted(map(tuple, merge_passage_indexes(idx, side).collect()))
+    via_docs = sorted(map(tuple, extend_passage_index(idx, arrivals).collect()))
+    assert via_merge == via_docs
+    # after the fold, a THIRD copy of the novel passage is scrubbed
+    merged = merge_passage_indexes(idx, side)
+    third = spark.createDataFrame([(200, novel)], "doc_id LONG, text STRING")
+    v = passage_scrub_delta(merged, third).collect()[0]
+    assert v["scrubbed_text"] == "" and v["n_removed"] == 9

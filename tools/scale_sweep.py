@@ -796,6 +796,74 @@ def bloom_extend_sweep(spark, scales=(1, 10, 100)) -> None:
     )
 
 
+def passage_delta_sweep(spark, scales=(1, 10, 100)) -> None:
+    """Measure the O(delta) claim of dedup.passage_scrub_delta
+    (round-12 continuation, sixth index family member): a FIXED
+    500-doc arrival batch scrubbed against stored gram indexes built
+    from x1/x10/x100 perturbed replicas of the sf0.1 documents. The
+    delta side's shingle pass is constant; the per-scale cost is the
+    semi-join probe into the (corpus-proportional) stored key table —
+    scan-bound, so the exponent in INDEX size should stay well
+    under 1."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        passage_gram_index,
+        passage_scrub_delta,
+    )
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    batch = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + BIG * 1000).alias("doc_id"), "text"
+    ).localCheckpoint(eager=True)
+    root = "/tmp/sweep_passage_delta"
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    rows = []
+    for sidx in scales:
+        parts = []
+        for i in range(sidx):
+            txt = (
+                F.col("text")
+                if i == 0
+                else F.regexp_replace("text", " ", f"{i} ")
+            )
+            parts.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(i * BIG)).alias("doc_id"),
+                    txt.alias("text"),
+                )
+            )
+        path = f"{root}/x{sidx}/index"
+        passage_gram_index(_union(parts), n=8).write.parquet(path)
+        stored = spark.read.parquet(path)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            passage_scrub_delta(stored, batch).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        rows.append({"index_scale": sidx, "t_sec": round(best, 3)})
+        print(json.dumps(rows[-1]), flush=True)
+    e = math.log10(
+        max(rows[-1]["t_sec"], 1e-3) / max(rows[0]["t_sec"], 1e-3)
+    ) / math.log10(scales[-1] / scales[0])
+    print(
+        json.dumps(
+            {
+                "sweep": "passage_delta_fixed_batch",
+                "batch_docs": batch.count(),
+                "rows": rows,
+                "exponent_in_index_size": round(e, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
@@ -823,6 +891,12 @@ def main() -> None:
         help="run the fixed-batch / growing-filter extend_bloom_filter "
         "O(batch) measurement instead of the standard sweep",
     )
+    ap.add_argument(
+        "--passage-delta",
+        action="store_true",
+        help="run the fixed-batch / growing-index passage_scrub_delta "
+        "O(delta) measurement instead of the standard sweep",
+    )
     args = ap.parse_args()
     targets = args.only.split(",") if args.only else SWEEP_QUERIES
 
@@ -848,6 +922,10 @@ def main() -> None:
     if args.bloom_extend:
         spark.read.parquet(f"{SRC}/documents.parquet").limit(1).count()
         bloom_extend_sweep(spark)
+        return
+    if args.passage_delta:
+        spark.read.parquet(f"{SRC}/documents.parquet").limit(1).count()
+        passage_delta_sweep(spark)
         return
     tables = set()
     for q in targets:
