@@ -1,0 +1,139 @@
+"""Property tests for the round-12-continuation span/scrub machinery
+(merge_positions_to_spans, excise_spans, passage_scrub,
+passage_scrub_delta): laws that must hold for EVERY corpus, checked
+against plain-Python brute-force replays on drawn fixtures — the same
+falsifier posture as the earlier property batches."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+N = 3  # gram length used throughout
+
+# small vocab -> real cross-doc gram collisions at tiny sizes
+VOCAB = ["aa", "bb", "cc", "dd"]
+
+doclist = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=0, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+posset = st.sets(st.integers(0, 30), min_size=1, max_size=15)
+
+
+def _brute_spans(positions, n):
+    """Reference merge: each start covers [p, p+n-1]; touching or
+    overlapping covered ranges (start gap <= n) fuse."""
+    spans = []
+    for p in sorted(positions):
+        if spans and p <= spans[-1][1] + 1:
+            spans[-1][1] = max(spans[-1][1], p + n - 1)
+        else:
+            spans.append([p, p + n - 1])
+    return [tuple(s) for s in spans]
+
+
+@given(posset)
+@SETTINGS
+def test_span_merge_equals_interval_union(spark, positions):
+    """merge_positions_to_spans == the interval union of the covered
+    ranges: disjoint, maximal, covering exactly the union of
+    [p, p+n-1] windows."""
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        merge_positions_to_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(1, p) for p in sorted(positions)], "doc_id LONG, pos LONG"
+    )
+    got = sorted(
+        (r["_s"], r["_e"])
+        for r in merge_positions_to_spans(df, N).collect()
+    )
+    assert got == _brute_spans(positions, N)
+    # disjoint and non-touching: a gap of >= 1 position between spans
+    for (s1, e1), (s2, e2) in zip(got, got[1:]):
+        assert s2 > e1 + 1
+
+
+@given(doclist)
+@SETTINGS
+def test_passage_scrub_conservation_and_keeper(spark, docs):
+    """For every corpus: n_kept + n_removed == n_tokens per doc; one
+    row per doc; the scrubbed text is exactly the kept token
+    subsequence; and a doc equal to a LOWER-id doc is fully scrubbed
+    while the lowest-id copy of each distinct text keeps at least its
+    unrepeated grams."""
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        passage_scrub,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in passage_scrub(df, n=N).collect()}
+    assert len(out) == len(docs)
+    texts = {}
+    for i, toks in enumerate(docs):
+        r = out[i]
+        assert r["n_kept"] + r["n_removed"] == len(toks)
+        kept = r["scrubbed_text"].split() if r["scrubbed_text"] else []
+        assert len(kept) == r["n_kept"]
+        # kept tokens are a subsequence of the original stream
+        it = iter(toks)
+        assert all(any(t == u for u in it) for t in kept)
+        key = tuple(toks)
+        if key in texts and len(toks) >= N:
+            # exact clone of a lower-id doc shares every gram -> empty
+            assert r["scrubbed_text"] == ""
+        texts.setdefault(key, i)
+
+
+@given(doclist, doclist)
+@SETTINGS
+def test_delta_scrub_matches_brute_membership(spark, corpus, arrivals):
+    """passage_scrub_delta == the brute replay: an arrival position is
+    removed iff some corpus doc contains its n-gram (interval-union
+    merge of matched starts). Also extend-then-scrub sees the folded
+    batch."""
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        passage_gram_index,
+        passage_scrub_delta,
+    )
+
+    crows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    arows = [
+        (100 + i, " ".join(toks)) for i, toks in enumerate(arrivals)
+    ]
+    cdf = spark.createDataFrame(crows, "doc_id LONG, text STRING")
+    adf = spark.createDataFrame(arows, "doc_id LONG, text STRING")
+    idx = passage_gram_index(cdf, n=N)
+    out = {
+        r["doc_id"]: r for r in passage_scrub_delta(idx, adf).collect()
+    }
+    corpus_grams = {
+        tuple(toks[i : i + N])
+        for toks in corpus
+        for i in range(len(toks) - N + 1)
+    }
+    for j, toks in enumerate(arrivals):
+        starts = {
+            i
+            for i in range(len(toks) - N + 1)
+            if tuple(toks[i : i + N]) in corpus_grams
+        }
+        covered = set()
+        for s, e in _brute_spans(starts, N) if starts else []:
+            covered |= set(range(s, e + 1))
+        want_kept = [t for i, t in enumerate(toks) if i not in covered]
+        r = out[100 + j]
+        assert r["n_removed"] == len(covered)
+        got_kept = r["scrubbed_text"].split() if r["scrubbed_text"] else []
+        assert got_kept == want_kept
