@@ -1488,10 +1488,17 @@ def dsir_profile_geometry(profile: DataFrame) -> tuple[int, bool]:
         .select("n_raw", "n_target")
         .collect()
     )
-    if len(row) != 1:
+    if len(row) == 0:
         raise ValueError(
             "stored DSIR profile has no geometry sentinel (bucket = -1); "
             "rebuild it with dsir_profile"
+        )
+    if len(row) > 1:
+        raise ValueError(
+            f"stored DSIR profile carries {len(row)} geometry sentinels — "
+            "this is several profiles read wholesale (e.g. the whole "
+            "_batch_profile directory); fold them pairwise with "
+            "merge_dsir_profiles instead"
         )
     return int(row[0]["n_raw"]), bool(row[0]["n_target"])
 

@@ -1416,12 +1416,26 @@ def passage_gram_index(
     return counts.unionByName(_passage_sentinel(docs, n, hash_fn))
 
 
+_INTEGRAL_DTYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
 def _passage_gram_counts(
     docs: DataFrame, n: int, text_col: str, id_col: str, hash_fn: str
 ) -> DataFrame:
     """Sentinel-less (gh, n_docs, keeper) — the data half of
     ``passage_gram_index``; extension folds these directly (the
-    ``_dsir_counts`` pattern)."""
+    ``_dsir_counts`` pattern). The stored keeper column is LONG, so a
+    non-integral id type is refused loudly here (casting would null
+    every keeper silently — the opposite of the sentinel family's
+    loud-refusal posture; the batch ``passage_scrub`` has no stored
+    schema and keeps supporting any orderable id)."""
+    dtype = dict(docs.dtypes).get(id_col)
+    if dtype not in _INTEGRAL_DTYPES:
+        raise ValueError(
+            f"passage_gram_index stores keeper as BIGINT; id column "
+            f"{id_col!r} has type {dtype!r} — use an integral doc id "
+            "for the index forms"
+        )
     ps = positioned_shingles(docs, n, text_col, id_col)
     pos_h = ps.select(F.col(id_col), _passage_gram_hash(hash_fn).alias("gh"))
     per_doc = pos_h.groupBy("gh", id_col).agg(F.count("*").alias("_c"))
@@ -1440,10 +1454,17 @@ def passage_index_geometry(index: DataFrame) -> tuple[int, str]:
         .select("n_docs", "keeper")
         .collect()
     )
-    if len(rows) != 1:
+    if len(rows) == 0:
         raise ValueError(
             "stored passage-gram index has no geometry sentinel (gh = -1); "
             "rebuild it with passage_gram_index"
+        )
+    if len(rows) > 1:
+        raise ValueError(
+            f"stored passage-gram index carries {len(rows)} geometry "
+            "sentinels — this is several indexes read wholesale (e.g. "
+            "the whole _batch_index directory); fold them pairwise with "
+            "merge_passage_indexes instead"
         )
     code = int(rows[0]["keeper"])
     names = {v: k for k, v in _PASSAGE_HASH_CODES.items()}
@@ -1532,6 +1553,23 @@ def passage_scrub_delta(
     corpus-proportional, never broadcast-hinted), the shared span
     merge + excision."""
     n, hash_fn = passage_index_geometry(index)
+    return _passage_scrub_delta_core(
+        index, batch_docs, n, hash_fn, text_col, id_col
+    )
+
+
+def _passage_scrub_delta_core(
+    index: DataFrame,
+    batch_docs: DataFrame,
+    n: int,
+    hash_fn: str,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Scrub core with the geometry already in hand — the streaming
+    leg reads the sentinel ONCE per run and calls this per epoch
+    instead of re-collecting it every micro-batch (the
+    ``_dsir_score_from_profile`` precedent)."""
     keys = index.where(F.col("gh") != _PASSAGE_SENTINEL_GH).select("gh")
     ps = positioned_shingles(batch_docs, n, text_col, id_col)
     pos_h = ps.select(

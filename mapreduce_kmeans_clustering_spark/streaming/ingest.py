@@ -532,10 +532,9 @@ def stream_passage_ingest(
     epoch both keep it; the fold excises the third copy onward.
     Geometry (n, hash_fn) is read once from the sentinel."""
     from mapreduce_kmeans_clustering_spark.operators.dedup import (
-        _passage_gram_counts,
-        _passage_sentinel,
+        _passage_scrub_delta_core,
+        passage_gram_index,
         passage_index_geometry,
-        passage_scrub_delta,
     )
 
     n, hash_fn = passage_index_geometry(gram_index)
@@ -544,16 +543,16 @@ def stream_passage_ingest(
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.persist()
         try:
-            passage_scrub_delta(
-                idx, batch_df, text_col=text_col, id_col=id_col
+            _passage_scrub_delta_core(
+                idx, batch_df, n, hash_fn, text_col, id_col
             ).write.mode("overwrite").parquet(
                 f"{out_path}/ingest_batch={epoch_id}"
             )
-            _passage_gram_counts(
+            passage_gram_index(
                 batch_df, n, text_col, id_col, hash_fn
-            ).unionByName(_passage_sentinel(batch_df, n, hash_fn)).write.mode(
-                "overwrite"
-            ).parquet(f"{out_path}/_batch_index/ingest_batch={epoch_id}")
+            ).write.mode("overwrite").parquet(
+                f"{out_path}/_batch_index/ingest_batch={epoch_id}"
+            )
         finally:
             batch_df.unpersist()
 

@@ -859,3 +859,15 @@ def test_merge_dsir_profiles_equals_raw_extension(spark):
     via_merge = sorted(map(tuple, merge_dsir_profiles(base, batch_prof).collect()))
     via_extend = sorted(map(tuple, extend_dsir_profile(base, batch).collect()))
     assert via_merge == via_extend
+
+
+def test_dsir_profile_multi_sentinel_message(spark):
+    from mapreduce_kmeans_clustering_spark.operators.curation import (
+        dsir_profile,
+        dsir_profile_geometry,
+    )
+
+    docs = _dsir_docs(spark)
+    prof = dsir_profile(docs, F.col("tgt"), n_buckets=32)
+    with pytest.raises(ValueError, match="merge_dsir_profiles"):
+        dsir_profile_geometry(prof.unionByName(prof))

@@ -1232,3 +1232,24 @@ def test_passage_index_xxhash_geometry_roundtrip(spark):
     arr = spark.createDataFrame([(9, "p q r s t u v w")], "doc_id LONG, text STRING")
     out = passage_scrub_delta(idx, arr).collect()[0]
     assert out["scrubbed_text"] == "" and out["n_removed"] == 8
+
+
+def test_passage_index_guards_id_type_and_multi_sentinel(spark):
+    from mapreduce_kmeans_clustering_spark.operators.dedup import (
+        passage_gram_index,
+        passage_index_geometry,
+    )
+
+    strdoc = spark.createDataFrame(
+        [("a", "one two three four five six")], "doc_id STRING, text STRING"
+    )
+    with pytest.raises(ValueError, match="integral doc id"):
+        passage_gram_index(strdoc, n=5)
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six")], "doc_id LONG, text STRING"
+    )
+    idx = passage_gram_index(docs, n=5)
+    # a wholesale read of several per-epoch indexes -> steer to merge,
+    # not to a rebuild
+    with pytest.raises(ValueError, match="merge_passage_indexes"):
+        passage_index_geometry(idx.unionByName(idx))
