@@ -11851,3 +11851,70 @@ SELECT CAST(band AS INT) AS band,
        CAST(sum(pairs) AS DECIMAL(38,0)) AS candidate_pairs
 FROM pb GROUP BY band ORDER BY band"""
 PIPELINE_QUERIES.update({"q_lsh_occupancy": q_lsh_occupancy})
+
+
+def q_passage_hotlist(spark, sf_dir):
+    """The human-readable top of the repeated-passage audit: the 20
+    hottest cross-document char-20-grams WITH an example of the
+    actual text (q_dedup_passages ranks hashes an operator cannot
+    read; this is the table that says WHAT the boilerplate is before
+    q_passage_scrub removes it). Two-phase text recovery keeps it
+    scale-correct: phase 1 is the hash-keyed stats aggregate (8-byte
+    to 32-byte shuffle keys, never gram text) + TakeOrdered to 20
+    rows; phase 2 re-scans the corpus and joins the 20-row hash list
+    BROADCAST, so gram TEXT is shuffled only for rows matching the
+    hot hashes. Example text is min(gram) per hash — deterministic,
+    and exact modulo md5 collisions (identical grams by construction
+    otherwise)."""
+    docs = _docs(spark, sf_dir)
+    top = (
+        D.repeated_passages(docs, gram_len=PASSAGE_GRAM, min_docs=2)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occurrences").desc(), "h"
+        )
+        .limit(20)
+    )
+    t = F.coalesce(F.col("text"), F.lit(""))
+    eligible = docs.where(F.length(t) >= PASSAGE_GRAM)
+    pos = F.explode(
+        F.sequence(F.lit(1), F.length(t) - F.lit(PASSAGE_GRAM - 1))
+    ).alias("pos")
+    gram = F.substring(F.col("__t"), F.col("pos"), F.lit(PASSAGE_GRAM))
+    grams = (
+        eligible.select(pos, t.alias("__t"))
+        .select(gram.alias("gram"))
+        .select("gram", F.md5(F.col("gram")).alias("h"))
+    )
+    ex = (
+        grams.join(F.broadcast(top.select("h")), "h")
+        .groupBy("h")
+        .agg(F.min("gram").alias("example"))
+    )
+    return (
+        top.join(ex, "h")
+        .select("h", "example", "n_occurrences", "n_docs")
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occurrences").desc(), "h"
+        )
+    )
+
+
+PIPELINE_ORACLES["q_passage_hotlist"] = """
+WITH e AS (SELECT doc_id, coalesce(text, '') AS t FROM documents
+           WHERE length(coalesce(text, '')) >= 20),
+g AS (
+  SELECT doc_id, substr(t, CAST(pos AS INT), 20) AS gram
+  FROM e, LATERAL (SELECT unnest(range(1, length(t) - 18)) AS pos)),
+a AS (SELECT md5(gram) AS h, count(*) AS n_occurrences,
+             count(DISTINCT doc_id) AS n_docs
+      FROM g GROUP BY 1
+      HAVING count(DISTINCT doc_id) >= 2),
+top AS (SELECT h, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+               CAST(n_docs AS BIGINT) AS n_docs
+        FROM a ORDER BY n_docs DESC, n_occurrences DESC, h LIMIT 20),
+ex AS (SELECT md5(gram) AS h, min(gram) AS example
+       FROM g WHERE md5(gram) IN (SELECT h FROM top) GROUP BY 1)
+SELECT t.h, ex.example, t.n_occurrences, t.n_docs
+FROM top t JOIN ex USING (h)
+ORDER BY t.n_docs DESC, t.n_occurrences DESC, t.h"""
+PIPELINE_QUERIES.update({"q_passage_hotlist": q_passage_hotlist})

@@ -1472,3 +1472,19 @@ def test_lsh_occupancy_plan(spark):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     assert "Join" not in p  # pure aggregate pipeline
+
+
+def test_passage_hotlist_plan(spark):
+    """Hotlist text recovery: the 20-row hot-hash list joins the gram
+    re-scan as a BROADCAST hash join (gram text never shuffles for
+    cold hashes); phase-1 stats ride TakeOrderedAndProject, never a
+    global sort; no cartesian, no per-row Python."""
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import (
+        q_passage_hotlist,
+    )
+
+    p = _plan(q_passage_hotlist(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p

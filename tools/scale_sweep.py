@@ -133,6 +133,7 @@ SWEEP_QUERIES = [
     "q_split_leakage",
     "q_cluster_mix",
     "q_lsh_occupancy",
+    "q_passage_hotlist",
     # round-12 continuation: the remaining >1.8s keys without a row
     "q_bpe_encode",
     "q_retrieval_metrics",
@@ -209,6 +210,7 @@ QUERY_TABLES = {
     "q_split_leakage": {"documents"},
     "q_cluster_mix": {"documents", "embeddings"},
     "q_lsh_occupancy": {"documents"},
+    "q_passage_hotlist": {"documents"},
     "q_bpe_encode": {"documents"},
     "q_retrieval_metrics": {"documents"},
     "q_dedup_minhash": {"documents"},
