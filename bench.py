@@ -210,9 +210,17 @@ def main() -> None:
 
     from mapreduce_kmeans_clustering_spark.plans.kmeans_nd import fit_nd
 
+    # Round-12: read through queries_pipeline._t so the one-row-group
+    # fixture file is split to defaultParallelism before the cache —
+    # previously the cache held ONE partition and every fit_nd
+    # iteration's Arrow-batched assign ran as a single task (guide
+    # §2.5 input skew). Same query, same result; only the physical
+    # partitioning of the timed input changes (OPTIMIZATION_r12.md).
+    from mapreduce_kmeans_clustering_spark.queries_pipeline import _emb
+
     t0 = time.perf_counter()
     emb = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _emb(spark, sf_dir)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
         .cache()
     )

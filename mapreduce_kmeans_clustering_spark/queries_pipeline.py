@@ -12,6 +12,7 @@ computed over pre-rounded measures.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -89,12 +90,52 @@ def _h6(col):
     return half_up6(col)
 
 
+# Scan-parallelism floor (round-12 optimization, guide §2.5 "input
+# skew" / §6.1). The test fixtures arrive as ONE parquet file with ONE
+# row group per table, and parquet tasks cannot split a row group — so
+# every scan stage ran as a single task, serializing exactly the work
+# this engine deliberately keeps scan-local (tokenization, shingling,
+# md5 families, HOF cosines, partial aggregation). Measured at sf0.1:
+# the two n-gram explode stages of q_ngram_diversity each burned
+# ~7.4 s of executor time in a 1-task stage on a 32-core session
+# (stage table; plans/r12/*_before.txt show the missing exchange).
+# `_t` reads a scale table and, when the scan is too coarse for the
+# session (fewer splits than defaultParallelism) and the table is big
+# enough to matter, round-robin repartitions to defaultParallelism —
+# sort-before-repartition (on by default, SPARK-23207) keeps the
+# row-to-partition assignment deterministic under retries. At real
+# scale inputs arrive as many files / row groups, the partition count
+# already exceeds the core-derived parallelism, and this is a no-op —
+# the knob is corpus-derived, not tuned to local[32]. Results are
+# unchanged: only physical row placement moves, and every registered
+# aggregate already rounds to absorb summation-order noise (the
+# declared cross-engine contract in this module's docstring).
+_SCAN_SPLIT_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SCAN_SPLIT_MIN_BYTES", str(64 * 1024))
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    path = f"{sf_dir}/{table}.parquet"
+    df = spark.read.parquet(path)
+    try:
+        size = os.path.getsize(path) if os.path.isfile(path) else None
+    except OSError:  # pragma: no cover - racing filesystem
+        size = None
+    if size is not None and size < _SCAN_SPLIT_MIN_BYTES:
+        return df  # dimension-sized: keep the single-task scan + cheap broadcast
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _t(spark, sf_dir, "documents")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _t(spark, sf_dir, "embeddings")
 
 
 # Buffer-pool memo for the IVF coarse-assignment relation (the _events
@@ -137,7 +178,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key in _EVENTS_CACHE:
         return _EVENTS_CACHE[key]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = _t(spark, sf_dir, "events")
     if dict(e.dtypes)["ts"] == "bigint":
         # integer `div`, not `/`: nanos ~1.7e18 would lose precision as double
         e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -620,7 +661,7 @@ def q_fuzzy_suppliers(spark, sf_dir):
     ed<=1, verify filter drops shared-deletion distance-2 pairs). The
     oracle is the BRUTE pairwise join, so the driver equality check is
     the completeness proof on real data."""
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    supp = _t(spark, sf_dir, "supplier")
     return J.fuzzy_self_join_ed1(
         supp.select(F.col("s_suppkey"), F.col("s_name")),
         name_col="s_name",
@@ -847,7 +888,7 @@ def q_events_funnel(spark, sf_dir):
 def q_sales_cube(spark, sf_dir):
     """CUBE over (returnflag, linestatus) — all grouping-set
     combinations in one pass."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _t(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
@@ -867,7 +908,7 @@ def q_customer_cumulative(spark, sf_dir):
     """Running revenue per customer over order date — a cumulative
     ROWS frame (deterministic: date ties broken by order key, so the
     in-frame summation order is pinned on both engines)."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _t(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -898,7 +939,7 @@ def q_value_percentiles(spark, sf_dir):
 
 
 def q_pricing_summary(spark, sf_dir):
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -917,9 +958,9 @@ def q_pricing_summary(spark, sf_dir):
 
 
 def q_top_orders(spark, sf_dir):
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
     rev = (
         li.groupBy("l_orderkey")
         .agg(
@@ -943,10 +984,10 @@ def q_brand_revenue(spark, sf_dir):
     """Revenue per (part brand, supplier nation) for recent shipments:
     the fact table joins three broadcast dims, with the date predicate
     pushed to the parquet scan."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.where(F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
@@ -966,8 +1007,8 @@ def q_parts_no_discount(spark, sf_dir):
     parts that never shipped with a deep discount. LEFT ANTI against
     the filtered fact table — Catalyst builds the filtered key set
     once, no materialized distinct needed."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
     deep = li.where(F.col("l_discount") > 0.08).select("l_partkey")
     return part.join(
         deep, F.col("p_partkey") == F.col("l_partkey"), "left_anti"
@@ -975,9 +1016,9 @@ def q_parts_no_discount(spark, sf_dir):
 
 
 def q_region_rollup(spark, sf_dir):
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
     j = cust.join(
         F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
     ).join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
@@ -1106,9 +1147,9 @@ def q_priority_distinct(spark, sf_dir):
     """Multi-distinct aggregation per nation over the orders fact:
     Catalyst plans this as a single Expand + two-phase aggregate, so
     it stays one shuffle despite two DISTINCT columns."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
     return (
         orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
@@ -1138,7 +1179,7 @@ def q_approx_distinct(spark, sf_dir):
     exact count: deterministic cross-engine approximate-distinct,
     unlike HLL whose estimates are engine-specific. Estimates distinct
     orders per return flag from the lineitem fact."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _t(spark, sf_dir, "lineitem")
     est = SK.kmv_distinct(li, ["l_returnflag"], "l_orderkey", k=64)
     exact = li.groupBy("l_returnflag").agg(
         F.count_distinct("l_orderkey").cast("long").alias("exact_distinct")
@@ -1152,7 +1193,7 @@ def q_order_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS (the generalization CUBE/ROLLUP queries
     specialize): per-priority and per-status order totals plus a grand
     total in one pass — Catalyst plans a single Expand, one shuffle."""
-    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+    _t(spark, sf_dir, "orders").createOrReplaceTempView(
         "__orders_gs"
     )
     return spark.sql(
@@ -1185,8 +1226,8 @@ def q_engaged_customers(spark, sf_dir):
     registry): customers that placed a high-value order, unioned with
     customers holding a high account balance, counted per segment with
     their provenance."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
     big = orders.where(F.col("o_totalprice") > 150000).select("o_custkey")
     buyers = cust.join(
         big, cust["c_custkey"] == big["o_custkey"], "left_semi"
@@ -1321,7 +1362,7 @@ def q_revenue_pareto(spark, sf_dir):
     per customer, the length_buckets discipline); money stays DECIMAL
     until the final rounded projections so partition order can't
     perturb cents."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _t(spark, sf_dir, "orders")
     per = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
     )
@@ -1389,19 +1430,19 @@ def _nation_trade_edges(spark, sf_dir):
     SQL-replayable. Shape: fact-table equi-joins + two broadcast
     nation joins; the distinct() inside pagerank collapses it to at
     most 25x24 edges regardless of corpus size."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
     )
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+    supp = _t(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey"
     )
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+    nation = _t(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name"
     )
     return (
@@ -1463,7 +1504,7 @@ def q_copurchase_triangles(spark, sf_dir):
     )
 
     li = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        _t(spark, sf_dir, "lineitem")
         .where((F.col("l_orderkey") % TRIANGLE_ORDER_MOD) == 0)
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
@@ -1504,8 +1545,8 @@ def q_survival_km(spark, sf_dir):
     DuckDB's is -inf; neither may reach the sum). Integer day/month
     arithmetic everywhere else. One orders aggregate, one tiny
     (segment, month) aggregate, two ordered windows."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
     span = o.groupBy("o_custkey").agg(
@@ -1589,7 +1630,7 @@ def q_basket_rules(spark, sf_dir):
     agree bit-for-bit. One pair aggregate + an item-count broadcast +
     the 1-row N anchor; TakeOrdered head."""
     li = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
@@ -1658,7 +1699,7 @@ def q_fd_profile(spark, sf_dir):
     each with map-side partials."""
     outs = []
     for table, lhs, rhs in FD_CANDIDATES:
-        t = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        t = _t(spark, sf_dir, table)
         g = t.groupBy(F.col(lhs), F.col(rhs)).agg(F.count("*").alias("c"))
         per_lhs = g.groupBy(lhs).agg(
             F.sum("c").alias("rows"),
@@ -1692,7 +1733,7 @@ def q_benford(spark, sf_dir):
     boundary); the chi-square total sums the 6-dp-rounded terms, so
     it is order-independent and equals the printed parts (the PSI
     posture)."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = _t(spark, sf_dir, "orders")
     digits = o.select(
         F.substring(
             F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
@@ -1738,7 +1779,7 @@ def q_balance_gini(spark, sf_dir):
     order-free), so both engines divide identical exact numerators.
     One rank window per nation; the aggregate is integer DECIMAL."""
     c = (
-        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        _t(spark, sf_dir, "customer")
         .where(F.col("c_acctbal") > 0)
         .select(
             "c_nationkey",
@@ -1926,7 +1967,7 @@ def q_linkage_scores(spark, sf_dir):
     Scale: blocking is O(sum name lengths) keys; u estimation is one
     tiny aggregate per field; attribute attachment is two keyed
     joins."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
     )
     pairs = J.fuzzy_self_join_ed1(
@@ -2157,7 +2198,7 @@ def q_zorder_locality(spark, sf_dir):
     from mapreduce_kmeans_clustering_spark.functions.zorder import zorder_key
 
     li = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        _t(spark, sf_dir, "lineitem")
         .select(
             (F.col("l_partkey") % (ZORDER_MASK + 1)).alias("x"),
             (F.col("l_suppkey") % (ZORDER_MASK + 1)).alias("y"),
@@ -2205,7 +2246,7 @@ def q_sample_neyman(spark, sf_dir):
     )
 
     return sample_neyman(
-        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        _t(spark, sf_dir, "orders"),
         n_total=NEYMAN_N,
         strata_col="o_orderpriority",
         value_col="o_totalprice",
@@ -2284,7 +2325,7 @@ def q_basket_pairs(spark, sf_dir):
     same inverted-index discipline as q_token_pmi on the relational
     side; top-k via TakeOrderedAndProject."""
     li = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
@@ -2315,7 +2356,7 @@ def q_basket_triples(spark, sf_dir):
     before counting (downward closure). Top-k via
     TakeOrderedAndProject; full tie-break (count desc, pa, pb, pc)."""
     li = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
@@ -2338,7 +2379,7 @@ def q_basket_triples(spark, sf_dir):
 def q_brand_top_parts(spark, sf_dir):
     """Per-group top-k (rank within partition — q_top_orders is the
     global variant): 3 priciest parts per brand."""
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    part = _t(spark, sf_dir, "part")
     w = Window.partitionBy("p_brand").orderBy(
         F.col("p_retailprice").desc(), F.col("p_partkey")
     )
@@ -2383,10 +2424,10 @@ def q_returned_customers(spark, sf_dir):
     to AQE (grows with SF — no forced broadcast), nation broadcast,
     rank over the pre-rounded measure (the q_top_orders determinism
     contract)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
     # decimal sum: order-independent across partitionings and engines
     # (the double sum can land a half-cent from a rounding boundary)
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
@@ -2416,8 +2457,8 @@ def q_customers_no_orders(spark, sf_dir):
     rides a 1-row broadcast anchor (crossJoin(broadcast)) instead of a
     driver collect — one job, lazily composable, same plan shape as
     the rest of the registry."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
     ab = (
         cust.where(F.col("c_acctbal") > 0)
         .agg(F.round(F.avg("c_acctbal"), 2).alias("_ab"))
@@ -2532,11 +2573,11 @@ def q_supplier_volume(spark, sf_dir):
     nation) pair — the two-armed join graph (fact → orders → customer
     → nation, fact → supplier → nation) with the year filter pushed to
     the lineitem scan and both 25-row nation dims broadcast."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
     n_cust = nation.select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
@@ -2571,7 +2612,7 @@ def q_embed_diverse(spark, sf_dir):
     per IVF inverted list (the member nearest its seed centroid) plus
     list population — the coreset-selection step before expensive
     labeling, expressed as one aggregate over the assigned corpus."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _t(spark, sf_dir, "embeddings")
     return SIM.ivf_representatives(
         emb, nlist=IVF_NLIST, assigned=_ivf_assigned(spark, sf_dir, IVF_NLIST)
     )
@@ -2624,7 +2665,7 @@ def q_customer_ntile(spark, sf_dir):
     """Decile analytics: customers cut into balance deciles within
     each market segment (ntile window), rolled up to per-(segment,
     decile) stats."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey")
     )
@@ -2698,7 +2739,7 @@ def q_above_avg_orders(spark, sf_dir):
     """Correlated-aggregate shape: orders priced above 1.5× their own
     customer's average (average pre-rounded to cents so both engines
     compare the same threshold), rolled up by priority."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _t(spark, sf_dir, "orders")
     ca = orders.groupBy("o_custkey").agg(
         F.round(F.avg("o_totalprice"), 2).alias("cavg")
     )
@@ -2738,9 +2779,9 @@ def q_large_orders(spark, sf_dir):
     The HAVING filter runs on the aggregate BEFORE the joins (partial
     agg collapses each orderkey map-side), and the top-k is
     TakeOrderedAndProject — no global sort ever materializes."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("qty"))
@@ -2761,8 +2802,8 @@ def q_promo_share(spark, sf_dir):
     DECIMAL(18,4) so sums are partition-order-independent; the share
     divides the two already-rounded doubles, so both engines divide
     identical inputs."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,4)"
     )
@@ -2792,8 +2833,8 @@ def q_returned_priority(spark, sf_dir):
     (EXISTS → LEFT SEMI join on the filtered fact), counted and
     totaled by order priority. The semi join never duplicates an order
     no matter how many lineitems matched."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
     ret = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
     return (
         orders.join(ret, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
@@ -2813,8 +2854,8 @@ def q_top_supplier(spark, sf_dir):
     the per-supplier aggregate (1-row broadcast, so no second scan of
     the fact). Comparing rounded DECIMAL-sourced doubles keeps the
     equality exact in both engines."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,4)"
     )
@@ -2838,7 +2879,7 @@ def q_profile_lineitem(spark, sf_dir):
     (operators/profile.py — wide aggregate + stack unpivot)."""
     from mapreduce_kmeans_clustering_spark.operators.profile import column_profile
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _t(spark, sf_dir, "lineitem")
     return column_profile(li, PROFILE_COLS)
 
 
@@ -2917,8 +2958,8 @@ def q_customer_order_gaps(spark, sf_dir):
     customer (lag window — one shuffle on custkey), rolled up by
     market segment. The repeat-purchase cadence query every retention
     dashboard runs."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     gaps = (
         orders.withColumn(
@@ -2987,9 +3028,9 @@ def q_nation_flow(spark, sf_dir):
     supplier side), so inner/left joins would silently drop rows.
     Aggregate-then-join keeps the outer join at nation grain (25
     keys), never row grain."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
     cb = (
         cust.where(F.col("c_acctbal") > NATION_BAL_MIN)
         .groupBy(F.col("c_nationkey").alias("nk"))
@@ -3281,7 +3322,7 @@ def q_sql_interface(spark, sf_dir):
     over registered views (spark.sql) instead of the DataFrame API —
     a reference user who writes plain SQL needs nothing else. The
     text below runs verbatim-shaped on the oracle too."""
-    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+    _t(spark, sf_dir, "orders").createOrReplaceTempView(
         "v_orders"
     )
     return spark.sql(
@@ -3301,7 +3342,7 @@ def q_forecast_revenue(spark, sf_dir):
     aggregate — the query whose entire cost is the scan, so every
     predicate must reach the parquet reader (PushedFilters pinned in
     test_plans). Revenue in DECIMAL for order-independence."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _t(spark, sf_dir, "lineitem")
     amt = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
     return (
         li.where(
@@ -3323,8 +3364,8 @@ def q_shipping_modes(spark, sf_dir):
     branches cannot all push to one scan, but the join stays a single
     hash join with the residual predicate on top (never one join per
     branch)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
     j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     branch = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
@@ -3351,7 +3392,7 @@ def q_important_parts(spark, sf_dir):
     fraction of the GLOBAL total — group-HAVING against a scalar
     subquery. The scalar re-aggregates the grouped table (no second
     fact scan) and broadcasts as one row."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _t(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,4)"
     )
@@ -3471,7 +3512,7 @@ def q_revenue_mom(spark, sf_dir):
     with absolute and percent change via lag — the delta query every
     finance dashboard opens with. Percent divides two already-rounded
     doubles, so both engines divide identical inputs."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _t(spark, sf_dir, "orders")
     m = (
         orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
         .agg(
@@ -3502,8 +3543,8 @@ def q_lineitem_expectations(spark, sf_dir):
     anti-join."""
     from mapreduce_kmeans_clustering_spark.operators.expectations import expect
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
     li2 = li.withColumn(
         "line_uid",
         F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")),
@@ -3581,7 +3622,7 @@ def q_orders_fx(spark, sf_dir):
     sort-shuffle asof_join machinery as event attribution — a
     versioned dimension is just an as-of join where the right side is
     tiny. Yearly rollup of restated revenue."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
         "o_totalprice",
@@ -3863,8 +3904,8 @@ def q_brand_type_share(spark, sf_dir):
     percent of its part type's total — the within-category share
     pattern (window sum over the grouped table, no second scan or
     self-join). DECIMAL totals rounded before the division."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,4)"
     )
@@ -3897,7 +3938,7 @@ def q_customer_rfm(spark, sf_dir):
     (order count) and Monetary (total spend), rolled up per R-F-M
     segment code — the classic marketing cut, all ntile windows with
     custkey tie-breaks so the cut is deterministic."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _t(spark, sf_dir, "orders")
     anchor = orders.agg(F.max("o_orderdate").alias("__mx"))
     per_cust = (
         orders.crossJoin(F.broadcast(anchor))
@@ -3967,7 +4008,7 @@ def q_order_backlog(spark, sf_dir):
     against the corpus max date), counts and value per (status, band)
     — the operations view of unfinished work. One broadcast anchor
     row, one aggregate."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _t(spark, sf_dir, "orders")
     anchor = orders.agg(F.max("o_orderdate").alias("__mx"))
     age = F.expr("datediff(__mx, o_orderdate)")
     band = F.least(F.lit(4), F.floor(age / 180)).cast("int")
@@ -3990,8 +4031,8 @@ def q_custdist(spark, sf_dir):
     aggregate pattern (left outer join, per-customer count where NULL
     keys count 0, then a second aggregate over the counts). Two
     shuffles: custkey, then c_count; both partial->final."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
     per = (
         cust.join(
             orders.select("o_custkey", "o_orderkey"),
@@ -4015,8 +4056,8 @@ def q_sole_return_supplier(spark, sf_dir):
     same fact, planned as one semi and one anti equi-join on orderkey
     (never a per-row subquery). The two derived sides are built from
     one groupBy pass over the returns subset."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
     rets = (
         li.where(F.col("l_returnflag") == "R")
         .select("l_orderkey", "l_suppkey")
@@ -4056,9 +4097,9 @@ def q_min_cost_supplier(spark, sf_dir):
     aggregate (deterministic suppkey tie-break), never a correlated
     per-part subquery or a window sort. The part/supplier dims
     broadcast into the fact aggregate's result."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
     unit = F.col("l_extendedprice") / F.col("l_quantity")
     best = (
         li.groupBy("l_partkey")
@@ -4102,8 +4143,8 @@ def q_idle_rich_customers(spark, sf_dir):
     recency cutoff keeps the Q22 shape (scalar threshold + anti join)
     while qualifying 2/14/148 customers at the three test SFs, and the
     date predicate is pushed into the anti join's build side scan."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("c_acctbal") * 100).cast("long")
     pos = cust.where(F.col("c_acctbal") > 0).select(
         "c_custkey", "c_nationkey", cents.alias("__c")
@@ -4180,8 +4221,8 @@ def q_incremental_join_view(spark, sf_dir):
     o_orderkey), so the two part-joins partition the fact exactly.
     The oracle recomputes the view from the FULL join; equality is the
     merge-law proof. DECIMAL revenue so the split can't drift a bit."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,4)"
     )
@@ -4223,9 +4264,9 @@ def q_shipping_priority(spark, sf_dir):
     hash aggregate on (orderkey, orderdate), top-10 via
     TakeOrderedAndProject (never a global sort). Deterministic
     orderkey tie-break so LIMIT is stable cross-engine."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
     cut = F.to_timestamp(F.lit("1996-07-01"))
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,4)"
@@ -4256,12 +4297,12 @@ def q_local_supplier_volume(spark, sf_dir):
     orders scan; nation and the 1-row filtered region broadcast; the
     c_nationkey = s_nationkey equality rides the supplier hash join as
     an extra condition (no extra shuffle)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,4)"
     )
@@ -4292,13 +4333,13 @@ def q_market_share(spark, sf_dir):
     from one pass) over the two-armed join graph, part/nation/region
     dims broadcast. The share divides the two sums as doubles at the
     very end; nothing iterates, nothing scans twice."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    region = spark.read.parquet(f"{sf_dir}/region.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
     n_cust = nation.select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
     )
@@ -4345,11 +4386,11 @@ def q_product_profit(spark, sf_dir):
     DECIMAL(18,4) per row so the group sums are order-independent.
     The name filter prunes the broadcast part dim before the fact
     join; one hash aggregate."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,4)"
     )
@@ -4385,8 +4426,8 @@ def q_ship_lag_priority(spark, sf_dir):
     derived-band + conditional-count pattern. One equi-join on
     orderkey, the CASE band computed in codegen, two conditional sums
     in a single hash aggregate."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
     lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
     band = (
         F.when(lag <= 30, "0-30d")
@@ -4416,9 +4457,9 @@ def q_part_supplier_variety(spark, sf_dir):
     broadcasts into a LEFT ANTI before the distinct pairs are formed;
     NULL-safe by construction (keys are non-null, and the anti join —
     unlike NOT IN — would stay correct if they weren't)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
     bad = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
     pairs = (
         li.select("l_partkey", "l_suppkey")
@@ -4447,8 +4488,8 @@ def q_small_qty_revenue(spark, sf_dir):
     (5·qty·n < sum), so no engine ever compares against a fractional
     average. One per-part aggregate joined back to the fact — the
     decorrelated form of Q17's correlated subquery."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
     qty = F.col("l_quantity").cast("long")
     pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(qty).alias("sq"), F.count("*").alias("nq")
@@ -4478,10 +4519,10 @@ def q_promotable_suppliers(spark, sf_dir):
     semi join). The per-part total reuses the per-pair aggregate
     (no second fact scan); integer quantity sums cross-multiply so
     the majority test is exact."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
     red = part.where(F.col("p_name").startswith("red ")).select("p_partkey")
     pq = (
         li.where(F.year("l_shipdate") == 1996)
@@ -7341,7 +7382,7 @@ def q_skyline_parts(spark, sf_dir):
     bucketed local-frontier window, then one global window over the
     per-bucket survivors — dominance by sort order, never a pairwise
     join (the brute NOT EXISTS form is only the oracle)."""
-    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    p = _t(spark, sf_dir, "part")
     sky = SKY.skyline_2d(
         p.select(
             F.col("p_retailprice").alias("price"),
@@ -7365,11 +7406,11 @@ def q_budget_allocation(spark, sf_dir):
     largest remainders (operators/allocation.py largest_remainder).
     Integer cents end-to-end; the rank window runs over 25 nation
     rows, never the fact table."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
     )
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n = _t(spark, sf_dir, "nation")
     rev = (
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_nationkey")
@@ -7401,7 +7442,7 @@ def q_fifo_match(spark, sf_dir):
     equi-join on partkey with a range residual, never a nested-loop
     scan (operators/allocation.py fifo_match). Integer quantities;
     per-part summary keeps the output one row per returned part."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _t(spark, sf_dir, "lineitem")
     seq = ["l_shipdate", "l_orderkey", "l_linenumber"]
     # mirror fifo_match's qty>0 drop on the demand-total side so the
     # summary stays consistent if a non-positive quantity ever appears
@@ -7439,7 +7480,7 @@ def q_snapshot_diff(spark, sf_dir):
     join, plus Merkle-leaf bucket digests that localize the damage
     without shipping rows (operators/diff.py). Single summary row —
     the anti-entropy gate a 100 TB mirror runs before a sync."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    o = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100)
         .cast("long")
@@ -7910,17 +7951,17 @@ def _trade_edges(spark, sf_dir):
     the parquet scan, so the 4-way fact join reads one season, not
     the history."""
     li = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        _t(spark, sf_dir, "lineitem")
         .where(F.year("l_shipdate") == HOPS_YEAR)
         .select("l_orderkey", "l_suppkey", "l_extendedprice")
     )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    c = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
     )
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+    s = _t(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey"
     )
     rev = (
@@ -7954,7 +7995,7 @@ def q_nation_hops(spark, sf_dir):
     aggregate per round; edges are a 75-row broadcast). The graph
     sparsifier is rank-based so the query means the same thing at
     every SF. Unreached nations are absent, not sentineled."""
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation = _t(spark, sf_dir, "nation")
     # the 75-row edge relation is referenced once per BFS round:
     # without the pin each round replays the 4-way fact join (the
     # PageRank edge-list lesson — deferred checkpoint materializes
@@ -8021,11 +8062,11 @@ def q_revenue_trend(spark, sf_dir):
     written identically in the oracle, half-up 6 dp. Degenerate
     groups (constant x or y) are filtered symmetrically, not
     divided."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
     )
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n = _t(spark, sf_dir, "nation")
     dec = "decimal(38,0)"
     monthly = (
         o.join(c, o["o_custkey"] == c["c_custkey"])
@@ -8244,7 +8285,7 @@ def q_kmv_setops(spark, sf_dir):
     next to the exact distinct-merge counts. Deterministic md5
     hashing keeps every estimate a pure function of the key sets, so
     the oracle replays estimates AND truth."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = _t(spark, sf_dir, "orders")
     a = o.where(F.year("o_orderdate") == KMV_YEAR_A).select("o_custkey")
     b = o.where(F.year("o_orderdate") == KMV_YEAR_B).select("o_custkey")
     return SK.kmv_set_ops(a, b, "o_custkey", KMV_SETOPS_K)
@@ -8439,7 +8480,7 @@ def q_cohort_ltv(spark, sf_dir):
     Integer cents cumsum over an ordered window; the per-customer
     LTV is the exact-integer half-up '(2x + n) div 2n' division, so
     no float ever accumulates."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    o = _t(spark, sf_dir, "orders").select(
         "o_custkey",
         (
             (F.year("o_orderdate") - LTV_BASE_YEAR) * 12
@@ -8545,11 +8586,11 @@ def q_trend_robust(spark, sf_dir):
     two-term addition. Pair space is C(months, 2) per nation (~3.2k
     rows) — an equi-join on nation with an x< residual, never
     corpus-scale."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
     )
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n = _t(spark, sf_dir, "nation")
     monthly = (
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy(
@@ -8855,12 +8896,12 @@ def q_did(spark, sf_dir):
     oracle, half-up 6 dp. Single scan, one conditional aggregate —
     the ab_lift shape with a second factor."""
     dec = "decimal(38,0)"
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    o = _t(spark, sf_dir, "orders").select(
         "o_custkey",
         (F.year("o_orderdate") >= DID_POST_YEAR).alias("post"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    c = _t(spark, sf_dir, "customer").select(
         "c_custkey", (F.col("c_nationkey") % 2 == 0).alias("treated")
     )
     j = o.join(c, o["o_custkey"] == c["c_custkey"])
@@ -8986,8 +9027,8 @@ def q_survival_logrank(spark, sf_dir):
     1-row max anchor + sequence explode, so each group's at-risk
     count exists at every event time even when that group has no row
     there."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
     span = o.groupBy("o_custkey").agg(
@@ -9190,7 +9231,7 @@ def q_kcenter_seeds(spark, sf_dir):
     half-up to the 1e-6 grid; rank 0 has no previous set, so its d2 is
     0.0 by convention (NULL would be more honest but mixed None/float
     columns break the hash comparator's row sort)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _t(spark, sf_dir, "embeddings")
     trace = KND.farthest_trace_nd(emb, KCENTER_K)
     rows = [
         (
@@ -9245,7 +9286,7 @@ def q_hard_negatives(spark, sf_dir):
     from; recall < 1 by design, mirrored exactly by the oracle's
     identical bucketing."""
     t = SIM.hard_negatives(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        _t(spark, sf_dir, "embeddings"),
         ANN_QUERY_IDS,
         k=HARDNEG_K,
         planes=LSH_PLANES,
@@ -9268,7 +9309,7 @@ def q_class_balance(spark, sf_dir):
     (md5(id), id) hash order. No RNG: engines, retries, and
     partitionings agree on exactly which rows replicate."""
     return S.parity_copy_counts(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        _t(spark, sf_dir, "embeddings"),
         label_col="label",
         id_col="vec_id",
     )
@@ -9313,7 +9354,7 @@ def q_woe_binning(spark, sf_dir):
     One hash aggregate + broadcast-anchor totals; ln applied once per
     bin to a ratio of exact integer products, snapped to the 1e-6
     grid."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _t(spark, sf_dir, "lineitem")
     out = PROF.woe_iv(
         li,
         F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5)).cast("int"),
@@ -9863,7 +9904,7 @@ def q_linkage_entities(spark, sf_dir):
     recursive-CTE closure replays the propagation exactly (the
     q_dedup_groups precedent). Only linked entities appear
     (singletons are the identity clusters)."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
     )
     pairs = J.fuzzy_self_join_ed1(
