@@ -893,24 +893,24 @@ def dup_groups(
             .groupBy("u")
             .agg(F.min("label").alias("nl"))
         )
+        # The new label is least(old, min neighbor) and labels only
+        # ever DECREASE, so "this node moved" is computable in the
+        # same projection (new < old) — the previous form re-joined
+        # new_labels against labels just to detect a change, one full
+        # extra shuffle join per round (round-12 optimization; the
+        # convergence decision is bit-identical).
+        new = F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label")))
         new_labels = (
             labels.join(neigh, labels["node"] == neigh["u"], "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
-                ).alias("label"),
+                new.alias("label"),
+                (new < F.col("label")).alias("_moved"),
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("_moved")).limit(1).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             return labels.select(F.col("node"), F.col("label").alias("group_id"))
     raise RuntimeError(
@@ -996,10 +996,22 @@ def embedding_near_dup_pairs(
     cos = safe_cosine(
         dot_unrolled(F.col("va"), F.col("vb"), dim), F.col("na"), F.col("nb")
     )
+    # Round-12: score through an explode(array(...)) barrier. Without
+    # it the optimizer pushes the threshold filter below the project
+    # and INTO the join condition, where the unrolled dot is evaluated
+    # by the interpreter once per candidate pair and then AGAIN in the
+    # projection for survivors (observed in the executed plan: the
+    # whole 64-term tree inside BroadcastHashJoin's condition). A
+    # filter on a generator output cannot cross the Generate, so the
+    # cosine is evaluated exactly once, inside WholeStageCodegen.
+    # explode(array(x)) is row-preserving (the array is never
+    # null/empty; NULL cos survives to the filter as before) — pinned
+    # identical output by test, measured 2.3 s -> 1.2 s on this pair
+    # stage at sf0.1.
     return (
         a.join(b, "_bucket")
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", cos.alias("cos"))
+        .select("a", "b", F.explode(F.array(cos)).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
 
@@ -1789,8 +1801,6 @@ def semantic_dedup(
     (they define the blocking); the registered q_dedup_semantic uses
     this default since round 11 (its oracle derives k from
     count(*))."""
-    from mapreduce_kmeans_clustering_spark.functions.distance import dot_hof
-
     asg = _semantic_asg(embeddings, k, dim, id_col, vec_col, centroids)
     a = asg.select(
         F.col("_id").alias("a"), F.col("_v").alias("va"), F.col("_n").alias("na"),
@@ -1800,21 +1810,34 @@ def semantic_dedup(
         F.col("_id").alias("b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"),
         "cluster",
     )
-    # HOF dot: same summation order as the unrolled form / DuckDB's
-    # list_inner_product, but ~3.3x faster in the join-predicate
-    # evaluation context (see functions/distance.dot_hof). safe_cosine
+    # Round-12: unrolled dot behind an explode(array(...)) barrier.
+    # The previous HOF-in-join-condition form was itself a fix for the
+    # unrolled tree being interpreted inside the join predicate (HOF
+    # ~3.3x faster in that context — functions/distance.dot_hof); the
+    # barrier removes the scoring from the join condition entirely
+    # (a filter on a generator output cannot cross the Generate), so
+    # the dot now runs ONCE per candidate pair inside
+    # WholeStageCodegen — strictly better than both prior forms. Same
+    # index-ascending left-associated doubles as dot_hof / DuckDB's
+    # list_inner_product, so verdicts are bit-identical. safe_cosine
     # defines zero/NaN-vector pairs as NOT near-dups (undefined ->
     # NULL -> filtered) — never ANSI DIVIDE_BY_ZERO, never Spark's
     # NaN-matches-everything; the BLAS twin mirrors this via numpy's
     # false NaN comparisons.
-    from mapreduce_kmeans_clustering_spark.functions.distance import safe_cosine
+    from mapreduce_kmeans_clustering_spark.functions.distance import (
+        dot_unrolled,
+        safe_cosine,
+    )
 
-    cos = safe_cosine(dot_hof(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
+    cos = safe_cosine(
+        dot_unrolled(F.col("va"), F.col("vb"), dim), F.col("na"), F.col("nb")
+    )
     pruned = (
         a.join(b, "cluster")
         .where(F.col("a") < F.col("b"))
-        .where(cos >= threshold)
-        .select(F.col("b").alias("_pruned"))
+        .select(F.col("b").alias("_pruned"), F.explode(F.array(cos)).alias("_cos"))
+        .where(F.col("_cos") >= threshold)
+        .select("_pruned")
         .distinct()
     )
     return (

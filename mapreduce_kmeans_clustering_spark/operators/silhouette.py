@@ -45,9 +45,19 @@ def _pair_sums(assigned: DataFrame) -> DataFrame:
     the interpreter would evaluate it row-at-a-time), and the
     same/different-cluster split happens inside the aggregate via a
     flag column. The a=b diagonal contributes d(a,a)=0 to the intra
-    sum, so it needs no filter and the sums are unchanged."""
+    sum, so it needs no filter and the sums are unchanged.
+
+    The b side is broadcast explicitly (round-12, guide §3.1): without
+    the hint Catalyst cannot size the filtered/cached input and plans
+    CartesianProduct — measured at sf0.1 as a 32×32 = 1024-task stage
+    with 60.6 s executor time / 11.3 s GC for a 2064-row evaluation
+    set. With the broadcast it is one 32-task
+    BroadcastNestedLoopJoin stage. The evaluation set is bounded by
+    construction (silhouette_ref's O(n^2) contract + the limit_rids
+    hatch), so the broadcast side is always the bounded subset, never
+    an unbounded corpus."""
     a = assigned.select("cluster", "x", "y", "z").alias("a")
-    b = assigned.select("cluster", "x", "y", "z").alias("b")
+    b = F.broadcast(assigned.select("cluster", "x", "y", "z").alias("b"))
     dist = euclidean(
         F.col("a.x"), F.col("a.y"), F.col("a.z"), F.col("b.x"), F.col("b.y"), F.col("b.z")
     )

@@ -104,19 +104,57 @@ def cosine_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vec_dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors by cosine for each query id (queries
     excluded from their own result). Deterministic rank ties:
     (cos desc, neighbor id asc). Output (query_id, neighbor_id, rank,
-    cos)."""
+    cos).
+
+    ``vec_dim`` (round-12): when the caller declares the exact array
+    length, the norms are hoisted out of the pair projection (computed
+    once per SIDE instead of once per pair — 2/3 of the work at k_dim
+    = 64) and the dot runs as the unrolled whole-stage-codegen form
+    instead of the interpreted HOF. Same index-ascending
+    left-associated doubles (functions/distance.dot_unrolled), so
+    ranks and cos values are bit-identical; None keeps the generic
+    any-length HOF path."""
     vecs = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    q = F.broadcast(
-        vecs.where(F.col(id_col).isin(query_ids)).select(
-            F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    if vec_dim is not None:
+        from mapreduce_kmeans_clustering_spark.functions.distance import (
+            dot_unrolled,
+            norm_unrolled,
+            safe_cosine,
         )
-    )
-    c = vecs.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"))
-    cos = cosine_similarity(F.col("qv"), F.col("cv"))
+
+        vecs = vecs.select(
+            id_col, "v", norm_unrolled(F.col("v"), vec_dim).alias("_n")
+        )
+        q = F.broadcast(
+            vecs.where(F.col(id_col).isin(query_ids)).select(
+                F.col(id_col).alias("query_id"),
+                F.col("v").alias("qv"),
+                F.col("_n").alias("nq"),
+            )
+        )
+        c = vecs.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            F.col("_n").alias("nc"),
+        )
+        cos = safe_cosine(
+            dot_unrolled(F.col("qv"), F.col("cv"), vec_dim),
+            F.col("nq"),
+            F.col("nc"),
+        )
+    else:
+        q = F.broadcast(
+            vecs.where(F.col(id_col).isin(query_ids)).select(
+                F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+            )
+        )
+        c = vecs.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"))
+        cos = cosine_similarity(F.col("qv"), F.col("cv"))
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -139,6 +177,7 @@ def lsh_topk(
     probe_hamming: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vec_dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane
     bucket (equi-join on bucket), then exact cosine + rank within the
@@ -155,15 +194,38 @@ def lsh_topk(
     recall/candidate-fraction trade is measured by recall_vs_exact —
     on unstructured (near-uniform) vectors high recall inherently
     requires probing a large corpus fraction; clustered real-world
-    embeddings concentrate neighbors in the low-radius ball."""
+    embeddings concentrate neighbors in the low-radius ball.
+
+    ``vec_dim``: same contract as cosine_topk — declare the exact
+    array length to hoist per-side norms out of the pair projection
+    and run the unrolled codegen dot (bit-identical doubles); None
+    keeps the generic HOF path. Distinct from ``dim`` (the hyperplane
+    dimensionality), which only shapes the bucketing."""
     vecs = embeddings.select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("v"),
         lsh_bucket_expr(F.col(vec_col), dim, planes).alias("bucket"),
     )
-    q = vecs.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "bucket"
-    )
+    if vec_dim is not None:
+        from mapreduce_kmeans_clustering_spark.functions.distance import (
+            dot_unrolled,
+            norm_unrolled,
+            safe_cosine,
+        )
+
+        vecs = vecs.select(
+            id_col, "v", norm_unrolled(F.col("v"), vec_dim).alias("_n"), "bucket"
+        )
+        q = vecs.where(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("_n").alias("nq"),
+            "bucket",
+        )
+    else:
+        q = vecs.where(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "bucket"
+        )
     if probe_hamming > 0:
         masks = [
             m for m in range(1 << planes) if bin(m).count("1") <= probe_hamming
@@ -175,8 +237,23 @@ def lsh_topk(
             ),
         )
     q = F.broadcast(q)
-    c = vecs.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "bucket")
-    cos = cosine_similarity(F.col("qv"), F.col("cv"))
+    if vec_dim is not None:
+        c = vecs.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            F.col("_n").alias("nc"),
+            "bucket",
+        )
+        cos = safe_cosine(
+            dot_unrolled(F.col("qv"), F.col("cv"), vec_dim),
+            F.col("nq"),
+            F.col("nc"),
+        )
+    else:
+        c = vecs.select(
+            F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
+        )
+        cos = cosine_similarity(F.col("qv"), F.col("cv"))
     scored = (
         q.join(c, "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -871,8 +948,8 @@ def knn_graph(
     if planes is None:
         planes = auto_planes(embeddings.count())
     from mapreduce_kmeans_clustering_spark.functions.distance import (
-        dot_hof,
-        norm_hof,
+        dot_unrolled,
+        norm_unrolled,
         safe_cosine,
     )
 
@@ -880,7 +957,7 @@ def knn_graph(
     vb = embeddings.select(
         F.col(id_col).alias("_id"),
         v.alias("_v"),
-        norm_hof(v).alias("_n"),
+        norm_unrolled(v, dim).alias("_n"),
         lsh_bucket_expr(F.col(vec_col), dim, planes).alias("_bucket"),
     ).localCheckpoint(eager=False)
     a = vb.select(
@@ -891,11 +968,19 @@ def knn_graph(
         F.col("_id").alias("b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"),
         "_bucket",
     )
-    cos = safe_cosine(dot_hof(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
+    # Round-12: unrolled dot behind an explode(array(...)) barrier —
+    # the isNotNull guard used to be pushed into the join condition,
+    # where the dot ran interpreted once per in-bucket pair and again
+    # in the projection; the barrier keeps scoring in WholeStageCodegen
+    # and single-evaluated (same doubles as dot_hof / DuckDB's
+    # list_inner_product; see dedup.embedding_near_dup_pairs).
+    cos = safe_cosine(
+        dot_unrolled(F.col("va"), F.col("vb"), dim), F.col("na"), F.col("nb")
+    )
     und = (
         a.join(b, "_bucket")
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", cos.alias("cos"))
+        .select("a", "b", F.explode(F.array(cos)).alias("cos"))
         .where(F.col("cos").isNotNull())
     )
     edges = und.select(

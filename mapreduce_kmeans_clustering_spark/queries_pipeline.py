@@ -496,7 +496,7 @@ def q_knn_graph(spark, sf_dir):
 
 
 def q_ann_topk(spark, sf_dir):
-    t = SIM.cosine_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K)
+    t = SIM.cosine_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K, vec_dim=64)
     return t.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
 
 
@@ -507,6 +507,7 @@ def q_ann_lsh(spark, sf_dir):
         k=ANN_K,
         planes=LSH_PLANES,
         probe_hamming=LSH_PROBE_HAMMING,
+        vec_dim=64,
     )
     return t.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
 
@@ -524,7 +525,7 @@ def _exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _EXACT_TOPK_CACHE:
         _EXACT_TOPK_CACHE[key] = SIM.cosine_topk(
-            _emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K
+            _emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K, vec_dim=64
         ).localCheckpoint(eager=False)
     return _EXACT_TOPK_CACHE[key]
 
@@ -537,7 +538,8 @@ def q_ann_recall(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     exact = _exact_topk(spark, sf_dir)
     lsh = SIM.lsh_topk(
-        emb, ANN_QUERY_IDS, k=ANN_K, planes=LSH_PLANES, probe_hamming=LSH_PROBE_HAMMING
+        emb, ANN_QUERY_IDS, k=ANN_K, planes=LSH_PLANES,
+        probe_hamming=LSH_PROBE_HAMMING, vec_dim=64,
     )
     ivf = SIM.ivf_topk(
         emb,
@@ -1337,7 +1339,7 @@ def q_ann_dim_recall(spark, sf_dir):
     trunc = emb.select(
         "vec_id", F.slice(F.col("embedding"), 1, TRUNC_DIM).alias("embedding")
     )
-    approx = SIM.cosine_topk(trunc, ANN_QUERY_IDS, k=ANN_K)
+    approx = SIM.cosine_topk(trunc, ANN_QUERY_IDS, k=ANN_K, vec_dim=TRUNC_DIM)
     return SIM.recall_vs_exact(exact, approx, f"dim{TRUNC_DIM}")
 
 
@@ -9331,6 +9333,7 @@ def q_retrieval_metrics(spark, sf_dir):
         k=ANN_K,
         planes=LSH_PLANES,
         probe_hamming=LSH_PROBE_HAMMING,
+        vec_dim=64,
     )
     ivf = SIM.ivf_topk(
         emb,
