@@ -114,6 +114,17 @@ _SCAN_SPLIT_MIN_BYTES = int(
     os.environ.get("SPARK_GRAFT_SCAN_SPLIT_MIN_BYTES", str(64 * 1024))
 )
 
+# Per-table bytes-per-split override. The embeddings table feeds the
+# Arrow/mapInPandas operators (kmeans_nd, PCA, PQ), where each task
+# pays a Python-worker round trip — splitting 2 000 rows to 32 tasks
+# MULTIPLIES that fixed cost instead of amortizing it (measured U-curve
+# at sf0.1: fit_nd 15.1 s at 1 partition, 8.6 s at 8, 20.5 s at 32).
+# Scaling the split by bytes keeps small vector tables at a few
+# Arrow-batch-sized tasks while still growing to full parallelism with
+# the corpus; CPU-dense text/relational scans keep the core-derived
+# target (their per-row work dwarfs task overhead).
+_SCAN_BYTES_PER_SPLIT: dict[str, int] = {"embeddings": 96 * 1024}
+
 
 def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     path = f"{sf_dir}/{table}.parquet"
@@ -125,6 +136,9 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if size is not None and size < _SCAN_SPLIT_MIN_BYTES:
         return df  # dimension-sized: keep the single-task scan + cheap broadcast
     target = spark.sparkContext.defaultParallelism
+    bps = _SCAN_BYTES_PER_SPLIT.get(table)
+    if bps is not None and size is not None:
+        target = min(target, max(1, size // bps))
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
     return df
