@@ -127,6 +127,7 @@ def minhash_signatures(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig array<string>[num_hashes]): per seed s, the minimum of
     md5('s:' || shingle) over the doc's shingle set. String-min over
@@ -137,8 +138,20 @@ def minhash_signatures(
     the num_hashes md5 columns evaluated inside whole-stage codegen,
     then ONE hash aggregate (map-side partial min + final min) keyed on
     the doc id — instead of interpreted per-element transform() lambdas
-    over the array, which are ~10x slower and run outside codegen."""
-    ex = exploded_shingles(docs, n, text_col, id_col).withColumnRenamed("sh", "_sh")
+    over the array, which are ~10x slower and run outside codegen.
+
+    ``shingles`` (round-13, guide §5 lineage reuse): a caller that
+    already holds the exploded DISTINCT (id, sh) relation — the exact
+    output of ``exploded_shingles(docs, n, ...)``, typically
+    materialized with localCheckpoint — passes it here so composite
+    queries (q_minhash_pr, dedup_pipeline) build the shingle index
+    ONCE instead of once per operator call. Same relation, same
+    result; the caller owns the n/text_col consistency."""
+    ex = (
+        shingles
+        if shingles is not None
+        else exploded_shingles(docs, n, text_col, id_col)
+    ).withColumnRenamed("sh", "_sh")
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("_sh")))).alias(f"_m{s}")
         for s in range(num_hashes)
@@ -227,13 +240,18 @@ def lsh_candidate_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct (a, b) candidate pairs (a < b) sharing at least one LSH
-    band. Equi-join on (band, band_sig) — bucket-local, not O(n^2)."""
+    band. Equi-join on (band, band_sig) — bucket-local, not O(n^2).
+    ``shingles``: optional prebuilt exploded_shingles relation (see
+    minhash_signatures) so composite callers share one index build."""
     # both self-join sides would otherwise re-run the whole signature
     # pipeline; materialize the (tiny) band table once
     bands = lsh_bands(
-        minhash_signatures(docs, num_hashes, n, text_col, id_col), band_width, id_col
+        minhash_signatures(docs, num_hashes, n, text_col, id_col, shingles),
+        band_width,
+        id_col,
     ).localCheckpoint(eager=False)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -338,6 +356,7 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(a, b, jaccard) for pairs sharing >= 1 shingle with Jaccard >=
     threshold. Inverted-index join: exploded distinct shingles,
@@ -358,8 +377,18 @@ def jaccard_pairs(
     10^6 documents would otherwise produce a 10^12-row join key.
     APPROXIMATE when set: a pair whose only shared shingles are
     heavy hitters is missed, and set sizes shrink accordingly (so this
-    is a candidate-recall/skew trade, never a default)."""
-    ex = exploded_shingles(docs, n, text_col, id_col).localCheckpoint(eager=False)
+    is a candidate-recall/skew trade, never a default).
+
+    ``shingles``: optional prebuilt (and already materialized)
+    exploded_shingles relation shared with sibling operator calls —
+    when given, this skips both the rebuild and the re-checkpoint."""
+    ex = (
+        shingles
+        if shingles is not None
+        else exploded_shingles(docs, n, text_col, id_col).localCheckpoint(
+            eager=False
+        )
+    )
     if max_df is not None:
         dfreq = ex.groupBy("sh").agg(F.count("*").alias("_df"))
         ex = (
@@ -618,13 +647,22 @@ def jaccard_for_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(a, b, jaccard) restricted to the given candidate (a, b) pairs —
     the verification stage after LSH candidate generation. Work is
     O(|pairs| * shingles-per-doc), never all-pairs: candidates are
     equi-joined to the exploded shingle index on each side (the index
-    is materialized once — see jaccard_pairs)."""
-    ex = exploded_shingles(docs, n, text_col, id_col).localCheckpoint(eager=False)
+    is materialized once — see jaccard_pairs). ``shingles``: optional
+    prebuilt (already materialized) exploded_shingles relation shared
+    with sibling operator calls."""
+    ex = (
+        shingles
+        if shingles is not None
+        else exploded_shingles(docs, n, text_col, id_col).localCheckpoint(
+            eager=False
+        )
+    )
     sizes = ex.groupBy(id_col).agg(F.count("*").cast("int").alias("n_sh"))
     ea = ex.select(F.col(id_col).alias("a"), F.col("sh").alias("sha"))
     eb = ex.select(F.col(id_col).alias("_b"), F.col("sh").alias("shb"))
@@ -666,8 +704,19 @@ def dedup_pipeline(
     """
     exact_drops = exact_dup_drops(docs, text_col, id_col).select(id_col)
     survivors = docs.join(exact_drops, id_col, "left_anti")
-    cands = lsh_candidate_pairs(survivors, num_hashes, band_width, n, text_col, id_col)
-    verified = jaccard_for_pairs(survivors, cands, n, text_col, id_col).where(
+    # ONE shingle-index build feeds both LSH banding and Jaccard
+    # verification (round-13, guide §5/§6 reuse: each operator would
+    # otherwise re-run tokenize -> posexplode -> lead-window -> distinct
+    # over the survivor corpus)
+    ex = exploded_shingles(survivors, n, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    cands = lsh_candidate_pairs(
+        survivors, num_hashes, band_width, n, text_col, id_col, shingles=ex
+    )
+    verified = jaccard_for_pairs(
+        survivors, cands, n, text_col, id_col, shingles=ex
+    ).where(
         F.col("jaccard") >= verify_threshold
     )
     near_drops = verified.select(F.col("b").alias(id_col)).distinct()
@@ -1937,9 +1986,16 @@ def minhash_accuracy(
     hashes is too coarse.
 
     Shapes already in the engine: candidates from the band equi-join,
-    true intersections from the inverted shingle index restricted to
-    candidate pairs (left join — a band collision without any shared
-    shingle scores Jaccard 0), one aggregate each."""
+    true intersections from the inverted shingle index RESTRICTED to
+    candidate pairs before any shingle-shingle join (round 13: the
+    previous form self-joined the full inverted index on the shingle
+    key — per-shingle df·(df−1)/2 rows — and only then left-joined the
+    candidates, discarding almost all of that work; now the candidate
+    pairs drive two equi-joins into the index, O(|pairs|·shingles/doc)
+    like jaccard_for_pairs, results identical because non-candidate
+    intersections were never kept). A band collision without any
+    shared shingle still scores Jaccard 0 through the left join +
+    coalesce."""
     # ONE shingle index feeds signatures, banding and intersections
     # (minhash_signatures/lsh_candidate_pairs would each rebuild it)
     ex = exploded_shingles(docs, n, text_col, id_col).localCheckpoint(eager=False)
@@ -1967,6 +2023,9 @@ def minhash_accuracy(
         )
         .select(F.col(f"ba.{id_col}").alias("a"), F.col(f"bb.{id_col}").alias("b"))
         .distinct()
+        # consumed twice (intersection drive + final assembly): without
+        # the cut the band self-join re-runs per consumer
+        .localCheckpoint(eager=False)
     )
     sa = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("_sa"))
     sb = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("_sb"))
@@ -1976,11 +2035,11 @@ def minhash_accuracy(
         lambda acc, m: acc + m,
     )
     est = matches.cast("double") / F.lit(float(num_hashes))
-    ia = ex.select(F.col(id_col).alias("a"), F.col("sh").alias("_sh"))
-    ib = ex.select(F.col(id_col).alias("b"), F.col("sh").alias("_sh"))
+    ea = ex.select(F.col(id_col).alias("a"), F.col("sh").alias("sha"))
+    eb = ex.select(F.col(id_col).alias("_b"), F.col("sh").alias("shb"))
     inter = (
-        ia.join(ib, "_sh")
-        .where(F.col("a") < F.col("b"))
+        cand.join(ea, "a")
+        .join(eb, (F.col("b") == F.col("_b")) & (F.col("sha") == F.col("shb")))
         .groupBy("a", "b")
         .agg(F.count("*").alias("_c"))
     )

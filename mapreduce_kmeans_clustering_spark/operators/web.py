@@ -753,6 +753,15 @@ def web_corpus_pipeline(
         quality_score,
     )
 
+    # Round-13 (guide §5 lineage / VERDICT r12 next-5): the input
+    # relation fans out to FIVE consumers (train -> url curation +
+    # kept_docs; bench -> span-scrub reference, DSIR target, and the
+    # final 'benchmark' verdict rows), and Catalyst plans each subtree
+    # independently — the caller's derivation (q_web_pipeline's planted
+    # boilerplate concat over a documents scan + n_chars join) was
+    # re-derived five times per run. Materialize it once; every stage
+    # below re-anchors on the checkpointed columns.
+    docs = docs.localCheckpoint(eager=False)
     is_bench = F.coalesce(bench_pred, F.lit(False))
     bench = docs.where(is_bench)
     train = docs.where(~is_bench)

@@ -336,11 +336,21 @@ def q_minhash_pr(spark, sf_dir):
     SET level (q_minhash_accuracy grades the estimator per pair; this
     grades the blocking: how much over-generation the bands cost and
     whether any true pair escapes the buckets). One full-outer join of
-    two pair sets, three counts, two divisions — no driver collect."""
+    two pair sets, three counts, two divisions — no driver collect.
+
+    Round-13 (guide §5/§6 reuse): the exploded shingle index is built
+    ONCE and passed to both operator calls — candidate generation and
+    the true-Jaccard side each previously re-ran the full
+    tokenize→posexplode→lead-window→distinct chain (VERDICT r12 next-1)."""
     docs = _docs(spark, sf_dir)
-    cand = D.lsh_candidate_pairs(docs).select("a", "b").withColumn("_c", F.lit(1))
+    ex = D.exploded_shingles(docs).localCheckpoint(eager=False)
+    cand = (
+        D.lsh_candidate_pairs(docs, shingles=ex)
+        .select("a", "b")
+        .withColumn("_c", F.lit(1))
+    )
     truth = (
-        D.jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+        D.jaccard_pairs(docs, threshold=JACCARD_THRESHOLD, shingles=ex)
         .select("a", "b")
         .withColumn("_t", F.lit(1))
     )

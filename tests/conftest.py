@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from mapreduce_kmeans_clustering_spark.session import get_spark
@@ -8,6 +10,37 @@ REF = "/root/reference"
 REF_POINTS_CSV = f"{REF}/3d_points_dataset.csv"
 REF_SEEDS_CSV = f"{REF}/seed_points_K5.csv"
 TESTDATA = "/root/testdata"
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="also run tests marked @pytest.mark.slow (the exhaustive "
+        "property/parity batches; ~40 min of the full suite)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: exhaustive property/oracle-parity batch — excluded from the "
+        "default run so `pytest tests/` finishes inside an external verify "
+        "window (VERDICT r12 item 2); run with --runslow or "
+        "SPARK_GRAFT_RUN_SLOW=1 (CI / round-close use the full set)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("SPARK_GRAFT_RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow batch: opt in with --runslow or SPARK_GRAFT_RUN_SLOW=1"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")

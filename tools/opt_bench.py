@@ -1,9 +1,9 @@
-"""Round-12 optimization measurement helper.
+"""Optimization-round measurement helper.
 
 Times individual registered queries through the noop sink (guide §1.4)
 on the same session config as bench.py, optionally repeating, and/or
-dumps `.explain("formatted")` to plans/r12/<name>_<tag>.txt so plan
-claims in OPTIMIZATION_r12.md are reproducible.
+dumps `.explain("formatted")` to plans/<round>/<name>_<tag>.txt so plan
+claims in OPTIMIZATION_r*.md are reproducible.
 
 Usage:
   python tools/opt_bench.py --plans-tag before q_dedup_minhash q_dedup_pipeline
@@ -28,7 +28,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--repeat", type=int, default=2)
-    ap.add_argument("--plans-tag", default=None, help="write plans/r12/<name>_<tag>.txt")
+    ap.add_argument("--plans-tag", default=None, help="write plans/<round>/<name>_<tag>.txt")
+    ap.add_argument("--plans-round", default="r13")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--warmups", action="store_true")
     args = ap.parse_args()
@@ -41,7 +42,7 @@ def main() -> None:
     scale_points(spark, sf_dir).limit(1).count()  # JVM warm
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plans_dir = os.path.join(repo, "plans", "r12")
+    plans_dir = os.path.join(repo, "plans", args.plans_round)
     out: dict[str, list[float]] = {}
 
     if args.warmups:
