@@ -111,50 +111,53 @@ def cosine_topk(
     (cos desc, neighbor id asc). Output (query_id, neighbor_id, rank,
     cos).
 
-    ``vec_dim`` (round-12): when the caller declares the exact array
-    length, the norms are hoisted out of the pair projection (computed
-    once per SIDE instead of once per pair — 2/3 of the work at k_dim
-    = 64) and the dot runs as the unrolled whole-stage-codegen form
-    instead of the interpreted HOF. Same index-ascending
-    left-associated doubles (functions/distance.dot_unrolled), so
-    ranks and cos values are bit-identical; None keeps the generic
-    any-length HOF path."""
-    vecs = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    if vec_dim is not None:
-        from mapreduce_kmeans_clustering_spark.functions.distance import (
-            dot_unrolled,
-            norm_unrolled,
-            safe_cosine,
-        )
+    ``vec_dim`` (round-12, re-gated round-13): when the caller declares
+    the exact array length the dot runs as the unrolled
+    whole-stage-codegen form; ``None`` keeps the CONSTANT-size HOF
+    plan. Per-side norm hoisting (norms once per SIDE instead of once
+    per pair — 2/3 of the work at k_dim = 64) now applies to BOTH
+    forms: it is a strict win and form-independent. Same
+    index-ascending left-associated doubles either way
+    (functions/distance dot_hof/dot_unrolled contract), so ranks and
+    cos values are bit-identical. Round-13 measurement (idle,
+    interleaved, sf0.1): below ~10^5 scored pairs the unrolled form's
+    one-time wide-expression codegen dominates and HOF wins (0.53 vs
+    1.42 s warm, 1.1 vs 5.1 s cold); past that the ~10-30x per-pair
+    codegen advantage wins — callers gate on corpus size
+    (queries_pipeline._ann_vec_dim)."""
+    from mapreduce_kmeans_clustering_spark.functions.distance import (
+        dot_hof,
+        dot_unrolled,
+        norm_hof,
+        norm_unrolled,
+        safe_cosine,
+    )
 
-        vecs = vecs.select(
-            id_col, "v", norm_unrolled(F.col("v"), vec_dim).alias("_n")
+    vecs = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    norm = (
+        norm_unrolled(F.col("v"), vec_dim)
+        if vec_dim is not None
+        else norm_hof(F.col("v"))
+    )
+    vecs = vecs.select(id_col, "v", norm.alias("_n"))
+    q = F.broadcast(
+        vecs.where(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("_n").alias("nq"),
         )
-        q = F.broadcast(
-            vecs.where(F.col(id_col).isin(query_ids)).select(
-                F.col(id_col).alias("query_id"),
-                F.col("v").alias("qv"),
-                F.col("_n").alias("nq"),
-            )
-        )
-        c = vecs.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col("v").alias("cv"),
-            F.col("_n").alias("nc"),
-        )
-        cos = safe_cosine(
-            dot_unrolled(F.col("qv"), F.col("cv"), vec_dim),
-            F.col("nq"),
-            F.col("nc"),
-        )
-    else:
-        q = F.broadcast(
-            vecs.where(F.col(id_col).isin(query_ids)).select(
-                F.col(id_col).alias("query_id"), F.col("v").alias("qv")
-            )
-        )
-        c = vecs.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"))
-        cos = cosine_similarity(F.col("qv"), F.col("cv"))
+    )
+    c = vecs.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("_n").alias("nc"),
+    )
+    dot = (
+        dot_unrolled(F.col("qv"), F.col("cv"), vec_dim)
+        if vec_dim is not None
+        else dot_hof(F.col("qv"), F.col("cv"))
+    )
+    cos = safe_cosine(dot, F.col("nq"), F.col("nc"))
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -196,36 +199,36 @@ def lsh_topk(
     requires probing a large corpus fraction; clustered real-world
     embeddings concentrate neighbors in the low-radius ball.
 
-    ``vec_dim``: same contract as cosine_topk — declare the exact
-    array length to hoist per-side norms out of the pair projection
-    and run the unrolled codegen dot (bit-identical doubles); None
-    keeps the generic HOF path. Distinct from ``dim`` (the hyperplane
+    ``vec_dim``: same contract as cosine_topk — the exact array length
+    selects the unrolled codegen dot, ``None`` the constant-size HOF
+    plan (bit-identical doubles; per-side norm hoisting applies to
+    both forms — round 13). Distinct from ``dim`` (the hyperplane
     dimensionality), which only shapes the bucketing."""
+    from mapreduce_kmeans_clustering_spark.functions.distance import (
+        dot_hof,
+        dot_unrolled,
+        norm_hof,
+        norm_unrolled,
+        safe_cosine,
+    )
+
     vecs = embeddings.select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("v"),
         lsh_bucket_expr(F.col(vec_col), dim, planes).alias("bucket"),
     )
-    if vec_dim is not None:
-        from mapreduce_kmeans_clustering_spark.functions.distance import (
-            dot_unrolled,
-            norm_unrolled,
-            safe_cosine,
-        )
-
-        vecs = vecs.select(
-            id_col, "v", norm_unrolled(F.col("v"), vec_dim).alias("_n"), "bucket"
-        )
-        q = vecs.where(F.col(id_col).isin(query_ids)).select(
-            F.col(id_col).alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("_n").alias("nq"),
-            "bucket",
-        )
-    else:
-        q = vecs.where(F.col(id_col).isin(query_ids)).select(
-            F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "bucket"
-        )
+    norm = (
+        norm_unrolled(F.col("v"), vec_dim)
+        if vec_dim is not None
+        else norm_hof(F.col("v"))
+    )
+    vecs = vecs.select(id_col, "v", norm.alias("_n"), "bucket")
+    q = vecs.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("_n").alias("nq"),
+        "bucket",
+    )
     if probe_hamming > 0:
         masks = [
             m for m in range(1 << planes) if bin(m).count("1") <= probe_hamming
@@ -237,23 +240,18 @@ def lsh_topk(
             ),
         )
     q = F.broadcast(q)
-    if vec_dim is not None:
-        c = vecs.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col("v").alias("cv"),
-            F.col("_n").alias("nc"),
-            "bucket",
-        )
-        cos = safe_cosine(
-            dot_unrolled(F.col("qv"), F.col("cv"), vec_dim),
-            F.col("nq"),
-            F.col("nc"),
-        )
-    else:
-        c = vecs.select(
-            F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
-        )
-        cos = cosine_similarity(F.col("qv"), F.col("cv"))
+    c = vecs.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("_n").alias("nc"),
+        "bucket",
+    )
+    dot = (
+        dot_unrolled(F.col("qv"), F.col("cv"), vec_dim)
+        if vec_dim is not None
+        else dot_hof(F.col("qv"), F.col("cv"))
+    )
+    cos = safe_cosine(dot, F.col("nq"), F.col("nc"))
     scored = (
         q.join(c, "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -272,6 +270,7 @@ def ivf_assign(
     nlist: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    unroll: bool = False,
 ) -> DataFrame:
     """Assign every corpus vector to its inverted list: the nearest (by
     cosine, ties to the lowest list id) of ``nlist`` deterministic seed
@@ -294,7 +293,7 @@ def ivf_assign(
     guard, SCALE.md §7). At scale the output is written
     ``partitionBy(list_id)`` so probes prune entire files."""
     seeds = _ivf_seed_list(embeddings, nlist, id_col, vec_col)
-    return _ivf_assign_with_seeds(embeddings, seeds, id_col, vec_col)
+    return _ivf_assign_with_seeds(embeddings, seeds, id_col, vec_col, unroll)
 
 
 def _ivf_seed_list(
@@ -335,20 +334,66 @@ def _ivf_assign_with_seeds(
     seeds: list[tuple[int, list[float]]],
     id_col: str,
     vec_col: str,
+    unroll: bool = False,
 ) -> DataFrame:
     """The scan-local literal-argmin assignment against given seeds —
     shared by ivf_assign (seeds from the corpus) and ivf_extend_index
-    (seeds from the stored ``_centroids``)."""
+    (seeds from the stored ``_centroids``).
+
+    Round-13 norm hoisting: the previous form spelled each seed's
+    score as ``cosine_similarity(v, const_vec(sv))``, which evaluates
+    ``sqrt(Σ v²)`` once PER SEED per row and ``sqrt(Σ sv²)`` — an
+    interpreted HOF over a literal array that ConstantFolding cannot
+    fold through the lambda — ALSO per seed per row: 3×nlist
+    interpreted 64-element aggregates per row where nlist+1 suffice.
+    Now the row norm is computed once per row and each seed's norm
+    once at PLAN time in Python (same left-associated index-ascending
+    IEEE-double sum + sqrt, so the value is bit-identical); per-seed
+    work drops to one dot + one guarded divide. ``unroll=True``
+    switches dot/norm to the fixed-dim unrolled codegen forms (same
+    doubles — the documented dot contract); the janino cost of the
+    nlist×dim-term tree only pays off once per-row volume dominates,
+    so callers gate it on corpus size (queries_pipeline._ann_vec_dim)."""
+    import math
+
+    from mapreduce_kmeans_clustering_spark.functions.distance import (
+        dot_hof,
+        dot_unrolled,
+        norm_hof,
+        norm_unrolled,
+        safe_cosine,
+    )
     from mapreduce_kmeans_clustering_spark.functions.literals import const_vec
 
+    dim = len(seeds[0][1])
     vecs = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    entries = [
-        F.struct(
-            (-cosine_similarity(F.col("v"), const_vec(sv))).alias("nc"),
-            F.lit(lid).cast("long").alias("lid"),
+    norm = (
+        norm_unrolled(F.col("v"), dim) if unroll else norm_hof(F.col("v"))
+    )
+    vecs = vecs.select(F.col(id_col), "v", norm.alias("_na"))
+
+    def seed_norm(sv: list[float]) -> float:
+        s = 0.0
+        for x in sv:
+            s += x * x
+        return math.sqrt(s)
+
+    entries = []
+    for lid, sv in seeds:
+        c = const_vec(sv)
+        dot = (
+            dot_unrolled(F.col("v"), c, dim)
+            if unroll
+            else dot_hof(F.col("v"), c)
         )
-        for lid, sv in seeds
-    ]
+        entries.append(
+            F.struct(
+                (-safe_cosine(dot, F.col("_na"), F.lit(seed_norm(sv)))).alias(
+                    "nc"
+                ),
+                F.lit(lid).cast("long").alias("lid"),
+            )
+        )
     return vecs.select(
         F.col(id_col),
         "v",

@@ -148,6 +148,35 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents")
 
 
+# Dot-product form gate for the ANN top-k family (round-13, VERDICT
+# r12 next-4; guide §1.2 "per-task work" + §4.1). Two bit-identical
+# spellings exist (functions/distance contract): the fixed-dim
+# UNROLLED tree runs inside whole-stage codegen (~10-30x faster per
+# pair) but costs one-time janino compilation of a k_dim-term
+# expression per plan, while the HOF form is a constant-size plan
+# evaluated interpreted. Idle interleaved measurement at sf0.1 (2 000
+# vectors × 10 queries ≈ 2·10^4 pairs): HOF 0.53 s vs unrolled 1.42 s
+# warm, 1.1 vs 5.1 s cold — the codegen dominates until the pair
+# volume is ~10^5-10^6. The gate derives from the embeddings table's
+# size (pairs scale linearly with the corpus at a fixed query list):
+# below ~4 MiB (~10^4 vectors, ~10^5 pairs) the constant-size HOF plan
+# wins; above it the unrolled form's per-pair advantage pays the
+# compile many times over. Results are bit-identical either way
+# (pinned by tests/test_similarity + the oracle hash gate), so this
+# only moves plan shape.
+_ANN_UNROLL_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_ANN_UNROLL_MIN_BYTES", str(4 * 1024 * 1024))
+)
+
+
+def _ann_vec_dim(sf_dir: str, dim: int = 64) -> int | None:
+    try:
+        size = os.path.getsize(f"{sf_dir}/embeddings.parquet")
+    except OSError:  # directory input (real deployment): corpus-scale
+        return dim
+    return dim if size >= _ANN_UNROLL_MIN_BYTES else None
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "embeddings")
 
@@ -165,7 +194,9 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str, nlist: int) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, nlist)
     if key not in _IVF_ASSIGN_CACHE:
         _IVF_ASSIGN_CACHE[key] = SIM.ivf_assign(
-            _emb(spark, sf_dir), nlist
+            _emb(spark, sf_dir),
+            nlist,
+            unroll=_ann_vec_dim(sf_dir) is not None,
         ).localCheckpoint(eager=False)
     return _IVF_ASSIGN_CACHE[key]
 
@@ -520,7 +551,9 @@ def q_knn_graph(spark, sf_dir):
 
 
 def q_ann_topk(spark, sf_dir):
-    t = SIM.cosine_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K, vec_dim=64)
+    t = SIM.cosine_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K, vec_dim=_ann_vec_dim(sf_dir)
+    )
     return t.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
 
 
@@ -531,7 +564,7 @@ def q_ann_lsh(spark, sf_dir):
         k=ANN_K,
         planes=LSH_PLANES,
         probe_hamming=LSH_PROBE_HAMMING,
-        vec_dim=64,
+        vec_dim=_ann_vec_dim(sf_dir),
     )
     return t.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
 
@@ -549,7 +582,10 @@ def _exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _EXACT_TOPK_CACHE:
         _EXACT_TOPK_CACHE[key] = SIM.cosine_topk(
-            _emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K, vec_dim=64
+            _emb(spark, sf_dir),
+            ANN_QUERY_IDS,
+            k=ANN_K,
+            vec_dim=_ann_vec_dim(sf_dir),
         ).localCheckpoint(eager=False)
     return _EXACT_TOPK_CACHE[key]
 
@@ -563,7 +599,7 @@ def q_ann_recall(spark, sf_dir):
     exact = _exact_topk(spark, sf_dir)
     lsh = SIM.lsh_topk(
         emb, ANN_QUERY_IDS, k=ANN_K, planes=LSH_PLANES,
-        probe_hamming=LSH_PROBE_HAMMING, vec_dim=64,
+        probe_hamming=LSH_PROBE_HAMMING, vec_dim=_ann_vec_dim(sf_dir),
     )
     ivf = SIM.ivf_topk(
         emb,
@@ -1363,7 +1399,12 @@ def q_ann_dim_recall(spark, sf_dir):
     trunc = emb.select(
         "vec_id", F.slice(F.col("embedding"), 1, TRUNC_DIM).alias("embedding")
     )
-    approx = SIM.cosine_topk(trunc, ANN_QUERY_IDS, k=ANN_K, vec_dim=TRUNC_DIM)
+    approx = SIM.cosine_topk(
+        trunc,
+        ANN_QUERY_IDS,
+        k=ANN_K,
+        vec_dim=TRUNC_DIM if _ann_vec_dim(sf_dir) is not None else None,
+    )
     return SIM.recall_vs_exact(exact, approx, f"dim{TRUNC_DIM}")
 
 
@@ -9357,7 +9398,7 @@ def q_retrieval_metrics(spark, sf_dir):
         k=ANN_K,
         planes=LSH_PLANES,
         probe_hamming=LSH_PROBE_HAMMING,
-        vec_dim=64,
+        vec_dim=_ann_vec_dim(sf_dir),
     )
     ivf = SIM.ivf_topk(
         emb,
