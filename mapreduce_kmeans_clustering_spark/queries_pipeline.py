@@ -125,8 +125,28 @@ _SCAN_SPLIT_MIN_BYTES = int(
 # target (their per-row work dwarfs task overhead).
 _SCAN_BYTES_PER_SPLIT: dict[str, int] = {"embeddings": 96 * 1024}
 
+# Table-default split policy (round 13, VERDICT r12 next-6). The
+# round-robin Exchange only pays for itself when heavy per-row work
+# runs BETWEEN the scan and the first natural exchange — tokenize/
+# shingle/md5/HOF families on the text and vector tables. Join/agg
+# -first consumers get their parallelism from their own first shuffle,
+# so for them the split is a pure full-data Exchange tax. Idle
+# interleaved A/B at sf0.1 (tools/split_ab.py, alternating arm order,
+# min-of-4): q_pricing_summary 1.93 s split vs 0.57 nosplit,
+# q_sales_cube 1.77 vs 0.80, q_top_orders 2.98 vs 1.40,
+# q_brand_revenue 1.88 vs 1.18, q_copurchase_triangles 6.37 vs 5.79 —
+# while the documents-scanning q_ngram_diversity keeps its split win
+# (6.75 vs 8.33). So: documents/embeddings split by default, the
+# relational+events tables don't, and the few relational consumers
+# with heavy scan-local work (deletion-neighborhood explode, …) opt
+# in per call site. At 100 TB every table arrives already split and
+# the whole policy is a no-op.
+_SCAN_SPLIT_DEFAULT: dict[str, bool] = {"documents": True, "embeddings": True}
 
-def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+
+def _t(
+    spark: SparkSession, sf_dir: str, table: str, split: bool | None = None
+) -> DataFrame:
     path = f"{sf_dir}/{table}.parquet"
     df = spark.read.parquet(path)
     try:
@@ -135,6 +155,10 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         size = None
     if size is not None and size < _SCAN_SPLIT_MIN_BYTES:
         return df  # dimension-sized: keep the single-task scan + cheap broadcast
+    if split is None:
+        split = _SCAN_SPLIT_DEFAULT.get(table, False)
+    if not split:
+        return df
     target = spark.sparkContext.defaultParallelism
     bps = _SCAN_BYTES_PER_SPLIT.get(table)
     if bps is not None and size is not None:
@@ -2034,7 +2058,9 @@ def q_linkage_scores(spark, sf_dir):
     Scale: blocking is O(sum name lengths) keys; u estimation is one
     tiny aggregate per field; attribute attachment is two keyed
     joins."""
-    cust = _t(spark, sf_dir, "customer").select(
+    # split=True: the deletion-neighborhood explode is heavy per-row
+    # scan-local work before the first join (see _SCAN_SPLIT_DEFAULT)
+    cust = _t(spark, sf_dir, "customer", split=True).select(
         "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
     )
     pairs = J.fuzzy_self_join_ed1(
@@ -9972,7 +9998,8 @@ def q_linkage_entities(spark, sf_dir):
     recursive-CTE closure replays the propagation exactly (the
     q_dedup_groups precedent). Only linked entities appear
     (singletons are the identity clusters)."""
-    cust = _t(spark, sf_dir, "customer").select(
+    # split=True: deletion-neighborhood explode before the first join
+    cust = _t(spark, sf_dir, "customer", split=True).select(
         "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
     )
     pairs = J.fuzzy_self_join_ed1(

@@ -3,6 +3,8 @@ interval matching vs a straight Python queue simulation."""
 
 from __future__ import annotations
 
+import pytest
+
 from mapreduce_kmeans_clustering_spark.operators.allocation import (
     fifo_match,
     largest_remainder,
@@ -17,6 +19,7 @@ def _alloc(spark, weights, units):
     return {r["k"]: (r["floor_units"], r["got_extra"], r["units"]) for r in rows}
 
 
+@pytest.mark.slow  # 7-12 s band, sibling fast coverage kept (r13)
 def test_exact_proportions_get_no_extras(spark):
     out = _alloc(spark, {"a": 5, "b": 3, "c": 2}, 10)
     assert out == {"a": (5, 0, 5), "b": (3, 0, 3), "c": (2, 0, 2)}

@@ -3,6 +3,7 @@ equivalence, scan-local probe plan."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from mapreduce_kmeans_clustering_spark.functions.bloom import (
@@ -22,6 +23,7 @@ def test_no_false_negatives_and_low_fpr(spark):
     assert fpr < 0.02, fpr
 
 
+@pytest.mark.slow  # >=12 s in the idle full run (r13)
 def test_semi_join_bloom_equals_plain_semi_join(spark):
     li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     orders = (

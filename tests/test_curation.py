@@ -285,6 +285,7 @@ def test_quality_ensemble_short_doc_lands_in_bucket_nine(spark):
     assert not short["keep"]
 
 
+@pytest.mark.slow  # >=12 s in the idle full run (r13)
 def test_quality_ensemble_score_arithmetic_full_vote(spark):
     """All three votes on: num = 36 + 27 + 3*(9-b); with a single
     scored doc the decile cutpoints all equal its own avg_nll, so the
@@ -497,6 +498,7 @@ def test_scrub_contaminated_spans_excises_exact_spans(spark):
     }
 
 
+@pytest.mark.slow  # >=12 s in the idle full run (r13)
 def test_scrub_seam_caveat_and_until_clean_convergence(spark):
     """The pinned honest limit: excising a span can join its neighbors
     into a NEW benchmark n-gram (one pass leaves it), and
@@ -753,6 +755,7 @@ def _dsir_docs(spark):
     return spark.createDataFrame(rows, "doc_id LONG, text STRING, tgt BOOLEAN")
 
 
+@pytest.mark.slow  # 7-12 s band, sibling fast coverage kept (r13)
 def test_dsir_profile_additive_and_from_profile_identity(spark):
     from mapreduce_kmeans_clustering_spark.operators.curation import (
         dsir_logweights,

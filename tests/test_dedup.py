@@ -153,6 +153,7 @@ def copies_emb(spark):
     return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
 
 
+@pytest.mark.slow  # >=12 s in the idle full run (r13)
 def test_embedding_bucketed_equals_brute_on_copies(copies_emb):
     bucketed = {
         (r["a"], r["b"]): r["cos"]
@@ -302,6 +303,7 @@ def test_semantic_dedup_sparse_ids_and_fitted_centroids(spark):
     assert got2 == {100: 1, 205: 0, 310: 1, 415: 0}
 
 
+@pytest.mark.slow  # >=12 s in the idle full run (r13)
 def test_semantic_dedup_large_k_blas_path(spark):
     """k > SEMANTIC_LITERAL_K_MAX routes assignment through the
     broadcast BLAS argmin (plans/kmeans_nd.assign_nd) — same verdicts,
@@ -347,6 +349,7 @@ def test_suggested_semantic_k_scales_with_corpus():
     assert 15_000 <= suggested_semantic_k(440_000_000) <= 25_000
 
 
+@pytest.mark.slow  # 7-12 s band, sibling fast coverage kept (r13)
 def test_semantic_dedup_blas_twin_matches_expression_form(spark):
     """The production BLAS twin (per-cluster gram blocks via
     applyInPandas) must produce identical verdicts to the oracle-gated
@@ -415,6 +418,7 @@ def test_semantic_dedup_zero_vector_cosine_undefined_keeps(spark):
     assert expr[4] == "prune"
 
 
+@pytest.mark.slow  # 7-12 s band, sibling fast coverage kept (r13)
 def test_semantic_dedup_fit_nd_handoff(spark):
     """The documented production wiring (DEPLOY.md): fit_nd centroids
     flow straight into semantic_dedup / semantic_dedup_blas. Both
@@ -523,6 +527,7 @@ def test_repeated_passages_xxhash_production_twin(spark):
         repeated_passages(df, hash_fn="sha1")
 
 
+@pytest.mark.slow  # >=12 s in the idle full run (r13)
 def test_jaccard_prefix_filter_is_exact(spark):
     """Prefix filtering (Bayardo et al.) must return EXACTLY the pairs
     of the plain inverted-index join at every threshold — completeness
@@ -590,6 +595,7 @@ def test_jaccard_prefix_filter_shrinks_candidates(spark):
     assert cand < full, (cand, full)
 
 
+@pytest.mark.slow  # >=12 s in the idle full run (r13)
 def test_embedding_near_dup_auto_planes_default(copies_emb):
     """planes=None (the new default) equals the explicit auto_planes
     count on the same corpus — for both the expression and the BLAS
@@ -623,6 +629,7 @@ def test_embedding_near_dup_auto_planes_default(copies_emb):
     assert set(blas_auto) == set(auto)
 
 
+@pytest.mark.slow  # >=12 s in the idle full run (r13)
 def test_dup_groups_raises_past_max_iter_never_wrong(spark):
     """VERDICT r8 item 7: a 12-node chain has diameter 11 > the
     default max_iter=10, and the loop must RAISE (never return a
@@ -643,6 +650,7 @@ def test_dup_groups_raises_past_max_iter_never_wrong(spark):
     assert ok == {i: 0 for i in range(12)}
 
 
+@pytest.mark.slow  # >=12 s in the idle full run (r13)
 def test_incremental_minhash_dedup_verdicts_and_stored_index(spark):
     """Index-vs-delta near-dedup: a delta doc that is a near-copy of
     an index doc is flagged with the right source and Jaccard; a novel
@@ -731,6 +739,7 @@ def test_semantic_dedup_auto_k_default(copies_emb):
     assert blas == auto
 
 
+@pytest.mark.slow  # >=12 s in the idle full run (r13)
 def test_two_day_incremental_loop_with_index_extension(spark):
     """The full daily shape: day-1 shard screened against the corpus
     index, its accepted docs' bands appended via extend_band_index,
@@ -1155,6 +1164,7 @@ def test_passage_scrub_xxhash_production_twin(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # 7-12 s band, sibling fast coverage kept (r13)
 def test_passage_index_additive_and_geometry(spark):
     from mapreduce_kmeans_clustering_spark.operators.dedup import (
         extend_passage_index,

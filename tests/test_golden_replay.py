@@ -52,6 +52,7 @@ def test_task2_chain_r5(ref_points, ref_seeds):
         assert_centroids_close(cents, golden("task2", i))
 
 
+@pytest.mark.slow  # 7-12 s band, sibling fast coverage kept (r13)
 def test_converged_chain_task5a(ref_points, ref_seeds):
     res = fit(ref_points, ref_seeds, max_iter=30, threshold=5.0, keep_history=True)
     assert res.converged

@@ -67,6 +67,7 @@ def test_k_validation(pts_df):
         init_farthest(df, 0)
 
 
+@pytest.mark.slow  # >=12 s in the idle full run (r13)
 def test_nd_matches_brute_and_feeds_fit(spark):
     from mapreduce_kmeans_clustering_spark.plans import fit_nd, init_farthest_nd
 
@@ -116,6 +117,7 @@ def _kpp_fixture(spark, n=240, dim=4, spread=40.0):
     return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>"), rows
 
 
+@pytest.mark.slow  # >=12 s in the idle full run (r13)
 def test_kmeans_parallel_returns_k_and_is_deterministic(spark):
     from mapreduce_kmeans_clustering_spark.plans.kmeans_nd import (
         init_kmeans_parallel_nd,

@@ -23,6 +23,13 @@ left_rows = st.lists(st.tuples(key, sec), min_size=1, max_size=25)
 right_rows = st.lists(st.tuples(key, sec), min_size=0, max_size=25)
 
 
+import pytest
+
+# Exhaustive property batch — slow (VERDICT r12 item 2): excluded
+# from the default run; CI/round-close run with --runslow.
+pytestmark = pytest.mark.slow
+
+
 def _ts(s: int) -> str:
     return f"2024-01-01 00:{s // 60:02d}:{s % 60:02d}"
 

@@ -44,6 +44,7 @@ def X():
     )
 
 
+@pytest.mark.slow  # >=12 s in the idle full run (r13)
 def test_fit_nd_matches_numpy_lloyd(spark, X):
     k, iters = 4, 3
     df = _vectors_df(spark, X)
@@ -88,6 +89,7 @@ def test_seed_centroids_deterministic(spark, X):
     assert s1 == s2 == [list(map(float, X[i])) for i in range(4)]
 
 
+@pytest.mark.slow  # 7-12 s band, sibling fast coverage kept (r13)
 def test_mllib_backend_clusters_reference_data(spark):
     """Alternate MLlib backend: sane clustering on the reference CSV
     (library semantics, not golden parity — documented)."""

@@ -237,6 +237,7 @@ def test_png_roundtrip_all_filters_and_color_types():
     )
 
 
+@pytest.mark.slow  # >=12 s in the idle full run (r13)
 def test_decoded_stats_over_synthesized_decodable_media(spark):
     """End-to-end real-decode pass: synthesize valid PPM/WAV payloads
     executor-side, decode them back through the Arrow path, and check

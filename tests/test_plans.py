@@ -565,6 +565,7 @@ def test_round5_additions_plan_shapes(spark):
     assert _scalar_anchor_bnlj_only(p)
 
 
+@pytest.mark.slow  # 7-12 s band, sibling fast coverage kept (r13)
 def test_round5_extension_query_plans(spark):
     """The round-5 extension surface stays in the house plan shapes:
     equi joins hash/sort-merge, scalar anchors the only nested loops,
@@ -624,6 +625,7 @@ def test_round5_extension_query_plans(spark):
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
 
 
+@pytest.mark.slow  # 7-12 s band, sibling fast coverage kept (r13)
 def test_round5_batch2_query_plans(spark):
     """Batch-2 extension queries stay in the house shapes: skyline is
     windows over one aggregate (no join at all), FIFO is an equi join
@@ -1188,6 +1190,7 @@ def test_decontam_spans_plan(spark):
     assert "HashJoin" in p  # shingle equi-join (shuffled or broadcast)
 
 
+@pytest.mark.slow  # >=12 s in the idle full run (r13)
 def test_registry_wide_plan_hygiene(spark):
     """Standing registry-wide gate (round 11, the plan twin of the
     codegen audit in SCALE.md): EVERY registered query's executed plan

@@ -86,6 +86,7 @@ def test_decode_matches_recon_sqdist(emb, books):
         assert math.isclose(r["recon_sqdist"], r["full"], rel_tol=1e-9, abs_tol=1e-12)
 
 
+@pytest.mark.slow  # >=12 s in the idle full run (r13)
 def test_trained_codebooks_beat_seeded(emb, books):
     """Per-subspace Lloyd training must reduce mean reconstruction
     error vs first-k seeding (the whole point of the quality path)."""
@@ -168,6 +169,7 @@ def test_encode_blas_twin_matches_expression_form(emb, books):
         )
 
 
+@pytest.mark.slow  # 7-12 s band, sibling fast coverage kept (r13)
 def test_ivfpq_candidates_come_from_probed_lists(emb):
     """IVFADC invariants: exactly k rows per query; every neighbor
     belongs to one of the query's nprobe probed lists (re-derived

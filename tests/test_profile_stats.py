@@ -109,6 +109,9 @@ def _cdf(spark, rows):
     )
 
 
+
+
+@pytest.mark.slow  # 7-12 s band, sibling fast coverage kept (r13)
 @given(rows=corpus)
 @_SETTINGS
 def test_kl_nonnegative_gibbs(spark, rows):
@@ -119,6 +122,7 @@ def test_kl_nonnegative_gibbs(spark, rows):
         assert r["kl"] >= -1e-6, r
 
 
+@pytest.mark.slow  # >=12 s in the idle full run (r13)
 @given(rows=corpus)
 @_SETTINGS
 def test_ks_range_and_identity(spark, rows):
@@ -207,6 +211,8 @@ def test_cusum_stationary_series_never_alarms(spark):
 # Decayed trending (q_events_trending semantics)
 # ---------------------------------------------------------------------------
 
+
+@pytest.mark.slow  # 7-12 s band, sibling fast coverage kept (r13)
 def test_trending_recency_beats_volume(spark, tmp_path):
     """A user with modest RECENT activity must outrank a user with 3x
     the raw volume parked 8+ weeks ago (weight 2^-8); decayed_events

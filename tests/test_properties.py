@@ -41,6 +41,13 @@ SETTINGS = settings(
 )
 
 
+import pytest
+
+# Exhaustive property batch — slow (VERDICT r12 item 2): excluded
+# from the default run; CI/round-close run with --runslow.
+pytestmark = pytest.mark.slow
+
+
 def _df(spark, pts):
     return spark.createDataFrame(
         [(float(x), float(y), float(z)) for x, y, z in pts],

@@ -31,6 +31,13 @@ lotlist = st.lists(
 )
 
 
+import pytest
+
+# Exhaustive property batch — slow (VERDICT r12 item 2): excluded
+# from the default run; CI/round-close run with --runslow.
+pytestmark = pytest.mark.slow
+
+
 def _brute_skyline(pts):
     pts = sorted(set(pts))
     return sorted(

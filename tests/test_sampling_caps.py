@@ -98,6 +98,9 @@ def test_cap_per_key_matches_python(spark, texts, cap):
     assert got == expected
 
 
+
+
+@pytest.mark.slow  # 7-12 s band, sibling fast coverage kept (r13)
 @given(_corpus)
 @_SETTINGS
 def test_tfidf_matches_python(spark, texts):
@@ -354,6 +357,7 @@ def test_parity_copy_counts_sums_to_majority(spark):
     assert sorted(counts[i + 100] for i in range(3)) == [2, 2, 3]
 
 
+@pytest.mark.slow  # 7-12 s band, sibling fast coverage kept (r13)
 def test_parity_copy_counts_partitioning_invariant(spark):
     from mapreduce_kmeans_clustering_spark.operators.sampling import (
         parity_copy_counts,
@@ -366,6 +370,7 @@ def test_parity_copy_counts_partitioning_invariant(spark):
     assert a == b
 
 
+@pytest.mark.slow  # 7-12 s band, sibling fast coverage kept (r13)
 def test_oversample_to_parity_materializes_balanced_epoch(spark):
     from mapreduce_kmeans_clustering_spark.operators.sampling import (
         oversample_to_parity,

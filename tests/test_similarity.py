@@ -68,6 +68,7 @@ def test_lsh_topk_subset_of_bucket_with_sane_cos(emb):
         assert r["cos"] == pytest.approx(brute[key], abs=1e-12)
 
 
+@pytest.mark.slow  # >=12 s in the idle full run (r13)
 def test_multiprobe_expands_candidates_and_keeps_exact_scores(emb):
     """Multi-probe LSH must (a) return at least as many hits as
     single-bucket probing, (b) never invent scores — every returned
@@ -501,6 +502,7 @@ def test_inf_vector_never_ranks_in_knn_or_hard_negatives(spark):
     assert ids and 2 not in ids  # the undefined-cos candidate never mined
 
 
+@pytest.mark.slow  # 7-12 s band, sibling fast coverage kept (r13)
 def test_hard_negatives_oracle_mirrors_undefined_cos_exclusion(spark, tmp_path):
     """ADVICE r9 (medium): the q_hard_negatives DuckDB oracle must
     mirror the engine's undefined-cosine MINING exclusion
@@ -615,6 +617,7 @@ def test_safe_cosine_nanvl_form_is_the_same_function(spark):
     assert [r["n"] for r in vals] == [0.0]
 
 
+@pytest.mark.slow  # 7-12 s band, sibling fast coverage kept (r13)
 def test_ivf_extend_index_appends_against_stored_quantizer(spark, tmp_path):
     """Index maintenance: a delta batch lands in exactly the lists the
     STORED centroids dictate (identical to assigning the union corpus,

@@ -139,6 +139,7 @@ def test_stream_cluster_counts_runs(spark, events_dir):
     assert {r["cluster"] for r in rows} <= {0, 1}
 
 
+@pytest.mark.slow  # >=12 s in the idle full run (r13)
 def test_stream_assign_with_refresh_swaps_model_between_batches(spark, tmp_path):
     from mapreduce_kmeans_clustering_spark.streaming import stream_assign_with_refresh
     from pyspark.sql import types as T
@@ -173,6 +174,7 @@ def test_stream_assign_with_refresh_swaps_model_between_batches(spark, tmp_path)
     assert clusters == [0, 1]  # old model -> cluster 0, refreshed model -> cluster 1
 
 
+@pytest.mark.slow  # >=12 s in the idle full run (r13)
 def test_stream_exact_dedup_across_microbatches(spark, tmp_path):
     from mapreduce_kmeans_clustering_spark.streaming import stream_exact_dedup
     from pyspark.sql import types as T
@@ -209,6 +211,7 @@ def test_stream_exact_dedup_across_microbatches(spark, tmp_path):
     assert by_text["alpha"] == 1  # first arrival won, cross-batch duplicate dropped
 
 
+@pytest.mark.slow  # >=12 s in the idle full run (r13)
 def test_stream_dedup_with_watermark_bounds_state(spark, tmp_path):
     """The recommended infinite-stream configuration (ts_col set →
     dropDuplicatesWithinWatermark): state per content hash lives only
@@ -714,6 +717,7 @@ def test_stream_length_drift_flags_shifted_batch(spark, tmp_path):
     assert sorted(twin_ks) == sorted(g[1] for g in got)
 
 
+@pytest.mark.slow  # 7-12 s band, sibling fast coverage kept (r13)
 def test_stream_cusum_accumulates_and_survives_restart(spark, tmp_path):
     """Stateful streaming CUSUM: three micro-batches each +30% above
     the reference mean — no single batch alarms at threshold 2 means,
@@ -775,6 +779,7 @@ def test_stream_cusum_accumulates_and_survives_restart(spark, tmp_path):
     assert rows2[-1][1] == pytest.approx(exp[-1] + 28.0, abs=1e-9)
 
 
+@pytest.mark.slow  # 7-12 s band, sibling fast coverage kept (r13)
 def test_stream_cusum_intermittent_key_carries_state(spark, tmp_path):
     """A key present in batches 1 and 3 but ABSENT from batch 2 must
     accumulate S+ across the gap (full-outer state join), not reset:
@@ -895,6 +900,7 @@ def test_stream_cusum_stationary_stays_at_zero(spark, tmp_path):
     assert all(not r["alarm_neg"] for r in rows)
 
 
+@pytest.mark.slow  # 7-12 s band, sibling fast coverage kept (r13)
 def test_stream_near_dedup_ingest_flags_near_copies(spark, tmp_path):
     """Streaming index-vs-delta near-dedup: arriving docs are screened
     against the corpus's MinHash band index per micro-batch; a
@@ -1174,6 +1180,7 @@ def test_stream_boilerplate_ingest_scrubs_and_emits_batch_index(spark, tmp_path)
     assert ("old.com", "nav home menu") in flagged
 
 
+@pytest.mark.slow  # 7-12 s band, sibling fast coverage kept (r13)
 def test_stream_bloom_ingest_screens_and_folds(spark, tmp_path):
     """Streaming Bloom screen (round 12): arriving docs are screened
     against the STORED filter (known text -> maybe_dup, unseen ->
@@ -1280,6 +1287,7 @@ def test_stream_bloom_ingest_screens_and_folds(spark, tmp_path):
         bloom_screen_from_filter(bare, replay)
 
 
+@pytest.mark.slow  # 7-12 s band, sibling fast coverage kept (r13)
 def test_stream_dsir_ingest_scores_and_folds(spark, tmp_path):
     """Streaming DSIR scorer (round-12 continuation, fifth index
     family member): arriving docs are scored as-of the STORED profile
@@ -1358,6 +1366,7 @@ def test_stream_dsir_ingest_scores_and_folds(spark, tmp_path):
     assert via_merge == via_docs
 
 
+@pytest.mark.slow  # 7-12 s band, sibling fast coverage kept (r13)
 def test_stream_passage_ingest_scrubs_and_folds(spark, tmp_path):
     """Streaming passage scrub (round-12 continuation, sixth index
     family member): arrivals are scrubbed against the STORED gram
